@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One driver-checkable operator: a Spark plan plus (optionally) the
+  * equivalent DuckDB oracle SQL over the same parquet tables.
+  * See SURVEY.md §2 for the inventory this realizes.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Loaders for the driver-generated test tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` carries nanosecond parquet timestamps, which Spark's
+    * vectorized reader rejects; read them as raw nanos and rebuild a
+    * microsecond TimestampType column (values are µs-aligned).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+/** Oracle-parity helpers (SURVEY.md §3): double sums are
+  * order-dependent under parallel aggregation, so money-ish columns are
+  * accumulated as exact DECIMAL(28,6) and emitted as double — Spark and
+  * DuckDB then agree bit-for-bit regardless of partitioning.
+  *
+  * Scale 6 (not 2) matters: Spark casts double→decimal through the
+  * shortest string representation (BigDecimal.valueOf), so an exact
+  * 4-decimal product such as 117.2775 is a scale-2 rounding tie in
+  * Spark but not in DuckDB (which rounds the binary value). At scale 6
+  * every ≤6-decimal product is represented exactly in both engines and
+  * no tie can occur.
+  */
+object OracleSafe {
+  /** Exact-decimal sum of a double column, emitted as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  /** DuckDB rendering of [[dsum]]. */
+  def dsumSql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Deterministic mean: exact-decimal sum divided by count. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+  def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
+}

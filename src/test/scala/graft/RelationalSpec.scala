@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class RelationalSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has distinct name and runs at sf0.001") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    SparkEntry.all.foreach { d =>
+      val df = d.run(spark, sf)
+      val n = df.count()
+      withClue(d.name) { assert(n >= 0) }
+    }
+  }
+
+  test("q04 TPC-H Q1 shape: groups and exact sums") {
+    val df = SparkEntry.queries("q04_agg_group")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 0 && total <= 6000)
+  }
+
+  test("q09 top-n emits at most 3 per group") {
+    val df = SparkEntry.queries("q09_topn_group")(spark, sf)
+    import org.apache.spark.sql.functions._
+    val mx = df.groupBy(col("o_orderpriority")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(mx <= 3)
+  }
+
+  test("q10 dedup keeps one row per user") {
+    val df = SparkEntry.queries("q10_dedup_latest")(spark, sf)
+    assert(df.select("user_id").distinct().count() == df.count())
+  }
+
+  test("q21 as-of join: click is at or before purchase") {
+    val df = SparkEntry.queries("q21_asof_join")(spark, sf)
+    assert(df.count() > 0)
+    // every matched click id must exist among click events
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("asof_click"))
+    val bad = df.filter(col("asof_click").isNotNull)
+      .join(clicks, Seq("asof_click"), "left_anti").count()
+    assert(bad == 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val qk = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+  }
+}
