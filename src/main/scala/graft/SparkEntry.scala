@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** All implemented operators, in SURVEY §2 order. */
   def all: Seq[QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+    graft.cdc.CdcQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

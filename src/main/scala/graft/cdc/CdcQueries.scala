@@ -1,0 +1,177 @@
+package graft.cdc
+
+import graft.{QueryDef, Tables}
+import graft.OracleSafe._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2 CDC / changelog queries — the reference's core domain
+  * (change-data-capture subscription) re-expressed as declarative
+  * Spark plans over a deterministic changelog.
+  *
+  * The changelog is derived from the driver's `events` table so the
+  * DuckDB oracle sees identical input: event_type maps onto the
+  * reference's OperationType (ref: src/main/java/com/alibaba/flink/
+  * connectors/dts/formats/internal/record/OperationType.java), the
+  * JSON `props` payload plays the row image (lazily parsed, ref:
+  * LazyParseRecordImpl.java), user_id is the primary key.
+  */
+object CdcQueries {
+
+  /** event_type → OperationType mapping (deterministic). */
+  private def opCol: Column =
+    when(col("event_type") === "signup", "INSERT")
+      .when(col("event_type") === "click", "UPDATE")
+      .when(col("event_type") === "purchase", "UPDATE")
+      .when(col("event_type") === "view", "HEARTBEAT")
+      .otherwise("DELETE")
+
+  /** The derived changelog frame: one row per change record. */
+  def changelog(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").as("record_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      opCol.as("op"),
+      col("user_id").as("pk"),
+      col("value").as("val"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** DuckDB rendering of [[changelog]]. */
+  private val changelogSql: String =
+    """WITH changelog AS (
+      |  SELECT event_id AS record_id, epoch_us(ts) AS ts_us,
+      |    CASE event_type
+      |      WHEN 'signup' THEN 'INSERT'
+      |      WHEN 'click' THEN 'UPDATE'
+      |      WHEN 'purchase' THEN 'UPDATE'
+      |      WHEN 'view' THEN 'HEARTBEAT'
+      |      ELSE 'DELETE' END AS op,
+      |    user_id AS pk, value AS val,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events)""".stripMargin
+
+  /** Data-changing subset (drops liveness heartbeats, ref:
+    * DtsExample.java filter on OperationType). */
+  private def dataOps(s: SparkSession, dir: String): DataFrame =
+    changelog(s, dir).filter(col("op") =!= "HEARTBEAT")
+
+  // -------------------------------------------------------------- cdc01
+  private val cdc01 = QueryDef(
+    "cdc01_parse",
+    (s, dir) => changelog(s, dir),
+    Some(s"""$changelogSql
+      |SELECT record_id, ts_us, op, pk, val, k FROM changelog""".stripMargin))
+
+  // -------------------------------------------------------------- cdc02
+  /** Changelog → current table state: last data record per key wins;
+    * a terminal DELETE removes the key (upsert semantics — what a
+    * downstream sink of the reference's stream materializes). */
+  private val cdc02 = QueryDef(
+    "cdc02_materialize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(col("ts_us").desc, col("record_id").desc)
+      dataOps(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "DELETE")
+        .select("pk", "record_id", "ts_us", "op", "val", "k")
+    },
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, ts_us, op, val, k FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY ts_us DESC, record_id DESC) AS rn
+      |  FROM changelog WHERE op <> 'HEARTBEAT')
+      |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
+
+  // -------------------------------------------------------------- cdc03
+  private val cdc03 = QueryDef(
+    "cdc03_op_stats",
+    (s, dir) =>
+      changelog(s, dir).groupBy(col("op")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("pk")).as("n_pks"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"),
+        dsum(col("val")).as("sum_val")),
+    Some(s"""$changelogSql
+      |SELECT op, COUNT(*) AS n, COUNT(DISTINCT pk) AS n_pks,
+      | MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+      | ${dsumSql("val")} AS sum_val
+      |FROM changelog GROUP BY op""".stripMargin))
+
+  // -------------------------------------------------------------- cdc04
+  /** Before/after row-image delta for UPDATEs (ref: RowImage
+    * getBeforeImage/getAfterImage, DtsRecord.java:38). The previous
+    * data record per key supplies the before image. */
+  private val cdc04 = QueryDef(
+    "cdc04_before_after",
+    (s, dir) => {
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(col("ts_us").asc, col("record_id").asc)
+      dataOps(s, dir)
+        .withColumn("before_val", lag(col("val"), 1).over(w))
+        .filter(col("op") === "UPDATE" && col("before_val").isNotNull)
+        .select(col("pk"), col("record_id"), col("ts_us"),
+          col("before_val"), col("val").as("after_val"),
+          (col("val") - col("before_val")).as("delta"))
+    },
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, ts_us, before_val, val AS after_val,
+      | val - before_val AS delta FROM (
+      |  SELECT *, LAG(val, 1) OVER (PARTITION BY pk
+      |    ORDER BY ts_us ASC, record_id ASC) AS before_val
+      |  FROM changelog WHERE op <> 'HEARTBEAT')
+      |WHERE op = 'UPDATE' AND before_val IS NOT NULL""".stripMargin))
+
+  // -------------------------------------------------------------- cdc05
+  /** Timestamp repositioning: resume strictly after a checkpoint
+    * timestamp and report the first record seen per key — the
+    * searchOffsetByTimestamp recovery path (ref:
+    * fetcher/ClusterSwitchListener.java). */
+  private val cdc05 = QueryDef(
+    "cdc05_reposition",
+    (s, dir) => {
+      val ckpt = unix_micros(lit("2024-01-15 00:00:00").cast("timestamp"))
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(col("ts_us").asc, col("record_id").asc)
+      dataOps(s, dir)
+        .filter(col("ts_us") > ckpt)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("pk", "record_id", "ts_us", "op")
+    },
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, ts_us, op FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY ts_us ASC, record_id ASC) AS rn
+      |  FROM changelog
+      |  WHERE op <> 'HEARTBEAT'
+      |    AND ts_us > epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+      |WHERE rn = 1""".stripMargin))
+
+  // -------------------------------------------------------------- cdc06
+  /** Transaction assembly: records sharing (key, minute) form a
+    * transaction scope (BEGIN..COMMIT span analogue, ref:
+    * DtsRecord.getTransactionId / getTransSeq). */
+  private val cdc06 = QueryDef(
+    "cdc06_txn_assembly",
+    (s, dir) =>
+      dataOps(s, dir)
+        .withColumn("txn_minute", expr("ts_us div 60000000"))
+        .groupBy(col("pk"), col("txn_minute"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          countDistinct(col("op")).as("n_ops"),
+          min(col("ts_us")).as("begin_us"),
+          max(col("ts_us")).as("commit_us"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("span_us")),
+    Some(s"""$changelogSql
+      |SELECT pk, ts_us // 60000000 AS txn_minute, COUNT(*) AS n_records,
+      | COUNT(DISTINCT op) AS n_ops, MIN(ts_us) AS begin_us,
+      | MAX(ts_us) AS commit_us, MAX(ts_us) - MIN(ts_us) AS span_us
+      |FROM changelog WHERE op <> 'HEARTBEAT'
+      |GROUP BY pk, txn_minute""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06)
+}

@@ -1,0 +1,121 @@
+package graft.cdc
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Binary codec for [[ChangeRecord]] with a fixed-offset header so the
+  * hot fields (id, timestamps, operation) are readable WITHOUT parsing
+  * the variable-length tail — the Spark-native analogue of the
+  * reference's direct-from-bytes lazy deserialization (ref:
+  * formats/internal/record/impl/LazyParseRecordImpl.java,
+  * LazyRecordDeserializer.java: "deserialize binary bytes to DtsRecord
+  * without going through a generic avro record").
+  *
+  * Layout (little-endian):
+  * {{{
+  *   0  u8   magic 'G'      1  u8   version (1)
+  *   2  i64  id             10 i64  tsUs
+  *   18 i64  bornUs         26 u8   opCode
+  *   27 ...  varlen tail: txId, db, tbl, pkNames, before, after
+  * }}}
+  * str := i32 byteLen (-1 = null) + utf8; map := i32 n + (str,str)*.
+  */
+object RecordCodec {
+
+  val Magic: Byte = 'G'
+  val Version: Byte = 1
+  val HeaderLen: Int = 27
+
+  // ------------------------------------------------------------ encode
+
+  def encode(r: ChangeRecord): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(256)
+    val out = new DataOutputStream(bos)
+    // header, little-endian via ByteBuffer for the fixed block
+    val head = ByteBuffer.allocate(HeaderLen).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(Magic).put(Version)
+    head.putLong(r.id).putLong(r.tsUs).putLong(r.bornUs)
+    head.put(Op.code(r.op))
+    out.write(head.array())
+    writeStr(out, r.transactionId)
+    writeStr(out, r.db)
+    writeStr(out, r.tbl)
+    writeI32(out, r.pkNames.length)
+    r.pkNames.foreach(writeStr(out, _))
+    writeMap(out, r.before)
+    writeMap(out, r.after)
+    bos.toByteArray
+  }
+
+  private def writeI32(out: DataOutputStream, v: Int): Unit = {
+    // little-endian i32
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  private def writeStr(out: DataOutputStream, s: String): Unit =
+    if (s == null) writeI32(out, -1)
+    else {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      writeI32(out, b.length); out.write(b)
+    }
+
+  private def writeMap(out: DataOutputStream, m: Map[String, String]): Unit = {
+    if (m == null) { writeI32(out, -1); return }
+    writeI32(out, m.size)
+    // sorted keys => canonical bytes (stable across Map implementations)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      writeStr(out, k); writeStr(out, v)
+    }
+  }
+
+  // ---------------------------------------------------- lazy header gets
+
+  /** Hot-path reads: no allocation, no tail parse. */
+  def headerId(bytes: Array[Byte]): Long = getLongLE(bytes, 2)
+  def headerTsUs(bytes: Array[Byte]): Long = getLongLE(bytes, 10)
+  def headerBornUs(bytes: Array[Byte]): Long = getLongLE(bytes, 18)
+  def headerOp(bytes: Array[Byte]): String = Op.fromCode(bytes(26))
+  def headerOpCode(bytes: Array[Byte]): Int = bytes(26).toInt
+
+  private def getLongLE(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  // ------------------------------------------------------------ decode
+
+  def decode(bytes: Array[Byte]): ChangeRecord = {
+    require(bytes.length >= HeaderLen && bytes(0) == Magic,
+      s"not a graft cdc record (${bytes.length} bytes)")
+    require(bytes(1) == Version, s"unsupported codec version ${bytes(1)}")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(2)
+    val id = buf.getLong; val ts = buf.getLong; val born = buf.getLong
+    val op = Op.fromCode(buf.get)
+    val tx = readStr(buf); val db = readStr(buf); val tbl = readStr(buf)
+    val nPk = buf.getInt
+    val pks = (0 until nPk).map(_ => readStr(buf))
+    val before = readMap(buf)
+    val after = readMap(buf)
+    ChangeRecord(id, tx, ts, born, op, db, tbl, pks, before, after)
+  }
+
+  private def readStr(buf: ByteBuffer): String = {
+    val n = buf.getInt
+    if (n < 0) null
+    else {
+      val b = new Array[Byte](n); buf.get(b)
+      new String(b, StandardCharsets.UTF_8)
+    }
+  }
+
+  private def readMap(buf: ByteBuffer): Map[String, String] = {
+    val n = buf.getInt
+    if (n < 0) null
+    else (0 until n).map(_ => (readStr(buf), readStr(buf))).toMap
+  }
+}

@@ -1,0 +1,99 @@
+package graft.cdc
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.nio.charset.{Charset, StandardCharsets}
+import java.time.{LocalDateTime, ZoneOffset}
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
+
+/** Typed conversions for stringified row-image values — the engine's
+  * counterpart of the reference's value type system (ref:
+  * formats/internal/record/value/ValueType.java: BIT, INTEGER_NUMERIC,
+  * FLOAT_NUMERIC, DECIMAL_NUMERIC, SPECIAL_NUMERIC, STRING, DATETIME,
+  * UNIX_TIMESTAMP, TEXT/BINARY_ENCODING_OBJECT, WKT/WKB geometry) and
+  * of its charset bridge (ref: common/JDKCharsetMapper.java).
+  */
+object Values {
+
+  // ---------------------------------------------------------- numerics
+
+  /** Unsigned-safe integer parse (ref: IntegerNumeric.java — MySQL
+    * BIGINT UNSIGNED can exceed Long.MaxValue). */
+  def parseIntegerNumeric(s: String): JBigDecimal = new JBigDecimal(s.trim)
+
+  def parseDecimal(s: String): JBigDecimal = new JBigDecimal(s.trim)
+
+  /** Float with the reference's "special numeric" spellings (ref:
+    * SpecialNumeric.java: NaN / Infinity markers). */
+  def parseFloat(s: String): Double = s.trim match {
+    case "NaN"                       => Double.NaN
+    case "Infinity" | "+Infinity"    => Double.PositiveInfinity
+    case "-Infinity"                 => Double.NegativeInfinity
+    case other                       => other.toDouble
+  }
+
+  // ------------------------------------------------------------- BIT
+
+  /** BIT(n) big-endian bytes → long (ref: BitValue.java). */
+  def bitToLong(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+
+  // -------------------------------------------------------- datetimes
+
+  private val dtFormatter: DateTimeFormatter = new DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd[ HH:mm:ss]")
+    .appendFraction(ChronoField.MICRO_OF_SECOND, 0, 6, true)
+    .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
+    .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
+    .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
+    .toFormatter
+
+  /** "yyyy-MM-dd[ HH:mm:ss[.ffffff]]" → epoch micros, UTC (ref:
+    * DateTime.java segment parse with fractional seconds). */
+  def dateTimeToMicros(s: String): Long = {
+    val ldt = LocalDateTime.parse(s.trim, dtFormatter)
+    ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }
+
+  def microsToDateTime(us: Long): String = {
+    val ldt = LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      ZoneOffset.UTC)
+    ldt.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+  }
+
+  /** Unix seconds + micro remainder → epoch micros (ref:
+    * UnixTimestamp.java). */
+  def unixTimestampToMicros(seconds: Long, micros: Int): Long =
+    seconds * 1000000L + micros
+
+  // ---------------------------------------------------------- strings
+
+  /** Source-charset name → JDK charset (ref: JDKCharsetMapper.java). */
+  def charsetFor(name: String): Charset = name.toLowerCase match {
+    case "utf8" | "utf8mb4" | "utf8mb3" => StandardCharsets.UTF_8
+    case "latin1"                       => StandardCharsets.ISO_8859_1
+    case "ascii"                        => StandardCharsets.US_ASCII
+    case "ucs2" | "utf16"               => StandardCharsets.UTF_16
+    case "binary"                       => StandardCharsets.ISO_8859_1
+    case other                          => Charset.forName(other)
+  }
+
+  def decodeString(bytes: Array[Byte], charsetName: String): String =
+    new String(bytes, charsetFor(charsetName))
+
+  // --------------------------------------------------------- geometry
+
+  /** Minimal WKT point codec (ref: WKTGeometry.java / GeometryUtil —
+    * geometry values travel as text; only POINT gets structure here).
+    */
+  private val PointRe = """(?i)\s*POINT\s*\(\s*(\S+)\s+(\S+)\s*\)\s*""".r
+
+  def parsePointWkt(wkt: String): Option[(Double, Double)] = wkt match {
+    case PointRe(x, y) =>
+      try Some((x.toDouble, y.toDouble)) catch { case _: NumberFormatException => None }
+    case _ => None
+  }
+
+  def pointToWkt(x: Double, y: Double): String = s"POINT ($x $y)"
+}

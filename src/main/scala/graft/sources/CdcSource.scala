@@ -1,0 +1,219 @@
+package graft.sources
+
+import graft.cdc.RecordCodec
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+
+/** `graft-cdc`: a DataSourceV2 micro-batch + batch source over
+  * [[CdcChunkFile]] segment directories — the Spark-native
+  * re-expression of the reference's subscription consumer (ref:
+  * FlinkDtsRawConsumer.java + internal/DtsKafkaFetcher.java).
+  *
+  * Where the reference hand-rolls a Kafka fetch thread, per-partition
+  * offset state and checkpoint hooks, here Spark owns the loop:
+  * offsets are chunk counts tracked by Structured Streaming's
+  * checkpointing (exactly-once), admission control is
+  * `maxChunksPerTrigger`, and the Dstore-failover "re-seek by
+  * timestamp" path (ref: fetcher/ClusterSwitchListener.java
+  * searchOffsetByTimestamp) is `startingTimestampUs`, which prunes
+  * whole chunks via their stats footer before any record is read.
+  *
+  * Options:
+  *   - `path` (required): chunk directory
+  *   - `startingTimestampUs`: drop records strictly older; skip whole
+  *     chunks whose footer maxTs is older
+  *   - `maxChunksPerTrigger`: admission cap per micro-batch
+  */
+class CdcSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcTable(properties.get("path"),
+      Option(properties.get("startingTimestampUs")).map(_.toLong),
+      Option(properties.get("maxChunksPerTrigger")).map(_.toInt))
+}
+
+object CdcSource {
+  /** Output schema == [[graft.cdc.ChangeRecord]]. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("transactionId", StringType),
+    StructField("tsUs", LongType, nullable = false),
+    StructField("bornUs", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("db", StringType),
+    StructField("tbl", StringType),
+    StructField("pkNames", ArrayType(StringType)),
+    StructField("before", MapType(StringType, StringType)),
+    StructField("after", MapType(StringType, StringType))))
+}
+
+class CdcTable(
+    path: String,
+    startTsUs: Option[Long],
+    maxChunksPerTrigger: Option[Int])
+  extends Table with SupportsRead {
+
+  require(path != null, "graft-cdc requires a 'path' option")
+  override def name(): String = s"graft-cdc:$path"
+  override def schema(): StructType = CdcSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new CdcScan(path, startTsUs, maxChunksPerTrigger)
+    }
+}
+
+/** Offset = number of chunks fully consumed (chunk list is sorted and
+  * append-only, like Kafka segment offsets). */
+case class CdcOffset(chunksConsumed: Int) extends Offset {
+  override def json(): String = s"""{"chunksConsumed":$chunksConsumed}"""
+}
+
+object CdcOffset {
+  private val Re = """\{"chunksConsumed":(\d+)\}""".r
+  def fromJson(j: String): CdcOffset = j match {
+    case Re(n) => CdcOffset(n.toInt)
+    case other => throw new IllegalArgumentException(s"bad cdc offset: $other")
+  }
+}
+
+class CdcScan(
+    path: String,
+    startTsUs: Option[Long],
+    maxChunksPerTrigger: Option[Int]) extends Scan {
+
+  override def readSchema(): StructType = CdcSource.schema
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      prunedChunks.map(c => CdcInputPartition(c, startTsUs): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CdcReaderFactory
+  }
+
+  /** Footer-stats chunk pruning for timestamp reposition. */
+  private def prunedChunks: Seq[String] = {
+    val all = CdcChunkFile.listChunks(path)
+    startTsUs match {
+      case Some(ts) => all.filter(c => CdcChunkFile.readFooter(c).maxTsUs >= ts)
+      case None     => all
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream with SupportsAdmissionControl {
+      // chunk listing is re-read per latestOffset call => appended
+      // chunks become visible to later triggers
+      override def initialOffset(): Offset = CdcOffset(0)
+      override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
+
+      override def latestOffset(): Offset =
+        CdcOffset(CdcChunkFile.listChunks(path).size)
+
+      // admission control: cap the END offset (not the planned
+      // partitions — capping there would silently drop chunks Spark
+      // already considers committed)
+      override def getDefaultReadLimit: ReadLimit =
+        maxChunksPerTrigger.map(n => ReadLimit.maxFiles(n))
+          .getOrElse(ReadLimit.allAvailable())
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val s = start.asInstanceOf[CdcOffset].chunksConsumed
+        val n = CdcChunkFile.listChunks(path).size
+        limit match {
+          case mf: ReadMaxFiles => CdcOffset(math.min(n, s + mf.maxFiles))
+          case _                => CdcOffset(n)
+        }
+      }
+      override def reportLatestOffset(): Offset = latestOffset()
+
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val s = start.asInstanceOf[CdcOffset].chunksConsumed
+        val e = end.asInstanceOf[CdcOffset].chunksConsumed
+        val chunks = CdcChunkFile.listChunks(path).slice(s, e)
+        val live = startTsUs match {
+          case Some(ts) => chunks.filter(c => CdcChunkFile.readFooter(c).maxTsUs >= ts)
+          case None     => chunks
+        }
+        live.map(c => CdcInputPartition(c, startTsUs): InputPartition).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new CdcReaderFactory
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
+}
+
+case class CdcInputPartition(chunkPath: String, startTsUs: Option[Long])
+  extends InputPartition
+
+class CdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcInputPartition]
+    new CdcPartitionReader(p.chunkPath, p.startTsUs)
+  }
+}
+
+/** Decodes one chunk. Records older than the reposition timestamp are
+  * dropped on the LAZY header read — the tail is never parsed for
+  * skipped records. */
+class CdcPartitionReader(chunkPath: String, startTsUs: Option[Long])
+  extends PartitionReader[InternalRow] {
+
+  private val raw = CdcChunkFile.readRawRecords(chunkPath)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (raw.hasNext) {
+      val bytes = raw.next()
+      val keep = startTsUs.forall(RecordCodec.headerTsUs(bytes) >= _)
+      if (keep) {
+        current = toRow(bytes)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private def mapData(m: Map[String, String]): ArrayBasedMapData =
+    if (m == null) null
+    else {
+      val kv = m.toSeq.sortBy(_._1)
+      new ArrayBasedMapData(
+        new GenericArrayData(kv.map(p => utf8(p._1)).toArray[Any]),
+        new GenericArrayData(kv.map(p => utf8(p._2)).toArray[Any]))
+    }
+
+  private def toRow(bytes: Array[Byte]): InternalRow = {
+    val r = RecordCodec.decode(bytes)
+    new GenericInternalRow(Array[Any](
+      r.id, utf8(r.transactionId), r.tsUs, r.bornUs, utf8(r.op),
+      utf8(r.db), utf8(r.tbl),
+      if (r.pkNames == null) null
+      else new GenericArrayData(r.pkNames.map(utf8).toArray[Any]),
+      mapData(r.before), mapData(r.after)))
+  }
+}

@@ -1,0 +1,230 @@
+package graft
+
+import graft.cdc._
+import graft.sources.CdcChunkFile
+import graft.streaming.CdcStreaming
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+object CdcFixtures {
+  def rec(id: Long, tsUs: Long, op: String, pk: String,
+      v: String): ChangeRecord =
+    ChangeRecord(id, s"tx-${id / 10}", tsUs, tsUs - 1000L, op,
+      "appdb", "users", Seq("uid"),
+      if (op == Op.Insert) null else Map("uid" -> pk, "v" -> "old"),
+      if (op == Op.Delete) null else Map("uid" -> pk, "v" -> v))
+
+  /** 30 records over 3 chunks, time-ordered, 3 keys. */
+  def writeChunks(dir: String): Seq[ChangeRecord] = {
+    val recs = (0 until 30).map { i =>
+      val op = i % 10 match {
+        case 0     => Op.Insert
+        case 9     => Op.Delete
+        case 5     => Op.Heartbeat
+        case _     => Op.Update
+      }
+      rec(i.toLong, 1000000L * (i + 1), op, s"k${i % 3}", s"v$i")
+    }
+    recs.grouped(10).zipWithIndex.foreach { case (g, i) =>
+      CdcChunkFile.write(f"$dir/chunk-$i%05d${CdcChunkFile.Extension}", g)
+    }
+    recs
+  }
+}
+
+class CodecSpec extends AnyFunSuite {
+  test("codec roundtrip preserves every field") {
+    val r = CdcFixtures.rec(42L, 1234567890123456L, Op.Update, "k1", "hello")
+    assert(RecordCodec.decode(RecordCodec.encode(r)) == r)
+  }
+
+  test("codec roundtrip: null maps, null tx, empty pk, unicode") {
+    val r = ChangeRecord(7L, null, 55L, 54L, Op.Delete, "db", "t",
+      Seq.empty, null, Map("x" -> null, "émoji→" -> "值"))
+    assert(RecordCodec.decode(RecordCodec.encode(r)) == r)
+  }
+
+  test("lazy header reads match full decode without tail parse") {
+    val r = CdcFixtures.rec(99L, 777777L, Op.Insert, "k", "v")
+    val b = RecordCodec.encode(r)
+    assert(RecordCodec.headerId(b) == 99L)
+    assert(RecordCodec.headerTsUs(b) == 777777L)
+    assert(RecordCodec.headerOp(b) == Op.Insert)
+    // header readable even when the tail is truncated (lazy promise)
+    val headOnly = java.util.Arrays.copyOf(b, RecordCodec.HeaderLen)
+    assert(RecordCodec.headerTsUs(headOnly) == 777777L)
+  }
+
+  test("op codes are stable and total") {
+    Op.all.foreach(op => assert(Op.fromCode(Op.code(op)) == op))
+    assert(Op.fromCode(127) == Op.Unknown)
+  }
+}
+
+class ValuesSpec extends AnyFunSuite {
+  test("unsigned-safe integer numerics") {
+    assert(Values.parseIntegerNumeric("18446744073709551615")
+      == new java.math.BigDecimal("18446744073709551615"))
+  }
+  test("datetime with fractional seconds roundtrips") {
+    val us = Values.dateTimeToMicros("2024-01-02 03:04:05.678901")
+    assert(Values.microsToDateTime(us) == "2024-01-02 03:04:05.678901")
+    assert(Values.dateTimeToMicros("2024-01-02") ==
+      Values.dateTimeToMicros("2024-01-02 00:00:00"))
+  }
+  test("unix timestamp to micros") {
+    assert(Values.unixTimestampToMicros(10L, 5) == 10000005L)
+  }
+  test("bit bytes to long") {
+    assert(Values.bitToLong(Array(0x01.toByte, 0xff.toByte)) == 511L)
+  }
+  test("charset mapping decodes mysql names") {
+    val b = "héllo".getBytes("ISO-8859-1")
+    assert(Values.decodeString(b, "latin1") == "héllo")
+    assert(Values.decodeString("好".getBytes("UTF-8"), "utf8mb4") == "好")
+  }
+  test("special float spellings") {
+    assert(Values.parseFloat("NaN").isNaN)
+    assert(Values.parseFloat("-Infinity").isNegInfinity)
+  }
+  test("wkt point roundtrip") {
+    assert(Values.parsePointWkt("POINT (1.5 -2.25)") == Some((1.5, -2.25)))
+    assert(Values.parsePointWkt(Values.pointToWkt(3.0, 4.0)) == Some((3.0, 4.0)))
+    assert(Values.parsePointWkt("LINESTRING (0 0, 1 1)") == None)
+  }
+}
+
+class CdcSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("batch read returns all records with full schema") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val recs = CdcFixtures.writeChunks(dir)
+    val df = CdcStreaming.readBatch(spark, dir)
+    assert(df.count() == recs.size)
+    val row = df.filter(col("id") === 11L).head()
+    assert(row.getAs[String]("op") == Op.Update)
+    assert(row.getAs[Map[String, String]]("after")("uid") == "k2")
+    assert(row.getAs[scala.collection.Seq[String]]("pkNames").toSeq == Seq("uid"))
+  }
+
+  test("footer stats prune chunks on timestamp reposition") {
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir)
+    // chunk 0 covers ts 1..10s, chunk 1 11..20s, chunk 2 21..30s
+    val df = CdcStreaming.readBatch(spark, dir, Some(15000000L))
+    assert(df.count() == 16) // records 14..29
+    assert(df.agg(min(col("tsUs"))).head().getLong(0) == 15000000L)
+    val footer = CdcChunkFile.readFooter(
+      CdcChunkFile.listChunks(dir).head)
+    assert(footer.nRecords == 10 && footer.minTsUs == 1000000L)
+  }
+
+  test("lazy header expressions work in a query (codegen path)") {
+    import graft.cdc.CdcFunctions._
+    val r = CdcFixtures.rec(5L, 123L, Op.Insert, "k", "v")
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(RecordCodec.encode(r))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("raw",
+          org.apache.spark.sql.types.BinaryType))))
+    val got = df.select(
+      cdc_header_id(col("raw")).as("id"),
+      cdc_header_ts_us(col("raw")).as("ts"),
+      cdc_header_op_code(col("raw")).as("opc")).head()
+    assert(got.getLong(0) == 5L && got.getLong(1) == 123L)
+    assert(Op.fromCode(got.getInt(2).toByte) == Op.Insert)
+  }
+
+  test("micro-batch stream consumes chunks with admission cap") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val recs = CdcFixtures.writeChunks(dir)
+    val q = CdcStreaming.readStream(spark, dir, maxChunksPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("cdc_stream_t1")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdc_stream_t1")
+      assert(got.count() == recs.size)
+      // admission cap => at least 3 micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally q.stop()
+  }
+
+  test("streaming windowed op counts match the batch computation") {
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir)
+    val q = CdcStreaming.windowedOpCounts(
+        CdcStreaming.readStream(spark, dir), window = "10 seconds",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("cdc_win_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; compare
+      // against batch on the closed prefix
+      val batch = CdcStreaming.windowedOpCounts(
+        CdcStreaming.readBatch(spark, dir), window = "10 seconds")
+      val streamed = spark.table("cdc_win_t")
+      val closed = streamed.agg(max("win_us")).head()
+      // all closed windows must agree with batch
+      val joined = streamed.join(batch, Seq("win_us", "op"))
+      assert(joined.filter(streamed("n") =!= batch("n")).count() == 0)
+    } finally q.stop()
+  }
+
+  test("materialize: last DML wins, DELETE tombstones, heartbeats ignored") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir)
+    val q = CdcStreaming.materialize(CdcStreaming.readStream(spark, dir))
+      .writeStream.format("memory").queryName("cdc_mat_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val st = spark.table("cdc_mat_t")
+      // final state per key == batch last-DML-wins
+      val fin = st.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key"))
+            .orderBy(col("tsUs").desc, col("recordId").desc)))
+        .filter(col("rn") === 1)
+      // keys: k0 saw record 9=DELETE? ids 0,3,6,9,12,... (i%3==0)
+      // last DML per key: k0 -> id 27, k1 -> id 28, k2 -> id 29(DELETE)
+      val byKey = fin.collect().map(r =>
+        r.getAs[String]("key") -> (r.getAs[Long]("recordId"),
+          r.getAs[Boolean]("alive"))).toMap
+      assert(byKey.values.map(_._1).toSet == Set(27L, 28L, 29L))
+      val deadKeys = byKey.filter(!_._2._2)
+      assert(deadKeys.values.map(_._1).toSet == Set(29L))
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint continues, no duplicates") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val out = Files.createTempDirectory("gclout").toString + "/sink"
+    val recs = CdcFixtures.writeChunks(dir)
+    def start() = CdcStreaming.readStream(spark, dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    val n1 = spark.read.parquet(out).count()
+    // new chunk arrives while stopped
+    CdcChunkFile.write(s"$dir/chunk-00099${CdcChunkFile.Extension}",
+      Seq(CdcFixtures.rec(100L, 40000000L, Op.Insert, "k9", "v100")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // offset continuation: exactly one new record, zero duplicates
+      val after = spark.read.parquet(out)
+      assert(n1 == recs.size)
+      assert(after.count() == recs.size + 1)
+      assert(after.filter(col("id") === 100L).count() == 1)
+    } finally q2.stop()
+  }
+}
