@@ -8,7 +8,11 @@ object SparkEntry {
   /** All implemented operators, in SURVEY §2 order. */
   def all: Seq[QueryDef] =
     graft.queries.Relational.defs ++
-    graft.cdc.CdcQueries.defs
+    graft.cdc.CdcQueries.defs ++
+    graft.pipelines.Dedup.defs ++
+    graft.pipelines.Similarity.defs ++
+    graft.pipelines.TextAnalysis.defs ++
+    graft.pipelines.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,85 @@
+package graft.pipelines
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.security.MessageDigest
+
+/** §2.3 multimodal columns: media travels as opaque `binary` payloads
+  * with typed metadata extracted by a batched per-partition decoder.
+  * The Spark-side plumbing — schema, typed Dataset, partition-local
+  * batching, deterministic features — is real; the actual image/audio
+  * codec is STUBBED (this container has no media libraries) behind
+  * [[Multimodal.decodeStub]], which derives deterministic pseudo-
+  * features from the bytes so the pipeline is verifiable end-to-end.
+  */
+object Multimodal {
+
+  /** A media row: id + raw payload (here: utf-8 bytes standing in for
+    * an encoded image/audio blob). */
+  final case class MediaDoc(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted metadata. In a real deployment width/frames come from
+    * the codec; here they are deterministic functions of the bytes. */
+  final case class MediaFeat(
+      doc_id: Long,
+      byte_len: Int,
+      fake_width: Int,
+      fake_frames: Long,
+      feat16: Long,
+      content_hash: String)
+
+  /** STUB codec: where a real implementation would decode pixels /
+    * samples, this derives features from the raw bytes. Deterministic
+    * on purpose — the oracle recomputes it in SQL. */
+  def decodeStub(d: MediaDoc, md: MessageDigest): MediaFeat = {
+    val len = d.payload.length
+    md.reset()
+    val hash = md.digest(d.payload).map("%02x".format(_)).mkString
+    MediaFeat(
+      doc_id = d.doc_id,
+      byte_len = len,
+      fake_width = len % 64 + 16,
+      fake_frames = len.toLong / 100L + 1L,
+      feat16 = d.payload.take(16).map(b => (b & 0xff).toLong).sum,
+      content_hash = hash)
+  }
+
+  /** Batched per-partition feature extraction: one codec handle per
+    * partition, records processed in batches of 64 (the shape a real
+    * vectorized decoder wants). */
+  def extractFeatures(ds: Dataset[MediaDoc]): Dataset[MediaFeat] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.grouped(64).flatMap(_.map(decodeStub(_, md)))
+    }
+  }
+
+  // -------------------------------------------------------------- mm01
+  private val mm01 = {
+    // oracle twin of feat16: sum of the first 16 byte values — the
+    // corpus is pure ASCII (verified), so byte == code point
+    val feat16Sql = (1 to 16).map(i =>
+      s"(CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef(
+      "mm01_multimodal",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[MediaDoc]
+        extractFeatures(docs).toDF()
+      },
+      Some(s"""SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS fake_width,
+        | CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS fake_frames,
+        | CAST($feat16Sql AS BIGINT) AS feat16,
+        | md5(text) AS content_hash
+        |FROM documents""".stripMargin))
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01)
+}

@@ -1,0 +1,165 @@
+package graft.pipelines
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.3 text analysis: language-ID, quality scoring, token counting,
+  * fingerprinting. All per-row narrow transforms (they ride the scan;
+  * zero shuffles except tx04's per-doc min) built from codegen'd
+  * string expressions — no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Occurrence count of marker `m` via length-difference — the same
+    * textual expression parses in Spark SQL and DuckDB; the division
+    * is exact (numerator is a multiple of the marker length). */
+  private def cnt(m: String): String =
+    s"CAST((length(t2) - length(replace(t2, '$m', ''))) / ${m.length} AS INT)"
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " que ", " los "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq("的", "是"))
+
+  // -------------------------------------------------------------- tx01
+  /** Stopword-profile language ID with a fixed priority order on
+    * ties. Both engines evaluate the identical expression text. */
+  private val tx01 = {
+    val hitExprs = langMarkers.map { case (l, ms) =>
+      s"(${ms.map(cnt).mkString(" + ")}) AS h_$l"
+    }
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END AS pred_lang")
+    QueryDef(
+      "tx01_langid",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "lang", "' ' || text || ' ' AS t2")
+          .selectExpr(Seq("doc_id", "lang") ++ hitExprs: _*)
+          .selectExpr("doc_id", "lang", "h_en", "h_de", "h_es", "h_fr",
+            "h_zh", pred)
+          .selectExpr("doc_id", "lang", "h_en", "h_de", "h_es", "h_fr",
+            "h_zh", "pred_lang",
+            "CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS INT) AS label_match"),
+      Some(s"""WITH t AS (SELECT doc_id, lang, ' ' || text || ' ' AS t2
+        |  FROM documents),
+        |h AS (SELECT doc_id, lang, ${hitExprs.mkString(", ")} FROM t),
+        |p AS (SELECT *, $pred FROM h)
+        |SELECT doc_id, lang, h_en, h_de, h_es, h_fr, h_zh, pred_lang,
+        | CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS INT)
+        |   AS label_match
+        |FROM p""".stripMargin))
+  }
+
+  // -------------------------------------------------------------- tx02
+  /** Quality scoring: word stats + stopword/digit/uppercase ratios
+    * combined into a fixed-formula score (identical expression trees
+    * on both engines => bit-equal doubles). */
+  private val tx02 = {
+    val stopHits = Seq(" the ", " a ", " of ", " and ").map(cnt).mkString(" + ")
+    QueryDef(
+      "tx02_quality",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "' ' || text || ' ' AS t2", "text",
+            "CAST(size(filter(split(text, '\\\\s+'), x -> x <> '')) AS INT) AS n_words",
+            "CAST(length(replace(text, ' ', '')) AS INT) AS n_nospace")
+          .selectExpr("doc_id", "n_words",
+            "CAST(n_nospace AS DOUBLE) / n_words AS avg_wlen",
+            s"CAST(($stopHits) AS DOUBLE) / n_words AS stop_ratio",
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE)" +
+              " / length(text) AS digit_ratio",
+            "CAST(length(regexp_replace(text, '[^A-Z]', '')) AS DOUBLE)" +
+              " / length(text) AS upper_ratio")
+          .selectExpr("doc_id", "n_words", "avg_wlen", "stop_ratio",
+            "digit_ratio", "upper_ratio",
+            "(((0.3 * stop_ratio) + (0.3 * (least(avg_wlen, 8.0) / 8.0)))" +
+              " + (0.2 * (1.0 - digit_ratio))) + (0.2 * (1.0 - upper_ratio))" +
+              " AS quality_score"),
+      Some(s"""WITH t AS (SELECT doc_id, ' ' || text || ' ' AS t2, text,
+        |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+        |    x -> x <> '')) AS INT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS INT) AS n_nospace
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_words,
+        |  CAST(n_nospace AS DOUBLE) / n_words AS avg_wlen,
+        |  CAST(($stopHits) AS DOUBLE) / n_words AS stop_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS digit_ratio,
+        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS upper_ratio
+        |  FROM t)
+        |SELECT doc_id, n_words, avg_wlen, stop_ratio, digit_ratio,
+        | upper_ratio,
+        | (((0.3 * stop_ratio) + (0.3 * (least(avg_wlen, 8.0) / 8.0)))
+        |   + (0.2 * (1.0 - digit_ratio))) + (0.2 * (1.0 - upper_ratio))
+        |   AS quality_score
+        |FROM m""".stripMargin))
+  }
+
+  // -------------------------------------------------------------- tx03
+  /** Token counting: whitespace tokens vs a BPE-ish regex lexer
+    * ([A-Za-z]+ | digit runs), plus chars-per-token and a stored-
+    * metadata consistency flag. */
+  private val tx03 = QueryDef(
+    "tx03_tokens",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .selectExpr("doc_id",
+          "CAST(size(filter(split(text, '\\\\s+'), x -> x <> '')) AS INT) AS ws_tokens",
+          "CAST(regexp_count(text, '[A-Za-z]+|[0-9]+') AS INT) AS re_tokens",
+          "CAST(length(text) AS INT) AS len_text",
+          "n_chars")
+        .selectExpr("doc_id", "ws_tokens", "re_tokens",
+          "CAST(len_text AS DOUBLE) / re_tokens AS chars_per_tok",
+          "CAST(CASE WHEN len_text = n_chars THEN 1 ELSE 0 END AS INT) AS len_ok"),
+    Some("""SELECT doc_id,
+      | CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |   x -> x <> '')) AS INT) AS ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS INT)
+      |   AS re_tokens,
+      | CAST(length(text) AS DOUBLE)
+      |   / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))
+      |   AS chars_per_tok,
+      | CAST(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS INT)
+      |   AS len_ok
+      |FROM documents""".stripMargin))
+
+  // -------------------------------------------------------------- tx04
+  /** Document fingerprinting: min-hash over 5-word shingles (a
+    * winnowing-style content signature), second salted hash to cut
+    * collision odds; short docs fall back to the full-text hash. */
+  private val tx04 = QueryDef(
+    "tx04_fingerprint",
+    (s, dir) => {
+      val sh5 = TextShingles.shingles(s, dir, 5)
+      val fps = sh5.groupBy(col("doc_id")).agg(
+        min(md5(col("sg"))).as("fp_a"),
+        min(md5(concat(lit("s2|"), col("sg")))).as("fp_b"),
+        count(lit(1)).as("n_shingles"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .join(fps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("fp_a"), md5(col("text"))).as("fp1"),
+          coalesce(col("fp_b"), md5(concat(lit("s2|"), col("text")))).as("fp2"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
+    },
+    Some(s"""WITH ${TextShingles.shinglesSql(5)},
+      |fps AS (SELECT doc_id, MIN(md5(sg)) AS fp_a,
+      |  MIN(md5('s2|' || sg)) AS fp_b, COUNT(*) AS n_shingles
+      |  FROM sh GROUP BY doc_id)
+      |SELECT d.doc_id,
+      | COALESCE(f.fp_a, md5(d.text)) AS fp1,
+      | COALESCE(f.fp_b, md5('s2|' || d.text)) AS fp2,
+      | COALESCE(f.n_shingles, 0) AS n_shingles
+      |FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+      |""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(tx01, tx02, tx03, tx04)
+}

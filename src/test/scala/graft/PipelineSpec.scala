@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("dd01 exact dedup covers every document exactly once") {
+    val df = SparkEntry.queries("dd01_dedup_exact")(spark, sf)
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(df.agg(sum("n_copies")).head().getLong(0) == docs)
+  }
+
+  test("dd02 lsh pairs are ordered and self-free") {
+    val df = SparkEntry.queries("dd02_minhash_lsh")(spark, sf)
+    assert(df.filter(col("d1") >= col("d2")).count() == 0)
+  }
+
+  test("dd04 jaccard is within (0,1] and candidates share a shingle") {
+    val df = SparkEntry.queries("dd04_ngram_jaccard")(spark, sf)
+    assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    assert(df.filter(col("n_inter") < 1).count() == 0)
+  }
+
+  test("dd03 simhash bands recompose the fingerprint") {
+    val df = SparkEntry.queries("dd03_simhash")(spark, sf)
+    val bad = df.filter(
+      expr("(band3 * 16777216) + (band2 * 65536) + (band1 * 256) + band0")
+        =!= col("simhash")).count()
+    assert(bad == 0)
+    // 32-bit range
+    assert(df.filter(col("simhash") < 0 ||
+      col("simhash") > 4294967295L).count() == 0)
+  }
+
+  test("ann01 returns k neighbors per query, best-first") {
+    val df = SparkEntry.queries("ann01_knn_brute")(spark, sf)
+    val perQ = df.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5))
+    // rank 1 has max cos within its query group
+    val r1 = df.filter(col("rn") === 1).select(col("q_id"), col("cos").as("c1"))
+    val mx = df.groupBy("q_id").agg(max("cos").as("cmax"))
+    assert(r1.join(mx, "q_id").filter(col("c1") =!= col("cmax")).count() == 0)
+  }
+
+  test("ann02 bucketed candidates are a subset of brute-force scoring space") {
+    val df = SparkEntry.queries("ann02_knn_bucket")(spark, sf)
+    // every (q, n) in bucketed results shares the query's bucket by
+    // construction; sanity: no self matches, rank <= 3
+    assert(df.filter(col("q_id") === col("n_id")).count() == 0)
+    assert(df.agg(max("rn")).head().getInt(0) <= 3)
+  }
+
+  test("tx01 langid picks argmax with priority tie-break") {
+    val df = SparkEntry.queries("tx01_langid")(spark, sf)
+    val bad = df.filter(col("pred_lang") === "de" && col("h_en") >= col("h_de"))
+    assert(bad.count() == 0)
+  }
+
+  test("tx02 quality ratios are in [0,1] and score finite") {
+    val df = SparkEntry.queries("tx02_quality")(spark, sf)
+    assert(df.filter(col("stop_ratio") < 0 || col("digit_ratio") < 0 ||
+      col("upper_ratio") < 0 || col("upper_ratio") > 1).count() == 0)
+    assert(df.filter(isnan(col("quality_score"))).count() == 0)
+  }
+
+  test("tx04 fingerprint is total (every doc gets one)") {
+    val df = SparkEntry.queries("tx04_fingerprint")(spark, sf)
+    assert(df.count() == Tables.load(spark, sf, "documents").count())
+    assert(df.filter(col("fp1").isNull || col("fp2").isNull).count() == 0)
+  }
+
+  test("mm01 multimodal stub features are consistent with payload bytes") {
+    val df = SparkEntry.queries("mm01_multimodal")(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val joined = df.join(docs, "doc_id")
+    assert(joined.filter(col("byte_len") =!= length(col("text"))).count() == 0)
+    assert(joined.filter(col("content_hash") =!= md5(col("text"))).count() == 0)
+    assert(df.filter(col("fake_width") < 16 || col("fake_width") > 79)
+      .count() == 0)
+  }
+}
