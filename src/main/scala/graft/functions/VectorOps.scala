@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, sqrt}
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Embedding-vector math as codegen'd Catalyst expressions
-  * (functions.aggregate / zip_with — no UDFs, SURVEY §2.3).
+/** Embedding-vector math as a codegen'd native expression ([[VecDot]]
+  * — no UDFs, no per-row array allocation, SURVEY §2.3).
   *
   * Everything is a LEFT FOLD in element order on doubles, and the
   * DuckDB fragments ([[dotSql]] etc.) fold in the same order, so both
@@ -18,15 +19,15 @@ object VectorOps {
 
   /** Sequential dot product of two double-array columns. */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    ColumnBridge.column(VecDot(
+      ColumnBridge.expression(col(a)), ColumnBridge.expression(col(b))))
 
   /** Squared L2 norm. */
   def norm2(a: String): Column = dot(a, a)
 
   /** cos(a,b) given precomputed squared norms na, nb. */
   def cosine(a: String, b: String, na: String, nb: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)" +
-      s" / (sqrt($na) * sqrt($nb))")
+    dot(a, b) / (sqrt(col(na)) * sqrt(col(nb)))
 
   // ----------------------------------------------------- DuckDB twins
 

@@ -15,6 +15,52 @@ object Dedup {
 
   private val Bands = 4
 
+  /** 64-bit shingle hash: first 15 hex digits of md5 as a BIGINT —
+    * computable identically in DuckDB ([[hash64Sql]]). Long-valued
+    * MinHash keeps every aggregate fixed-width (HashAggregate, never
+    * the SortAggregate fallback that string mins force) and every
+    * join key 8 bytes. */
+  private def hash64(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  private def hash64Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Per-doc shingle state WITHOUT exploding: `sgs` (shingle array),
+    * per-band MinHash signatures via array_min(transform(...)), and
+    * the distinct 64-bit shingle-hash set. Everything is a narrow
+    * per-row transform riding the scan — at 100 TB nothing
+    * row-multiplies before a shuffle (SURVEY §5); the earlier
+    * explode+groupBy formulation put minutes of CPU into a handful of
+    * shuffle-join tasks at sf0.1 already. */
+  private def docShingleState(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sigCols = (0 until Bands).map(b =>
+      expr(s"array_min(transform(sgs, sg -> ${hash64(s"concat('$b|', sg)")}))")
+        .as(s"sig$b"))
+    TextShingles.words(s, dir)
+      .withColumn("sgs", expr(TextShingles.shingleArray(3)))
+      .select(Seq(col("doc_id"),
+        expr(s"array_distinct(transform(sgs, sg -> ${hash64("sg")}))").as("hset"))
+        ++ sigCols: _*)
+  }
+
+  /** (doc_id, b, sig) unpivoted signatures; docs with no shingles have
+    * null sigs, which never join. */
+  private def signatures(docState: org.apache.spark.sql.DataFrame) =
+    docState
+      .select(col("doc_id"), expr(
+        s"stack($Bands, ${(0 until Bands).map(b => s"$b, sig$b").mkString(", ")})"))
+      .withColumnRenamed("col0", "b").withColumnRenamed("col1", "sig")
+      .filter(col("sig").isNotNull)
+
+  /** DuckDB twin of [[signatures]] as a WITH-clause body (expects `sh`). */
+  private def signaturesSql: String =
+    s"""sig AS (
+       |  SELECT doc_id, b,
+       |    MIN(${hash64Sql("CAST(b AS VARCHAR) || '|' || sg")}) AS sig
+       |  FROM sh CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bands
+       |  GROUP BY doc_id, b)""".stripMargin
+
   // -------------------------------------------------------------- dd01
   /** Exact dedup: content-hash groupBy, min doc_id survives. */
   private val dd01 = QueryDef(
@@ -38,13 +84,7 @@ object Dedup {
   private val dd02 = QueryDef(
     "dd02_minhash_lsh",
     (s, dir) => {
-      val sh = TextShingles.shingles(s, dir, 3)
-      val sig = sh
-        .withColumn("b", explode(expr(
-          s"sequence(0, ${Bands - 1})")))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(min(md5(concat(col("b").cast("string"), lit("|"), col("sg"))))
-          .as("sig"))
+      val sig = signatures(docShingleState(s, dir))
       sig.as("s1").join(sig.as("s2"),
           col("s1.b") === col("s2.b") && col("s1.sig") === col("s2.sig") &&
           col("s1.doc_id") < col("s2.doc_id"))
@@ -52,12 +92,7 @@ object Dedup {
         .distinct()
     },
     Some(s"""WITH ${TextShingles.shinglesSql(3)},
-      |sig AS (
-      |  SELECT doc_id, b,
-      |    MIN(md5(CAST(b AS VARCHAR) || '|' || sg)) AS sig
-      |  FROM sh CROSS JOIN
-      |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bands
-      |  GROUP BY doc_id, b)
+      |$signaturesSql
       |SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2
       |FROM sig s1 JOIN sig s2
       |  ON s1.b = s2.b AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
@@ -115,49 +150,39 @@ object Dedup {
   private val dd04 = QueryDef(
     "dd04_ngram_jaccard",
     (s, dir) => {
-      val sh = TextShingles.shingles(s, dir, 3)
-      val shd = sh.distinct()
-      val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val sig = sh
-        .withColumn("b", explode(expr(s"sequence(0, ${Bands - 1})")))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(min(md5(concat(col("b").cast("string"), lit("|"), col("sg"))))
-          .as("sig"))
+      val st = docShingleState(s, dir)
+      val sig = signatures(st)
       val cand = sig.as("s1").join(sig.as("s2"),
           col("s1.b") === col("s2.b") && col("s1.sig") === col("s2.sig") &&
           col("s1.doc_id") < col("s2.doc_id"))
         .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
         .distinct()
-      val inter = cand
-        .join(shd.as("a"), col("d1") === col("a.doc_id"))
-        .join(shd.as("b"),
-          col("d2") === col("b.doc_id") && col("a.sg") === col("b.sg"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.as("za"), col("d1") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
-        .select(col("d1"), col("d2"), col("n_inter"),
-          col("za.n").as("n_a"), col("zb.n").as("n_b"),
-          (col("n_inter").cast("double") /
-            (col("za.n") + col("zb.n") - col("n_inter"))).as("jaccard"))
+      // per-pair set intersection on the doc-level hash arrays — the
+      // candidate list is band-bounded, so this is |cand| array ops,
+      // not a shuffle of every (doc, shingle) row
+      val sets = st.select(col("doc_id"), col("hset"))
+      cand
+        .join(sets.as("a"), col("d1") === col("a.doc_id"))
+        .join(sets.as("b"), col("d2") === col("b.doc_id"))
+        .select(col("d1"), col("d2"),
+          expr("size(array_intersect(a.hset, b.hset))").cast("long").as("n_inter"),
+          expr("size(a.hset)").cast("long").as("n_a"),
+          expr("size(b.hset)").cast("long").as("n_b"))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
         .filter(col("jaccard") >= 0.2)
     },
     Some(s"""WITH ${TextShingles.shinglesSql(3)},
-      |shd AS (SELECT DISTINCT doc_id, sg FROM sh),
+      |shd AS (SELECT DISTINCT doc_id, ${hash64Sql("sg")} AS h FROM sh),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-      |sig AS (
-      |  SELECT doc_id, b,
-      |    MIN(md5(CAST(b AS VARCHAR) || '|' || sg)) AS sig
-      |  FROM sh CROSS JOIN
-      |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bands
-      |  GROUP BY doc_id, b),
+      |$signaturesSql,
       |cand AS (SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2
       |  FROM sig s1 JOIN sig s2
       |    ON s1.b = s2.b AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
       |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
       |  FROM cand c
       |  JOIN shd a ON c.d1 = a.doc_id
-      |  JOIN shd b ON c.d2 = b.doc_id AND a.sg = b.sg
+      |  JOIN shd b ON c.d2 = b.doc_id AND a.h = b.h
       |  GROUP BY c.d1, c.d2)
       |SELECT i.d1, i.d2, i.n_inter, za.n AS n_a, zb.n AS n_b,
       |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard

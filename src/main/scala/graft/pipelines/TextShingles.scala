@@ -21,10 +21,17 @@ object TextShingles {
   def shingles(s: SparkSession, dir: String, k: Int): DataFrame =
     words(s, dir)
       .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ws) - ${k - 1}), i -> " +
-        s"concat_ws(' ', ${(0 until k).map(j => s"ws[i + ${j - 1}]").mkString(", ")}))"
-      )).as("sg"))
+      .select(col("doc_id"), explode(expr(shingleArray(k))).as("sg"))
+
+  /** k-shingles as an ARRAY column expression over `ws` — the
+    * no-explode path: per-doc shingle processing (signatures, set
+    * intersections) happens with array functions on the doc row, so
+    * nothing row-multiplies before a shuffle. Empty when < k tokens.
+    */
+  def shingleArray(k: Int): String =
+    s"CASE WHEN size(ws) >= $k THEN transform(sequence(1, size(ws) - ${k - 1}), " +
+    s"i -> concat_ws(' ', ${(0 until k).map(j => s"ws[i + ${j - 1}]").mkString(", ")})) " +
+    "ELSE array() END"
 
   /** DuckDB twin of [[words]] + [[shingles]] as WITH-clauses `w`, `sh`. */
   def shinglesSql(k: Int): String = {
