@@ -8,6 +8,7 @@ object SparkEntry {
   /** All implemented operators, in SURVEY §2 order. */
   def all: Seq[QueryDef] =
     graft.queries.Relational.defs ++
+    graft.queries.Relational2.defs ++
     graft.cdc.CdcQueries.defs ++
     graft.pipelines.Dedup.defs ++
     graft.pipelines.Similarity.defs ++

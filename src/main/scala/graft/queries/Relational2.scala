@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.OracleSafe._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.1 continued: the rest of the Flink-SQL-parity operator surface
+  * (percentiles, ordered string agg, multiset set-ops, lateral
+  * explode, arg-extrema/conditional aggregates, full window-frame
+  * vocabulary, regex extraction, scalar subqueries).
+  */
+object Relational2 {
+
+  // ---------------------------------------------------------------- q25
+  /** Exact interpolated percentiles. l_quantity's values are small
+    * integers, so every interpolation lands on a dyadic rational and
+    * both engines agree exactly. */
+  private val q25 = QueryDef(
+    "q25_percentile",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.25) AS p25,
+      | quantile_cont(l_quantity, 0.5) AS p50,
+      | quantile_cont(l_quantity, 0.75) AS p75,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  // ---------------------------------------------------------------- q26
+  /** Deterministic ordered string aggregation (LISTAGG shape). */
+  private val q26 = QueryDef(
+    "q26_string_agg",
+    (s, dir) =>
+      Tables.load(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), ",")
+            .as("nations"),
+          count(lit(1)).as("n")),
+    Some("""SELECT n_regionkey,
+      | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      | COUNT(*) AS n
+      |FROM nation GROUP BY n_regionkey""".stripMargin))
+
+  // ---------------------------------------------------------------- q27
+  /** Multiset EXCEPT ALL / INTERSECT ALL (bag semantics). */
+  private val q27 = QueryDef(
+    "q27_multiset_ops",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def ids(et: String) =
+        ev.filter(col("event_type") === et).select(col("user_id"))
+      ids("click").exceptAll(ids("error"))
+        .withColumn("tag", lit("extra_clicks"))
+        .unionAll(ids("view").intersectAll(ids("purchase"))
+          .withColumn("tag", lit("view_purchase")))
+    },
+    Some("""SELECT user_id, 'extra_clicks' AS tag FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'error')
+      |UNION ALL
+      |SELECT user_id, 'view_purchase' AS tag FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  INTERSECT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |""".stripMargin))
+
+  // ---------------------------------------------------------------- q28
+  /** Lateral explode with ordinality (posexplode). */
+  private val q28 = QueryDef(
+    "q28_lateral_explode",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("ws"))
+        .select(col("doc_id"), posexplode(col("ws")))
+        .withColumnRenamed("pos", "pos").withColumnRenamed("col", "w")
+        .filter(col("pos") < 5),
+    Some("""WITH w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS w
+      |FROM w CROSS JOIN LATERAL
+      |  (SELECT unnest(generate_series(1, len(ws))) AS i) t
+      |WHERE i <= 5""".stripMargin))
+
+  // ---------------------------------------------------------------- q29
+  /** Arg-extrema + conditional aggregates (max_by / count_if /
+    * bool_and / bool_or), keyed on a unique column for determinism. */
+  private val q29 = QueryDef(
+    "q29_arg_extrema",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9)")
+            .as("top_order"),
+          expr("min_by(o_orderkey, o_totalprice + o_orderkey * 1e-9)")
+            .as("bottom_order"),
+          expr("count_if(o_totalprice > 150000)").as("n_big"),
+          expr("bool_or(o_orderstatus = 'F')").as("any_f"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive")),
+    Some("""SELECT o_orderpriority,
+      | arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS top_order,
+      | arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS bottom_order,
+      | CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT) AS n_big,
+      | bool_or(o_orderstatus = 'F') AS any_f,
+      | bool_and(o_totalprice > 0) AS all_positive
+      |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  // ---------------------------------------------------------------- q30
+  /** Full window-frame vocabulary: ntile, percent_rank, cume_dist,
+    * nth_value, sliding ROWS frame with exact-decimal sums. */
+  private val q30 = QueryDef(
+    "q30_window_frames",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          nth_value(col("o_orderkey"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("second_key"),
+          sum(col("o_totalprice").cast("decimal(28,6)"))
+            .over(w.rowsBetween(-2, 0)).cast("double").as("sliding3"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+      | ntile(4) OVER w AS quartile,
+      | percent_rank() OVER w AS pct_rank,
+      | cume_dist() OVER w AS cdist,
+      | nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+      |   ORDER BY o_totalprice ASC, o_orderkey ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER
+      |   (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice ASC, o_orderkey ASC
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding3
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin))
+
+  // ---------------------------------------------------------------- q31
+  /** Regex extraction + match predicates. */
+  private val q31 = QueryDef(
+    "q31_regex",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("w2"),
+          col("text").rlike("batch").cast("int").as("has_batch"),
+          regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
+            .as("src_num")),
+    Some("""SELECT doc_id,
+      | COALESCE(regexp_extract(text, '([a-z]+) ([a-z]+)', 2), '') AS w2,
+      | CAST(regexp_matches(text, 'batch') AS INT) AS has_batch,
+      | CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num
+      |FROM documents""".stripMargin))
+
+  // ---------------------------------------------------------------- q32
+  /** Scalar subquery against an exact-decimal global average. */
+  private val q32 = QueryDef(
+    "q32_scalar_subquery",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val avgDf = o.agg((dsum(col("o_totalprice")) / count(lit(1)))
+        .as("global_avg"))
+      o.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("global_avg") * 1.5)
+        .select(col("o_orderkey"), col("o_totalprice"), col("global_avg"))
+    },
+    Some(s"""SELECT o_orderkey, o_totalprice,
+      | (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders) AS global_avg
+      |FROM orders
+      |WHERE o_totalprice >
+      |  (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders) * 1.5
+      |""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32)
+}

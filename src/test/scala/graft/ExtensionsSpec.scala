@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.{CdcChunkFile, CdcSubscription}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("injected SQL functions resolve and evaluate") {
+    val r = CdcFixtures.rec(5L, 123L, cdc.Op.Insert, "k", "v")
+    val hex = RecordHex.hex(cdc.RecordCodec.encode(r))
+    val row = spark.sql(
+      s"SELECT cdc_header_id(unhex('$hex')) AS id, " +
+      s"cdc_header_ts_us(unhex('$hex')) AS ts, " +
+      s"cdc_header_op_code(unhex('$hex')) AS opc").head()
+    assert(row.getLong(0) == 5L && row.getLong(1) == 123L)
+    assert(cdc.Op.fromCode(row.getInt(2).toByte) == cdc.Op.Insert)
+  }
+
+  test("vec_dot SQL function computes a left-fold dot product") {
+    val got = spark.sql(
+      "SELECT vec_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d").head().getDouble(0)
+    assert(got == 32.0)
+  }
+
+  test("optimizer rewrites aggregate(zip_with(...)) into VecDot") {
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_ext_t")
+    val df = spark.sql(
+      """SELECT vec_id, aggregate(zip_with(v, v, (x, y) -> x * y), 0D,
+        |  (acc, x) -> acc + x) AS norm2
+        |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |      FROM emb_ext_t)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vecdot"),
+      s"expected VecDot in optimized plan:\n$optimized")
+    // value identical to the declarative fold it replaced
+    val viaOps = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.VectorOps.toDouble("embedding").as("v"))
+      .withColumn("norm2", graft.functions.VectorOps.norm2("v"))
+      .select("vec_id", "norm2")
+    assert(df.select("vec_id", "norm2").except(viaOps).count() == 0)
+  }
+
+  test("subscription config validates and seeks by checkpoint") {
+    val dir = Files.createTempDirectory("sub").toString
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/t1"))
+    CdcFixtures.writeChunks(s"$dir/t1")
+    assertThrows[IllegalArgumentException] {
+      CdcSubscription(server = dir, topic = "t1") // neither sid nor group
+    }
+    val sub = CdcSubscription(server = dir, topic = "t1",
+      sid = Some("sid-1"), checkpoint = Some("15000000"))
+    assert(sub.checkpointUs.contains(15000000L))
+    assert(sub.readBatch(spark).count() == 16)
+    val dtSub = sub.copy(checkpoint = Some("1970-01-01 00:00:15"))
+    assert(dtSub.checkpointUs.contains(15000000L))
+  }
+}
+
+object RecordHex {
+  def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+}
