@@ -48,6 +48,16 @@ object CdcStreaming {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("win_us"), col("op"), col("n"))
 
+  /** At-least-once delivery → exactly-once semantics: drop redelivered
+    * records by id within the watermark horizon (the reference's
+    * consumer can re-read after a Dstore failover reseek; ref:
+    * FlinkDtsRawConsumer.java checkpoint/retry path). */
+  def dedupRedelivered(changes: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    changes
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("id")
+
   /** Current state of one logical key, as maintained by the upsert
     * materializer. */
   final case class KeyState(

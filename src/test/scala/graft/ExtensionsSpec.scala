@@ -8,10 +8,16 @@ import java.nio.file.Files
 class ExtensionsSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = {
+    // getOrCreate() would silently return another suite's session and
+    // drop the extensions config — force a fresh session (same
+    // SparkContext) with extensions applied programmatically
+    SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
