@@ -39,7 +39,7 @@ object Similarity {
           VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id").asc)
-      scored.withColumn("rn", row_number().over(w))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= K)
     },
     Some(s"""WITH e AS (SELECT vec_id,
@@ -80,7 +80,7 @@ object Similarity {
             VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id").asc)
-        scored.withColumn("rn", row_number().over(w))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
       },
       Some(s"""WITH e AS (SELECT vec_id,

@@ -133,23 +133,21 @@ object TextAnalysis {
   // -------------------------------------------------------------- tx04
   /** Document fingerprinting: min-hash over 5-word shingles (a
     * winnowing-style content signature), second salted hash to cut
-    * collision odds; short docs fall back to the full-text hash. */
+    * collision odds; short docs fall back to the full-text hash.
+    * Pure per-row array math — no explode, no groupBy, no shuffle. */
   private val tx04 = QueryDef(
     "tx04_fingerprint",
-    (s, dir) => {
-      val sh5 = TextShingles.shingles(s, dir, 5)
-      val fps = sh5.groupBy(col("doc_id")).agg(
-        min(md5(col("sg"))).as("fp_a"),
-        min(md5(concat(lit("s2|"), col("sg")))).as("fp_b"),
-        count(lit(1)).as("n_shingles"))
+    (s, dir) =>
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .join(fps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("ws"))
+        .withColumn("sgs", expr(TextShingles.shingleArray(5)))
         .select(col("doc_id"),
-          coalesce(col("fp_a"), md5(col("text"))).as("fp1"),
-          coalesce(col("fp_b"), md5(concat(lit("s2|"), col("text")))).as("fp2"),
-          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
-    },
+          coalesce(expr("array_min(transform(sgs, sg -> md5(sg)))"),
+            md5(col("text"))).as("fp1"),
+          coalesce(expr("array_min(transform(sgs, sg -> md5(concat('s2|', sg))))"),
+            md5(concat(lit("s2|"), col("text")))).as("fp2"),
+          size(col("sgs")).cast("long").as("n_shingles")),
     Some(s"""WITH ${TextShingles.shinglesSql(5)},
       |fps AS (SELECT doc_id, MIN(md5(sg)) AS fp_a,
       |  MIN(md5('s2|' || sg)) AS fp_b, COUNT(*) AS n_shingles

@@ -226,7 +226,7 @@ object Relational {
       val o = t(s, dir, "orders")
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      o.withColumn("rn", row_number().over(w))
+      o.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     },
@@ -337,7 +337,7 @@ object Relational {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       o.select(
         col("o_custkey"), col("o_orderkey"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
         sum(col("o_totalprice").cast("decimal(28,6)"))

@@ -128,7 +128,7 @@ object Relational2 {
         .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
         .select(
           col("o_orderpriority"), col("o_orderkey"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cdist"),
           nth_value(col("o_orderkey"), 2).over(

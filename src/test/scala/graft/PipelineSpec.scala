@@ -50,7 +50,7 @@ class PipelineSpec extends AnyFunSuite {
     // every (q, n) in bucketed results shares the query's bucket by
     // construction; sanity: no self matches, rank <= 3
     assert(df.filter(col("q_id") === col("n_id")).count() == 0)
-    assert(df.agg(max("rn")).head().getInt(0) <= 3)
+    assert(df.agg(max("rn")).head().getLong(0) <= 3)
   }
 
   test("tx01 langid picks argmax with priority tie-break") {

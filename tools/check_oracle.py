@@ -55,6 +55,11 @@ def main(out_dir: str, sf_dir: str) -> int:
                   f"exp={sorted(exp.columns)}")
             n_fail += 1
             continue
+        # dtype drift warning (driver may compare schemas)
+        for c in got.columns:
+            gd, ed = str(got[c].dtype), str(exp[c].dtype)
+            if gd != ed:
+                print(f"  WARN {name}.{c}: dtype spark={gd} duckdb={ed}")
         if len(got) != len(exp):
             print(f"FAIL {name}: rows got={len(got)} exp={len(exp)}")
             n_fail += 1
