@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
 
     e.injectOptimizerRule(_ => RewriteZipWithDot)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

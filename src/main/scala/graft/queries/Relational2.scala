@@ -189,5 +189,26 @@ object Relational2 {
       |  (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders) * 1.5
       |""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32)
+  // ---------------------------------------------------------------- q33
+  /** Flink Top-N through the engine's custom operator
+    * ([[graft.plans.TopKPerGroup]]): bounded heap per key instead of
+    * the windowed row_number full partition sort. Same result set as
+    * the q09 pattern, different (scale-correct) physical plan. */
+  private val q33 = QueryDef(
+    "q33_topk_custom",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      graft.plans.TopKPerGroup(o,
+          keys = Seq(o("o_orderpriority")),
+          order = Seq(o("o_totalprice").desc, o("o_orderkey").asc),
+          k = 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      | SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      | FROM orders) WHERE rn <= 3""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }
