@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Native per-document shingle hashing for the dedup family. One
+  * static call per row does ALL the work (shingling, salted md5,
+  * 64-bit truncation, per-band minima) in tight Scala loops — the
+  * declarative `transform(sgs, sg -> conv(substring(md5(...)...)))`
+  * form runs ~1.5M interpreted lambda evals per pass and its
+  * performance is hostage to JIT profile state (observed 4s..49s for
+  * the same query in one JVM).
+  *
+  * Hash contract (bit-equal with the DuckDB oracle):
+  *   hash64(s) = first 15 hex digits of md5(utf8(s)) as a BIGINT
+  *   shingle   = k consecutive words joined by one space
+  *   band sig  = min over shingles of hash64("<b>|" + shingle)
+  */
+object ShingleHashRuntime {
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex digits of md5 = bytes 0..6 plus the high nibble of
+    * byte 7 (60 bits, always positive). */
+  def hash64(bytes: Array[Byte]): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val h = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xf0L) >> 4)
+  }
+
+  private def shingleBytes(
+      words: Array[Array[Byte]], start: Int, k: Int,
+      salt: Array[Byte]): Array[Byte] = {
+    var len = salt.length + k - 1 // separators
+    var j = 0
+    while (j < k) { len += words(start + j).length; j += 1 }
+    val out = new Array[Byte](len)
+    System.arraycopy(salt, 0, out, 0, salt.length)
+    var pos = salt.length
+    j = 0
+    while (j < k) {
+      if (j > 0) { out(pos) = ' '; pos += 1 }
+      val w = words(start + j)
+      System.arraycopy(w, 0, out, pos, w.length)
+      pos += w.length
+      j += 1
+    }
+    out
+  }
+
+  private def wordBytes(ws: ArrayData): Array[Array[Byte]] = {
+    val n = ws.numElements()
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ws.getUTF8String(i).getBytes
+      i += 1
+    }
+    out
+  }
+
+  private val emptySalt = Array.emptyByteArray
+
+  /** Per-band MinHash signatures over k-shingles; null when the doc
+    * has fewer than k words (no shingles — matches the oracle's empty
+    * generate_series). */
+  def minHashSigs(ws: ArrayData, k: Int, bands: Int): GenericArrayData = {
+    val words = wordBytes(ws)
+    val nSh = words.length - k + 1
+    if (nSh <= 0) return null
+    val sigs = Array.fill(bands)(Long.MaxValue)
+    val salts = Array.tabulate(bands)(b => s"$b|".getBytes("UTF-8"))
+    var s = 0
+    while (s < nSh) {
+      var b = 0
+      while (b < bands) {
+        val h = hash64(shingleBytes(words, s, k, salts(b)))
+        if (h < sigs(b)) sigs(b) = h
+        b += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  /** Distinct 64-bit shingle hashes (order irrelevant downstream —
+    * consumers take sizes and intersections). */
+  def shingleHashSet(ws: ArrayData, k: Int): GenericArrayData = {
+    val words = wordBytes(ws)
+    val nSh = words.length - k + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s < nSh) {
+      seen.add(hash64(shingleBytes(words, s, k, emptySalt)))
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** sigs = minhash_sigs(ws, k, bands): array<long> of per-band minima. */
+case class MinHashSigs(child: Expression, k: Int, bands: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashRuntime.minHashSigs(v.asInstanceOf[ArrayData], k, bands)
+  override def nullable: Boolean = true
+  // minHashSigs returns null for docs with < k words; defineCodeGen
+  // assumes non-null results, so flag isNull explicitly
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.ShingleHashRuntime.minHashSigs($c, $k, $bands);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(c)
+}
+
+/** hset = shingle_hash_set(ws, k): distinct shingle hash64 values. */
+case class ShingleHashSet(child: Expression, k: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashRuntime.shingleHashSet(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashRuntime.shingleHashSet($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashSet = copy(c)
+}

@@ -25,22 +25,23 @@ object Dedup {
   private def hash64Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
-  /** Per-doc shingle state WITHOUT exploding: `sgs` (shingle array),
-    * per-band MinHash signatures via array_min(transform(...)), and
-    * the distinct 64-bit shingle-hash set. Everything is a narrow
-    * per-row transform riding the scan — at 100 TB nothing
-    * row-multiplies before a shuffle (SURVEY §5); the earlier
-    * explode+groupBy formulation put minutes of CPU into a handful of
-    * shuffle-join tasks at sf0.1 already. */
+  /** Per-doc shingle state WITHOUT exploding: per-band MinHash
+    * signatures and the distinct 64-bit shingle-hash set, via ONE
+    * native call per row ([[graft.functions.MinHashSigs]] /
+    * [[graft.functions.ShingleHashSet]]). Everything rides the scan —
+    * at 100 TB nothing row-multiplies before a shuffle (SURVEY §5) —
+    * and nothing depends on lambda-interpretation JIT luck (the
+    * declarative transform(...) form swung 4s..49s per run). */
   private def docShingleState(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val sigCols = (0 until Bands).map(b =>
-      expr(s"array_min(transform(sgs, sg -> ${hash64(s"concat('$b|', sg)")}))")
-        .as(s"sig$b"))
+      element_at(col("sigs"), b + 1).as(s"sig$b"))
     TextShingles.words(s, dir)
-      .withColumn("sgs", expr(TextShingles.shingleArray(3)))
-      .select(Seq(col("doc_id"),
-        expr(s"array_distinct(transform(sgs, sg -> ${hash64("sg")}))").as("hset"))
-        ++ sigCols: _*)
+      .withColumn("sigs",
+        column(graft.functions.MinHashSigs(expression(col("ws")), 3, Bands)))
+      .withColumn("hset",
+        column(graft.functions.ShingleHashSet(expression(col("ws")), 3)))
+      .select(Seq(col("doc_id"), col("hset")) ++ sigCols: _*)
   }
 
   /** (doc_id, b, sig) unpivoted signatures; docs with no shingles have
