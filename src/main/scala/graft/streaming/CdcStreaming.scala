@@ -48,6 +48,50 @@ object CdcStreaming {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("win_us"), col("op"), col("n"))
 
+  /** Streaming session windows: per-key activity sessions with a gap
+    * timeout (Flink session windows), emitted on watermark close. */
+  def sessionizedActivity(
+      changes: DataFrame, gap: String = "10 seconds",
+      watermark: String = "10 seconds"): DataFrame = {
+    val pk1 = element_at(col("pkNames"), 1)
+    changes
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withColumn("key", coalesce(element_at(col("after"), pk1),
+        element_at(col("before"), pk1)))
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("key"))
+      .agg(count(lit(1)).as("n_changes"))
+      .select(col("key"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_changes"))
+  }
+
+  /** Stream-stream interval join: records of `leftOp` joined to
+    * records of `rightOp` for the same key within ±tolerance event
+    * time — the streaming form of a range join, with watermarks on
+    * both sides bounding join state (Spark evicts state older than
+    * watermark + tolerance; without the bound a 100 TB stream would
+    * accumulate unbounded state). */
+  def intervalJoin(
+      changes: DataFrame, leftOp: String, rightOp: String,
+      toleranceUs: Long, watermark: String = "10 minutes"): DataFrame = {
+    val pk1 = element_at(col("pkNames"), 1)
+    def side(op: String, prefix: String) =
+      changes.filter(col("op") === op)
+        .select(
+          col("id").as(s"${prefix}_id"),
+          coalesce(element_at(col("after"), pk1),
+            element_at(col("before"), pk1)).as(s"${prefix}_key"),
+          timestamp_micros(col("tsUs")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", watermark)
+    side(leftOp, "l").join(side(rightOp, "r"),
+      expr(s"""l_key = r_key AND
+        |r_ts BETWEEN l_ts - INTERVAL ${toleranceUs / 1000000} SECONDS
+        |         AND l_ts + INTERVAL ${toleranceUs / 1000000} SECONDS
+        |""".stripMargin))
+      .select(col("l_id"), col("r_id"), col("l_key").as("key"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("delta_us"))
+  }
+
   /** At-least-once delivery → exactly-once semantics: drop redelivered
     * records by id within the watermark horizon (the reference's
     * consumer can re-read after a Dstore failover reseek; ref:

@@ -57,6 +57,62 @@ class SinkSpec extends AnyFunSuite {
     assert(table.count() == 3) // k0, k1, reborn k2
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir)
+    // INSERTs joined to DELETEs of the same key within ±10s
+    val q = CdcStreaming.intervalJoin(
+        CdcStreaming.readStream(spark, dir), Op.Insert, Op.Delete,
+        toleranceUs = 10000000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ssjoin_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_t")
+      val batch = CdcStreaming.intervalJoin(
+        CdcStreaming.readBatch(spark, dir), Op.Insert, Op.Delete,
+        toleranceUs = 10000000L)
+      assert(streamed.count() > 0)
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      // tolerance respected
+      assert(streamed.filter(abs(col("delta_us")) > 10000000L).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming session windows close under watermark and match batch") {
+    val dir = Files.createTempDirectory("gcl").toString
+    // bursts separated by real gaps so sessions can close before the
+    // final watermark (a burst at t=40s advances the watermark past
+    // the early sessions' end)
+    def r(id: Long, sec: Long, key: String) =
+      CdcFixtures.rec(id, sec * 1000000L, Op.Update, key, s"v$id")
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}",
+      Seq(r(0, 1, "a"), r(1, 2, "a"), r(2, 3, "a"),
+          r(3, 5, "b"), r(4, 6, "b")))
+    CdcChunkFile.write(s"$dir/chunk-00001${CdcChunkFile.Extension}",
+      Seq(r(5, 40, "a"), r(6, 41, "b")))
+    val q = CdcStreaming.sessionizedActivity(
+        CdcStreaming.readStream(spark, dir), gap = "5 seconds",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_t")
+      // the two early bursts (a: 1-3s, b: 5-6s) closed when the t=40s
+      // burst advanced the watermark; the t=40/41s sessions stay open
+      assert(streamed.count() == 2)
+      // every emitted (closed) session must agree with the batch result
+      val batch = CdcStreaming.sessionizedActivity(
+        CdcStreaming.readBatch(spark, dir), gap = "5 seconds")
+      assert(streamed.except(batch).count() == 0)
+      val a = streamed.filter(col("key") === "a").head()
+      assert(a.getAs[Long]("n_changes") == 3 &&
+        a.getAs[Long]("end_us") == 8000000L)
+    } finally q.stop()
+  }
+
   test("dedupRedelivered drops exact redeliveries by record id") {
     val dir = Files.createTempDirectory("gcl").toString
     val recs = CdcFixtures.writeChunks(dir)
