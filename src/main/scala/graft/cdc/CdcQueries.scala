@@ -173,5 +173,31 @@ object CdcQueries {
       |FROM changelog WHERE op <> 'HEARTBEAT'
       |GROUP BY pk, txn_minute""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06)
+  // -------------------------------------------------------------- cdc07
+  /** Typed payload projection: the value-conversion surface (ref:
+    * record/value package + DynamicDtsDeserializationSchema.java) as
+    * an oracle-checked query — decimal quantization, date formatting,
+    * bit extraction, charset-safe casing. */
+  private val cdc07 = QueryDef(
+    "cdc07_value_types",
+    (s, dir) =>
+      changelog(s, dir).select(
+        col("record_id"),
+        col("val").cast("decimal(18,4)").cast("double").as("val_dec"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("day"),
+        (col("k").cast("long") % 16).as("k_lo4"),
+        expr("k div 4").as("k_shift2"),
+        lower(col("op")).as("op_lc"),
+        length(col("op")).as("op_len")),
+    Some(s"""$changelogSql
+      |SELECT record_id,
+      | CAST(CAST(val AS DECIMAL(18,4)) AS DOUBLE) AS val_dec,
+      | strftime(make_timestamp(ts_us), '%Y-%m-%d') AS day,
+      | CAST(k AS BIGINT) % 16 AS k_lo4,
+      | CAST(k AS BIGINT) // 4 AS k_shift2,
+      | lower(op) AS op_lc,
+      | CAST(length(op) AS INT) AS op_len
+      |FROM changelog""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07)
 }

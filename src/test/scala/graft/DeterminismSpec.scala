@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-invariance evidence: the engine's results must be
+  * byte-identical regardless of parallelism (the difference between
+  * local[4] and a 1000-executor cluster is only partition count) —
+  * this is what the exact-decimal accumulation and fixed-fold vector
+  * math buy (SURVEY §3/§5).
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private val sensitive = Seq(
+    "q04_agg_group",      // decimal sums of double products
+    "q08_join_star",      // multiway join + decimal agg
+    "dd05_embed_dup",     // float fold + threshold
+    "ann01_knn_brute",    // float fold + ranking
+    "tx02_quality")       // double ratio arithmetic
+
+  test("results are identical at 1x and 16x input partitioning") {
+    sensitive.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val base = fn(spark, sf)
+      // force radically different partitioning upstream of every
+      // aggregation by changing the split size => different task
+      // boundaries, different accumulation groupings
+      val conf = "spark.sql.files.maxPartitionBytes"
+      val old = spark.conf.get(conf)
+      try {
+        spark.conf.set(conf, (64 * 1024).toString) // 64 KiB splits
+        val repartitioned = fn(spark, sf)
+        withClue(name) {
+          assert(repartitioned.count() == base.count())
+          assert(repartitioned.except(base).count() == 0)
+          assert(base.except(repartitioned).count() == 0)
+        }
+      } finally spark.conf.set(conf, old)
+    }
+  }
+
+  test("shuffle partition count does not change results") {
+    val conf = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(conf)
+    val fn = SparkEntry.queries("q04_agg_group")
+    try {
+      spark.conf.set(conf, "1")
+      val p1 = fn(spark, sf).collect().toSet
+      spark.conf.set(conf, "17")
+      val p17 = fn(spark, sf).collect().toSet
+      assert(p1 == p17)
+    } finally spark.conf.set(conf, old)
+  }
+}
