@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
@@ -7,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * the second is timed (steady-state throughput is what the engine is
   * graded on; a fresh JVM's first decimal-codegen compile costs ~10s
   * and says nothing about the plan).
+  *
+  * Round-2 hardening (VERDICT r1 §wrong 3/4): the JSON line is also
+  * written to bench.json so the driver never has to fish it out of
+  * sbt's log prefixes, failures are NOT swallowed — a query that
+  * throws is recorded per-query under "errors" with its time slot set
+  * to -1, and the process exits nonzero so a broken query can never
+  * masquerade as a 0-second success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,19 +37,40 @@ object Bench {
     def run(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).count()
 
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+
     // per query: one warm run (JIT/codegen/listing), then the timed
     // run immediately after — back-to-back keeps JIT state hot and
     // avoids cross-query GC interference skewing timings
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { n =>
-      try run(n) catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try run(n) catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      try {
+        run(n)
+        val t0 = System.nanoTime()
+        run(n)
+        n -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          n -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.size} queries threw: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -194,21 +194,16 @@ object Dedup {
       |""".stripMargin))
 
   // -------------------------------------------------------------- dd05
-  /** Embedding-cosine near-dup pairs (threshold 0.4). Brute-force
-    * baseline on the bounded embeddings table; [[Similarity.ann02]]
-    * is the bucketed scale path. Fold-order-identical math => exact
+  /** Embedding-cosine near-dup pairs (threshold 0.4), exact — a
+    * distributed blocked GEMM ([[EmbedDup]]): one shuffle replicating
+    * rows to block-pair tasks, tight monomorphic primitive loops, no
+    * BNLJ and no ArrayData dispatch in the hot path. See EmbedDup's
+    * scaladoc for why LSH candidates cannot hold recall=1 at this
+    * threshold on this corpus. Fold-order-identical math => exact
     * double equality with the oracle. */
   private val dd05 = QueryDef(
     "dd05_embed_dup",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
-        .withColumn("nn", VectorOps.norm2("v"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          VectorOps.cosine("a.v", "b.v", "a.nn", "b.nn").as("cos"))
-        .filter(col("cos") >= 0.4)
-    },
+    (s, dir) => EmbedDup.pairs(s, dir),
     Some(s"""WITH e AS (SELECT vec_id,
       |  ${VectorOps.castSql("embedding")} AS v FROM embeddings),
       |n AS (SELECT vec_id, v, ${VectorOps.dotSql("v", "v")} AS nn FROM e)

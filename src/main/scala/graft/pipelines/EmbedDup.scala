@@ -1,0 +1,173 @@
+package graft.pipelines
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Exact embedding-cosine threshold self-join as a distributed blocked
+  * GEMM (dd05's engine — round 2 rewrite of the all-pairs
+  * BroadcastNestedLoopJoin that was 225 s / 92% of the round-1 bench).
+  *
+  * Why not LSH candidates: on this corpus the qualifying pairs hug the
+  * 0.4 threshold (measured: min cos 0.40001, max 0.60, with 931 pairs
+  * in [0.3, 0.4) at sf0.01) — there is no near-dup cluster to bucket.
+  * At cos 0.4 a sign-bit hyperplane agrees with probability
+  * 1 − acos(0.4)/π ≈ 0.63, so any band scheme either misses threshold
+  * pairs (b ≥ 4 bits: per-band hit ≤ 0.16) or admits essentially every
+  * pair (b ≤ 2 bits over enough bands ⇒ even cos≈0 pairs collide).
+  * An exact threshold join at θ=0.4 in 64 dims is inherently O(n²)
+  * pairs; the engineering question is the constant, not the exponent.
+  * The approximate sub-quadratic paths live in [[Similarity]]
+  * (ann02 sign-bit buckets, ann03 IVF) for workloads that accept
+  * recall < 1.
+  *
+  * The blocked shape: rows are hashed into B = ⌈n/blockRows⌉ blocks;
+  * each row is shuffled to the B block-pair tasks (i,j), i ≤ j, that
+  * contain its block — ONE shuffle, n·B replication, B(B+1)/2
+  * independent tasks that each multiply two ≤ blockRows × d panels in
+  * a tight primitive-double loop. No broadcast of the full matrix, no
+  * driver collect; tasks scale out linearly with cluster cores, and
+  * blockRows caps per-task memory (~2 MB at d=64). This is the
+  * standard dense all-pairs decomposition a 1000-executor cluster
+  * wants; per-pair cost is ~d fused multiply-adds on monomorphic
+  * Array[Double] — immune to the ArrayData megamorphic dispatch that
+  * made round 1's per-pair codegen path go 100× slow in a long-lived
+  * JVM.
+  *
+  * Oracle parity is bit-exact: the dot is the same index-order left
+  * fold as [[graft.functions.VecDot]] / DuckDB's list_reduce, and
+  * cos = dot / (sqrt(nnA) · sqrt(nnB)) applies the identical IEEE ops
+  * in the identical order as round 1's expression form.
+  */
+object EmbedDup {
+
+  /** Rows per block: bounds per-task panel memory (4096 × 64 doubles
+    * ≈ 2 MB) and makes task count grow as (n/4096)², which a cluster
+    * absorbs as parallelism. */
+  private val BlockRows = 4096L
+
+  final case class CosPair(v1: Long, v2: Long, cos: Double)
+
+  /** All unordered pairs with cosine ≥ threshold, columns (v1, v2, cos),
+    * v1 < v2. */
+  def pairs(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    import s.implicits._
+    val raw = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
+    val n = raw.count()
+    val nBlocks = math.max(1L, (n + BlockRows - 1) / BlockRows).toInt
+
+    val rows = raw.as[(Long, Array[Double])]
+    // replicate each row to every block-pair task containing its block:
+    // tasks (b, j) for j ≥ b plus (i, b) for i < b — exactly nBlocks
+    // copies, keyed i * nBlocks + j
+    val replicated = rows.flatMap { case (id, v) =>
+      val b = (math.floorMod(id, nBlocks.toLong)).toInt
+      val out = new Array[(Int, Long, Array[Double])](nBlocks)
+      var j = b
+      var t = 0
+      while (j < nBlocks) { out(t) = (b * nBlocks + j, id, v); t += 1; j += 1 }
+      var i = 0
+      while (i < b) { out(t) = (i * nBlocks + b, id, v); t += 1; i += 1 }
+      out.toSeq
+    }
+
+    val bCount = nBlocks // stable capture for the closure
+    val thr = threshold
+    replicated
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val lo = key / bCount
+        val hi = key % bCount
+        // deterministic panel order regardless of shuffle arrival order
+        val all = it.toArray.sortBy(_._2)
+        if (lo == hi) emitWithin(all, thr)
+        else {
+          val (ls, rs) = all.partition(r => math.floorMod(r._2, bCount.toLong) == lo)
+          emitAcross(ls, rs, thr)
+        }
+      }
+      .toDF("v1", "v2", "cos")
+  }
+
+  /** Pack (id, vec) rows into row-major primitive panels + per-row
+    * sqrt(self-dot), self-dot folded in index order (VecDot parity). */
+  private def pack(rowsArr: Array[(Int, Long, Array[Double])])
+      : (Array[Long], Array[Double], Array[Double], Int) = {
+    val m = rowsArr.length
+    val d = if (m == 0) 0 else rowsArr(0)._3.length
+    val ids = new Array[Long](m)
+    val flat = new Array[Double](m * d)
+    val sn = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val v = rowsArr(i)._3
+      ids(i) = rowsArr(i)._2
+      System.arraycopy(v, 0, flat, i * d, d)
+      var acc = 0.0
+      var k = 0
+      while (k < d) { acc += v(k) * v(k); k += 1 }
+      sn(i) = math.sqrt(acc)
+      i += 1
+    }
+    (ids, flat, sn, d)
+  }
+
+  private def emitWithin(
+      rowsArr: Array[(Int, Long, Array[Double])],
+      thr: Double): Iterator[CosPair] = {
+    val (ids, flat, sn, d) = pack(rowsArr)
+    val m = ids.length
+    val out = new ArrayBuffer[CosPair]
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        var acc = 0.0
+        var k = 0
+        val oi = i * d
+        val oj = j * d
+        while (k < d) { acc += flat(oi + k) * flat(oj + k); k += 1 }
+        val cos = acc / (sn(i) * sn(j))
+        if (cos >= thr) {
+          if (ids(i) < ids(j)) out += CosPair(ids(i), ids(j), cos)
+          else out += CosPair(ids(j), ids(i), cos)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
+  private def emitAcross(
+      ls: Array[(Int, Long, Array[Double])],
+      rs: Array[(Int, Long, Array[Double])],
+      thr: Double): Iterator[CosPair] = {
+    val (lid, lf, lsn, d) = pack(ls)
+    val (rid, rf, rsn, _) = pack(rs)
+    val out = new ArrayBuffer[CosPair]
+    var i = 0
+    while (i < lid.length) {
+      var j = 0
+      val oi = i * d
+      while (j < rid.length) {
+        var acc = 0.0
+        var k = 0
+        val oj = j * d
+        while (k < d) { acc += lf(oi + k) * rf(oj + k); k += 1 }
+        val cos = acc / (lsn(i) * rsn(j))
+        if (cos >= thr) {
+          if (lid(i) < rid(j)) out += CosPair(lid(i), rid(j), cos)
+          else out += CosPair(rid(j), lid(i), cos)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+}
