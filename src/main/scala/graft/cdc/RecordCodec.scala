@@ -86,9 +86,33 @@ object RecordCodec {
     v
   }
 
+  /** Prefix-only (db, tbl) read for per-table subscription filtering
+    * (ref: DTSSubscribeTableSourceFactory.java `table.name`): skips
+    * txId by length and stops before pkNames/before/after — a record
+    * for a non-selected table never has its tail parsed. */
+  def headerTable(bytes: Array[Byte]): (String, String) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(HeaderLen)
+    skipStr(buf) // txId
+    val db = readStr(buf)
+    val tbl = readStr(buf)
+    (db, tbl)
+  }
+
+  private def skipStr(buf: ByteBuffer): Unit = {
+    val n = buf.getInt
+    if (n > 0) buf.position(buf.position() + n)
+  }
+
+  /** Test-observable count of FULL record decodes (tail included) —
+    * lets specs prove that table-filtered or ts-skipped records never
+    * paid the tail parse. Monotone; compare deltas. */
+  val fullDecodes = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // ------------------------------------------------------------ decode
 
   def decode(bytes: Array[Byte]): ChangeRecord = {
+    fullDecodes.incrementAndGet()
     require(bytes.length >= HeaderLen && bytes(0) == Magic,
       s"not a graft cdc record (${bytes.length} bytes)")
     require(bytes(1) == Version, s"unsupported codec version ${bytes(1)}")

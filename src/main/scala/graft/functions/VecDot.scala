@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Tight-loop runtime for vector math (no per-pair array allocation,
   * no lambda interpretation — the reason this exists; `zip_with` +
@@ -30,6 +30,25 @@ object VecRuntime {
     case _ => dotArr(a.toDoubleArray(), b.toDoubleArray())
   }
 
+  /** Declarative-fold-faithful variant: NULL on length mismatch (the
+    * zip_with null-pad propagates through the sum) and, when the
+    * element type is nullable, NULL if any element is null — exactly
+    * what `aggregate(zip_with(a, b, *), 0D, +)` returns, so
+    * [[graft.RewriteZipWithDot]] is semantics-preserving on every
+    * input, not just the well-formed ones. */
+  def dotOrNull(a: ArrayData, b: ArrayData, checkElemNulls: Boolean): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    if (checkElemNulls && (anyNull(a) || anyNull(b))) return null
+    java.lang.Double.valueOf(dot(a, b))
+  }
+
+  private def anyNull(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   private def dotUnsafe(a: UnsafeArrayData, b: UnsafeArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -47,20 +66,44 @@ object VecRuntime {
   }
 }
 
-/** Codegen'd dot product over two array<double> columns. Stays inside
-  * whole-stage codegen via a direct static call. */
+/** Codegen'd dot product over two array<double> columns, with the
+  * exact null semantics of the declarative fold it replaces: NULL for
+  * null inputs, unequal lengths, or (when the element type is
+  * nullable) null elements. The element-null scan is compiled out
+  * entirely when both children's array types are statically
+  * non-nullable — the common case after `CAST(... AS ARRAY<DOUBLE>)`
+  * of non-null floats. */
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecRuntime.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VecRuntime.dotOrNull(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mayHaveNullElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VecRuntime.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("vecDot")
+      s"""
+         |java.lang.Double $tmp =
+         |  graft.functions.VecRuntime.dotOrNull($a, $b, $mayHaveNullElems);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecDot = copy(l, r)

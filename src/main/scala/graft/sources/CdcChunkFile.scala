@@ -94,9 +94,13 @@ object CdcChunkFile {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    Files.list(d).iterator().asScala
+    // Files.list holds a directory fd until closed; the micro-batch
+    // source lists on every trigger, so close eagerly (not at GC)
+    val stream = Files.list(d)
+    try stream.iterator().asScala
       .filter(_.toString.endsWith(Extension))
       .map(_.toString).toSeq.sorted
+    finally stream.close()
   }
 
   private def writeI32(out: DataOutputStream, v: Int): Unit = {

@@ -34,6 +34,10 @@ import java.util
   *   - `startingTimestampUs`: drop records strictly older; skip whole
   *     chunks whose footer maxTs is older
   *   - `maxChunksPerTrigger`: admission cap per micro-batch
+  *   - `table`: single-table selection as `db.tbl` (ref:
+  *     DTSSubscribeTableSourceFactory.java `table.name`); non-matching
+  *     records are dropped on the cheap prefix read — their tail
+  *     (pkNames/before/after) is never parsed
   */
 class CdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
@@ -45,10 +49,19 @@ class CdcSourceProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new CdcTable(properties.get("path"),
       Option(properties.get("startingTimestampUs")).map(_.toLong),
-      Option(properties.get("maxChunksPerTrigger")).map(_.toInt))
+      Option(properties.get("maxChunksPerTrigger")).map(_.toInt),
+      Option(properties.get("table")).map(CdcSource.parseTableSelector))
 }
 
 object CdcSource {
+  /** `db.tbl` → (db, tbl); the tbl part may itself contain dots. */
+  def parseTableSelector(s: String): (String, String) = {
+    val i = s.indexOf('.')
+    require(i > 0 && i < s.length - 1,
+      s"graft-cdc 'table' must be 'db.tbl', got '$s'")
+    (s.substring(0, i), s.substring(i + 1))
+  }
+
   /** Output schema == [[graft.cdc.ChangeRecord]]. */
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -66,7 +79,8 @@ object CdcSource {
 class CdcTable(
     path: String,
     startTsUs: Option[Long],
-    maxChunksPerTrigger: Option[Int])
+    maxChunksPerTrigger: Option[Int],
+    tableSel: Option[(String, String)] = None)
   extends Table with SupportsRead {
 
   require(path != null, "graft-cdc requires a 'path' option")
@@ -77,7 +91,7 @@ class CdcTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new CdcScan(path, startTsUs, maxChunksPerTrigger)
+      override def build(): Scan = new CdcScan(path, startTsUs, maxChunksPerTrigger, tableSel)
     }
 }
 
@@ -98,13 +112,15 @@ object CdcOffset {
 class CdcScan(
     path: String,
     startTsUs: Option[Long],
-    maxChunksPerTrigger: Option[Int]) extends Scan {
+    maxChunksPerTrigger: Option[Int],
+    tableSel: Option[(String, String)] = None) extends Scan {
 
   override def readSchema(): StructType = CdcSource.schema
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      prunedChunks.map(c => CdcInputPartition(c, startTsUs): InputPartition).toArray
+      prunedChunks.map(c =>
+        CdcInputPartition(c, startTsUs, tableSel): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new CdcReaderFactory
   }
@@ -152,7 +168,8 @@ class CdcScan(
           case Some(ts) => chunks.filter(c => CdcChunkFile.readFooter(c).maxTsUs >= ts)
           case None     => chunks
         }
-        live.map(c => CdcInputPartition(c, startTsUs): InputPartition).toArray
+        live.map(c =>
+          CdcInputPartition(c, startTsUs, tableSel): InputPartition).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new CdcReaderFactory
@@ -161,20 +178,27 @@ class CdcScan(
     }
 }
 
-case class CdcInputPartition(chunkPath: String, startTsUs: Option[Long])
+case class CdcInputPartition(
+    chunkPath: String,
+    startTsUs: Option[Long],
+    tableSel: Option[(String, String)])
   extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcInputPartition]
-    new CdcPartitionReader(p.chunkPath, p.startTsUs)
+    new CdcPartitionReader(p.chunkPath, p.startTsUs, p.tableSel)
   }
 }
 
-/** Decodes one chunk. Records older than the reposition timestamp are
-  * dropped on the LAZY header read — the tail is never parsed for
-  * skipped records. */
-class CdcPartitionReader(chunkPath: String, startTsUs: Option[Long])
+/** Decodes one chunk. Records older than the reposition timestamp or
+  * outside the selected table are dropped on LAZY prefix reads — the
+  * record tail (pkNames/before/after) is never parsed for skipped
+  * records. */
+class CdcPartitionReader(
+    chunkPath: String,
+    startTsUs: Option[Long],
+    tableSel: Option[(String, String)] = None)
   extends PartitionReader[InternalRow] {
 
   private val raw = CdcChunkFile.readRawRecords(chunkPath)
@@ -183,7 +207,8 @@ class CdcPartitionReader(chunkPath: String, startTsUs: Option[Long])
   override def next(): Boolean = {
     while (raw.hasNext) {
       val bytes = raw.next()
-      val keep = startTsUs.forall(RecordCodec.headerTsUs(bytes) >= _)
+      val keep = startTsUs.forall(RecordCodec.headerTsUs(bytes) >= _) &&
+        tableSel.forall(RecordCodec.headerTable(bytes) == _)
       if (keep) {
         current = toRow(bytes)
         return true

@@ -20,10 +20,12 @@ object CdcStreaming {
       spark: SparkSession,
       path: String,
       startingTimestampUs: Option[Long] = None,
-      maxChunksPerTrigger: Option[Int] = None): DataFrame = {
+      maxChunksPerTrigger: Option[Int] = None,
+      table: Option[String] = None): DataFrame = {
     var r = spark.readStream.format("graft-cdc").option("path", path)
     startingTimestampUs.foreach(ts => r = r.option("startingTimestampUs", ts))
     maxChunksPerTrigger.foreach(n => r = r.option("maxChunksPerTrigger", n))
+    table.foreach(t => r = r.option("table", t))
     r.load()
   }
 
@@ -31,9 +33,11 @@ object CdcStreaming {
   def readBatch(
       spark: SparkSession,
       path: String,
-      startingTimestampUs: Option[Long] = None): DataFrame = {
+      startingTimestampUs: Option[Long] = None,
+      table: Option[String] = None): DataFrame = {
     var r = spark.read.format("graft-cdc").option("path", path)
     startingTimestampUs.foreach(ts => r = r.option("startingTimestampUs", ts))
+    table.foreach(t => r = r.option("table", t))
     r.load()
   }
 
@@ -85,8 +89,8 @@ object CdcStreaming {
         .withWatermark(s"${prefix}_ts", watermark)
     side(leftOp, "l").join(side(rightOp, "r"),
       expr(s"""l_key = r_key AND
-        |r_ts BETWEEN l_ts - INTERVAL ${toleranceUs / 1000000} SECONDS
-        |         AND l_ts + INTERVAL ${toleranceUs / 1000000} SECONDS
+        |r_ts BETWEEN l_ts - INTERVAL $toleranceUs MICROSECOND
+        |         AND l_ts + INTERVAL $toleranceUs MICROSECOND
         |""".stripMargin))
       .select(col("l_id"), col("r_id"), col("l_key").as("key"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("delta_us"))

@@ -201,6 +201,36 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-table selection filters rows and skips tail decode") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val recs = (0 until 20).map { i =>
+      val tbl = if (i % 4 == 0) "users" else "orders"
+      ChangeRecord(i.toLong, "tx", 1000000L * (i + 1), 1000L * i, Op.Insert,
+        "appdb", tbl, Seq("uid"), null, Map("uid" -> s"k$i", "v" -> s"v$i"))
+    }
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", recs)
+    val before = RecordCodec.fullDecodes.get()
+    val rows = CdcStreaming.readBatch(spark, dir, table = Some("appdb.users"))
+      .collect()
+    val decoded = RecordCodec.fullDecodes.get() - before
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[String]("tbl") == "users"))
+    // the filtered 15 records never paid the tail parse
+    assert(decoded == 5L, s"expected 5 full decodes, saw $decoded")
+  }
+
+  test("subscription validates checkpoint and table selector eagerly") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.CdcSubscription(server = "/tmp/x", sid = Some("s"),
+        checkpoint = Some("")).checkpointUs
+    }
+    assert(e.getMessage.contains("checkpoint"))
+    assertThrows[IllegalArgumentException] {
+      graft.sources.CdcSubscription(server = "/tmp/x", sid = Some("s"),
+        table = Some("nodots"))
+    }
+  }
+
   test("restart from checkpoint continues, no duplicates") {
     val dir = Files.createTempDirectory("gcl").toString
     val ckpt = Files.createTempDirectory("ckpt").toString

@@ -63,6 +63,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.select("vec_id", "norm2").except(viaOps).count() == 0)
   }
 
+  test("vec_dot matches the declarative fold on edge inputs") {
+    // unequal lengths and null elements must be NULL, exactly like
+    // aggregate(zip_with(...)) — the rewrite must be semantics-
+    // preserving on every input (ADVICE r1)
+    val row = spark.sql(
+      "SELECT vec_dot(array(1D, 2D), array(1D)) AS a, " +
+      "vec_dot(array(1D, CAST(NULL AS DOUBLE)), array(1D, 2D)) AS b, " +
+      "vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1D)) AS c").head()
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+    val fold = spark.sql(
+      "SELECT aggregate(zip_with(array(1D, 2D), array(1D), " +
+      "(x, y) -> x * y), 0D, (acc, x) -> acc + x) AS d").head()
+    assert(fold.isNullAt(0))
+  }
+
   test("subscription config validates and seeks by checkpoint") {
     val dir = Files.createTempDirectory("sub").toString
     Files.createDirectory(java.nio.file.Paths.get(s"$dir/t1"))

@@ -57,6 +57,61 @@ class SinkSpec extends AnyFunSuite {
     assert(table.count() == 3) // k0, k1, reborn k2
   }
 
+  test("micro-batch touching one key rewrites only its bucket") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val tableDir = Files.createTempDirectory("tbl").toString
+    val ckpt = Files.createTempDirectory("ck").toString
+    CdcFixtures.writeChunks(dir)
+    def run() = {
+      val q = CdcParquetSink.start(
+        CdcStreaming.readStream(spark, dir), tableDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val m1 = CdcParquetSink.latestManifest(tableDir).get
+    // one late record for a single key => exactly one bucket rewritten
+    CdcChunkFile.write(s"$dir/chunk-00060${CdcChunkFile.Extension}",
+      Seq(CdcFixtures.rec(300L, 95000000L, Op.Update, "k1", "vnew")))
+    run()
+    val m2 = CdcParquetSink.latestManifest(tableDir).get
+    val changed = m2.filter { case (b, rel) => !m1.get(b).contains(rel) }
+    assert(changed.size == 1,
+      s"expected 1 rewritten bucket, got ${changed.size}: $changed")
+    // untouched buckets still point at the previous version's data
+    assert((m2 -- changed.keys) == (m1 -- changed.keys))
+    // and the table reflects the update
+    val table = CdcParquetSink.readTable(spark, tableDir).get
+    assert(table.filter(col("recordId") === 300L).count() == 1)
+  }
+
+  test("stale pre-delete record cannot resurrect a deleted key") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val tableDir = Files.createTempDirectory("tbl").toString
+    val ckpt = Files.createTempDirectory("ck").toString
+    // batch 1: insert k9 at t=10s, delete k9 at t=20s
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", Seq(
+      CdcFixtures.rec(1L, 10000000L, Op.Insert, "k9", "v1"),
+      CdcFixtures.rec(2L, 20000000L, Op.Delete, "k9", "v1")))
+    def run() = {
+      val q = CdcParquetSink.start(
+        CdcStreaming.readStream(spark, dir), tableDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // batch 2 delivers a STALE update (t=15s, before the delete) —
+    // without a retained tombstone this would resurrect k9
+    CdcChunkFile.write(s"$dir/chunk-00001${CdcChunkFile.Extension}",
+      Seq(CdcFixtures.rec(3L, 15000000L, Op.Update, "k9", "stale")))
+    run()
+    val table = CdcParquetSink.readTable(spark, tableDir).get
+    assert(table.filter(col("key").endsWith("k9")).count() == 0)
+    // compaction drops the tombstone once replay that old is impossible
+    CdcParquetSink.compact(spark, tableDir)
+    assert(CdcParquetSink.readTable(spark, tableDir).isEmpty ||
+      CdcParquetSink.readTable(spark, tableDir).get
+        .filter(col("key").endsWith("k9")).count() == 0)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val dir = Files.createTempDirectory("gcl").toString
     CdcFixtures.writeChunks(dir)
