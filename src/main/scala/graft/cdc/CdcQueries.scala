@@ -199,5 +199,93 @@ object CdcQueries {
       | CAST(length(op) AS INT) AS op_len
       |FROM changelog""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07)
+  // -------------------------------------------------------------- cdc08
+  /** Deterministic chunk-dir transport for cdc08: the derived
+    * changelog is encoded into real [[graft.sources.CdcChunkFile]]
+    * segments once per (events dir), then read back through the
+    * `graft-cdc` DSv2 source — so the oracled query exercises the
+    * actual wire path: codec encode → chunk files → batch scan →
+    * typed-schema projection. The one-time driver-side materialization
+    * is fixture construction (the analogue of records already sitting
+    * in the subscription transport), NOT part of the measured
+    * operator; at scale records arrive via the transport itself. */
+  private object Cdc08Transport {
+    def ensure(s: SparkSession, dir: String): String = synchronized {
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_cdc08_v1_${math.abs(dir.hashCode)}")
+      val done = out.resolve("_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        java.nio.file.Files.createDirectories(out)
+        val rows = changelog(s, dir).orderBy("record_id").collect()
+        val recs = rows.map { r =>
+          val id = r.getLong(0)
+          val ts = r.getLong(1)
+          val op = r.getString(2)
+          val pk = r.getLong(3)
+          val image = Map(
+            "uid" -> pk.toString,
+            "val" -> java.math.BigDecimal.valueOf(r.getDouble(4)).toPlainString,
+            "seen_us" -> ts.toString,
+            "flags" -> r.getInt(5).toString)
+          val (before, after) = op match {
+            case Op.Delete    => (image, null)
+            case Op.Heartbeat => (null, null)
+            case _            => (null, image)
+          }
+          ChangeRecord(id, s"tx-${ts / 60000000L}", ts, ts - 1000L, op,
+            "app", "events", Seq("uid"), before, after)
+        }
+        recs.grouped(5000).zipWithIndex.foreach { case (g, i) =>
+          graft.sources.CdcChunkFile.write(
+            f"$out/chunk-$i%05d${graft.sources.CdcChunkFile.Extension}", g.toSeq)
+        }
+        java.nio.file.Files.createFile(done)
+      }
+      out.toString
+    }
+  }
+
+  /** Declared schema for the cdc08 stream (RecordSchema analogue). */
+  private val cdc08Schema = TypedSchema.TableSchema(
+    db = "app", tbl = "events", pkNames = Seq("uid"),
+    fields = Seq(
+      TypedSchema.RecordField("uid", "bigint"),
+      TypedSchema.RecordField("val", "decimal(18,4)"),
+      TypedSchema.RecordField("seen_us", "timestamp_us"),
+      TypedSchema.RecordField("flags", "bit(4)")))
+
+  /** Typed schema projection over the real source path: records flow
+    * through the binary codec and chunk scan, then a declared
+    * [[TypedSchema.TableSchema]] turns the string after-image into
+    * typed columns (ref: DTSSubscribeRowDataDeserializationSchema.java
+    * — CREATE TABLE with typed columns over the subscription).
+    * DELETE/HEARTBEAT rows carry no after image → typed NULLs, which
+    * the oracle mirrors with CASE. */
+  private val cdc08 = QueryDef(
+    "cdc08_typed_schema",
+    (s, dir) => {
+      val chunkDir = Cdc08Transport.ensure(s, dir)
+      val df = graft.streaming.CdcStreaming.readBatch(s, chunkDir)
+      TypedSchema.project(df, cdc08Schema)
+        .select(
+          col("record_id"),
+          col("record_op").as("op"),
+          col("uid"),
+          col("val").cast("double").as("val_dec"),
+          date_format(col("seen_us"), "yyyy-MM-dd").as("day"),
+          col("flags"))
+    },
+    Some(s"""$changelogSql
+      |SELECT record_id, op,
+      | CASE WHEN op IN ('INSERT', 'UPDATE') THEN pk END AS uid,
+      | CASE WHEN op IN ('INSERT', 'UPDATE')
+      |   THEN CAST(CAST(val AS DECIMAL(18,4)) AS DOUBLE) END AS val_dec,
+      | CASE WHEN op IN ('INSERT', 'UPDATE')
+      |   THEN strftime(make_timestamp(ts_us), '%Y-%m-%d') END AS day,
+      | CASE WHEN op IN ('INSERT', 'UPDATE')
+      |   THEN CAST(k AS BIGINT) & 15 END AS flags
+      |FROM changelog""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(
+    cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08)
 }

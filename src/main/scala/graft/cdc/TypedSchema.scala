@@ -1,0 +1,59 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declared per-table schema applied to a `graft-cdc` frame's string
+  * row images — the engine's analogue of the reference's
+  * RecordSchema/RecordField + row-data deserialization (ref:
+  * formats/internal/record/RecordSchema.java:18,
+  * DTSSubscribeRowDataDeserializationSchema.java): a subscription
+  * declares the table's fields and SQL types once, and every record's
+  * `before`/`after` map is projected into typed columns.
+  *
+  * Conversions ride Catalyst casts (codegen'd, null-safe — a missing
+  * map key or malformed value yields NULL, matching the reference's
+  * lenient value conversion) with the [[Values]] rules for the
+  * non-cast shapes (micros timestamps, bit fields).
+  */
+object TypedSchema {
+
+  /** One declared field: name in the row image + target SQL type.
+    * `sqlType` is any Spark cast target (`bigint`, `double`,
+    * `decimal(18,4)`, `date`, …) or the extensions:
+    * `timestamp_us` (string epoch-micros → TimestampType),
+    * `bit(n)` (integer string → low n bits as bigint). */
+  final case class RecordField(name: String, sqlType: String)
+
+  /** Declared table schema (db/tbl select which records it applies to,
+    * ref RecordSchema's database/table/fields/pk). */
+  final case class TableSchema(
+      db: String, tbl: String, pkNames: Seq[String],
+      fields: Seq[RecordField])
+
+  private val BitRe = """bit\((\d+)\)""".r
+
+  private def convert(raw: Column, sqlType: String): Column = sqlType match {
+    case "timestamp_us" => timestamp_micros(raw.cast("long"))
+    case BitRe(n)       => raw.cast("long").bitwiseAND(lit((1L << n.toInt) - 1))
+    case t              => raw.cast(t)
+  }
+
+  /** Project the chosen image (`after` or `before`) of `schema`'s
+    * table into typed columns, keeping record metadata as
+    * `record_id`/`record_ts_us`/`record_op` (prefixed so declared
+    * field names — e.g. a table's own `id` or `op` column — can never
+    * collide; the reference exposes the same values as METADATA
+    * columns). Rows of other tables are filtered out (pair with the
+    * source's `table` option to skip their decode entirely). */
+  def project(
+      df: DataFrame, schema: TableSchema, image: String = "after"): DataFrame = {
+    require(image == "after" || image == "before", s"bad image '$image'")
+    val typed = schema.fields.map(f =>
+      convert(element_at(col(image), f.name), f.sqlType).as(f.name))
+    val meta = Seq(col("id").as("record_id"), col("tsUs").as("record_ts_us"),
+      col("op").as("record_op"))
+    df.filter(col("db") === schema.db && col("tbl") === schema.tbl)
+      .select(meta ++ typed: _*)
+  }
+}

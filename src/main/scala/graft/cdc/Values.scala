@@ -96,4 +96,31 @@ object Values {
   }
 
   def pointToWkt(x: Double, y: Double): String = s"POINT ($x $y)"
+
+  /** WKB point decode (ref: WKBGeometry.java:10, GeometryUtil.java —
+    * the reference carries geometry as WKB bytes beside WKT text).
+    * Layout: u8 byteOrder (0=BE, 1=LE), u32 geomType, f64 x, f64 y.
+    * Accepts an optional 4-byte SRID prefix (MySQL's internal format
+    * prepends it). Returns None for non-point types or short input. */
+  def parsePointWkb(bytes: Array[Byte]): Option[(Double, Double)] = {
+    if (bytes == null) return None
+    // MySQL internal geometry = 4-byte SRID, then standard WKB
+    val off = if (bytes.length == 25) 4 else 0
+    if (bytes.length - off < 21) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes, off, bytes.length - off)
+    val bo = buf.get()
+    buf.order(if (bo == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+              else java.nio.ByteOrder.BIG_ENDIAN)
+    val geomType = buf.getInt() & 0xffff // mask Z/M/SRID flag bits
+    if (geomType != 1) None // 1 = POINT
+    else Some((buf.getDouble(), buf.getDouble()))
+  }
+
+  /** WKB point encode (little-endian, standard 21-byte form). */
+  def pointToWkb(x: Double, y: Double): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+    buf.array()
+  }
 }

@@ -96,6 +96,19 @@ object CdcStreaming {
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("delta_us"))
   }
 
+  /** DDL records surfaced as a schema-change control stream (ref:
+    * OperationType.java:8 includes DDL; the reference delivers them
+    * in-band with the data records). The statement travels in the
+    * after image under `ddl`/`statement`; a consumer reacts to the
+    * control stream (e.g. re-declaring a [[graft.cdc.TypedSchema]])
+    * while the DML materializer ([[materialize]]) is oblivious —
+    * DDLs never disturb key state. */
+  def ddlEvents(changes: DataFrame): DataFrame =
+    changes.filter(col("op") === graft.cdc.Op.Ddl)
+      .select(col("id"), col("tsUs"), col("db"), col("tbl"),
+        coalesce(element_at(col("after"), "ddl"),
+          element_at(col("after"), "statement")).as("statement"))
+
   /** At-least-once delivery → exactly-once semantics: drop redelivered
     * records by id within the watermark horizon (the reference's
     * consumer can re-read after a Dstore failover reseek; ref:
@@ -105,6 +118,69 @@ object CdcStreaming {
       .withColumn("ts", timestamp_micros(col("tsUs")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("id")
+
+  /** Retract-stream element: `change` is +1 (add) or -1 (retract of a
+    * previously-emitted add). Sum of `change` grouped by any attribute
+    * of `value` is always the live-row count for that attribute —
+    * the property Flink's toRetractStream gives downstream aggregates
+    * (ref: DtsTableISelectTCaseTest.java:91 toRetractStream). */
+  final case class RetractEvent(
+      change: Int, key: String, tsUs: Long, recordId: Long, value: String)
+
+  /** Per-key state of the retract materializer (public: the state
+    * encoder's generated code must see the constructor). */
+  final case class RetractState(
+      tsUs: Long, recordId: Long, value: String, alive: Boolean)
+
+  /** Changelog → retract stream: every state transition emits the
+    * retraction of the key's previous live row (carrying the OLD
+    * value) before the add of the new one, so a downstream aggregate
+    * over any value attribute stays correct under UPDATE/DELETE —
+    * upsert-only output ([[materialize]]) over-counts updated rows.
+    *
+    * `valueExpr` extracts the aggregated attribute from a change row
+    * (e.g. `element_at(col("after"), "v")`). Per-key state is O(1) and
+    * keys partition across executors (same 100 TB posture as
+    * [[materialize]]).
+    */
+  def materializeRetract(
+      changes: DataFrame, valueExpr: org.apache.spark.sql.Column)(
+      implicit spark: SparkSession): Dataset[RetractEvent] = {
+    import spark.implicits._
+    val pk1 = element_at(col("pkNames"), 1)
+    val dml = changes
+      .filter(col("op").isin(Op.Insert, Op.Update, Op.Delete))
+      .select(
+        concat_ws("|", col("db"), col("tbl"),
+          coalesce(element_at(col("after"), pk1),
+            element_at(col("before"), pk1))).as("key"),
+        col("tsUs"), col("id").as("recordId"), col("op"),
+        valueExpr.cast("string").as("value"))
+      .as[(String, Long, Long, String, String)]
+
+    dml.groupByKey(_._1)
+      .flatMapGroupsWithState[RetractState, RetractEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[RetractState]) =>
+          var cur = state.getOption.orNull
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetractEvent]
+          sorted.foreach { case (_, tsUs, recordId, op, value) =>
+            val newer = cur == null || tsUs > cur.tsUs ||
+              (tsUs == cur.tsUs && recordId > cur.recordId)
+            if (newer) {
+              if (cur != null && cur.alive)
+                out += RetractEvent(-1, key, tsUs, recordId, cur.value)
+              if (op != Op.Delete)
+                out += RetractEvent(1, key, tsUs, recordId, value)
+              val keptValue = if (op == Op.Delete && cur != null) cur.value else value
+              cur = RetractState(tsUs, recordId, keptValue, alive = op != Op.Delete)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
 
   /** Current state of one logical key, as maintained by the upsert
     * materializer. */

@@ -88,6 +88,28 @@ class ValuesSpec extends AnyFunSuite {
     assert(Values.parseFloat("NaN").isNaN)
     assert(Values.parseFloat("-Infinity").isNegInfinity)
   }
+  test("wkb point roundtrip, srid prefix, non-point rejected") {
+    assert(Values.parsePointWkb(Values.pointToWkb(1.5, -2.25))
+      == Some((1.5, -2.25)))
+    // big-endian WKB
+    val be = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put(0.toByte).putInt(1).putDouble(3.0).putDouble(4.0)
+    assert(Values.parsePointWkb(be.array()) == Some((3.0, 4.0)))
+    // MySQL internal form: 4-byte SRID prefix
+    val srid = java.nio.ByteBuffer.allocate(25)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    srid.putInt(4326).put(1.toByte).putInt(1).putDouble(9.0).putDouble(-9.0)
+    assert(Values.parsePointWkb(srid.array()) == Some((9.0, -9.0)))
+    // linestring (type 2) and garbage rejected
+    val ls = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ls.put(1.toByte).putInt(2).putDouble(0.0).putDouble(0.0)
+    assert(Values.parsePointWkb(ls.array()) == None)
+    assert(Values.parsePointWkb(Array[Byte](1, 2, 3)) == None)
+    assert(Values.parsePointWkb(null) == None)
+  }
+
   test("wkt point roundtrip") {
     assert(Values.parsePointWkt("POINT (1.5 -2.25)") == Some((1.5, -2.25)))
     assert(Values.parsePointWkt(Values.pointToWkt(3.0, 4.0)) == Some((3.0, 4.0)))
@@ -201,6 +223,39 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("typed schema projection yields typed columns on the stream") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("gcl").toString
+    val recs = (0 until 10).map { i =>
+      ChangeRecord(i.toLong, "tx", 1000000L * (i + 1), 0L, Op.Insert,
+        "app", "m", Seq("id"), null,
+        Map("id" -> i.toString, "price" -> s"$i.5",
+          "seen" -> (1000000L * i).toString, "mask" -> "255"))
+    }
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", recs)
+    val schema = TypedSchema.TableSchema("app", "m", Seq("id"), Seq(
+      TypedSchema.RecordField("id", "bigint"),
+      TypedSchema.RecordField("price", "decimal(10,2)"),
+      TypedSchema.RecordField("seen", "timestamp_us"),
+      TypedSchema.RecordField("mask", "bit(3)")))
+    val q = TypedSchema.project(CdcStreaming.readStream(spark, dir), schema)
+      .writeStream.format("memory").queryName("typed_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("typed_t")
+      assert(got.schema("id").dataType == LongType)
+      assert(got.schema("price").dataType == DecimalType(10, 2))
+      assert(got.schema("seen").dataType == TimestampType)
+      assert(got.schema("mask").dataType == LongType)
+      val r5 = got.filter(col("id") === 5L).head()
+      assert(r5.getAs[java.math.BigDecimal]("price").toPlainString == "5.50")
+      assert(r5.getAs[Long]("mask") == 7L) // 255 & 0b111
+      assert(r5.getAs[java.sql.Timestamp]("seen").getTime == 5000L)
+      assert(got.count() == 10)
+    } finally q.stop()
+  }
+
   test("per-table selection filters rows and skips tail decode") {
     val dir = Files.createTempDirectory("gcl").toString
     val recs = (0 until 20).map { i =>
@@ -229,6 +284,81 @@ class CdcSourceSpec extends AnyFunSuite {
       graft.sources.CdcSubscription(server = "/tmp/x", sid = Some("s"),
         table = Some("nodots"))
     }
+  }
+
+  test("DDL records route end-to-end as control events, key state untouched") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("gcl").toString
+    val recs = Seq(
+      CdcFixtures.rec(1L, 1000000L, Op.Insert, "k1", "v1"),
+      ChangeRecord(2L, "tx-ddl", 2000000L, 1999000L, Op.Ddl, "appdb", "users",
+        Seq.empty, null, Map("ddl" -> "ALTER TABLE users ADD COLUMN note TEXT")),
+      CdcFixtures.rec(3L, 3000000L, Op.Update, "k1", "v3"))
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", recs)
+    // control stream surfaces the DDL through codec -> source -> filter
+    val qd = CdcStreaming.ddlEvents(CdcStreaming.readStream(spark, dir))
+      .writeStream.format("memory").queryName("ddl_t")
+      .outputMode("append").start()
+    try {
+      qd.processAllAvailable()
+      val ddl = spark.table("ddl_t").collect()
+      assert(ddl.length == 1)
+      assert(ddl(0).getAs[String]("statement").startsWith("ALTER TABLE"))
+      assert(ddl(0).getAs[String]("tbl") == "users")
+    } finally qd.stop()
+    // the DML materializer is oblivious: k1 ends at record 3
+    val qm = CdcStreaming.materialize(CdcStreaming.readStream(spark, dir))
+      .writeStream.format("memory").queryName("ddl_mat_t")
+      .outputMode("append").start()
+    try {
+      qm.processAllAvailable()
+      val last = spark.table("ddl_mat_t")
+        .orderBy(col("tsUs").desc).head()
+      assert(last.getAs[Long]("recordId") == 3L)
+      assert(spark.table("ddl_mat_t")
+        .filter(col("recordId") === 2L).count() == 0)
+    } finally qm.stop()
+  }
+
+  test("retract stream keeps downstream aggregates correct under updates") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir)
+    // micro-batches of one chunk each => retractions cross batch
+    // boundaries through the keyed state
+    val q = CdcStreaming.materializeRetract(
+        CdcStreaming.readStream(spark, dir, maxChunksPerTrigger = Some(1)),
+        element_at(col("after"), "v"))
+      .writeStream.format("memory").queryName("retract_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val events = spark.table("retract_t")
+      assert(events.filter(col("change") === -1).count() > 0)
+      // live-row count per value attribute = sum of signs
+      val live = events.groupBy("value").agg(sum("change").as("n"))
+        .filter(col("n") =!= 0)
+      // batch recomputation: last DML per key, drop deleted, count values
+      val pk1 = element_at(col("pkNames"), 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("tsUs").desc, col("id").desc)
+      val batchLive = CdcStreaming.readBatch(spark, dir)
+        .filter(col("op").isin(Op.Insert, Op.Update, Op.Delete))
+        .withColumn("key", concat_ws("|", col("db"), col("tbl"),
+          coalesce(element_at(col("after"), pk1),
+            element_at(col("before"), pk1))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= Op.Delete)
+        .select(element_at(col("after"), "v").as("value"))
+        .groupBy("value").count()
+      assert(live.count() == batchLive.count())
+      assert(live.join(batchLive, "value")
+        .filter(col("n") =!= col("count")).count() == 0)
+      // an upsert-only consumer of the same stream would over-count:
+      // adds alone exceed the live count
+      val addsOnly = events.filter(col("change") === 1).count()
+      assert(addsOnly > live.agg(sum("n")).head().getLong(0))
+    } finally q.stop()
   }
 
   test("restart from checkpoint continues, no duplicates") {
