@@ -59,11 +59,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // quality metric beside the timings: IVF recall@k vs brute truth
+    val recall =
+      try graft.pipelines.Similarity.recallAtK(spark, sfDir, "ann03_knn_ivf")
+      catch { case e: Throwable => errors("ann03_recall") =
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann03_recall":$recall,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))

@@ -99,5 +99,136 @@ object Similarity {
         |WHERE rn <= 3""".stripMargin))
   }
 
-  val defs: Seq[QueryDef] = Seq(ann01, ann02)
+  // -------------------------------------------------------------- ann03
+  /** IVF parameters: C inverted lists trained by deterministic k-means
+    * on a bounded id-stride sample, queries probe the NProbe nearest
+    * lists. At 100 TB this is the FAISS-style recipe: train on a
+    * sample that fits one node, broadcast ~C×d doubles of centroids,
+    * and scoring touches ~NProbe/C of the corpus via an ordinary hash
+    * join on the list id. */
+  private[pipelines] object Ivf {
+    val C = 16
+    val Iters = 5
+    val NProbe = 4
+    val SampleEvery = 4 // train on vec_id % 4 == 0 (deterministic sample)
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dot(v, v))
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = v(i) / n; i += 1 }
+      out
+    }
+
+    /** Nearest centroid by dot on unit vectors; ties → lower index
+      * (deterministic). */
+    def assign(u: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var j = 0
+      while (j < cents.length) {
+        val d = dot(u, cents(j))
+        if (d > bestDot) { bestDot = d; best = j }
+        j += 1
+      }
+      best
+    }
+
+    /** The `p` nearest centroids, best first, ties → lower index. */
+    def probes(u: Array[Double], cents: Array[Array[Double]], p: Int): Array[Int] =
+      cents.indices
+        .sortBy(j => (-dot(u, cents(j)), j))
+        .take(p).toArray
+
+    /** Deterministic Lloyd k-means on unit vectors: init = first C
+      * sample vectors (sample pre-sorted by vec_id), fixed iteration
+      * count, means accumulated in sample order — every step is a
+      * fixed-order float fold, so centroids are bit-stable across runs
+      * and partitionings. */
+    def train(sampleSorted: Array[Array[Double]]): Array[Array[Double]] = {
+      val d = sampleSorted.head.length
+      var cents = sampleSorted.take(C).map(_.clone)
+      var it = 0
+      while (it < Iters) {
+        val sums = Array.fill(C)(new Array[Double](d))
+        val counts = new Array[Int](C)
+        sampleSorted.foreach { u =>
+          val a = assign(u, cents)
+          counts(a) += 1
+          var i = 0
+          while (i < d) { sums(a)(i) += u(i); i += 1 }
+        }
+        cents = Array.tabulate(C) { j =>
+          if (counts(j) == 0) cents(j)
+          else {
+            val m = sums(j)
+            var i = 0
+            while (i < d) { m(i) /= counts(j); i += 1 }
+            normalize(m)
+          }
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** IVF top-k: train centroids on the sample, assign every corpus
+    * vector to one inverted list, probe the query's NProbe nearest
+    * lists and score only there. Approximate (recall measured against
+    * [[ann01]]'s truth — reported by Bench and asserted in
+    * PipelineSpec), so rows-only: k-means has no DuckDB twin. */
+  private val ann03 = QueryDef(
+    "ann03_knn_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val e = vecs(s, dir)
+      val typed = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      val sample = typed.filter(_._1 % Ivf.SampleEvery == 0)
+        .collect().sortBy(_._1).map(t => Ivf.normalize(t._2))
+      val cents = Ivf.train(sample)
+      val bc = s.sparkContext.broadcast(cents)
+      val assigned = typed
+        .map { case (id, v) => (id, Ivf.assign(Ivf.normalize(v), bc.value)) }
+        .toDF("vec_id", "cluster")
+      val corpus = e.join(assigned, "vec_id")
+      val qprobes = typed.filter(_._1 < NQueries)
+        .flatMap { case (id, v) =>
+          Ivf.probes(Ivf.normalize(v), bc.value, Ivf.NProbe).map(c => (id, c))
+        }
+        .toDF("q_id", "cluster")
+      val qside = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nn").as("qn"))
+        .join(qprobes, "q_id")
+      // each corpus vector lives in exactly one list => no dup pairs
+      val scored = broadcast(qside).join(corpus, Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= K)
+    },
+    None) // rows-only: deterministic, but k-means is not SQL-expressible
+
+  /** recall@K of an approximate ANN result against [[ann01]]'s
+    * brute-force truth on the same data (used by Bench reporting and
+    * PipelineSpec). */
+  def recallAtK(s: SparkSession, dir: String, approxName: String): Double = {
+    val truth = defs.find(_.name == "ann01_knn_brute").get.run(s, dir)
+      .select("q_id", "n_id")
+    val approx = defs.find(_.name == approxName).get.run(s, dir)
+      .select("q_id", "n_id")
+    val hit = truth.join(approx, Seq("q_id", "n_id")).count()
+    hit.toDouble / truth.count()
+  }
+
+  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03)
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guard against the JIT cliff that bit round 1: after a long-lived
+  * JVM has profiled dozens of codegen classes and ArrayData subtypes,
+  * megamorphic dispatch can slow a hot loop 10-100x (dd05 went
+  * 4s → 225s in the driver's JVM). The dd* family now runs its vector
+  * math on monomorphic primitive arrays ([[graft.pipelines.EmbedDup]])
+  * or single-call native expressions, so timings must stay flat even
+  * after the whole query suite has polluted the profile pool.
+  *
+  * Bounds are ~15x the steady-state times at sf0.01 — loose enough
+  * for CI noise, tight enough that a megamorphic regression (30x+)
+  * fails loudly.
+  */
+class PerfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("dd* hot loops stay fast after the full suite ran in this JVM") {
+    // pollute JIT profiles the way the driver bench does: every query
+    // once, same JVM, before anything is timed
+    SparkEntry.all.foreach(d => d.run(spark, "/root/testdata/sf0.001").count())
+
+    val bounds = Map(
+      "dd02_minhash_lsh"   -> 15.0,
+      "dd04_ngram_jaccard" -> 15.0,
+      "dd05_embed_dup"     -> 15.0)
+    bounds.foreach { case (name, bound) =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, "/root/testdata/sf0.01").count() // warm listing/codegen
+      val t0 = System.nanoTime()
+      fn(spark, "/root/testdata/sf0.01").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      withClue(name) {
+        assert(sec < bound,
+          s"$name took $sec s at sf0.01 — megamorphic/JIT cliff?")
+      }
+    }
+  }
+}

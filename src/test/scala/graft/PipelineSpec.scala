@@ -53,6 +53,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.agg(max("rn")).head().getLong(0) <= 3)
   }
 
+  test("ann03 IVF returns k per query with measured recall over truth") {
+    val df = SparkEntry.queries("ann03_knn_ivf")(spark, sf)
+    val perQ = df.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5))
+    assert(df.filter(col("q_id") === col("n_id")).count() == 0)
+    // measured recall@5 vs ann01's brute-force truth (0.66 at sf0.001
+    // with NProbe=4 of C=16 lists — the spec floor guards regressions,
+    // Bench reports the live number per round)
+    val recall = graft.pipelines.Similarity.recallAtK(
+      spark, sf, "ann03_knn_ivf")
+    assert(recall >= 0.5, s"IVF recall@5 fell to $recall")
+  }
+
   test("tx01 langid picks argmax with priority tie-break") {
     val df = SparkEntry.queries("tx01_langid")(spark, sf)
     val bad = df.filter(col("pred_lang") === "de" && col("h_en") >= col("h_de"))

@@ -32,6 +32,33 @@ class TopKSpec extends AnyFunSuite {
     assert(df.count() == 6) // 3 statuses x 2 — sf0.001 has all statuses
   }
 
+  test("map-side partial bounds the shuffle to keys x k per partition") {
+    // AQE wraps stages in QueryStageExec nodes that hide the partial
+    // from TreeNode.collect — turn it off for the metric assertion
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val o = Tables.load(spark, sf, "orders")
+      .repartition(8) // force multiple map partitions upstream
+    val k = 3
+    val df = TopKPerGroup(o, Seq(o("o_orderpriority")),
+      Seq(o("o_totalprice").desc, o("o_orderkey").asc), k)
+    df.collect()
+    val partial = df.queryExecution.executedPlan.collectFirst {
+      case p: graft.plans.TopKPartialExec => p
+    }
+    assert(partial.isDefined, "partial phase missing from the plan")
+    val shuffled = partial.get.metrics("shuffleRows").value
+    val nKeys = o.select("o_orderpriority").distinct().count()
+    val nParts = 8
+    val inputRows = o.count()
+    assert(shuffled <= nKeys * k * nParts,
+      s"$shuffled rows shuffled, bound is ${nKeys * k * nParts}")
+    assert(shuffled < inputRows,
+      s"partial did not reduce the shuffle: $shuffled vs $inputRows input")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("k larger than group size returns whole groups") {
     val r = Tables.load(spark, sf, "region")
     val df = TopKPerGroup(r, Seq(r("r_regionkey")), Seq(r("r_name").asc), 10)
