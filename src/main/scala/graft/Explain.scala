@@ -23,8 +23,15 @@ object Explain {
     (1 to runs).foreach { i =>
       if (sys.env.contains("GRAFT_GC_BETWEEN")) System.gc()
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
+      val df = fn(spark, dir)
+      val n = df.count()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      // AQE stage reuse is only visible AFTER execution — print the
+      // final adaptive plan on demand
+      if (i == 1 && sys.env.contains("GRAFT_FINAL_PLAN")) {
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

@@ -378,11 +378,24 @@ object Relational {
     "q16_setops",
     (s, dir) => {
       val ev = Tables.events(s, dir)
-      // heavy users of an event type: >= 15 occurrences
-      def heavy(et: String) =
-        ev.filter(col("event_type") === et).groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n")).filter(col("n") >= 15)
-          .select(col("user_id"))
+      // ONE aggregation pass: per-user conditional counts become
+      // "heavy in <type>" booleans, and every set-op branch filters
+      // the SAME aggregated frame. Two Catalyst traps make the naive
+      // forms five-scan plans: a plain event_type filter pushes
+      // through the grouping key and splits the scan (round 1), and
+      // per-branch projection lets column pruning specialize each
+      // branch's aggregate so no two subtrees match. Keeping ALL flag
+      // columns through the set ops defeats both — pruning cannot
+      // drop columns below an INTERSECT/EXCEPT (it would change row
+      // equality), the five branch subtrees stay identical, and
+      // ReuseExchange runs scan + partial agg exactly once. Rows of
+      // one user are identical across branches, so whole-row set
+      // semantics equal the round-1 user_id set semantics.
+      val flagCols = Seq("purchase", "click", "error", "signup").map(et =>
+        (count(when(col("event_type") === et, 1)) >= 15).as(s"h_$et"))
+      val flags = ev.groupBy(col("user_id"))
+        .agg(flagCols.head, flagCols.tail: _*)
+      def heavy(et: String) = flags.filter(col(s"h_$et"))
       val loyal = heavy("purchase").intersect(heavy("click"))
         .except(heavy("error"))
         .select(col("user_id"), lit("loyal").as("tag"))

@@ -41,6 +41,32 @@ object CdcStreaming {
     r.load()
   }
 
+  /** Event-time + watermark advanced by ALL records INCLUDING
+    * heartbeats, which are dropped only afterwards — the reference's
+    * idle-partition liveness semantics (ref:
+    * DtsKafkaTopicPartitionStateWithWatermarkGenerator.java: periodic
+    * per-partition watermarks; heartbeat records keep a quiet
+    * subscription's event-time moving). Filtering heartbeats BEFORE
+    * the watermark stalls every window on an idle table forever;
+    * applying the watermark first lets the transport's liveness
+    * records close windows with no DML behind them. Downstream:
+    * group by `window(col("ts"), ...)` as usual. */
+  def withHeartbeatWatermark(
+      changes: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    changes
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", watermark)
+      // the disjunct referencing ts is vacuous (epoch-us timestamps
+      // are never pre-1900) but load-bearing: a predicate that doesn't
+      // mention the event-time column gets pushed BELOW the
+      // EventTimeWatermark node, dropping heartbeats before their
+      // timestamps reach the watermark stats — the exact stall this
+      // helper exists to avoid. It must also be non-foldable: a plain
+      // `ts.isNull` is simplified away (tsUs is non-nullable) and the
+      // filter pushes again.
+      .filter(col("op") =!= Op.Heartbeat ||
+        col("ts") < to_timestamp(lit("1900-01-01")))
+
   /** Watermarked tumbling-window op counts — the reference's
     * watermarked SQL shape. Works on the streaming frame. */
   def windowedOpCounts(changes: DataFrame, window: String = "1 hour",

@@ -286,6 +286,46 @@ class CdcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("heartbeats advance event-time and close windows on an idle stream") {
+    val dir = Files.createTempDirectory("gcl").toString
+    // DML only in the 0-10s window; afterwards the table goes idle and
+    // the transport emits just a liveness heartbeat at t=40s
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", Seq(
+      CdcFixtures.rec(1L, 1000000L, Op.Update, "a", "v1"),
+      CdcFixtures.rec(2L, 2000000L, Op.Update, "a", "v2"),
+      CdcFixtures.rec(3L, 3000000L, Op.Update, "b", "v3")))
+    CdcChunkFile.write(s"$dir/chunk-00001${CdcChunkFile.Extension}", Seq(
+      CdcFixtures.rec(4L, 40000000L, Op.Heartbeat, "hb", "hb")))
+    def windowed(base: org.apache.spark.sql.DataFrame) = base
+      .groupBy(window(col("ts"), "10 seconds")).agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("n"))
+    // heartbeat-aware watermark: the t=40s heartbeat closes the 0-10s
+    // window even though no DML followed it
+    val q1 = windowed(CdcStreaming.withHeartbeatWatermark(
+        CdcStreaming.readStream(spark, dir, maxChunksPerTrigger = Some(1)),
+        watermark = "0 seconds"))
+      .writeStream.format("memory").queryName("hb_aware_t")
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      val got = spark.table("hb_aware_t").collect()
+      assert(got.length == 1)
+      assert(got(0).getAs[Long]("win_us") == 0L && got(0).getAs[Long]("n") == 3L)
+    } finally q1.stop()
+    // control: dropping heartbeats BEFORE the watermark stalls the
+    // stream — nothing ever closes the window
+    val q2 = windowed(CdcStreaming.readStream(spark, dir)
+        .filter(col("op") =!= Op.Heartbeat)
+        .withColumn("ts", timestamp_micros(col("tsUs")))
+        .withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("hb_blind_t")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("hb_blind_t").isEmpty)
+    } finally q2.stop()
+  }
+
   test("DDL records route end-to-end as control events, key state untouched") {
     implicit val s = spark
     val dir = Files.createTempDirectory("gcl").toString
