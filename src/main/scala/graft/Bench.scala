@@ -60,15 +60,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // quality metric beside the timings: IVF recall@k vs brute truth
-    val recall =
-      try graft.pipelines.Similarity.recallAtK(spark, sfDir, "ann03_knn_ivf")
-      catch { case e: Throwable => errors("ann03_recall") =
+    // quality metrics beside the timings: approximate-ANN recall vs
+    // ann01's brute-force truth
+    def recallOf(name: String): Double =
+      try graft.pipelines.Similarity.recallAtK(spark, sfDir, name)
+      catch { case e: Throwable => errors(s"recall:$name") =
         Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }
+    val r2 = recallOf("ann02_knn_bucket")
+    val r3 = recallOf("ann03_knn_ivf")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann03_recall":$recall,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann02_recall":$r2,"ann03_recall":$r3,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))

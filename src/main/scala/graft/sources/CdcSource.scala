@@ -4,7 +4,8 @@ import graft.cdc.RecordCodec
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
@@ -81,18 +82,26 @@ class CdcTable(
     startTsUs: Option[Long],
     maxChunksPerTrigger: Option[Int],
     tableSel: Option[(String, String)] = None)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   require(path != null, "graft-cdc requires a 'path' option")
   override def name(): String = s"graft-cdc:$path"
   override def schema(): StructType = CdcSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new CdcScan(path, startTsUs, maxChunksPerTrigger, tableSel)
     }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.sameElements(CdcSource.schema.fieldNames),
+      s"graft-cdc write schema must be ${CdcSource.schema.fieldNames.mkString(",")}, " +
+        s"got ${info.schema().fieldNames.mkString(",")}")
+    new CdcWriteBuilder(path)
+  }
 }
 
 /** Offset = number of chunks fully consumed (chunk list is sorted and
