@@ -145,52 +145,115 @@ object Dedup {
   }
 
   // -------------------------------------------------------------- dd04
-  /** n-gram Jaccard verification over the LSH candidates: exact
-    * |A∩B|/|A∪B| on distinct 3-shingle sets, only for pairs the bands
-    * surfaced (candidate-bounded — never all-pairs). */
+  /** Verified near-dup pairs: exact Jaccard |A∩B|/|A∪B| on distinct
+    * 3-shingle sets, only for pairs the bands surfaced
+    * (candidate-bounded — never all-pairs). Shared by dd04 and dd06. */
+  private[pipelines] def jaccardPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val st = docShingleState(s, dir)
+    val sig = signatures(st)
+    val cand = sig.as("s1").join(sig.as("s2"),
+        col("s1.b") === col("s2.b") && col("s1.sig") === col("s2.sig") &&
+        col("s1.doc_id") < col("s2.doc_id"))
+      .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
+      .distinct()
+    // per-pair set intersection on the doc-level hash arrays — the
+    // candidate list is band-bounded, so this is |cand| array ops,
+    // not a shuffle of every (doc, shingle) row
+    val sets = st.select(col("doc_id"), col("hset"))
+    cand
+      .join(sets.as("a"), col("d1") === col("a.doc_id"))
+      .join(sets.as("b"), col("d2") === col("b.doc_id"))
+      .select(col("d1"), col("d2"),
+        expr("size(array_intersect(a.hset, b.hset))").cast("long").as("n_inter"),
+        expr("size(a.hset)").cast("long").as("n_a"),
+        expr("size(b.hset)").cast("long").as("n_b"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  /** DuckDB twin of [[jaccardPairs]] as a WITH-clause chain ending in
+    * CTE `pairs` (d1, d2, n_inter, n_a, n_b, jaccard). */
+  private def jaccardPairsSqlCtes: String =
+    s"""${TextShingles.shinglesSql(3)},
+       |shd AS (SELECT DISTINCT doc_id, ${hash64Sql("sg")} AS h FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       |$signaturesSql,
+       |cand AS (SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2
+       |  FROM sig s1 JOIN sig s2
+       |    ON s1.b = s2.b AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
+       |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shd a ON c.d1 = a.doc_id
+       |  JOIN shd b ON c.d2 = b.doc_id AND a.h = b.h
+       |  GROUP BY c.d1, c.d2),
+       |pairs AS (
+       |  SELECT i.d1, i.d2, i.n_inter, za.n AS n_a, zb.n AS n_b,
+       |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON i.d1 = za.doc_id
+       |  JOIN sizes zb ON i.d2 = zb.doc_id
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.2)""".stripMargin
+
   private val dd04 = QueryDef(
     "dd04_ngram_jaccard",
+    (s, dir) => jaccardPairs(s, dir),
+    Some(s"""WITH $jaccardPairsSqlCtes
+      |SELECT d1, d2, n_inter, n_a, n_b, jaccard FROM pairs
+      |""".stripMargin))
+
+  // -------------------------------------------------------------- dd06
+  /** Near-dup CLUSTERING: connected components over the verified pair
+    * graph, the step a real training pipeline runs after pairwise
+    * dedup — "keep one document per duplicate cluster". Implemented as
+    * iterative min-label propagation: each round is one shuffle join +
+    * min-agg, labels persisted per round so lineage stays flat, loop
+    * ends at fixed point (iterations = component diameter; near-dup
+    * blobs are shallow). This is the standard distributed CC recipe —
+    * at 100 TB each round is an ordinary keyed join the cluster
+    * absorbs, no driver state beyond the converged flag.
+    *
+    * Output: every document with its cluster id (min doc_id in its
+    * component) and whether it is the cluster's keeper. Oracle:
+    * DuckDB recursive transitive closure over the same pair CTEs.
+    */
+  private val dd06 = QueryDef(
+    "dd06_dup_clusters",
     (s, dir) => {
-      val st = docShingleState(s, dir)
-      val sig = signatures(st)
-      val cand = sig.as("s1").join(sig.as("s2"),
-          col("s1.b") === col("s2.b") && col("s1.sig") === col("s2.sig") &&
-          col("s1.doc_id") < col("s2.doc_id"))
-        .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
-        .distinct()
-      // per-pair set intersection on the doc-level hash arrays — the
-      // candidate list is band-bounded, so this is |cand| array ops,
-      // not a shuffle of every (doc, shingle) row
-      val sets = st.select(col("doc_id"), col("hset"))
-      cand
-        .join(sets.as("a"), col("d1") === col("a.doc_id"))
-        .join(sets.as("b"), col("d2") === col("b.doc_id"))
-        .select(col("d1"), col("d2"),
-          expr("size(array_intersect(a.hset, b.hset))").cast("long").as("n_inter"),
-          expr("size(a.hset)").cast("long").as("n_a"),
-          expr("size(b.hset)").cast("long").as("n_b"))
-        .withColumn("jaccard", col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")))
-        .filter(col("jaccard") >= 0.2)
+      val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
+      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      var labels = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster"))
+      var prev: org.apache.spark.sql.DataFrame = null
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val viaNeighbor = edges.join(labels, col("b") === col("doc_id"))
+          .select(col("a").as("doc_id"), col("cluster"))
+        val next = labels.unionAll(viaNeighbor)
+          .groupBy("doc_id").agg(min("cluster").as("cluster"))
+          .persist()
+        changed = next
+          .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+          .filter(col("cluster") =!= col("old")).count()
+        if (prev != null) prev.unpersist()
+        prev = if (iter > 0) labels else null
+        labels = next
+        iter += 1
+      }
+      labels.withColumn("is_keeper", col("doc_id") === col("cluster"))
     },
-    Some(s"""WITH ${TextShingles.shinglesSql(3)},
-      |shd AS (SELECT DISTINCT doc_id, ${hash64Sql("sg")} AS h FROM sh),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-      |$signaturesSql,
-      |cand AS (SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2
-      |  FROM sig s1 JOIN sig s2
-      |    ON s1.b = s2.b AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
-      |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
-      |  FROM cand c
-      |  JOIN shd a ON c.d1 = a.doc_id
-      |  JOIN shd b ON c.d2 = b.doc_id AND a.h = b.h
-      |  GROUP BY c.d1, c.d2)
-      |SELECT i.d1, i.d2, i.n_inter, za.n AS n_a, zb.n AS n_b,
-      |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
-      |FROM inter i
-      |JOIN sizes za ON i.d1 = za.doc_id
-      |JOIN sizes zb ON i.d2 = zb.doc_id
-      |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.2
+    Some(s"""WITH RECURSIVE $jaccardPairsSqlCtes,
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, MIN(b) AS cluster, MIN(b) = a AS is_keeper
+      |FROM reach GROUP BY a
       |""".stripMargin))
 
   // -------------------------------------------------------------- dd05
@@ -213,5 +276,5 @@ object Dedup {
       |WHERE ${VectorOps.cosineSql("a.v", "b.v", "a.nn", "b.nn")} >= 0.4
       |""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05)
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06)
 }

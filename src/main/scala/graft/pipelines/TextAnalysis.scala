@@ -159,5 +159,44 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
       |""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(tx01, tx02, tx03, tx04)
+  // -------------------------------------------------------------- tx05
+  /** Corpus vocabulary statistics + per-doc key terms: tf per
+    * (doc, term), document frequency per term, top-3 distinctive
+    * terms per doc ranked (tf DESC, df ASC, term ASC) — the tf-idf
+    * ordering expressed on INTEGER keys only. The float idf is
+    * deliberately absent from the output: Java's Math.log and
+    * DuckDB's libm log can differ in the last ulp, and a hash-exact
+    * oracle must not depend on which libm linked. The shape is the
+    * canonical vocab build: one (doc, term) shuffle for tf, one term
+    * shuffle for df, a broadcast-sized df table joined back. */
+  private val tx05 = QueryDef(
+    "tx05_keyterms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = TextShingles.words(s, dir)
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+      val tf = words.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, "term")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id, term, tf, df, rank FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, d.df ASC, tf.term ASC) AS rank
+      |  FROM tf JOIN d USING (term))
+      |WHERE rank <= 3""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(tx01, tx02, tx03, tx04, tx05)
 }
