@@ -81,5 +81,45 @@ object Multimodal {
         |FROM documents""".stripMargin))
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01)
+  // -------------------------------------------------------------- mm02
+  /** Frame sampling: the 1→N multimodal shape (video → sampled
+    * frames, audio → windows) as a narrow generate — each payload
+    * yields up to 4 frames at a 128-byte stride, each with an offset
+    * and a pseudo-feature over its first 8 bytes (stub codec again:
+    * real frame decode needs media libs this container lacks; the
+    * row-multiplication, batch shape and bounded fan-out are the real
+    * thing). Declarative posexplode keeps it inside codegen — no UDF,
+    * no shuffle; fan-out is bounded (≤4×) so the scan still dominates
+    * at 100 TB. */
+  private val mm02 = {
+    val stride = 128
+    val maxFrames = 4
+    def f8Sql(off: String) = (1 to 8).map(j =>
+      s"(CASE WHEN length(text) >= $off + $j THEN ascii(substr(text, $off + $j, 1)) ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef(
+      "mm02_frame_sample",
+      (s, dir) => {
+        val n = s"least($maxFrames, length(text) div $stride + 1)"
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            expr(s"sequence(0, $n - 1)").as("idxs"))
+          .select(col("doc_id"), col("text"),
+            posexplode(col("idxs")).as(Seq("frame_idx", "i")))
+          .select(col("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            (col("frame_idx") * stride).cast("long").as("frame_off"),
+            expr(f8Sql(s"frame_idx * $stride")).cast("long").as("f8"))
+      },
+      Some(s"""SELECT doc_id,
+        | CAST(i AS BIGINT) AS frame_idx,
+        | CAST(i * $stride AS BIGINT) AS frame_off,
+        | CAST(${f8Sql(s"i * $stride")} AS BIGINT) AS f8
+        |FROM documents CROSS JOIN LATERAL (SELECT
+        |  unnest(generate_series(0,
+        |    least($maxFrames, length(text) // $stride + 1) - 1)) AS i) t
+        |""".stripMargin))
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02)
 }

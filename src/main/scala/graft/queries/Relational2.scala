@@ -210,5 +210,64 @@ object Relational2 {
       |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       | FROM orders) WHERE rn <= 3""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33)
+  // ---------------------------------------------------------------- q34
+  /** CEP-style funnel detection — Flink's MATCH_RECOGNIZE territory
+    * (PATTERN (S E* P) WITHIN INTERVAL '1' HOUR with a no-error
+    * guard), declaratively: signup joined to its FIRST purchase within
+    * one hour, anti-joined against any intervening error. The pattern
+    * decomposes into a per-key range join + range anti join + argmin,
+    * which Catalyst executes as ordinary hash joins on user_id — the
+    * 100 TB shape (state per key, no global ordering) that a CEP
+    * automaton needs an engine extension for. */
+  private val q34 = QueryDef(
+    "q34_cep_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      def typed(t: String, idAs: String, tsAs: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(idAs),
+            col("ts_us").as(tsAs))
+      val su = typed("signup", "s_id", "s_ts")
+      val pu = typed("purchase", "p_id", "p_ts")
+      val er = typed("error", "e_id", "e_ts")
+      val cand = su.join(pu, "user_id")
+        .filter(col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + 3600000000L)
+      val clean = cand.join(er,
+        cand("user_id") === er("user_id") &&
+          col("e_ts") > col("s_ts") && col("e_ts") < col("p_ts"),
+        "left_anti")
+      val w = Window.partitionBy(col("user_id"), col("s_id"))
+        .orderBy(col("p_ts").asc, col("p_id").asc)
+      clean.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("s_id"), col("s_ts"),
+          col("p_id"), col("p_ts"),
+          (col("p_ts") - col("s_ts")).as("latency_us"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+      |  epoch_us(ts) AS ts_us FROM events),
+      |su AS (SELECT user_id, event_id AS s_id, ts_us AS s_ts
+      |  FROM ev WHERE event_type = 'signup'),
+      |pu AS (SELECT user_id, event_id AS p_id, ts_us AS p_ts
+      |  FROM ev WHERE event_type = 'purchase'),
+      |er AS (SELECT user_id, ts_us AS e_ts
+      |  FROM ev WHERE event_type = 'error'),
+      |cand AS (
+      |  SELECT su.user_id, s_id, s_ts, p_id, p_ts
+      |  FROM su JOIN pu ON su.user_id = pu.user_id
+      |    AND p_ts > s_ts AND p_ts <= s_ts + 3600000000
+      |  WHERE NOT EXISTS (SELECT 1 FROM er
+      |    WHERE er.user_id = su.user_id
+      |      AND er.e_ts > s_ts AND er.e_ts < p_ts))
+      |SELECT user_id, s_id, s_ts, p_id, p_ts,
+      |  p_ts - s_ts AS latency_us FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, s_id
+      |    ORDER BY p_ts ASC, p_id ASC) AS rn FROM cand)
+      |WHERE rn = 1""".stripMargin))
+
+  val defs: Seq[QueryDef] =
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }

@@ -85,6 +85,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.filter(col("fp1").isNull || col("fp2").isNull).count() == 0)
   }
 
+  test("mm02 frame sampling has bounded fan-out and aligned offsets") {
+    val df = SparkEntry.queries("mm02_frame_sample")(spark, sf)
+    val perDoc = df.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") < 1 || col("count") > 4).count() == 0)
+    assert(df.filter(col("frame_off") % 128 =!= 0).count() == 0)
+    assert(df.filter(col("frame_off") =!=
+      col("frame_idx") * 128).count() == 0)
+  }
+
   test("mm01 multimodal stub features are consistent with payload bytes") {
     val df = SparkEntry.queries("mm01_multimodal")(spark, sf)
     val docs = Tables.load(spark, sf, "documents")
