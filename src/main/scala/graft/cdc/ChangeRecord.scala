@@ -4,11 +4,14 @@ package graft.cdc
   * the reference's record interface (ref: src/main/java/com/alibaba/
   * flink/connectors/dts/formats/internal/record/DtsRecord.java:10):
   * record id, transaction id, commit + born timestamps, operation,
-  * schema coordinates, and before/after row images.
+  * schema coordinates, before/after row images, extended properties
+  * (ref getExtendedProperty — tag info, not row data) and the source
+  * engine's type+version (ref getSourceTypeAndVersion).
   *
   * Row images are Map[column -> stringified value]; [[Values]] owns the
   * typed conversions (the reference's value package type system). A null
-  * map value models a SQL NULL column.
+  * map value models a SQL NULL column. The trailing fields default to
+  * null: codec v1 records (round 1) decode into them losslessly.
   */
 final case class ChangeRecord(
     id: Long,
@@ -20,7 +23,10 @@ final case class ChangeRecord(
     tbl: String,
     pkNames: Seq[String],
     before: Map[String, String],
-    after: Map[String, String])
+    after: Map[String, String],
+    props: Map[String, String] = null,
+    sourceType: String = null,
+    sourceVersion: String = null)
 
 /** Operation vocabulary (ref: OperationType.java — the subset with
   * data-plane meaning plus the control records the fetcher surfaces).

@@ -14,27 +14,36 @@ import java.nio.charset.StandardCharsets
   *
   * Layout (little-endian):
   * {{{
-  *   0  u8   magic 'G'      1  u8   version (1)
+  *   0  u8   magic 'G'      1  u8   version (1 or 2)
   *   2  i64  id             10 i64  tsUs
   *   18 i64  bornUs         26 u8   opCode
   *   27 ...  varlen tail: txId, db, tbl, pkNames, before, after
+  *   v2 adds: props map, sourceType str, sourceVersion str
   * }}}
   * str := i32 byteLen (-1 = null) + utf8; map := i32 n + (str,str)*.
+  * Version evolution: the header is fixed across versions (lazy
+  * header reads never care), new fields append to the tail, and the
+  * decoder branches on the version byte — v1 segments written in
+  * round 1 stay readable (ref: the reference's lazy record carries a
+  * version for the same reason, LazyParseRecordImpl.java).
   */
 object RecordCodec {
 
   val Magic: Byte = 'G'
-  val Version: Byte = 1
+  val Version: Byte = 2
   val HeaderLen: Int = 27
 
   // ------------------------------------------------------------ encode
 
-  def encode(r: ChangeRecord): Array[Byte] = {
+  def encode(r: ChangeRecord): Array[Byte] = encode(r, Version)
+
+  /** Version-explicit encode (v1 kept for wire-compat tests). */
+  private[graft] def encode(r: ChangeRecord, version: Byte): Array[Byte] = {
     val bos = new ByteArrayOutputStream(256)
     val out = new DataOutputStream(bos)
     // header, little-endian via ByteBuffer for the fixed block
     val head = ByteBuffer.allocate(HeaderLen).order(ByteOrder.LITTLE_ENDIAN)
-    head.put(Magic).put(Version)
+    head.put(Magic).put(version)
     head.putLong(r.id).putLong(r.tsUs).putLong(r.bornUs)
     head.put(Op.code(r.op))
     out.write(head.array())
@@ -45,6 +54,11 @@ object RecordCodec {
     r.pkNames.foreach(writeStr(out, _))
     writeMap(out, r.before)
     writeMap(out, r.after)
+    if (version >= 2) {
+      writeMap(out, r.props)
+      writeStr(out, r.sourceType)
+      writeStr(out, r.sourceVersion)
+    }
     bos.toByteArray
   }
 
@@ -115,7 +129,9 @@ object RecordCodec {
     fullDecodes.incrementAndGet()
     require(bytes.length >= HeaderLen && bytes(0) == Magic,
       s"not a graft cdc record (${bytes.length} bytes)")
-    require(bytes(1) == Version, s"unsupported codec version ${bytes(1)}")
+    val version = bytes(1)
+    require(version >= 1 && version <= Version,
+      s"unsupported codec version $version")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.position(2)
     val id = buf.getLong; val ts = buf.getLong; val born = buf.getLong
@@ -125,7 +141,11 @@ object RecordCodec {
     val pks = (0 until nPk).map(_ => readStr(buf))
     val before = readMap(buf)
     val after = readMap(buf)
-    ChangeRecord(id, tx, ts, born, op, db, tbl, pks, before, after)
+    val (props, srcType, srcVer) =
+      if (version >= 2) (readMap(buf), readStr(buf), readStr(buf))
+      else (null, null, null)
+    ChangeRecord(id, tx, ts, born, op, db, tbl, pks, before, after,
+      props, srcType, srcVer)
   }
 
   private def readStr(buf: ByteBuffer): String = {

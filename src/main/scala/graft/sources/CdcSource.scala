@@ -74,7 +74,10 @@ object CdcSource {
     StructField("tbl", StringType),
     StructField("pkNames", ArrayType(StringType)),
     StructField("before", MapType(StringType, StringType)),
-    StructField("after", MapType(StringType, StringType))))
+    StructField("after", MapType(StringType, StringType)),
+    StructField("props", MapType(StringType, StringType)),
+    StructField("sourceType", StringType),
+    StructField("sourceVersion", StringType)))
 }
 
 class CdcTable(
@@ -248,6 +251,7 @@ class CdcPartitionReader(
       utf8(r.db), utf8(r.tbl),
       if (r.pkNames == null) null
       else new GenericArrayData(r.pkNames.map(utf8).toArray[Any]),
-      mapData(r.before), mapData(r.after)))
+      mapData(r.before), mapData(r.after), mapData(r.props),
+      utf8(r.sourceType), utf8(r.sourceVersion)))
   }
 }

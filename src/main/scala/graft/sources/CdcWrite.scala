@@ -112,6 +112,6 @@ private class CdcDataWriter(
         }.toMap
       }
     ChangeRecord(r.getLong(0), str(1), r.getLong(2), r.getLong(3), str(4),
-      str(5), str(6), pks, map(8), map(9))
+      str(5), str(6), pks, map(8), map(9), map(10), str(11), str(12))
   }
 }
