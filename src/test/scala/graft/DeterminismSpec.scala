@@ -16,9 +16,12 @@ class DeterminismSpec extends AnyFunSuite {
   private val sensitive = Seq(
     "q04_agg_group",      // decimal sums of double products
     "q08_join_star",      // multiway join + decimal agg
-    "dd05_embed_dup",     // float fold + threshold
+    "dd05_embed_dup",     // float fold + threshold (blocked GEMM)
+    "dd06_dup_clusters",  // iterative label propagation fixpoint
     "ann01_knn_brute",    // float fold + ranking
-    "tx02_quality")       // double ratio arithmetic
+    "ann03_knn_ivf",      // k-means on a collected sample + probing
+    "tx02_quality",       // double ratio arithmetic
+    "tx05_keyterms")      // tie-broken ranking over shuffled aggs
 
   test("results are identical at 1x and 16x input partitioning") {
     sensitive.foreach { name =>
