@@ -51,6 +51,44 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // end-to-end subscription throughput: records/s through the
+    // graft-cdc micro-batch source (codec decode + row materialization
+    // + sink), the reference's headline number ("deserialize binary
+    // bytes direct to record"). One warm pass then one timed pass.
+    val streamRps: Double = {
+      try {
+        val n = 200000
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bench_stream").toString
+        val recs = (0 until n).map { i =>
+          graft.cdc.ChangeRecord(i.toLong, s"tx-${i / 100}",
+            1000000L * (i + 1), 1000000L * (i + 1) - 500L,
+            if (i % 10 == 0) graft.cdc.Op.Insert else graft.cdc.Op.Update,
+            "bench", "t", Seq("k"),
+            if (i % 10 == 0) null else Map("k" -> s"${i % 997}", "v" -> "old"),
+            Map("k" -> s"${i % 997}", "v" -> s"v$i"))
+        }
+        recs.grouped(10000).zipWithIndex.foreach { case (g, i) =>
+          graft.sources.CdcChunkFile.write(
+            f"$dir/chunk-$i%05d${graft.sources.CdcChunkFile.Extension}",
+            g.toSeq)
+        }
+        def consume(): Unit = {
+          val q = spark.readStream.format("graft-cdc").option("path", dir)
+            .load().writeStream.format("noop").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        consume() // warm (JIT + listing)
+        val t0 = System.nanoTime()
+        consume()
+        n / ((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          errors("stream_rps") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          -1.0
+      }
+    }
     // quality metrics beside the timings: approximate-ANN recall vs
     // ann01's brute-force truth
     def recallOf(name: String): Double =
@@ -62,7 +100,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann02_recall":$r2,"ann03_recall":$r3,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann02_recall":$r2,"ann03_recall":$r3,"stream_rps":$streamRps,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))

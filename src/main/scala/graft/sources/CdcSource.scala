@@ -39,6 +39,10 @@ import java.util
   *     DTSSubscribeTableSourceFactory.java `table.name`); non-matching
   *     records are dropped on the cheap prefix read — their tail
   *     (pkNames/before/after) is never parsed
+  *   - `mode`: `failfast` (default) aborts on a corrupt record;
+  *     `permissive` skips it and counts it (ref: the reference wraps
+  *     per-record handling in SwallowException.java) — a torn byte
+  *     must not take down a long-running subscription
   */
 class CdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
@@ -51,7 +55,8 @@ class CdcSourceProvider extends TableProvider with DataSourceRegister {
     new CdcTable(properties.get("path"),
       Option(properties.get("startingTimestampUs")).map(_.toLong),
       Option(properties.get("maxChunksPerTrigger")).map(_.toInt),
-      Option(properties.get("table")).map(CdcSource.parseTableSelector))
+      Option(properties.get("table")).map(CdcSource.parseTableSelector),
+      CdcSource.parseMode(properties.get("mode")))
 }
 
 object CdcSource {
@@ -62,6 +67,18 @@ object CdcSource {
       s"graft-cdc 'table' must be 'db.tbl', got '$s'")
     (s.substring(0, i), s.substring(i + 1))
   }
+
+  /** `mode` option → permissive flag; null/absent = failfast. */
+  def parseMode(s: String): Boolean = s match {
+    case null | "failfast" => false
+    case "permissive"      => true
+    case other => throw new IllegalArgumentException(
+      s"graft-cdc 'mode' must be failfast|permissive, got '$other'")
+  }
+
+  /** Count of corrupt records skipped by permissive readers in this
+    * JVM (observable in specs and ops dashboards; monotone). */
+  val corruptSkipped = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Output schema == [[graft.cdc.ChangeRecord]]. */
   val schema: StructType = StructType(Seq(
@@ -84,7 +101,8 @@ class CdcTable(
     path: String,
     startTsUs: Option[Long],
     maxChunksPerTrigger: Option[Int],
-    tableSel: Option[(String, String)] = None)
+    tableSel: Option[(String, String)] = None,
+    permissive: Boolean = false)
   extends Table with SupportsRead with SupportsWrite {
 
   require(path != null, "graft-cdc requires a 'path' option")
@@ -96,7 +114,8 @@ class CdcTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new CdcScan(path, startTsUs, maxChunksPerTrigger, tableSel)
+      override def build(): Scan =
+        new CdcScan(path, startTsUs, maxChunksPerTrigger, tableSel, permissive)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -125,14 +144,16 @@ class CdcScan(
     path: String,
     startTsUs: Option[Long],
     maxChunksPerTrigger: Option[Int],
-    tableSel: Option[(String, String)] = None) extends Scan {
+    tableSel: Option[(String, String)] = None,
+    permissive: Boolean = false) extends Scan {
 
   override def readSchema(): StructType = CdcSource.schema
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       prunedChunks.map(c =>
-        CdcInputPartition(c, startTsUs, tableSel): InputPartition).toArray
+        CdcInputPartition(c, startTsUs, tableSel, permissive): InputPartition)
+        .toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new CdcReaderFactory
   }
@@ -181,7 +202,8 @@ class CdcScan(
           case None     => chunks
         }
         live.map(c =>
-          CdcInputPartition(c, startTsUs, tableSel): InputPartition).toArray
+          CdcInputPartition(c, startTsUs, tableSel, permissive): InputPartition)
+          .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new CdcReaderFactory
@@ -193,24 +215,29 @@ class CdcScan(
 case class CdcInputPartition(
     chunkPath: String,
     startTsUs: Option[Long],
-    tableSel: Option[(String, String)])
+    tableSel: Option[(String, String)],
+    permissive: Boolean = false)
   extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcInputPartition]
-    new CdcPartitionReader(p.chunkPath, p.startTsUs, p.tableSel)
+    new CdcPartitionReader(p.chunkPath, p.startTsUs, p.tableSel, p.permissive)
   }
 }
 
 /** Decodes one chunk. Records older than the reposition timestamp or
   * outside the selected table are dropped on LAZY prefix reads — the
   * record tail (pkNames/before/after) is never parsed for skipped
-  * records. */
+  * records. Kept records decode DIRECTLY to InternalRow
+  * ([[RecordCodec.decodeToRow]]: UTF8String slices over the record
+  * bytes, no String materialization, no map re-sort) — the
+  * reference's direct-from-bytes fast path. */
 class CdcPartitionReader(
     chunkPath: String,
     startTsUs: Option[Long],
-    tableSel: Option[(String, String)] = None)
+    tableSel: Option[(String, String)] = None,
+    permissive: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   private val raw = CdcChunkFile.readRawRecords(chunkPath)
@@ -219,11 +246,18 @@ class CdcPartitionReader(
   override def next(): Boolean = {
     while (raw.hasNext) {
       val bytes = raw.next()
-      val keep = startTsUs.forall(RecordCodec.headerTsUs(bytes) >= _) &&
-        tableSel.forall(RecordCodec.headerTable(bytes) == _)
-      if (keep) {
-        current = toRow(bytes)
-        return true
+      try {
+        val keep = startTsUs.forall(RecordCodec.headerTsUs(bytes) >= _) &&
+          tableSel.forall(RecordCodec.headerTable(bytes) == _)
+        if (keep) {
+          current = toRow(bytes)
+          return true
+        }
+      } catch {
+        // framing is intact (length prefixes), only this payload is
+        // bad — skip and count rather than kill the subscription
+        case e: Exception if permissive =>
+          CdcSource.corruptSkipped.incrementAndGet()
       }
     }
     false
@@ -232,26 +266,6 @@ class CdcPartitionReader(
   override def get(): InternalRow = current
   override def close(): Unit = ()
 
-  private def utf8(s: String): UTF8String =
-    if (s == null) null else UTF8String.fromString(s)
-
-  private def mapData(m: Map[String, String]): ArrayBasedMapData =
-    if (m == null) null
-    else {
-      val kv = m.toSeq.sortBy(_._1)
-      new ArrayBasedMapData(
-        new GenericArrayData(kv.map(p => utf8(p._1)).toArray[Any]),
-        new GenericArrayData(kv.map(p => utf8(p._2)).toArray[Any]))
-    }
-
-  private def toRow(bytes: Array[Byte]): InternalRow = {
-    val r = RecordCodec.decode(bytes)
-    new GenericInternalRow(Array[Any](
-      r.id, utf8(r.transactionId), r.tsUs, r.bornUs, utf8(r.op),
-      utf8(r.db), utf8(r.tbl),
-      if (r.pkNames == null) null
-      else new GenericArrayData(r.pkNames.map(utf8).toArray[Any]),
-      mapData(r.before), mapData(r.after), mapData(r.props),
-      utf8(r.sourceType), utf8(r.sourceVersion)))
-  }
+  private def toRow(bytes: Array[Byte]): InternalRow =
+    RecordCodec.decodeToRow(bytes)
 }

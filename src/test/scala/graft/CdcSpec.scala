@@ -292,6 +292,40 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(decoded == 5L, s"expected 5 full decodes, saw $decoded")
   }
 
+  test("permissive mode skips corrupt records; failfast aborts") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val good = (0 until 5).map(i =>
+      CdcFixtures.rec(i.toLong, 1000000L * (i + 1), Op.Insert, s"k$i", s"v$i"))
+    // hand-build a chunk with a garbage payload in the middle: framing
+    // (length prefixes + footer) intact, record bytes corrupt
+    val payloads = good.take(3).map(RecordCodec.encode) ++
+      Seq(Array.fill[Byte](24)(0x5a)) ++ good.drop(3).map(RecordCodec.encode)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$dir/chunk-00000${CdcChunkFile.Extension}")))
+    payloads.foreach { b =>
+      out.write(b.length & 0xff); out.write((b.length >> 8) & 0xff)
+      out.write((b.length >> 16) & 0xff); out.write((b.length >> 24) & 0xff)
+      out.write(b)
+    }
+    val foot = java.nio.ByteBuffer.allocate(CdcChunkFile.FooterLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    foot.putLong(1000000L).putLong(5000000L)
+    foot.putInt(payloads.length).putInt(CdcChunkFile.FooterMagic)
+    out.write(foot.array()); out.close()
+
+    // failfast (default): the corrupt payload aborts the scan
+    intercept[org.apache.spark.SparkException] {
+      CdcStreaming.readBatch(spark, dir).count()
+    }
+    // permissive: 5 good records survive, 1 corruption counted
+    val before = graft.sources.CdcSource.corruptSkipped.get()
+    val rows = spark.read.format("graft-cdc").option("path", dir)
+      .option("mode", "permissive").load().collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (0L until 5L))
+    assert(graft.sources.CdcSource.corruptSkipped.get() - before == 1L)
+  }
+
   test("subscription validates checkpoint and table selector eagerly") {
     val e = intercept[IllegalArgumentException] {
       graft.sources.CdcSubscription(server = "/tmp/x", sid = Some("s"),
