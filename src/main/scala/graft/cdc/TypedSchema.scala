@@ -52,7 +52,10 @@ object TypedSchema {
     val typed = schema.fields.map(f =>
       convert(element_at(col(image), f.name), f.sqlType).as(f.name))
     val meta = Seq(col("id").as("record_id"), col("tsUs").as("record_ts_us"),
-      col("op").as("record_op"))
+      col("op").as("record_op")) ++
+      // a watermarked event-time column (e.g. from withHeartbeatWatermark)
+      // must survive the projection or downstream windows lose it
+      (if (df.columns.contains("ts")) Seq(col("ts")) else Nil)
     df.filter(col("db") === schema.db && col("tbl") === schema.tbl)
       .select(meta ++ typed: _*)
   }

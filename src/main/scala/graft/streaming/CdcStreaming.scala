@@ -63,9 +63,26 @@ object CdcStreaming {
       // timestamps reach the watermark stats — the exact stall this
       // helper exists to avoid. It must also be non-foldable: a plain
       // `ts.isNull` is simplified away (tsUs is non-nullable) and the
-      // filter pushes again.
-      .filter(col("op") =!= Op.Heartbeat ||
-        col("ts") < to_timestamp(lit("1900-01-01")))
+      // filter pushes again. CAUTION: any FURTHER downstream filter
+      // that ignores `ts` (e.g. `op IN (...)`) will itself push below
+      // the watermark and re-starve the stats — use [[guardedFilter]]
+      // / [[dmlOnly]] for row filters on a heartbeat-watermarked
+      // stream.
+      .filter(guard(col("op") =!= Op.Heartbeat))
+
+  /** Wrap `cond` so the optimizer cannot push it below an
+    * EventTimeWatermark node (it references the event-time column
+    * non-foldably) — row filtering on a heartbeat-watermarked stream
+    * must happen AFTER the stats observe every record. */
+  def guardedFilter(df: DataFrame, cond: org.apache.spark.sql.Column): DataFrame =
+    df.filter(guard(cond))
+
+  /** Data-changing records only, watermark-safe. */
+  def dmlOnly(df: DataFrame): DataFrame =
+    guardedFilter(df, col("op").isin(Op.Insert, Op.Update, Op.Delete))
+
+  private def guard(cond: org.apache.spark.sql.Column) =
+    cond || col("ts") < to_timestamp(lit("1900-01-01"))
 
   /** Watermarked tumbling-window op counts — the reference's
     * watermarked SQL shape. Works on the streaming frame. */
