@@ -12,20 +12,36 @@ import java.nio.file.{Files, Path, Paths}
   * 1000-executor cluster can split work over.
   *
   * {{{
-  *   chunk  := record* footer
+  *   chunk  := record* index? footer
   *   record := i32 len, bytes[len]          (codec payload)
-  *   footer := i64 minTsUs, i64 maxTsUs, i32 nRecords, i32 magic
+  *   index  := i64 offset[nIdx]             (v2 only: byte offset of
+  *                                           record k·SplitStride)
+  *   footer := v1: i64 minTsUs, i64 maxTsUs, i32 nRecords, i32 magic
+  *             v2: i32 nIdx, i64 minTsUs, i64 maxTsUs, i32 nRecords,
+  *                 i32 magic2
   * }}}
   *
   * The footer gives O(1) min/max event-time per chunk — the source
   * prunes whole chunks on timestamp reposition without reading records
-  * (the parquet-footer-stats play, SURVEY §5).
+  * (the parquet-footer-stats play, SURVEY §5). The v2 sparse offset
+  * index makes a single LARGE chunk splittable: the scan plans one
+  * input partition per ~[[SplitStride]] records instead of one per
+  * file, so a 10 GB segment does not serialize onto one core (the
+  * parquet row-group play). v1 chunks (round 1) still read — they
+  * just don't split.
   */
 object CdcChunkFile {
 
-  val FooterMagic: Int = 0x47434443 // "GCDC"
+  val FooterMagic: Int = 0x47434443  // "GCDC" — v1, no index
+  val FooterMagic2: Int = 0x47434432 // "GCD2" — v2, sparse offset index
   val FooterLen: Int = 8 + 8 + 4 + 4
+  val FooterLen2: Int = 4 + 8 + 8 + 4 + 4
   val Extension: String = ".gcl"
+
+  /** Records per split segment. 4096 records ≈ a few MB of codec
+    * bytes — small enough to parallelize, large enough that per-task
+    * overhead stays negligible. */
+  val SplitStride: Int = 4096
 
   def write(path: String, records: Seq[ChangeRecord]): Unit = {
     val out = new DataOutputStream(
@@ -33,56 +49,109 @@ object CdcChunkFile {
     try {
       var minTs = Long.MaxValue
       var maxTs = Long.MinValue
+      var off = 0L
+      val index = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
       records.foreach { r =>
+        if (i > 0 && i % SplitStride == 0) index += off
         val b = RecordCodec.encode(r)
         writeI32(out, b.length)
         out.write(b)
+        off += 4L + b.length
         if (r.tsUs < minTs) minTs = r.tsUs
         if (r.tsUs > maxTs) maxTs = r.tsUs
+        i += 1
       }
       if (records.isEmpty) { minTs = 0L; maxTs = 0L }
-      val foot = ByteBuffer.allocate(FooterLen).order(ByteOrder.LITTLE_ENDIAN)
+      val foot = ByteBuffer
+        .allocate(8 * index.length + FooterLen2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      index.foreach(foot.putLong)
+      foot.putInt(index.length)
       foot.putLong(minTs).putLong(maxTs)
-      foot.putInt(records.length).putInt(FooterMagic)
+      foot.putInt(records.length).putInt(FooterMagic2)
       out.write(foot.array())
     } finally out.close()
   }
 
-  final case class Footer(minTsUs: Long, maxTsUs: Long, nRecords: Int)
+  /** `splits`: byte ranges [start, end) that partition the record
+    * region — one element for unindexed (v1 or small) chunks. */
+  final case class Footer(
+      minTsUs: Long, maxTsUs: Long, nRecords: Int,
+      splits: Seq[(Long, Long)])
 
-  /** O(1) stats read: footer only, never the records. */
+  /** O(1) stats + split read: footer (and v2 index) only, never the
+    * records. */
   def readFooter(path: String): Footer = {
     val p = Paths.get(path)
     val size = Files.size(p)
     require(size >= FooterLen, s"$path too small for a cdc chunk")
     val ch = Files.newByteChannel(p)
     try {
-      ch.position(size - FooterLen)
-      val buf = ByteBuffer.allocate(FooterLen).order(ByteOrder.LITTLE_ENDIAN)
-      while (buf.hasRemaining && ch.read(buf) >= 0) {}
-      buf.flip()
-      val minTs = buf.getLong; val maxTs = buf.getLong
-      val n = buf.getInt; val magic = buf.getInt
-      require(magic == FooterMagic, s"$path: bad footer magic")
-      Footer(minTs, maxTs, n)
+      // v1 and v2 both end in (i32 nRecords, i32 magic) preceded by
+      // the two ts longs — read the largest fixed tail and branch
+      val tailLen = math.min(size, FooterLen2.toLong).toInt
+      ch.position(size - tailLen)
+      val tail = ByteBuffer.allocate(tailLen).order(ByteOrder.LITTLE_ENDIAN)
+      while (tail.hasRemaining && ch.read(tail) >= 0) {}
+      tail.flip()
+      val magic = tail.getInt(tailLen - 4)
+      if (magic == FooterMagic) {
+        val b = tail.position(tailLen - FooterLen)
+        val minTs = tail.getLong; val maxTs = tail.getLong
+        val n = tail.getInt
+        Footer(minTs, maxTs, n, Seq((0L, size - FooterLen)))
+      } else {
+        require(magic == FooterMagic2, s"$path: bad footer magic")
+        val nIdx = tail.getInt(0)
+        val minTs = tail.getLong(4); val maxTs = tail.getLong(12)
+        val n = tail.getInt(20)
+        val dataEnd = size - FooterLen2 - 8L * nIdx
+        val bounds =
+          if (nIdx == 0) Seq(0L)
+          else {
+            val ib = ByteBuffer.allocate(8 * nIdx).order(ByteOrder.LITTLE_ENDIAN)
+            ch.position(size - FooterLen2 - 8L * nIdx)
+            while (ib.hasRemaining && ch.read(ib) >= 0) {}
+            ib.flip()
+            0L +: (0 until nIdx).map(_ => ib.getLong)
+          }
+        val splits = bounds.zip(bounds.drop(1) :+ dataEnd)
+        Footer(minTs, maxTs, n, splits)
+      }
     } finally ch.close()
   }
 
-  /** Iterate raw record payloads (caller decodes lazily or fully). */
-  def readRawRecords(path: String): Iterator[Array[Byte]] = {
-    val all = Files.readAllBytes(Paths.get(path))
-    val end = all.length - FooterLen
+  /** Iterate raw record payloads of one byte range (caller decodes
+    * lazily or fully). Reads ONLY [start, end) plus nothing else. */
+  def readRawRecordsRange(
+      path: String, start: Long, end: Long): Iterator[Array[Byte]] = {
+    val ch = Files.newByteChannel(Paths.get(path))
+    val len = (end - start).toInt
+    val buf = ByteBuffer.allocate(len)
+    try {
+      ch.position(start)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+    } finally ch.close()
+    val all = buf.array()
     new Iterator[Array[Byte]] {
       private var pos = 0
-      override def hasNext: Boolean = pos < end
+      override def hasNext: Boolean = pos < len
       override def next(): Array[Byte] = {
-        val len = ((all(pos) & 0xff)) | ((all(pos + 1) & 0xff) << 8) |
+        val n = ((all(pos) & 0xff)) | ((all(pos + 1) & 0xff) << 8) |
           ((all(pos + 2) & 0xff) << 16) | ((all(pos + 3) & 0xff) << 24)
-        val b = java.util.Arrays.copyOfRange(all, pos + 4, pos + 4 + len)
-        pos += 4 + len
+        val b = java.util.Arrays.copyOfRange(all, pos + 4, pos + 4 + n)
+        pos += 4 + n
         b
       }
     }
+  }
+
+  /** Iterate every raw record payload of the chunk. */
+  def readRawRecords(path: String): Iterator[Array[Byte]] = {
+    val f = readFooter(path)
+    val dataEnd = if (f.splits.isEmpty) 0L else f.splits.last._2
+    readRawRecordsRange(path, 0L, dataEnd)
   }
 
   def readRecords(path: String): Iterator[ChangeRecord] =

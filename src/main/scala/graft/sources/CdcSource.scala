@@ -151,21 +151,24 @@ class CdcScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      prunedChunks.map(c =>
-        CdcInputPartition(c, startTsUs, tableSel, permissive): InputPartition)
-        .toArray
+      planSplits(CdcChunkFile.listChunks(path))
     override def createReaderFactory(): PartitionReaderFactory =
       new CdcReaderFactory
   }
 
-  /** Footer-stats chunk pruning for timestamp reposition. */
-  private def prunedChunks: Seq[String] = {
-    val all = CdcChunkFile.listChunks(path)
-    startTsUs match {
-      case Some(ts) => all.filter(c => CdcChunkFile.readFooter(c).maxTsUs >= ts)
-      case None     => all
-    }
-  }
+  /** One footer read per chunk buys both timestamp pruning AND
+    * sub-chunk splitting: indexed chunks yield one input partition
+    * per ~SplitStride records, so a single huge segment parallelizes
+    * across the cluster instead of serializing onto one core. */
+  private def planSplits(chunks: Seq[String]): Array[InputPartition] =
+    chunks.flatMap { c =>
+      val f = CdcChunkFile.readFooter(c)
+      if (startTsUs.exists(ts => f.maxTsUs < ts)) Nil
+      else f.splits.map { case (s0, e0) =>
+        CdcInputPartition(c, s0, e0, startTsUs, tableSel, permissive)
+          : InputPartition
+      }
+    }.toArray
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream with SupportsAdmissionControl {
@@ -196,14 +199,7 @@ class CdcScan(
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
         val s = start.asInstanceOf[CdcOffset].chunksConsumed
         val e = end.asInstanceOf[CdcOffset].chunksConsumed
-        val chunks = CdcChunkFile.listChunks(path).slice(s, e)
-        val live = startTsUs match {
-          case Some(ts) => chunks.filter(c => CdcChunkFile.readFooter(c).maxTsUs >= ts)
-          case None     => chunks
-        }
-        live.map(c =>
-          CdcInputPartition(c, startTsUs, tableSel, permissive): InputPartition)
-          .toArray
+        planSplits(CdcChunkFile.listChunks(path).slice(s, e))
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new CdcReaderFactory
@@ -214,6 +210,8 @@ class CdcScan(
 
 case class CdcInputPartition(
     chunkPath: String,
+    startOff: Long,
+    endOff: Long,
     startTsUs: Option[Long],
     tableSel: Option[(String, String)],
     permissive: Boolean = false)
@@ -222,7 +220,8 @@ case class CdcInputPartition(
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcInputPartition]
-    new CdcPartitionReader(p.chunkPath, p.startTsUs, p.tableSel, p.permissive)
+    new CdcPartitionReader(p.chunkPath, p.startOff, p.endOff, p.startTsUs,
+      p.tableSel, p.permissive)
   }
 }
 
@@ -235,12 +234,15 @@ class CdcReaderFactory extends PartitionReaderFactory {
   * reference's direct-from-bytes fast path. */
 class CdcPartitionReader(
     chunkPath: String,
+    startOff: Long,
+    endOff: Long,
     startTsUs: Option[Long],
     tableSel: Option[(String, String)] = None,
     permissive: Boolean = false)
   extends PartitionReader[InternalRow] {
 
-  private val raw = CdcChunkFile.readRawRecords(chunkPath)
+  private val raw =
+    CdcChunkFile.readRawRecordsRange(chunkPath, startOff, endOff)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -292,6 +292,29 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(decoded == 5L, s"expected 5 full decodes, saw $decoded")
   }
 
+  test("large chunks split into parallel scan ranges via the footer index") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val n = 10000
+    val recs = (0 until n).map(i =>
+      CdcFixtures.rec(i.toLong, 1000L * (i + 1), Op.Update,
+        s"k${i % 7}", s"v$i"))
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", recs)
+    val f = CdcChunkFile.readFooter(
+      s"$dir/chunk-00000${CdcChunkFile.Extension}")
+    // 10000 records at stride 4096 => boundaries at 4096, 8192
+    assert(f.splits.length == 3)
+    assert(f.nRecords == n)
+    // ranges tile the record region exactly
+    assert(f.splits.head._1 == 0L)
+    assert(f.splits.sliding(2).forall(p => p(0)._2 == p(1)._1))
+    // the scan plans one task per split and loses nothing
+    val df = CdcStreaming.readBatch(spark, dir)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == n)
+    assert(df.select(sum(col("id"))).head().getLong(0) ==
+      n.toLong * (n - 1) / 2)
+  }
+
   test("permissive mode skips corrupt records; failfast aborts") {
     val dir = Files.createTempDirectory("gcl").toString
     val good = (0 until 5).map(i =>
