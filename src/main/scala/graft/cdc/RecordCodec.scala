@@ -232,6 +232,96 @@ object RecordCodec {
     }
   }
 
+  /** Column-pruned decode plan: `ordinals(i)` = source-schema ordinal
+    * of output column i (CdcSource.schema order: 0 id, 1 txId, 2 tsUs,
+    * 3 bornUs, 4 op, 5 db, 6 tbl, 7 pkNames, 8 before, 9 after,
+    * 10 props, 11 sourceType, 12 sourceVersion). Precomputed once per
+    * scan so the per-record loop allocates nothing extra. */
+  final class RowProjection(val ordinals: Array[Int]) extends Serializable {
+    val need: Array[Int] = Array.fill(13)(-1)
+    ordinals.zipWithIndex.foreach { case (src, i) => need(src) = i }
+    /** Wire order of the variable-length tail sections. */
+    val wire: Array[Int] = Array(1, 5, 6, 7, 8, 9, 10, 11, 12)
+    /** Index into [[wire]] of the last section we must parse; -1 if
+      * the header alone satisfies the projection. */
+    val lastWire: Int = {
+      var last = -1
+      var i = 0
+      while (i < wire.length) { if (need(wire(i)) >= 0) last = i; i += 1 }
+      last
+    }
+    /** Does this projection ever parse past the (db, tbl) prefix? */
+    val parsesTail: Boolean = lastWire >= 3
+  }
+
+  /** Decode ONLY the projected columns ([[RowProjection]]): Catalyst's
+    * column pruning reaching the binary wire format — a query that
+    * touches just header-ish fields (op stats, ts windows, per-table
+    * routing) never parses row images at all, the lazy-parse claim as
+    * an automatic optimizer outcome rather than a hand-written fast
+    * path. Sections before the last needed one are SKIPPED by length
+    * (no allocation); parsing stops at the last needed section. */
+  def decodeProjected(
+      bytes: Array[Byte], proj: RowProjection): GenericInternalRow = {
+    if (proj.parsesTail) fullDecodes.incrementAndGet()
+    require(bytes.length >= HeaderLen && bytes(0) == Magic,
+      s"not a graft cdc record (${bytes.length} bytes)")
+    val version = bytes(1)
+    require(version >= 1 && version <= Version,
+      s"unsupported codec version $version")
+    val out = new Array[Any](proj.ordinals.length)
+    val need = proj.need
+    if (need(0) >= 0) out(need(0)) = headerId(bytes)
+    if (need(2) >= 0) out(need(2)) = headerTsUs(bytes)
+    if (need(3) >= 0) out(need(3)) = headerBornUs(bytes)
+    if (need(4) >= 0) {
+      val c = bytes(26) & 0xff
+      out(need(4)) = if (c < OpUtf8.length) OpUtf8(c) else UnknownUtf8
+    }
+    if (proj.lastWire >= 0) {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      buf.position(HeaderLen)
+      var w = 0
+      while (w <= proj.lastWire) {
+        val ord = proj.wire(w)
+        val absent = version < 2 && ord >= 10
+        val slot = need(ord)
+        if (absent) {
+          if (slot >= 0) out(slot) = null
+        } else ord match {
+          case 1 | 5 | 6 | 11 | 12 =>
+            if (slot >= 0) out(slot) = readUtf8(bytes, buf) else skipStr(buf)
+          case 7 =>
+            val n = buf.getInt
+            if (slot >= 0) {
+              if (n < 0) out(slot) = null
+              else {
+                val arr = new Array[Any](n)
+                var i = 0
+                while (i < n) { arr(i) = readUtf8(bytes, buf); i += 1 }
+                out(slot) =
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+              }
+            } else {
+              var i = 0
+              while (i < n) { skipStr(buf); i += 1 }
+            }
+          case _ => // 8, 9, 10: the maps
+            if (slot >= 0) out(slot) = readMapData(bytes, buf)
+            else skipMap(buf)
+        }
+        w += 1
+      }
+    }
+    new GenericInternalRow(out)
+  }
+
+  private def skipMap(buf: ByteBuffer): Unit = {
+    val n = buf.getInt
+    var i = 0
+    while (i < n) { skipStr(buf); skipStr(buf); i += 1 }
+  }
+
   private def readStr(buf: ByteBuffer): String = {
     val n = buf.getInt
     if (n < 0) null

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -113,9 +113,15 @@ class CdcTable(
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // Catalyst column pruning lands here; the pruned schema reaches
+      // the binary decoder, which then skips unneeded tail sections
+      private var required: StructType = CdcSource.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan =
-        new CdcScan(path, startTsUs, maxChunksPerTrigger, tableSel, permissive)
+        new CdcScan(path, startTsUs, maxChunksPerTrigger, tableSel,
+          permissive, required)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -145,15 +151,46 @@ class CdcScan(
     startTsUs: Option[Long],
     maxChunksPerTrigger: Option[Int],
     tableSel: Option[(String, String)] = None,
-    permissive: Boolean = false) extends Scan {
+    permissive: Boolean = false,
+    required: StructType = CdcSource.schema)
+  extends Scan with SupportsReportStatistics {
 
-  override def readSchema(): StructType = CdcSource.schema
+  override def readSchema(): StructType = required
+
+  /** Source-schema ordinal of each required column. */
+  private def ordinals: Array[Int] =
+    required.fieldNames.map(CdcSource.schema.fieldIndex)
+
+  /** Footer-exact statistics (row count) + file-size bytes, so
+    * Catalyst can pick a broadcast join when the subscription is the
+    * small side of a dim-lookup (the reference's join test shape) —
+    * without stats a DSv2 source defaults to "huge" and the planner
+    * shuffles both sides. */
+  override def estimateStatistics(): Statistics = {
+    val chunks = CdcChunkFile.listChunks(path)
+    var rows = 0L
+    var bytes = 0L
+    chunks.foreach { c =>
+      val f = CdcChunkFile.readFooter(c)
+      if (!startTsUs.exists(ts => f.maxTsUs < ts)) {
+        rows += f.nRecords
+        bytes += java.nio.file.Files.size(java.nio.file.Paths.get(c))
+      }
+    }
+    val r = rows; val b = bytes
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    }
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       planSplits(CdcChunkFile.listChunks(path))
     override def createReaderFactory(): PartitionReaderFactory =
-      new CdcReaderFactory
+      new CdcReaderFactory(ordinals)
   }
 
   /** One footer read per chunk buys both timestamp pruning AND
@@ -202,7 +239,7 @@ class CdcScan(
         planSplits(CdcChunkFile.listChunks(path).slice(s, e))
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new CdcReaderFactory
+        new CdcReaderFactory(ordinals)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
     }
@@ -217,11 +254,11 @@ case class CdcInputPartition(
     permissive: Boolean = false)
   extends InputPartition
 
-class CdcReaderFactory extends PartitionReaderFactory {
+class CdcReaderFactory(ordinals: Array[Int]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcInputPartition]
     new CdcPartitionReader(p.chunkPath, p.startOff, p.endOff, p.startTsUs,
-      p.tableSel, p.permissive)
+      p.tableSel, p.permissive, ordinals)
   }
 }
 
@@ -238,9 +275,11 @@ class CdcPartitionReader(
     endOff: Long,
     startTsUs: Option[Long],
     tableSel: Option[(String, String)] = None,
-    permissive: Boolean = false)
+    permissive: Boolean = false,
+    ordinals: Array[Int] = (0 until CdcSource.schema.length).toArray)
   extends PartitionReader[InternalRow] {
 
+  private val projection = new RecordCodec.RowProjection(ordinals)
   private val raw =
     CdcChunkFile.readRawRecordsRange(chunkPath, startOff, endOff)
   private var current: InternalRow = _
@@ -269,5 +308,5 @@ class CdcPartitionReader(
   override def close(): Unit = ()
 
   private def toRow(bytes: Array[Byte]): InternalRow =
-    RecordCodec.decodeToRow(bytes)
+    RecordCodec.decodeProjected(bytes, projection)
 }

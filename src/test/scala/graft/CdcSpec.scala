@@ -292,6 +292,43 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(decoded == 5L, s"expected 5 full decodes, saw $decoded")
   }
 
+  test("column pruning reaches the decoder: header-only queries skip the tail") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val recs = CdcFixtures.writeChunks(dir)
+    val before = RecordCodec.fullDecodes.get()
+    val stats = CdcStreaming.readBatch(spark, dir)
+      .groupBy("op").count().collect()
+    // the pruned scan needed only the op byte — zero tail parses
+    assert(RecordCodec.fullDecodes.get() - before == 0L)
+    assert(stats.map(_.getLong(1)).sum == recs.size)
+    // full-width reads still decode everything
+    val b2 = RecordCodec.fullDecodes.get()
+    val all = CdcStreaming.readBatch(spark, dir).collect()
+    assert(all.length == recs.size)
+    assert(RecordCodec.fullDecodes.get() - b2 == recs.size)
+    // and the pruned values are correct mid-record (db needs a skip of tx)
+    val dbs = CdcStreaming.readBatch(spark, dir)
+      .select("db", "tsUs").distinct().collect()
+    assert(dbs.forall(_.getString(0) == "appdb"))
+  }
+
+  test("footer statistics let Catalyst broadcast the subscription side") {
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir)
+    val cdc = CdcStreaming.readBatch(spark, dir)
+      .select(element_at(col("after"), "uid").as("uid"), col("id"))
+    // big side: above the broadcast threshold, so the planner must
+    // broadcast the CDC side — possible only because the scan reports
+    // footer-derived stats (an unsized DSv2 source defaults to huge)
+    val big = spark.range(3000000L)
+      .select(concat(lit("k"), (col("id") % 5)).as("uid"),
+        col("id").as("big_id"))
+    val joined = cdc.join(big, "uid")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("large chunks split into parallel scan ranges via the footer index") {
     val dir = Files.createTempDirectory("gcl").toString
     val n = 10000
