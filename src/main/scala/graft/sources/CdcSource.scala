@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -57,6 +58,25 @@ class CdcSourceProvider extends TableProvider with DataSourceRegister {
       Option(properties.get("maxChunksPerTrigger")).map(_.toInt),
       Option(properties.get("table")).map(CdcSource.parseTableSelector),
       CdcSource.parseMode(properties.get("mode")))
+}
+
+/** Pushed-down header predicates (conjunctive): exact op/db/tbl
+  * equality + a tsUs interval. Evaluated on the record header/prefix
+  * before any tail parse; the tsUs interval additionally prunes whole
+  * chunks by footer stats. */
+case class HeaderFilters(
+    op: Option[String] = None,
+    db: Option[String] = None,
+    tbl: Option[String] = None,
+    tsMinUs: Option[Long] = None,
+    tsMaxUs: Option[Long] = None) {
+  def withTsMin(v: Long): HeaderFilters =
+    copy(tsMinUs = Some(tsMinUs.fold(v)(math.max(_, v))))
+  def withTsMax(v: Long): HeaderFilters =
+    copy(tsMaxUs = Some(tsMaxUs.fold(v)(math.min(_, v))))
+  def isEmpty: Boolean =
+    op.isEmpty && db.isEmpty && tbl.isEmpty &&
+      tsMinUs.isEmpty && tsMaxUs.isEmpty
 }
 
 object CdcSource {
@@ -113,15 +133,54 @@ class CdcTable(
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder
+      with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // Catalyst column pruning lands here; the pruned schema reaches
       // the binary decoder, which then skips unneeded tail sections
       private var required: StructType = CdcSource.schema
+      private var pushed: Array[Filter] = Array.empty
+      private var hdr: HeaderFilters = HeaderFilters()
+
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+
+      // header-field predicates evaluate EXACTLY on the fixed header /
+      // prefix (op: one byte; db/tbl: prefix read; tsUs: header long +
+      // whole-chunk footer pruning) — accepted filters are fully
+      // handled, everything else stays with Spark
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (accept, reject) = filters.partition {
+          case EqualTo("op", _: String)  => true
+          case EqualTo("db", _: String)  => true
+          case EqualTo("tbl", _: String) => true
+          case GreaterThanOrEqual("tsUs", _: java.lang.Long) => true
+          case GreaterThan("tsUs", _: java.lang.Long)        => true
+          case LessThanOrEqual("tsUs", _: java.lang.Long)    => true
+          case LessThan("tsUs", _: java.lang.Long)           => true
+          case _ => false
+        }
+        accept.foreach {
+          case EqualTo("op", v: String)  => hdr = hdr.copy(op = Some(v))
+          case EqualTo("db", v: String)  => hdr = hdr.copy(db = Some(v))
+          case EqualTo("tbl", v: String) => hdr = hdr.copy(tbl = Some(v))
+          case GreaterThanOrEqual("tsUs", v: java.lang.Long) =>
+            hdr = hdr.withTsMin(v)
+          case GreaterThan("tsUs", v: java.lang.Long) =>
+            hdr = hdr.withTsMin(v + 1L)
+          case LessThanOrEqual("tsUs", v: java.lang.Long) =>
+            hdr = hdr.withTsMax(v)
+          case LessThan("tsUs", v: java.lang.Long) =>
+            hdr = hdr.withTsMax(v - 1L)
+          case _ => ()
+        }
+        pushed = accept
+        reject
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
       override def build(): Scan =
         new CdcScan(path, startTsUs, maxChunksPerTrigger, tableSel,
-          permissive, required)
+          permissive, required, hdr)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -152,10 +211,24 @@ class CdcScan(
     maxChunksPerTrigger: Option[Int],
     tableSel: Option[(String, String)] = None,
     permissive: Boolean = false,
-    required: StructType = CdcSource.schema)
+    required: StructType = CdcSource.schema,
+    hdrFilters: HeaderFilters = HeaderFilters())
   extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Make the pushdown visible in explain output (PlanAudit greps
+    * for PushedFilters the way it does on parquet scans). */
+  override def description(): String = {
+    val fs = Seq(
+      hdrFilters.op.map(o => s"op=$o"),
+      hdrFilters.db.map(d => s"db=$d"),
+      hdrFilters.tbl.map(t => s"tbl=$t"),
+      hdrFilters.tsMinUs.map(v => s"tsUs>=$v"),
+      hdrFilters.tsMaxUs.map(v => s"tsUs<=$v")).flatten
+    s"graft-cdc PushedFilters: [${fs.mkString(", ")}], " +
+      s"table=${tableSel.fold("*") { case (d, t) => s"$d.$t" }}"
+  }
 
   /** Source-schema ordinal of each required column. */
   private def ordinals: Array[Int] =
@@ -200,10 +273,14 @@ class CdcScan(
   private def planSplits(chunks: Seq[String]): Array[InputPartition] =
     chunks.flatMap { c =>
       val f = CdcChunkFile.readFooter(c)
-      if (startTsUs.exists(ts => f.maxTsUs < ts)) Nil
+      val pruned =
+        startTsUs.exists(ts => f.maxTsUs < ts) ||
+        hdrFilters.tsMinUs.exists(f.maxTsUs < _) ||
+        hdrFilters.tsMaxUs.exists(f.minTsUs > _)
+      if (pruned) Nil
       else f.splits.map { case (s0, e0) =>
-        CdcInputPartition(c, s0, e0, startTsUs, tableSel, permissive)
-          : InputPartition
+        CdcInputPartition(c, s0, e0, startTsUs, tableSel, permissive,
+          hdrFilters): InputPartition
       }
     }.toArray
 
@@ -251,14 +328,15 @@ case class CdcInputPartition(
     endOff: Long,
     startTsUs: Option[Long],
     tableSel: Option[(String, String)],
-    permissive: Boolean = false)
+    permissive: Boolean = false,
+    hdrFilters: HeaderFilters = HeaderFilters())
   extends InputPartition
 
 class CdcReaderFactory(ordinals: Array[Int]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcInputPartition]
     new CdcPartitionReader(p.chunkPath, p.startOff, p.endOff, p.startTsUs,
-      p.tableSel, p.permissive, ordinals)
+      p.tableSel, p.permissive, ordinals, p.hdrFilters)
   }
 }
 
@@ -276,8 +354,17 @@ class CdcPartitionReader(
     startTsUs: Option[Long],
     tableSel: Option[(String, String)] = None,
     permissive: Boolean = false,
-    ordinals: Array[Int] = (0 until CdcSource.schema.length).toArray)
+    ordinals: Array[Int] = (0 until CdcSource.schema.length).toArray,
+    hdrFilters: HeaderFilters = HeaderFilters())
   extends PartitionReader[InternalRow] {
+
+  // -1 = no op filter; -2 = pushed op outside the vocabulary, which
+  // can never match a decoded record (decode maps junk to UNKNOWN)
+  private val opCodeWanted: Int = hdrFilters.op match {
+    case None => -1
+    case Some(o) if graft.cdc.Op.all.contains(o) => graft.cdc.Op.code(o).toInt
+    case Some(_) => -2
+  }
 
   private val projection = new RecordCodec.RowProjection(ordinals)
   private val raw =
@@ -288,8 +375,9 @@ class CdcPartitionReader(
     while (raw.hasNext) {
       val bytes = raw.next()
       try {
-        val keep = startTsUs.forall(RecordCodec.headerTsUs(bytes) >= _) &&
-          tableSel.forall(RecordCodec.headerTable(bytes) == _)
+        val keep = headerKeep(bytes) &&
+          tableSel.forall(RecordCodec.headerTable(bytes) == _) &&
+          dbTblKeep(bytes)
         if (keep) {
           current = toRow(bytes)
           return true
@@ -306,6 +394,24 @@ class CdcPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
+
+  /** Fixed-header checks: ts bounds + op byte — no parsing at all. */
+  private def headerKeep(bytes: Array[Byte]): Boolean = {
+    val ts = RecordCodec.headerTsUs(bytes)
+    startTsUs.forall(ts >= _) &&
+      hdrFilters.tsMinUs.forall(ts >= _) &&
+      hdrFilters.tsMaxUs.forall(ts <= _) &&
+      (opCodeWanted == -1 || RecordCodec.headerOpCode(bytes) == opCodeWanted)
+  }
+
+  /** Prefix checks for pushed db/tbl equality (tail never parsed). */
+  private def dbTblKeep(bytes: Array[Byte]): Boolean = {
+    if (hdrFilters.db.isEmpty && hdrFilters.tbl.isEmpty) true
+    else {
+      val (db, tbl) = RecordCodec.headerTable(bytes)
+      hdrFilters.db.forall(_ == db) && hdrFilters.tbl.forall(_ == tbl)
+    }
+  }
 
   private def toRow(bytes: Array[Byte]): InternalRow =
     RecordCodec.decodeProjected(bytes, projection)

@@ -292,6 +292,31 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(decoded == 5L, s"expected 5 full decodes, saw $decoded")
   }
 
+  test("filter pushdown: op/ts predicates evaluate on the header, chunks prune") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val recs = CdcFixtures.writeChunks(dir) // 3 chunks: 1-10s, 11-20s, 21-30s
+    // op equality: only matching records pay a tail parse
+    val nUpdates = recs.count(_.op == Op.Update)
+    val before = RecordCodec.fullDecodes.get()
+    val ups = CdcStreaming.readBatch(spark, dir)
+      .filter(col("op") === Op.Update).collect()
+    assert(ups.length == nUpdates)
+    assert(RecordCodec.fullDecodes.get() - before == nUpdates.toLong)
+    // the plan carries the pushed filter
+    val df = CdcStreaming.readBatch(spark, dir)
+      .filter(col("op") === Op.Update)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedFilters"), "scan should report pushed filters")
+    // tsUs range: whole chunks outside the interval never plan tasks
+    val ranged = CdcStreaming.readBatch(spark, dir)
+      .filter(col("tsUs") >= 25000000L)
+    assert(ranged.rdd.getNumPartitions == 1) // only chunk 3 survives
+    assert(ranged.count() == 6) // records at 25..30s
+    // a pushed op outside the vocabulary matches nothing
+    assert(CdcStreaming.readBatch(spark, dir)
+      .filter(col("op") === "weird").count() == 0)
+  }
+
   test("column pruning reaches the decoder: header-only queries skip the tail") {
     val dir = Files.createTempDirectory("gcl").toString
     val recs = CdcFixtures.writeChunks(dir)
