@@ -87,13 +87,10 @@ object CdcParquetSink {
     // output while overwriting it
     if (Files.exists(Paths.get(tableDir, manifestName(version)))) return
 
-    val pk1 = element_at(col("pkNames"), 1)
     val incoming = batch
       .filter(col("op").isin(Op.Insert, Op.Update, Op.Delete))
       .select(
-        concat_ws("|", col("db"), col("tbl"),
-          coalesce(element_at(col("after"), pk1),
-            element_at(col("before"), pk1))).as("key"),
+        graft.streaming.CdcStreaming.keyExpr.as("key"),
         col("tsUs"), col("id").as("recordId"), col("op"),
         col("after"))
       .withColumn("bucket", bucketCol(nBuckets))

@@ -41,6 +41,18 @@ object CdcStreaming {
     r.load()
   }
 
+  /** Logical key of a change record: db|tbl|all-pk-values (every
+    * declared pk column in pkNames order, '#'-joined) — composite
+    * primary keys hash to distinct keys instead of colliding on the
+    * first column (ref RecordSchema carries the full pk list). Each
+    * pk value comes from whichever image carries it (DELETEs: before;
+    * INSERTs: after). Single-column keys produce the same string the
+    * round-1 pk1 form did. */
+  def keyExpr: org.apache.spark.sql.Column =
+    concat_ws("|", col("db"), col("tbl"),
+      concat_ws("#", transform(col("pkNames"), n =>
+        coalesce(element_at(col("after"), n), element_at(col("before"), n)))))
+
   /** Event-time + watermark advanced by ALL records INCLUDING
     * heartbeats, which are dropped only afterwards — the reference's
     * idle-partition liveness semantics (ref:
@@ -100,11 +112,9 @@ object CdcStreaming {
   def sessionizedActivity(
       changes: DataFrame, gap: String = "10 seconds",
       watermark: String = "10 seconds"): DataFrame = {
-    val pk1 = element_at(col("pkNames"), 1)
     changes
       .withColumn("ts", timestamp_micros(col("tsUs")))
-      .withColumn("key", coalesce(element_at(col("after"), pk1),
-        element_at(col("before"), pk1)))
+      .withColumn("key", keyExpr)
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("key"))
       .agg(count(lit(1)).as("n_changes"))
@@ -121,13 +131,11 @@ object CdcStreaming {
   def intervalJoin(
       changes: DataFrame, leftOp: String, rightOp: String,
       toleranceUs: Long, watermark: String = "10 minutes"): DataFrame = {
-    val pk1 = element_at(col("pkNames"), 1)
     def side(op: String, prefix: String) =
       changes.filter(col("op") === op)
         .select(
           col("id").as(s"${prefix}_id"),
-          coalesce(element_at(col("after"), pk1),
-            element_at(col("before"), pk1)).as(s"${prefix}_key"),
+          keyExpr.as(s"${prefix}_key"),
           timestamp_micros(col("tsUs")).as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", watermark)
     side(leftOp, "l").join(side(rightOp, "r"),
@@ -190,13 +198,10 @@ object CdcStreaming {
       changes: DataFrame, valueExpr: org.apache.spark.sql.Column)(
       implicit spark: SparkSession): Dataset[RetractEvent] = {
     import spark.implicits._
-    val pk1 = element_at(col("pkNames"), 1)
     val dml = changes
       .filter(col("op").isin(Op.Insert, Op.Update, Op.Delete))
       .select(
-        concat_ws("|", col("db"), col("tbl"),
-          coalesce(element_at(col("after"), pk1),
-            element_at(col("before"), pk1))).as("key"),
+        keyExpr.as("key"),
         col("tsUs"), col("id").as("recordId"), col("op"),
         valueExpr.cast("string").as("value"))
       .as[(String, Long, Long, String, String)]
@@ -240,15 +245,10 @@ object CdcStreaming {
   def materialize(
       changes: DataFrame)(implicit spark: SparkSession): Dataset[KeyState] = {
     import spark.implicits._
-    // logical key = db|table|pk-value; DELETEs carry the pk only in
-    // the before image, INSERTs only in the after image
-    val pk1 = element_at(col("pkNames"), 1)
     val dml = changes
       .filter(col("op").isin(Op.Insert, Op.Update, Op.Delete))
       .select(
-        concat_ws("|", col("db"), col("tbl"),
-          coalesce(element_at(col("after"), pk1),
-            element_at(col("before"), pk1))).as("key"),
+        keyExpr.as("key"),
         col("tsUs"), col("id").as("recordId"), col("op"))
       .as[(String, Long, Long, String)]
 

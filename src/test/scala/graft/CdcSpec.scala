@@ -497,6 +497,40 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally qm.stop()
   }
 
+  test("composite primary keys materialize as distinct keys") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("gcl").toString
+    def rec(id: Long, sec: Long, op: String, a: String, b: String, v: String) =
+      ChangeRecord(id, "tx", sec * 1000000L, 0L, op, "db", "t",
+        Seq("a", "b"),
+        if (op == Op.Insert) null else Map("a" -> a, "b" -> b, "v" -> "old"),
+        if (op == Op.Delete) null else Map("a" -> a, "b" -> b, "v" -> v))
+    // two rows share pk column a=1 but differ in b — round 1's
+    // first-pk-only key would have collapsed them
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", Seq(
+      rec(1L, 1, Op.Insert, "1", "x", "vx"),
+      rec(2L, 2, Op.Insert, "1", "y", "vy"),
+      rec(3L, 3, Op.Update, "1", "x", "vx2"),
+      ChangeRecord(4L, "tx", 4000000L, 0L, Op.Delete, "db", "t",
+        Seq("a", "b"), Map("a" -> "1", "b" -> "y", "v" -> "vy"), null)))
+    val q = CdcStreaming.materialize(CdcStreaming.readStream(spark, dir))
+      .writeStream.format("memory").queryName("cpk_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val fin = spark.table("cpk_t")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("key")
+            .orderBy(col("tsUs").desc)))
+        .filter(col("rn") === 1)
+      val byKey = fin.collect().map(r =>
+        r.getAs[String]("key") -> r.getAs[Boolean]("alive")).toMap
+      assert(byKey.size == 2)
+      assert(byKey("db|t|1#x"))        // updated, alive
+      assert(!byKey("db|t|1#y"))       // deleted via before image
+    } finally q.stop()
+  }
+
   test("retract stream keeps downstream aggregates correct under updates") {
     implicit val s = spark
     val dir = Files.createTempDirectory("gcl").toString

@@ -162,7 +162,7 @@ class SinkSpec extends AnyFunSuite {
       val batch = CdcStreaming.sessionizedActivity(
         CdcStreaming.readBatch(spark, dir), gap = "5 seconds")
       assert(streamed.except(batch).count() == 0)
-      val a = streamed.filter(col("key") === "a").head()
+      val a = streamed.filter(col("key").endsWith("|a")).head()
       assert(a.getAs[Long]("n_changes") == 3 &&
         a.getAs[Long]("end_us") == 8000000L)
     } finally q.stop()
