@@ -154,84 +154,6 @@ object RecordCodec {
 
   // ----------------------------------------------- direct-to-row decode
 
-  /** Decode straight to a Catalyst [[InternalRow]] in
-    * [[graft.sources.CdcSource.schema]] column order — the engine's
-    * version of the reference's headline fast path ("deserialize
-    * binary bytes direct to record without a generic avro record",
-    * LazyRecordDeserializer.java): strings become [[UTF8String]]
-    * slices over the record's own byte array (no charset decode, no
-    * java.lang.String), and maps keep the canonical sorted key order
-    * they were encoded with (no re-sort). The scan path uses this;
-    * [[decode]] stays for API users who want the case class. */
-  def decodeToRow(bytes: Array[Byte]): GenericInternalRow = {
-    fullDecodes.incrementAndGet()
-    require(bytes.length >= HeaderLen && bytes(0) == Magic,
-      s"not a graft cdc record (${bytes.length} bytes)")
-    val version = bytes(1)
-    require(version >= 1 && version <= Version,
-      s"unsupported codec version $version")
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    buf.position(2)
-    val id = buf.getLong; val ts = buf.getLong; val born = buf.getLong
-    val opCode = buf.get() & 0xff
-    val op = if (opCode < OpUtf8.length) OpUtf8(opCode) else UnknownUtf8
-    val tx = readUtf8(bytes, buf)
-    val db = readUtf8(bytes, buf)
-    val tbl = readUtf8(bytes, buf)
-    val nPk = buf.getInt
-    val pks =
-      if (nPk < 0) null
-      else {
-        val arr = new Array[Any](nPk)
-        var i = 0
-        while (i < nPk) { arr(i) = readUtf8(bytes, buf); i += 1 }
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
-      }
-    val before = readMapData(bytes, buf)
-    val after = readMapData(bytes, buf)
-    val (props, srcType, srcVer) =
-      if (version >= 2)
-        (readMapData(bytes, buf), readUtf8(bytes, buf), readUtf8(bytes, buf))
-      else (null, null, null)
-    new GenericInternalRow(Array[Any](
-      id, tx, ts, born, op, db, tbl, pks, before, after, props,
-      srcType, srcVer))
-  }
-
-  // interned op strings (tiny fixed vocabulary — one allocation ever)
-  private val OpUtf8: IndexedSeq[UTF8String] =
-    Op.all.map(UTF8String.fromString)
-  private val UnknownUtf8: UTF8String = UTF8String.fromString(Op.Unknown)
-
-  private def readUtf8(bytes: Array[Byte], buf: ByteBuffer): UTF8String = {
-    val n = buf.getInt
-    if (n < 0) null
-    else {
-      val off = buf.position()
-      buf.position(off + n)
-      UTF8String.fromBytes(bytes, off, n)
-    }
-  }
-
-  private def readMapData(
-      bytes: Array[Byte], buf: ByteBuffer): ArrayBasedMapData = {
-    val n = buf.getInt
-    if (n < 0) null
-    else {
-      val ks = new Array[Any](n)
-      val vs = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        ks(i) = readUtf8(bytes, buf)
-        vs(i) = readUtf8(bytes, buf)
-        i += 1
-      }
-      new ArrayBasedMapData(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
-    }
-  }
-
   /** Column-pruned decode plan: `ordinals(i)` = source-schema ordinal
     * of output column i (CdcSource.schema order: 0 id, 1 txId, 2 tsUs,
     * 3 bornUs, 4 op, 5 db, 6 tbl, 7 pkNames, 8 before, 9 after,
@@ -314,6 +236,43 @@ object RecordCodec {
       }
     }
     new GenericInternalRow(out)
+  }
+
+  // interned op strings (tiny fixed vocabulary — one allocation ever)
+  private val OpUtf8: IndexedSeq[UTF8String] =
+    Op.all.map(UTF8String.fromString)
+  private val UnknownUtf8: UTF8String = UTF8String.fromString(Op.Unknown)
+
+  /** UTF8String slice over the record's own bytes — no charset decode,
+    * no java.lang.String. */
+  private def readUtf8(bytes: Array[Byte], buf: ByteBuffer): UTF8String = {
+    val n = buf.getInt
+    if (n < 0) null
+    else {
+      val off = buf.position()
+      buf.position(off + n)
+      UTF8String.fromBytes(bytes, off, n)
+    }
+  }
+
+  /** Map kept in its canonical encoded (sorted-key) order — no re-sort. */
+  private def readMapData(
+      bytes: Array[Byte], buf: ByteBuffer): ArrayBasedMapData = {
+    val n = buf.getInt
+    if (n < 0) null
+    else {
+      val ks = new Array[Any](n)
+      val vs = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        ks(i) = readUtf8(bytes, buf)
+        vs(i) = readUtf8(bytes, buf)
+        i += 1
+      }
+      new ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+    }
   }
 
   private def skipMap(buf: ByteBuffer): Unit = {

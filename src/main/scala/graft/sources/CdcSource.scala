@@ -2,8 +2,6 @@ package graft.sources
 
 import graft.cdc.RecordCodec
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -13,7 +11,6 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import java.util
 
@@ -344,9 +341,10 @@ class CdcReaderFactory(ordinals: Array[Int]) extends PartitionReaderFactory {
   * outside the selected table are dropped on LAZY prefix reads — the
   * record tail (pkNames/before/after) is never parsed for skipped
   * records. Kept records decode DIRECTLY to InternalRow
-  * ([[RecordCodec.decodeToRow]]: UTF8String slices over the record
-  * bytes, no String materialization, no map re-sort) — the
-  * reference's direct-from-bytes fast path. */
+  * ([[RecordCodec.decodeProjected]]: UTF8String slices over the
+  * record bytes, no String materialization, no map re-sort, unneeded
+  * sections skipped) — the reference's direct-from-bytes fast path
+  * combined with Catalyst column pruning. */
 class CdcPartitionReader(
     chunkPath: String,
     startOff: Long,
