@@ -93,6 +93,41 @@ object ShingleHashRuntime {
     new GenericArrayData(sigs)
   }
 
+  /** First 8 hex digits of md5 = first 4 bytes as an unsigned 32-bit
+    * value (matches `conv(substring(md5(w), 1, 8), 16, 10)`). */
+  def hash32(bytes: Array[Byte]): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val h = md.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** One-pass SimHash over the word array: [n_tokens, simhash32].
+    * Replaces the explode + 32-conditional-sum groupBy (a (doc, token)
+    * row-multiplication and shuffle) with a single per-row call —
+    * same bit contract as the declarative form: token hash =
+    * [[hash32]], bit j votes ±1, fingerprint bit set when the sum is
+    * strictly positive. */
+  def simHash32(ws: ArrayData): GenericArrayData = {
+    val n = ws.numElements()
+    val sums = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = hash32(ws.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) { if (sums(j) > 0) fp |= (1L << j); j += 1 }
+    new GenericArrayData(Array(n.toLong, fp))
+  }
+
   /** Distinct 64-bit shingle hashes (order irrelevant downstream —
     * consumers take sizes and intersections). */
   def shingleHashSet(ws: ArrayData, k: Int): GenericArrayData = {
@@ -129,6 +164,18 @@ case class MinHashSigs(child: Expression, k: Int, bands: Int)
       |if (${ev.value} == null) { ${ev.isNull} = true; }
       |""".stripMargin)
   override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(c)
+}
+
+/** sh = simhash32(ws): [n_tokens, fingerprint] in one codegen'd call. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashRuntime.simHash32(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashRuntime.simHash32($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash32 = copy(c)
 }
 
 /** hset = shingle_hash_set(ws, k): distinct shingle hash64 values. */

@@ -101,8 +101,12 @@ object Dedup {
 
   // -------------------------------------------------------------- dd03
   /** SimHash: 32-bit fingerprint from per-token hashes; 8-bit bands
-    * for hamming-neighborhood bucketing. Single-pass: 32 conditional
-    * sums per doc, fingerprint assembled from the signs. */
+    * for hamming-neighborhood bucketing. ONE native call per doc
+    * ([[graft.functions.SimHash32]]) — round 1 exploded (doc, token)
+    * rows and ran a 32-conditional-sum groupBy, a row-multiplication
+    * + shuffle this narrow form eliminates entirely (SURVEY §5:
+    * nothing row-multiplies before a shuffle; at 100 TB the shuffle
+    * was the operator). */
   private val dd03 = {
     val bitSums = (0 until 32).map(j =>
       s"SUM(CASE WHEN ((v >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -112,17 +116,15 @@ object Dedup {
     QueryDef(
       "dd03_simhash",
       (s, dir) => {
-        val words = TextShingles.words(s, dir)
-          .select(col("doc_id"), explode(col("ws")).as("w"))
-          .withColumn("v", conv(substring(md5(col("w")), 1, 8), 16, 10)
-            .cast("long"))
-        words.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            (0 until 32).map(j => expr(
-              s"SUM(CASE WHEN ((v >> $j) & 1) = 1 THEN 1 ELSE -1 END)")
-              .as(s"s$j")): _*)
-          .select(col("doc_id"), col("n_tokens"),
-            expr(fp).as("simhash"))
+        import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+        TextShingles.words(s, dir)
+          .withColumn("sh",
+            column(graft.functions.SimHash32(expression(col("ws")))))
+          .select(col("doc_id"),
+            element_at(col("sh"), 1).as("n_tokens"),
+            element_at(col("sh"), 2).as("simhash"))
+          .filter(col("n_tokens") > 0) // token-less docs match the
+          // oracle's empty unnest (no row)
           .select(col("doc_id"), col("n_tokens"), col("simhash"),
             expr("(simhash >> 24) & 255").as("band3"),
             expr("(simhash >> 16) & 255").as("band2"),
