@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "")
+    def intLit(ex: Expression, what: String): Int = ex match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
 
     e.injectFunction((FunctionIdentifier("cdc_header_id"),
       info("cdc_header_id", "_FUNC_(raw) - record id from codec header bytes"),
@@ -32,6 +37,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "_FUNC_(a, b) - sequential dot product of two double arrays"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs",
+        "_FUNC_(words, k, bands) - per-band MinHash signatures over k-shingles"),
+      (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs.head,
+        intLit(exprs(1), "minhash_sigs k"),
+        intLit(exprs(2), "minhash_sigs bands"))))
+    e.injectFunction((FunctionIdentifier("shingle_hash_set"),
+      info("shingle_hash_set",
+        "_FUNC_(words, k) - distinct 64-bit k-shingle hashes"),
+      (exprs: Seq[Expression]) => graft.functions.ShingleHashSet(exprs.head,
+        intLit(exprs(1), "shingle_hash_set k"))))
+    e.injectFunction((FunctionIdentifier("simhash32"),
+      info("simhash32",
+        "_FUNC_(words) - [n_tokens, 32-bit simhash fingerprint]"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash32(exprs.head)))
 
     e.injectOptimizerRule(_ => RewriteZipWithDot)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -63,6 +63,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.select("vec_id", "norm2").except(viaOps).count() == 0)
   }
 
+  test("dedup-family SQL functions resolve and match the native paths") {
+    val row = spark.sql(
+      "SELECT minhash_sigs(array('a', 'b', 'c', 'd'), 3, 4) AS sigs, " +
+      "shingle_hash_set(array('a', 'b', 'c', 'd'), 3) AS hset, " +
+      "simhash32(array('hello', 'world')) AS sh").head()
+    assert(row.getAs[scala.collection.Seq[Long]]("sigs").length == 4)
+    assert(row.getAs[scala.collection.Seq[Long]]("hset").length == 2) // 2 shingles
+    val sh = row.getAs[scala.collection.Seq[Long]]("sh")
+    assert(sh.length == 2 && sh(0) == 2L)
+    assert(sh(1) >= 0L && sh(1) <= 0xffffffffL)
+    // non-literal k rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sigs(array('a'), CAST(rand() AS INT), 2)")
+        .head()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("vec_dot matches the declarative fold on edge inputs") {
     // unequal lengths and null elements must be NULL, exactly like
     // aggregate(zip_with(...)) — the rewrite must be semantics-
