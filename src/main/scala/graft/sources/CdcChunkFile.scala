@@ -97,7 +97,7 @@ object CdcChunkFile {
       tail.flip()
       val magic = tail.getInt(tailLen - 4)
       if (magic == FooterMagic) {
-        val b = tail.position(tailLen - FooterLen)
+        tail.position(tailLen - FooterLen)
         val minTs = tail.getLong; val maxTs = tail.getLong
         val n = tail.getInt
         Footer(minTs, maxTs, n, Seq((0L, size - FooterLen)))

@@ -37,7 +37,7 @@ class CdcWriteBuilder(path: String) extends WriteBuilder {
 
 private class CdcBatchWrite(path: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new CdcWriterFactory(path, epoch = -1L)
+    new CdcWriterFactory(path)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -45,12 +45,12 @@ private class CdcBatchWrite(path: String) extends BatchWrite {
 private class CdcStreamingWrite(path: String) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new CdcWriterFactory(path, epoch = -1L)
+    new CdcWriterFactory(path)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private class CdcWriterFactory(path: String, epoch: Long)
+private class CdcWriterFactory(path: String)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   // batch path
