@@ -52,13 +52,17 @@ object EmbedDup {
   final case class CosPair(v1: Long, v2: Long, cos: Double)
 
   /** All unordered pairs with cosine ≥ threshold, columns (v1, v2, cos),
-    * v1 < v2. */
-  def pairs(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    * v1 < v2. `blockRows` is overridable so specs can force the
+    * multi-block (cross-panel) path at test corpus sizes — at the
+    * default 4096 the small SFs fit one block and only the
+    * within-block loop would ever run. */
+  def pairs(s: SparkSession, dir: String, threshold: Double = 0.4,
+      blockRows: Long = BlockRows): DataFrame = {
     import s.implicits._
     val raw = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
     val n = raw.count()
-    val nBlocks = math.max(1L, (n + BlockRows - 1) / BlockRows).toInt
+    val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
 
     val rows = raw.as[(Long, Array[Double])]
     // replicate each row to every block-pair task containing its block:

@@ -53,6 +53,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.agg(max("rn")).head().getLong(0) <= 3)
   }
 
+  test("dd05 blocked GEMM: multi-block split equals the single-block result") {
+    // force 8 blocks (64-row panels) so the cross-block task path —
+    // which no default-sized test corpus reaches — runs and must
+    // reproduce the single-panel result exactly, including pair
+    // ordering and bit-identical cosines
+    val single = graft.pipelines.EmbedDup.pairs(spark, sf)
+    val multi = graft.pipelines.EmbedDup.pairs(spark, sf, blockRows = 64L)
+    assert(multi.count() == single.count())
+    assert(multi.except(single).count() == 0)
+    assert(single.except(multi).count() == 0)
+    assert(multi.filter(col("v1") >= col("v2")).count() == 0)
+  }
+
   test("ann03 IVF returns k per query with measured recall over truth") {
     val df = SparkEntry.queries("ann03_knn_ivf")(spark, sf)
     val perQ = df.groupBy("q_id").count().collect()
