@@ -220,33 +220,43 @@ object Dedup {
     * component) and whether it is the cluster's keeper. Oracle:
     * DuckDB recursive transitive closure over the same pair CTEs.
     */
+  /** Min-label propagation to the fixed point: `nodes(doc_id)` +
+    * undirected `pairs(d1, d2)` → (doc_id, cluster, is_keeper).
+    * Exposed so specs can drive it with multi-hop chain graphs — the
+    * corpus' own near-dup components are cliques, which converge in
+    * one round and would leave the propagation logic untested. */
+  private[graft] def connectedComponents(
+      nodes: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+    var prev: org.apache.spark.sql.DataFrame = null
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges.join(labels, col("b") === col("doc_id"))
+        .select(col("a").as("doc_id"), col("cluster"))
+      val next = labels.unionAll(viaNeighbor)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      if (prev != null) prev.unpersist()
+      prev = if (iter > 0) labels else null
+      labels = next
+      iter += 1
+    }
+    labels.withColumn("is_keeper", col("doc_id") === col("cluster"))
+  }
+
   private val dd06 = QueryDef(
     "dd06_dup_clusters",
-    (s, dir) => {
-      val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
-      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-        .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      var labels = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("cluster"))
-      var prev: org.apache.spark.sql.DataFrame = null
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val viaNeighbor = edges.join(labels, col("b") === col("doc_id"))
-          .select(col("a").as("doc_id"), col("cluster"))
-        val next = labels.unionAll(viaNeighbor)
-          .groupBy("doc_id").agg(min("cluster").as("cluster"))
-          .persist()
-        changed = next
-          .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-          .filter(col("cluster") =!= col("old")).count()
-        if (prev != null) prev.unpersist()
-        prev = if (iter > 0) labels else null
-        labels = next
-        iter += 1
-      }
-      labels.withColumn("is_keeper", col("doc_id") === col("cluster"))
-    },
+    (s, dir) => connectedComponents(
+      Tables.load(s, dir, "documents").select(col("doc_id")),
+      jaccardPairs(s, dir).select(col("d1"), col("d2"))),
     Some(s"""WITH RECURSIVE $jaccardPairsSqlCtes,
       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
       |  UNION ALL SELECT d2, d1 FROM pairs),

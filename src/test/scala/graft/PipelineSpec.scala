@@ -53,6 +53,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.agg(max("rn")).head().getLong(0) <= 3)
   }
 
+  test("dd06 label propagation converges across multi-hop chains") {
+    import spark.implicits._
+    // the corpus' components are cliques (1-round convergence), so
+    // drive the loop with a diameter-4 chain + a separate pair: the
+    // min label must travel 4 hops through the iterative joins
+    val nodes = (1L to 5L).union(Seq(10L, 11L, 99L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("d1", "d2")
+    val cc = graft.pipelines.Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(99L) == 99L) // singleton keeps itself
+  }
+
   test("dd05 blocked GEMM: multi-block split equals the single-block result") {
     // force 8 blocks (64-row panels) so the cross-block task path —
     // which no default-sized test corpus reaches — runs and must
