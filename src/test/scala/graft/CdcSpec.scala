@@ -274,6 +274,27 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("typed schema projection of the BEFORE image (delete auditing)") {
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", Seq(
+      ChangeRecord(1L, "tx", 1000000L, 0L, Op.Delete, "app", "m",
+        Seq("id"), Map("id" -> "7", "price" -> "3.25"), null),
+      ChangeRecord(2L, "tx", 2000000L, 0L, Op.Insert, "app", "m",
+        Seq("id"), null, Map("id" -> "8", "price" -> "9.99"))))
+    val schema = TypedSchema.TableSchema("app", "m", Seq("id"), Seq(
+      TypedSchema.RecordField("id", "bigint"),
+      TypedSchema.RecordField("price", "decimal(10,2)")))
+    val got = TypedSchema.project(
+        CdcStreaming.readBatch(spark, dir), schema, image = "before")
+      .collect().map(r => r.getAs[Long]("record_id") ->
+        (Option(r.getAs[java.lang.Long]("id")),
+          Option(r.getAs[java.math.BigDecimal]("price")).map(_.toPlainString)))
+      .toMap
+    // the DELETE's before image projects typed; the INSERT has none
+    assert(got(1L) == ((Some(7L), Some("3.25"))))
+    assert(got(2L) == ((None, None)))
+  }
+
   test("per-table selection filters rows and skips tail decode") {
     val dir = Files.createTempDirectory("gcl").toString
     val recs = (0 until 20).map { i =>
