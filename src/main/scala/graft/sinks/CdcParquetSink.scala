@@ -77,7 +77,7 @@ object CdcParquetSink {
 
   /** Fold one micro-batch of change records into the table, rewriting
     * only the key-hash buckets the batch touches. */
-  private[sinks] def applyBatch(
+  private[graft] def applyBatch(
       spark: SparkSession, batch: DataFrame, tableDir: String,
       batchId: Long, nBuckets: Int = DefaultBuckets): Unit = {
     Files.createDirectories(Paths.get(tableDir))

@@ -84,6 +84,27 @@ class SinkSpec extends AnyFunSuite {
     assert(table.filter(col("recordId") === 300L).count() == 1)
   }
 
+  test("replayed micro-batch no-ops once its manifest exists") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val tableDir = Files.createTempDirectory("tbl").toString
+    val ckpt = Files.createTempDirectory("ck").toString
+    CdcFixtures.writeChunks(dir)
+    val q = CdcParquetSink.start(
+      CdcStreaming.readStream(spark, dir), tableDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val v1 = CdcParquetSink.latestSnapshot(tableDir).get
+    val rows1 = CdcParquetSink.readTable(spark, tableDir).get.collect().toSet
+    // foreachBatch is at-least-once: re-deliver batch 0 with DIFFERENT
+    // content — the committed manifest must make it a no-op, not a
+    // double-apply (or a read-own-output corruption)
+    val poison = CdcStreaming.readBatch(spark, dir)
+      .withColumn("tsUs", col("tsUs") + 999999999L)
+    CdcParquetSink.applyBatch(spark, poison, tableDir, 0L)
+    assert(CdcParquetSink.latestSnapshot(tableDir).get == v1)
+    assert(CdcParquetSink.readTable(spark, tableDir).get
+      .collect().toSet == rows1)
+  }
+
   test("stale pre-delete record cannot resurrect a deleted key") {
     val dir = Files.createTempDirectory("gcl").toString
     val tableDir = Files.createTempDirectory("tbl").toString
