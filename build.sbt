@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from the process stdout tail;
+// sbt's default LoggedOutput wraps forked output in "[info] " prefixes,
+// which broke that parse in rounds 1 and 2 (BENCH_r*.json parsed:null).
+// StdoutOutput forwards the forked JVM's stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
