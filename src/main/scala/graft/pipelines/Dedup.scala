@@ -229,9 +229,18 @@ object Dedup {
       nodes: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
       maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+    // Materialize the edge list ONCE: `pairs` is typically the whole
+    // verification pipeline (shingles → signatures → candidate join →
+    // Jaccard), and every propagation round references edges twice
+    // (next-label join + convergence count). Unpersisted, round 2's
+    // bench re-ran that pipeline every round — 7.9 s of a 26.7 s bench
+    // for a 3-round loop. At 100 TB the same persist is the difference
+    // between one pass over the corpus and diameter× passes.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+      .persist()
     var prev: org.apache.spark.sql.DataFrame = null
     var changed = 1L
     var iter = 0
@@ -245,10 +254,12 @@ object Dedup {
         .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).count()
       if (prev != null) prev.unpersist()
-      prev = if (iter > 0) labels else null
+      prev = labels // counted above, safe to drop one round later
       labels = next
       iter += 1
     }
+    if (prev != null) prev.unpersist()
+    edges.unpersist()
     labels.withColumn("is_keeper", col("doc_id") === col("cluster"))
   }
 
