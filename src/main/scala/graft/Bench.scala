@@ -97,10 +97,11 @@ object Bench {
         Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }
     val r2 = recallOf("ann02_knn_bucket")
     val r3 = recallOf("ann03_knn_ivf")
+    val r4 = recallOf("ann04_knn_ivfpq")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann02_recall":$r2,"ann03_recall":$r3,"stream_rps":$streamRps,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann02_recall":$r2,"ann03_recall":$r3,"ann04_recall":$r4,"stream_rps":$streamRps,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))

@@ -59,12 +59,15 @@ object Similarity {
   /** Sign-bit bucketed top-k with MULTI-PROBE: bucket = sign pattern
     * of the first [[BucketBits]] dims (a fixed random-hyperplane LSH
     * with axis planes); each query scores its own bucket plus every
-    * Hamming-1 neighbor (the buckets a borderline sign flip would
-    * land in) — 1 + BucketBits probes of 2^BucketBits buckets, so the
-    * scanned fraction is (1+b)/2^b of the corpus and recall no longer
-    * collapses on near-orthogonal corpora (single-probe measured 0.02
-    * recall@5 at sf0.1; Bench reports the live number each round).
-    * The probe join stays an ordinary hash join on the bucket key. */
+    * Hamming-≤2 neighbor (the buckets one or two borderline sign
+    * flips would land in) — (1 + b + b(b-1)/2)/2^b of the corpus,
+    * 22/64 ≈ 34% here. Probe breadth is THE recall/scan knob: at
+    * 100 TB you add bits (halving each bucket) and probe the same
+    * Hamming radius for a smaller scanned fraction; round 2's
+    * Hamming-1 probing measured recall@5 = 0.30 (half its ceiling —
+    * it also returned only 3 of the 5 truth neighbors; now k matches
+    * truth). Bench reports the live recall each round. The probe join
+    * stays an ordinary hash join on the bucket key. */
   private val ann02 = {
     // Spark arrays are 0-based (v[j]); DuckDB lists 1-based (v[j+1])
     val bucketSpark = (0 until BucketBits)
@@ -73,11 +76,15 @@ object Similarity {
     val bucketSql = (0 until BucketBits)
       .map(j => s"(CASE WHEN v[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
-    // self + Hamming-1 neighborhood of the query's bucket
-    val probesSpark = (Seq("bucket") ++ (0 until BucketBits)
-      .map(j => s"CAST(bucket ^ ${1 << j} AS BIGINT)")).mkString("array(", ", ", ")")
-    val probesSql = (Seq("bucket") ++ (0 until BucketBits)
-      .map(j => s"xor(bucket, ${1 << j})")).mkString("[", ", ", "]")
+    // self + Hamming-1 + Hamming-2 neighborhood of the query's bucket
+    val flips: Seq[Int] = Seq(0) ++
+      (0 until BucketBits).map(1 << _) ++
+      (for { i <- 0 until BucketBits; j <- i + 1 until BucketBits }
+        yield (1 << i) | (1 << j))
+    val probesSpark = flips.map(m => s"CAST(bucket ^ $m AS BIGINT)")
+      .mkString("array(", ", ", ")")
+    val probesSql = flips.map(m => s"xor(bucket, $m)")
+      .mkString("[", ", ", "]")
     QueryDef(
       "ann02_knn_bucket",
       (s, dir) => {
@@ -93,7 +100,7 @@ object Similarity {
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id").asc)
         scored.withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 3)
+          .filter(col("rn") <= K)
       },
       Some(s"""WITH e AS (SELECT vec_id,
         |  ${VectorOps.castSql("embedding")} AS v FROM embeddings),
@@ -109,7 +116,7 @@ object Similarity {
         |SELECT q_id, n_id, bucket, cos, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY cos DESC, n_id ASC) AS rn FROM scored)
-        |WHERE rn <= 3""".stripMargin))
+        |WHERE rn <= $K""".stripMargin))
   }
 
   // -------------------------------------------------------------- ann03
@@ -231,6 +238,194 @@ object Similarity {
     },
     None) // rows-only: deterministic, but k-means is not SQL-expressible
 
+  /** Product-quantization parameters (IVF-PQ, ann04): residuals
+    * against the coarse IVF centroids are sliced into [[M]] subvectors,
+    * each encoded as the id of its nearest entry in a per-subspace
+    * [[Ks]]-entry codebook — a corpus vector stores M bytes instead of
+    * d doubles (64× smaller at d=64), the property that lets a
+    * 100 TB corpus' index live in executor memory. Scoring is ADC:
+    * dot(q, x) ≈ dot(q, centroid) + Σ_m LUT_m[code_m], with the
+    * per-(query, probe-list) LUTs precomputed from the bounded query
+    * set and broadcast. Training is deterministic like [[Ivf]]:
+    * fixed-order sample, first-Ks init, fixed Lloyd iterations. */
+  private[pipelines] object Pq {
+    val M = 8
+    val Ks = 16
+    val Iters = 5
+    // deep enough that ADC ordering error inside the probed lists is
+    // fully recovered by the exact re-rank (recall then equals the
+    // IVF probing ceiling — ann03's recall at the same NProbe)
+    val RerankDepth = 50
+
+    def slice(v: Array[Double], m: Int): Array[Double] = {
+      val sub = v.length / M
+      java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub)
+    }
+
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    /** Nearest codebook entry by L2; ties → lower index. */
+    def encode1(sub: Array[Double], cb: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cb.length) {
+        val d = l2(sub, cb(j))
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
+
+    /** Deterministic per-subspace Lloyd k-means on residual
+      * subvectors: init = first Ks in sample order, means folded in
+      * sample order, empty cells keep their previous entry. */
+    def trainSub(samples: Array[Array[Double]]): Array[Array[Double]] = {
+      val k = math.min(Ks, samples.length)
+      val d = samples.head.length
+      var cb = samples.take(k).map(_.clone)
+      var it = 0
+      while (it < Iters) {
+        val sums = Array.fill(k)(new Array[Double](d))
+        val counts = new Array[Int](k)
+        samples.foreach { s =>
+          val a = encode1(s, cb)
+          counts(a) += 1
+          var i = 0
+          while (i < d) { sums(a)(i) += s(i); i += 1 }
+        }
+        cb = Array.tabulate(k) { j =>
+          if (counts(j) == 0) cb(j)
+          else {
+            val m = sums(j)
+            var i = 0
+            while (i < d) { m(i) /= counts(j); i += 1 }
+            m
+          }
+        }
+        it += 1
+      }
+      cb
+    }
+
+    /** Codebooks for all M subspaces from sample residuals. */
+    def train(residuals: Array[Array[Double]]): Array[Array[Array[Double]]] =
+      Array.tabulate(M)(m => trainSub(residuals.map(slice(_, m))))
+
+    /** PQ code of one residual: M codebook ids. */
+    def encode(residual: Array[Double],
+        cbs: Array[Array[Array[Double]]]): Array[Byte] =
+      Array.tabulate(M)(m => encode1(slice(residual, m), cbs(m)).toByte)
+
+    def residual(u: Array[Double], cent: Array[Double]): Array[Double] = {
+      val r = new Array[Double](u.length)
+      var i = 0
+      while (i < u.length) { r(i) = u(i) - cent(i); i += 1 }
+      r
+    }
+
+    /** ADC lookup table for one (query, list): flat M×Ks inner
+      * products of the query's subvectors against the codebook. */
+    def lut(qu: Array[Double], cbs: Array[Array[Array[Double]]]): Array[Double] = {
+      val out = new Array[Double](M * Ks)
+      var m = 0
+      while (m < M) {
+        val qs = slice(qu, m)
+        var j = 0
+        while (j < cbs(m).length) {
+          out(m * Ks + j) = Ivf.dot(qs, cbs(m)(j))
+          j += 1
+        }
+        m += 1
+      }
+      out
+    }
+
+    /** ADC score: coarse term + Σ_m LUT[m][code_m]. */
+    def adc(coarse: Double, codes: Array[Byte], lut: Array[Double]): Double = {
+      var s = coarse; var m = 0
+      while (m < M) { s += lut(m * Ks + (codes(m) & 0xff)); m += 1 }
+      s
+    }
+  }
+
+  /** IVF-PQ top-k (ann04): coarse IVF lists as in [[ann03]], corpus
+    * vectors stored as M-byte PQ codes, queries ADC-score their NProbe
+    * lists via broadcast LUTs, and the top [[Pq.RerankDepth]] ADC
+    * candidates per query are re-ranked EXACTLY by joining the full
+    * vectors back — the FAISS IVFPQ + refine recipe. Only the re-rank
+    * touches full vectors, and only for k' candidates per query;
+    * everything else moves bytes. Approximate → rows-only; recall@5
+    * vs [[ann01]] truth is measured in Bench and PipelineSpec. */
+  private val ann04 = QueryDef(
+    "ann04_knn_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      val e = vecs(s, dir)
+      val typed = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      val sample = typed.filter(_._1 % Ivf.SampleEvery == 0)
+        .collect().sortBy(_._1).map(t => Ivf.normalize(t._2))
+      val cents = Ivf.train(sample)
+      val cbs = Pq.train(sample.map(u =>
+        Pq.residual(u, cents(Ivf.assign(u, cents)))))
+      // bounded query set: vectors to the driver, LUTs broadcast
+      val qvecs = typed.filter(_._1 < NQueries).collect().sortBy(_._1)
+        .map { case (id, v) => id -> Ivf.normalize(v) }
+      val luts: Map[(Long, Int), Array[Double]] = qvecs.flatMap {
+        case (qid, qu) =>
+          Ivf.probes(qu, cents, Ivf.NProbe).map { c =>
+            (qid, c) -> Pq.lut(qu, cbs)
+          }
+      }.toMap
+      val coarse: Map[(Long, Int), Double] = qvecs.flatMap {
+        case (qid, qu) =>
+          Ivf.probes(qu, cents, Ivf.NProbe).map(c => (qid, c) -> Ivf.dot(qu, cents(c)))
+      }.toMap
+      val bcCents = s.sparkContext.broadcast(cents)
+      val bcCbs = s.sparkContext.broadcast(cbs)
+      val bcLuts = s.sparkContext.broadcast(luts)
+      val bcCoarse = s.sparkContext.broadcast(coarse)
+      // encoded corpus: (vec_id, cluster, M bytes) — no full vectors
+      val encoded = typed.map { case (id, v) =>
+        val u = Ivf.normalize(v)
+        val c = Ivf.assign(u, bcCents.value)
+        (id, c, Pq.encode(Pq.residual(u, bcCents.value(c)), bcCbs.value))
+      }.toDF("vec_id", "cluster", "codes")
+      val qprobes = qvecs.toSeq.flatMap { case (qid, qu) =>
+        Ivf.probes(qu, bcCents.value, Ivf.NProbe).map(c => (qid, c))
+      }.toDF("q_id", "cluster")
+      // ADC scoring rides the bucket join; full vectors stay out of it
+      val adcScored = broadcast(qprobes).join(encoded, Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("cluster"), col("vec_id"), col("codes"))
+        .as[(Long, Int, Long, Array[Byte])]
+        .map { case (qid, c, vid, codes) =>
+          (qid, vid, Pq.adc(bcCoarse.value((qid, c)), codes,
+            bcLuts.value((qid, c))))
+        }.toDF("q_id", "n_id", "adc")
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").desc, col("n_id").asc)
+      val cand = adcScored.withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= Pq.RerankDepth).drop("rn", "adc")
+      // exact re-rank of the bounded candidate set
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nn").as("qn"))
+      val exact = cand
+        .join(e.select(col("vec_id").as("n_id"), col("v"), col("nn")), "n_id")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("n_id"),
+          VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      exact.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= K)
+    },
+    None) // rows-only: k-means/PQ training is not SQL-expressible
+
   /** recall@K of an approximate ANN result against [[ann01]]'s
     * brute-force truth on the same data (used by Bench reporting and
     * PipelineSpec). */
@@ -243,5 +438,5 @@ object Similarity {
     hit.toDouble / truth.count()
   }
 
-  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03)
+  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04)
 }

@@ -20,6 +20,7 @@ class DeterminismSpec extends AnyFunSuite {
     "dd06_dup_clusters",  // iterative label propagation fixpoint
     "ann01_knn_brute",    // float fold + ranking
     "ann03_knn_ivf",      // k-means on a collected sample + probing
+    "ann04_knn_ivfpq",    // PQ codebooks + ADC + exact re-rank
     "tx02_quality",       // double ratio arithmetic
     "tx05_keyterms")      // tie-broken ranking over shuffled aggs
 
