@@ -11,24 +11,35 @@ import scala.jdk.CollectionConverters._
 /** Continuous changelog → queryable table: the reference's downstream
   * use case (README: «数据接收完之后需要同步到大数据平台» — land the
   * subscription into the analytics store). Implemented as foreachBatch
-  * merge-upsert over a HASH-BUCKETED parquet store: keys map to
-  * `nBuckets` stable buckets, a micro-batch reads and rewrites ONLY
-  * the buckets its keys touch, and a tiny per-version manifest maps
-  * each bucket to the version directory holding its current data.
-  * `_LATEST` is a one-line pointer file swapped atomically.
+  * merge-upsert over a HASH-BUCKETED BASE+DELTA parquet store:
   *
-  * This is the round-2 replacement for the round-1 full-snapshot
-  * rewrite (VERDICT r1 §wrong 5): per-batch I/O is O(touched buckets),
-  * not O(table). At 100 TB the same layout works with more buckets (or
-  * a lakehouse table format — the merge stays a shuffle-on-key
-  * upsert); the manifest is O(nBuckets) lines, never data-sized.
+  *   - keys map to `nBuckets` stable buckets;
+  *   - a micro-batch APPENDS one delta file per touched bucket —
+  *     O(batch) I/O, the base is never read on the write path;
+  *   - [[readTable]] merges each bucket's chain (base + deltas)
+  *     last-DML-wins at read time — one shuffle on the key;
+  *   - when a bucket's chain exceeds `maxDeltas`, the batch folds that
+  *     bucket's chain into a fresh base inline (bounded, per-bucket);
+  *   - [[compact]] folds every chain and GCs tombstones.
+  *
+  * This is the round-3 evolution of the round-2 whole-touched-bucket
+  * rewrite (SURVEY §7 candidate 2): round 2 already bounded I/O to
+  * touched buckets, but a hot key still rewrote its whole bucket every
+  * batch — at 100 TB a bucket is GBs while a batch is MBs. Base+delta
+  * makes steady-state write I/O proportional to the BATCH, with the
+  * bucket-sized cost amortized 1/maxDeltas per batch (the
+  * lakehouse/LSM recipe; a table format like Iceberg/Delta swaps in
+  * here without changing the merge semantics). The per-version
+  * manifest maps each bucket to its chain (oldest→newest) and is
+  * O(nBuckets × maxDeltas) lines, never data-sized. `_LATEST` is a
+  * one-line pointer file swapped atomically.
   *
   * DELETEs are retained as TOMBSTONE rows in the store and filtered
   * out by [[readTable]] — a stale pre-delete record arriving in a
   * later micro-batch loses the last-DML-wins merge against the
-  * tombstone instead of resurrecting the key (ADVICE r1 fix).
-  * [[compact]] drops tombstones in a full rewrite when replay that far
-  * back is no longer needed.
+  * tombstone instead of resurrecting the key. Inline per-bucket
+  * compaction RETAINS tombstones (stale records may still arrive);
+  * only [[compact]] with a horizon drops them.
   *
   * Exactly-once: the per-version manifest is written AFTER the data
   * and `_LATEST` swaps atomically; a replayed micro-batch (foreachBatch
@@ -38,6 +49,7 @@ object CdcParquetSink {
 
   private val Latest = "_LATEST"
   val DefaultBuckets = 16
+  val DefaultMaxDeltas = 8
 
   private def bucketCol(n: Int) =
     pmod(crc32(col("key")), lit(n)).cast("int").as("bucket")
@@ -45,22 +57,32 @@ object CdcParquetSink {
   private def versionName(batchId: Long) = f"v$batchId%012d"
   private def manifestName(version: String) = s"manifest-$version.tsv"
 
+  /** Last-DML-wins (ties by record id) over any mix of base and delta
+    * rows; DELETE survives as a tombstone row. */
+  private def lastWins(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("tsUs").desc, col("recordId").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** Resolve the current manifest (bucket → version-relative data dir). */
   private def latestManifestFile(tableDir: String): Option[String] = {
     val marker = Paths.get(tableDir, Latest)
     if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
   }
 
-  private def readManifest(tableDir: String, name: String): Map[Int, String] =
+  private def readManifest(tableDir: String, name: String): Map[Int, Seq[String]] =
     Files.readAllLines(Paths.get(tableDir, name)).asScala
       .filter(_.nonEmpty)
       .map { line =>
-        val Array(b, rel) = line.split("\t", 2)
-        b.toInt -> rel
+        val Array(b, rels) = line.split("\t", 2)
+        b.toInt -> rels.split(",").toSeq
       }.toMap
 
-  /** Current bucket → data-dir map, if the table exists. */
-  def latestManifest(tableDir: String): Option[Map[Int, String]] =
+  /** Current bucket → chain (base first, newest delta last), if the
+    * table exists. */
+  def latestManifest(tableDir: String): Option[Map[Int, Seq[String]]] =
     latestManifestFile(tableDir).map(readManifest(tableDir, _))
 
   /** Identifier of the current published version (manifest file name);
@@ -68,67 +90,87 @@ object CdcParquetSink {
   def latestSnapshot(tableDir: String): Option[String] =
     latestManifestFile(tableDir).map(n => Paths.get(tableDir, n).toString)
 
-  /** Read the materialized table: live rows only (tombstones filtered). */
+  /** Read the materialized table: per-bucket chains merged
+    * last-DML-wins, live rows only (tombstones filtered). */
   def readTable(spark: SparkSession, tableDir: String): Option[DataFrame] =
     latestManifest(tableDir).filter(_.nonEmpty).map { m =>
-      val paths = m.values.toSeq.sorted.map(rel => s"$tableDir/$rel")
-      spark.read.parquet(paths: _*).filter(col("op") =!= Op.Delete)
+      val paths = m.values.flatten.toSeq.distinct.sorted
+        .map(rel => s"$tableDir/$rel")
+      lastWins(spark.read.parquet(paths: _*))
+        .filter(col("op") =!= Op.Delete)
     }
 
-  /** Fold one micro-batch of change records into the table, rewriting
-    * only the key-hash buckets the batch touches. */
+  /** Fold one micro-batch of change records into the table: delta
+    * append for every touched bucket, inline chain fold for buckets
+    * whose chain would exceed `maxDeltas`. */
   private[graft] def applyBatch(
       spark: SparkSession, batch: DataFrame, tableDir: String,
-      batchId: Long, nBuckets: Int = DefaultBuckets): Unit = {
+      batchId: Long, nBuckets: Int = DefaultBuckets,
+      maxDeltas: Int = DefaultMaxDeltas): Unit = {
     Files.createDirectories(Paths.get(tableDir))
     val version = versionName(batchId)
     // at-least-once replay: manifest is written last, so its existence
-    // means this batch fully committed — re-applying would read our own
-    // output while overwriting it
+    // means this batch fully committed — re-applying would double-count
     if (Files.exists(Paths.get(tableDir, manifestName(version)))) return
 
-    val incoming = batch
+    // pre-merge within the batch (last-wins per key) so a delta holds
+    // at most one row per key — batch-local, no base read
+    val incoming = lastWins(batch
       .filter(col("op").isin(Op.Insert, Op.Update, Op.Delete))
       .select(
         graft.streaming.CdcStreaming.keyExpr.as("key"),
         col("tsUs"), col("id").as("recordId"), col("op"),
-        col("after"))
+        col("after")))
       .withColumn("bucket", bucketCol(nBuckets))
+      .persist()
 
     val touched = incoming.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nBuckets, not data
-    if (touched.isEmpty) return
+    if (touched.isEmpty) { incoming.unpersist(); return }
 
     val prev = latestManifest(tableDir).getOrElse(Map.empty)
-    val prevPaths = touched.toSeq.flatMap(prev.get).map(rel => s"$tableDir/$rel")
-    val merged = {
-      val base =
-        if (prevPaths.isEmpty) incoming
-        else spark.read.parquet(prevPaths: _*)
-          .withColumn("bucket", bucketCol(nBuckets))
-          .unionByName(incoming)
-      val w = Window.partitionBy(col("key"))
-        .orderBy(col("tsUs").desc, col("recordId").desc)
-      // last DML wins; DELETE survives as a tombstone row
-      base.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-    }
-    merged.write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(s"$tableDir/$version")
+    // buckets whose chain is full fold base+deltas+delta into a fresh
+    // base now; the rest just append their delta
+    val (folded, appended) = touched.partition(b =>
+      prev.getOrElse(b, Nil).size >= maxDeltas)
 
-    val manifest = prev ++ touched.map(b => b -> s"$version/bucket=$b")
+    if (appended.nonEmpty) {
+      incoming.filter(col("bucket").isin(appended.toSeq: _*))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(s"$tableDir/$version")
+    }
+    if (folded.nonEmpty) {
+      val chainPaths = folded.toSeq
+        .flatMap(b => prev.getOrElse(b, Nil)).distinct.sorted
+        .map(rel => s"$tableDir/$rel")
+      val chain = spark.read.parquet(chainPaths: _*)
+        .withColumn("bucket", bucketCol(nBuckets))
+        .unionByName(incoming.filter(
+          col("bucket").isin(folded.toSeq: _*)))
+      // per-bucket fold RETAINS tombstones: stale records may still
+      // arrive and must lose against them
+      lastWins(chain).write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(s"$tableDir/$version-base")
+    }
+    incoming.unpersist()
+
+    val manifest = prev ++
+      appended.map(b =>
+        b -> (prev.getOrElse(b, Nil) :+ s"$version/bucket=$b")) ++
+      folded.map(b => b -> Seq(s"$version-base/bucket=$b"))
     publish(tableDir, version, manifest)
   }
 
-  /** Full rewrite dropping tombstones older than `horizonUs` (pass
-    * Long.MaxValue to drop all) — run periodically once replay that far
-    * back is impossible. */
+  /** Full rewrite folding every chain and dropping tombstones older
+    * than `horizonUs` (pass Long.MaxValue to drop all) — run
+    * periodically once replay that far back is no longer possible. */
   def compact(spark: SparkSession, tableDir: String,
       horizonUs: Long = Long.MaxValue,
       nBuckets: Int = DefaultBuckets): Unit = {
     latestManifest(tableDir).foreach { m =>
-      val paths = m.values.toSeq.sorted.map(rel => s"$tableDir/$rel")
-      val kept = spark.read.parquet(paths: _*)
+      val paths = m.values.flatten.toSeq.distinct.sorted
+        .map(rel => s"$tableDir/$rel")
+      val kept = lastWins(spark.read.parquet(paths: _*))
         .filter(col("op") =!= Op.Delete || col("tsUs") > horizonUs)
         .withColumn("bucket", bucketCol(nBuckets))
       val version = s"compact-${m.hashCode.toHexString}"
@@ -136,18 +178,20 @@ object CdcParquetSink {
         .partitionBy("bucket").parquet(s"$tableDir/$version")
       // buckets emptied by tombstone removal write no dir — drop them
       val manifest = (0 until nBuckets)
-        .map(b => b -> s"$version/bucket=$b")
-        .filter { case (_, rel) => Files.isDirectory(Paths.get(tableDir, rel)) }
+        .map(b => b -> Seq(s"$version/bucket=$b"))
+        .filter { case (_, rel) =>
+          Files.isDirectory(Paths.get(tableDir, rel.head)) }
         .toMap
       publish(tableDir, version, manifest)
     }
   }
 
-  private def publish(
-      tableDir: String, version: String, manifest: Map[Int, String]): Unit = {
+  private def publish(tableDir: String, version: String,
+      manifest: Map[Int, Seq[String]]): Unit = {
     val mName = manifestName(version)
-    val body = manifest.toSeq.sorted
-      .map { case (b, rel) => s"$b\t$rel" }.mkString("\n")
+    val body = manifest.toSeq.sortBy(_._1)
+      .map { case (b, chain) => s"$b\t${chain.mkString(",")}" }
+      .mkString("\n")
     Files.writeString(Paths.get(tableDir, mName), body,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     // atomic publish: tmp file + move
@@ -162,11 +206,13 @@ object CdcParquetSink {
   /** Start the continuous materialization. */
   def start(
       changes: DataFrame, tableDir: String,
-      checkpointDir: String, nBuckets: Int = DefaultBuckets): StreamingQuery =
+      checkpointDir: String, nBuckets: Int = DefaultBuckets,
+      maxDeltas: Int = DefaultMaxDeltas): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, batch, tableDir, batchId, nBuckets)
+        applyBatch(batch.sparkSession, batch, tableDir, batchId,
+          nBuckets, maxDeltas)
       }
       .start()
 }

@@ -84,6 +84,50 @@ class SinkSpec extends AnyFunSuite {
     assert(table.filter(col("recordId") === 300L).count() == 1)
   }
 
+  test("hot key: steady-state write is delta-sized; chain folds at maxDeltas") {
+    val tableDir = Files.createTempDirectory("tbl").toString
+    def oneRec(id: Long, tsSec: Long, v: String) = {
+      val d = Files.createTempDirectory("gcl").toString
+      CdcChunkFile.write(s"$d/chunk-00000${CdcChunkFile.Extension}",
+        Seq(CdcFixtures.rec(id, tsSec * 1000000L, Op.Update, "k1", v)))
+      CdcStreaming.readBatch(spark, d)
+    }
+    // batch 0: the full fixture set becomes the base
+    val dir0 = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir0)
+    CdcParquetSink.applyBatch(spark, CdcStreaming.readBatch(spark, dir0),
+      tableDir, 0L, nBuckets = 4, maxDeltas = 2)
+    val m0 = CdcParquetSink.latestManifest(tableDir).get
+
+    // batch 1: a single-record update of k1 — must APPEND a delta, not
+    // rewrite k1's bucket
+    CdcParquetSink.applyBatch(spark, oneRec(100L, 50L, "u1"),
+      tableDir, 1L, nBuckets = 4, maxDeltas = 2)
+    val m1 = CdcParquetSink.latestManifest(tableDir).get
+    val hot = m1.collectFirst {
+      case (b, chain) if !m0.get(b).contains(chain) => b }.get
+    assert(m1(hot).size == m0(hot).size + 1, "chain should grow by one delta")
+    assert(m1(hot).init == m0(hot), "base must be untouched by the append")
+    // the delta holds exactly the batch's row, not the bucket's data
+    assert(spark.read.parquet(s"$tableDir/${m1(hot).last}").count() == 1)
+
+    // batch 2: chain is at maxDeltas — this batch folds k1's bucket
+    // into a fresh single-file base; other buckets' chains untouched
+    CdcParquetSink.applyBatch(spark, oneRec(101L, 51L, "u2"),
+      tableDir, 2L, nBuckets = 4, maxDeltas = 2)
+    val m2 = CdcParquetSink.latestManifest(tableDir).get
+    assert(m2(hot).size == 1, s"chain should fold to a base, got ${m2(hot)}")
+    assert((m2 - hot) == (m1 - hot))
+
+    // merged read is still last-DML-wins with tombstones honored: the
+    // fold must RETAIN k2's delete tombstone if it shares the bucket
+    val table = CdcParquetSink.readTable(spark, tableDir).get
+    val k1v = table.filter(col("key").endsWith("|k1"))
+      .select(element_at(col("after"), "v")).head().getString(0)
+    assert(k1v == "u2")
+    assert(table.filter(col("key").endsWith("|k2")).count() == 0)
+  }
+
   test("replayed micro-batch no-ops once its manifest exists") {
     val dir = Files.createTempDirectory("gcl").toString
     val tableDir = Files.createTempDirectory("tbl").toString
