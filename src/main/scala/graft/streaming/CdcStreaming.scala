@@ -230,6 +230,22 @@ object CdcStreaming {
       }
   }
 
+  /** Retract stream → downstream live-count aggregate in ONE streaming
+    * query: Spark permits aggregation after Append-mode
+    * flatMapGroupsWithState, so the sign-sum runs as a second stateful
+    * operator in the same plan — the Flink `toRetractStream → GROUP
+    * BY` topology (ref: DtsTableISelectTCaseTest.java:91) without
+    * landing the intermediate retract stream anywhere. Run the query
+    * in update/complete output mode; `live_rows` is exact under
+    * UPDATE/DELETE because every add was preceded by the retraction
+    * of the key's previous value. */
+  def liveCountByValue(
+      changes: DataFrame, valueExpr: org.apache.spark.sql.Column)(
+      implicit spark: SparkSession): DataFrame =
+    materializeRetract(changes, valueExpr)
+      .groupBy(col("value"))
+      .agg(sum(col("change")).as("live_rows"))
+
   /** Current state of one logical key, as maintained by the upsert
     * materializer. */
   final case class KeyState(

@@ -593,6 +593,40 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retract → aggregate runs as ONE streaming query, exact under updates") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir)
+    // two stateful operators in one plan: Append-mode
+    // flatMapGroupsWithState (retract materializer) feeding a grouped
+    // sign-sum — no intermediate landing table
+    val q = CdcStreaming.liveCountByValue(
+        CdcStreaming.readStream(spark, dir, maxChunksPerTrigger = Some(1)),
+        element_at(col("after"), "v"))
+      .writeStream.format("memory").queryName("retract_agg_t")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val live = spark.table("retract_agg_t").filter(col("live_rows") =!= 0)
+      // batch recomputation: last DML per key, drop deleted, count values
+      val pk1 = element_at(col("pkNames"), 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("tsUs").desc, col("id").desc)
+      val batchLive = CdcStreaming.readBatch(spark, dir)
+        .filter(col("op").isin(Op.Insert, Op.Update, Op.Delete))
+        .withColumn("key", concat_ws("|", col("db"), col("tbl"),
+          coalesce(element_at(col("after"), pk1),
+            element_at(col("before"), pk1))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= Op.Delete)
+        .select(element_at(col("after"), "v").as("value"))
+        .groupBy("value").count()
+      assert(live.count() == batchLive.count())
+      assert(live.join(batchLive, "value")
+        .filter(col("live_rows") =!= col("count")).count() == 0)
+    } finally q.stop()
+  }
+
   test("restart from checkpoint continues, no duplicates") {
     val dir = Files.createTempDirectory("gcl").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
