@@ -50,7 +50,7 @@ class CdcSourceProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new CdcTable(properties.get("path"),
+    new CdcTable(CdcSource.normalizePath(properties.get("path")),
       Option(properties.get("startingTimestampUs")).map(_.toLong),
       Option(properties.get("maxChunksPerTrigger")).map(_.toInt),
       Option(properties.get("table")).map(CdcSource.parseTableSelector),
@@ -84,6 +84,17 @@ object CdcSource {
       s"graft-cdc 'table' must be 'db.tbl', got '$s'")
     (s.substring(0, i), s.substring(i + 1))
   }
+
+  /** The session catalog rewrites a `path` option into a location URI
+    * (`file:/dir`) before handing it to the provider — `CREATE TABLE
+    * ... USING graft-cdc OPTIONS (path ...)` would otherwise scan a
+    * literal "file:/dir" directory and read nothing. Local URIs fold
+    * back to plain paths; non-file schemes and plain paths pass
+    * through. */
+  def normalizePath(p: String): String =
+    if (p != null && p.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    else p
 
   /** `mode` option → permissive flag; null/absent = failfast. */
   def parseMode(s: String): Boolean = s match {

@@ -101,6 +101,16 @@ class ValuesSpec extends AnyFunSuite {
     val b = "héllo".getBytes("ISO-8859-1")
     assert(Values.decodeString(b, "latin1") == "héllo")
     assert(Values.decodeString("好".getBytes("UTF-8"), "utf8mb4") == "好")
+    // full reference alias table (ref: JDKCharsetMapper.java): MySQL's
+    // latin1 is windows-1252 — 0x80 decodes to €, not a C1 control
+    assert(Values.decodeString(Array(0x80.toByte), "latin1") == "€")
+    assert(Values.decodeString("中文".getBytes("GBK"), "gbk") == "中文")
+    assert(Values.decodeString("中文".getBytes("Big5"), "big5") == "中文")
+    assert(Values.decodeString("日本".getBytes("EUC-JP"), "ujis") == "日本")
+    assert(Values.decodeString("한국".getBytes("EUC-KR"), "euckr") == "한국")
+    assert(Values.decodeString("abc".getBytes("windows-1251"), "cp1251") == "abc")
+    assert(Values.charsetFor("koi8u").name() == "KOI8-R")
+    assert(Values.charsetFor("tis620").name() == "TIS-620")
   }
   test("special float spellings") {
     assert(Values.parseFloat("NaN").isNaN)
@@ -293,6 +303,44 @@ class CdcSourceSpec extends AnyFunSuite {
     // the DELETE's before image projects typed; the INSERT has none
     assert(got(1L) == ((Some(7L), Some("3.25"))))
     assert(got(2L) == ((None, None)))
+  }
+
+  test("DDL control stream evolves the declared schema (add/drop column)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("gcl").toString
+    // data before the DDL, the DDL record in-band, data after with the
+    // new column populated
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", Seq(
+      ChangeRecord(1L, "tx", 1000000L, 0L, Op.Insert, "app", "m",
+        Seq("id"), null, Map("id" -> "1", "price" -> "3.25")),
+      ChangeRecord(2L, "tx", 2000000L, 0L, Op.Ddl, "app", "m",
+        Seq.empty, null,
+        Map("ddl" -> "ALTER TABLE app.m ADD COLUMN qty bigint")),
+      ChangeRecord(3L, "tx", 3000000L, 0L, Op.Insert, "app", "m",
+        Seq("id"), null,
+        Map("id" -> "2", "price" -> "9.99", "qty" -> "4"))))
+    val v0 = TypedSchema.TableSchema("app", "m", Seq("id"), Seq(
+      TypedSchema.RecordField("id", "bigint"),
+      TypedSchema.RecordField("price", "decimal(10,2)")))
+    val batch = CdcStreaming.readBatch(spark, dir)
+    // consumer folds the control stream into the declared schema
+    val stmts = CdcStreaming.ddlEvents(batch)
+      .orderBy("tsUs").collect().map(_.getAs[String]("statement"))
+    val v1 = stmts.foldLeft(v0)(TypedSchema.applyDdl)
+    assert(v1.fields.map(_.name) == Seq("id", "price", "qty"))
+    val got = TypedSchema.project(batch, v1)
+    assert(got.schema("qty").dataType == LongType)
+    val byId = got.filter(col("record_op") === Op.Insert).collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("qty"))).toMap
+    assert(byId(1L).isEmpty) // pre-DDL row: new column is NULL
+    assert(byId(2L).contains(4L))
+    // unknown DDL and other tables are ignored, drop works
+    assert(TypedSchema.applyDdl(v1, "TRUNCATE TABLE app.m") == v1)
+    assert(TypedSchema.applyDdl(v1,
+      "ALTER TABLE other.t ADD COLUMN x int") == v1)
+    val v2 = TypedSchema.applyDdl(v1, "ALTER TABLE app.m DROP COLUMN qty")
+    assert(v2.fields.map(_.name) == Seq("id", "price"))
   }
 
   test("per-table selection filters rows and skips tail decode") {
@@ -591,6 +639,41 @@ class CdcSourceSpec extends AnyFunSuite {
       val addsOnly = events.filter(col("change") === 1).count()
       assert(addsOnly > live.agg(sum("n")).head().getLong(0))
     } finally q.stop()
+  }
+
+  test("SQL DDL surface: CREATE TABLE USING graft-cdc, select/filter/join") {
+    // the reference's Table-API entry point is `CREATE TABLE ... WITH
+    // ('connector'='dts', ...)` then plain SQL over it (ref:
+    // DtsTableISelectTCaseTest.java:79, DtsTableIJoinTCase.java); the
+    // Spark-native equivalent is CREATE TABLE ... USING `graft-cdc`
+    // OPTIONS (...) against the session catalog, with the same
+    // projection + scalar function + OperationType filter shapes
+    val dir = Files.createTempDirectory("gcl").toString
+    val recs = CdcFixtures.writeChunks(dir)
+    spark.sql("DROP TABLE IF EXISTS cdc_sql_t")
+    spark.sql(s"""CREATE TABLE cdc_sql_t USING `graft-cdc`
+      |OPTIONS (path '$dir', `table` 'appdb.users')""".stripMargin)
+    try {
+      // projection + scalar function (ref select test: concat('dts-', x))
+      val sel = spark.sql("""SELECT id, concat('dts-', tbl) AS tagged,
+        |  op FROM cdc_sql_t WHERE op = 'UPDATE'""".stripMargin)
+      val expected = recs.count(_.op == Op.Update)
+      assert(sel.count() == expected)
+      assert(sel.select("tagged").distinct().head().getString(0) == "dts-users")
+      // join of the subscription against a dimension table (ref join
+      // test shape)
+      spark.sql("DROP VIEW IF EXISTS dim_ops")
+      spark.sql("""CREATE TEMPORARY VIEW dim_ops AS
+        |SELECT 'UPDATE' AS op, 'modify' AS kind
+        |UNION ALL SELECT 'INSERT', 'create'""".stripMargin)
+      val joined = spark.sql("""SELECT c.id, d.kind FROM cdc_sql_t c
+        |JOIN dim_ops d ON c.op = d.op""".stripMargin)
+      assert(joined.count() ==
+        recs.count(r => r.op == Op.Update || r.op == Op.Insert))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cdc_sql_t")
+      spark.sql("DROP VIEW IF EXISTS dim_ops")
+    }
   }
 
   test("retract → aggregate runs as ONE streaming query, exact under updates") {
