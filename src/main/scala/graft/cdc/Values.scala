@@ -69,14 +69,36 @@ object Values {
 
   // ---------------------------------------------------------- strings
 
+  /** MySQL charset name → JDK charset name, the reference's full alias
+    * table (ref: JDKCharsetMapper.java MYSQL_JDK_ENCODINGS). Note
+    * latin1 → windows-1252 (MySQL's latin1 is Cp1252, which assigns
+    * printable characters in 0x80–0x9F where ISO-8859-1 has control
+    * codes). */
+  private val MysqlJdkCharsets: Map[String, String] = Map(
+    "armscii8" -> "windows-1252", "ascii" -> "US-ASCII",
+    "big5" -> "Big5", "binary" -> "ISO-8859-1",
+    "cp1250" -> "windows-1250", "cp1251" -> "windows-1251",
+    "cp1256" -> "windows-1256", "cp1257" -> "windows-1257",
+    "cp850" -> "IBM850", "cp852" -> "IBM852", "cp866" -> "IBM866",
+    "cp932" -> "windows-31j", "dec8" -> "windows-1252",
+    "eucjpms" -> "x-eucJP-Open", "euckr" -> "EUC-KR",
+    "gb2312" -> "GB2312", "gbk" -> "GBK",
+    "geostd8" -> "windows-1252", "greek" -> "ISO-8859-7",
+    "hebrew" -> "ISO-8859-8", "hp8" -> "windows-1252",
+    "keybcs2" -> "IBM852", "koi8r" -> "KOI8-R", "koi8u" -> "KOI8-R",
+    "latin1" -> "windows-1252", "latin2" -> "ISO-8859-2",
+    "latin5" -> "ISO-8859-9", "latin7" -> "ISO-8859-13",
+    "macce" -> "x-MacCentralEurope", "macroman" -> "x-MacRoman",
+    "sjis" -> "Shift_JIS", "swe7" -> "windows-1252",
+    "tis620" -> "TIS-620", "ujis" -> "EUC-JP",
+    "utf16" -> "UTF-16", "utf16le" -> "UTF-16LE",
+    "utf32" -> "UTF-32", "utf8" -> "UTF-8", "utf8mb4" -> "UTF-8",
+    "utf8mb3" -> "UTF-8", "ucs2" -> "UTF-16")
+
   /** Source-charset name → JDK charset (ref: JDKCharsetMapper.java). */
-  def charsetFor(name: String): Charset = name.toLowerCase match {
-    case "utf8" | "utf8mb4" | "utf8mb3" => StandardCharsets.UTF_8
-    case "latin1"                       => StandardCharsets.ISO_8859_1
-    case "ascii"                        => StandardCharsets.US_ASCII
-    case "ucs2" | "utf16"               => StandardCharsets.UTF_16
-    case "binary"                       => StandardCharsets.ISO_8859_1
-    case other                          => Charset.forName(other)
+  def charsetFor(name: String): Charset = {
+    val lower = name.toLowerCase
+    Charset.forName(MysqlJdkCharsets.getOrElse(lower, name))
   }
 
   def decodeString(bytes: Array[Byte], charsetName: String): String =
