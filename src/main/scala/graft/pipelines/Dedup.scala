@@ -299,5 +299,47 @@ object Dedup {
       |WHERE ${VectorOps.cosineSql("a.v", "b.v", "a.nn", "b.nn")} >= 0.4
       |""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06)
+  // -------------------------------------------------------------- dd07
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing ≥3
+    * distinct word-shingles with a benchmark/eval set (docs with
+    * doc_id % 50 == 0 stand in for the benchmark) — the step a
+    * training pipeline runs so eval data never leaks into training.
+    * Shape: the benchmark's distinct shingle-hash set is collected
+    * into ONE broadcast array (a benchmark suite is MBs even when the
+    * corpus is 100 TB), and every corpus doc scores itself with a
+    * single `array_intersect` against it — one narrow pass, zero
+    * shuffles, nothing row-multiplies (SURVEY §5). */
+  private val dd07 = QueryDef(
+    "dd07_decontaminate",
+    (s, dir) => {
+      val st = docShingleState(s, dir).select(col("doc_id"), col("hset"))
+      val bench = st.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("hset")).as("h")).distinct()
+        .agg(sort_array(collect_list(col("h"))).as("bh"))
+      st.crossJoin(broadcast(bench))
+        .select(col("doc_id"),
+          coalesce(size(col("hset")), lit(0)).cast("long").as("n_shingles"),
+          coalesce(size(array_intersect(col("hset"), col("bh"))), lit(0))
+            .cast("long").as("n_overlap"),
+          (col("doc_id") % 50 === 0).as("is_benchmark"))
+        .withColumn("contaminated",
+          !col("is_benchmark") && col("n_overlap") >= 3)
+    },
+    Some(s"""WITH ${TextShingles.shinglesSql(3)},
+      |shd AS (SELECT DISTINCT doc_id, ${hash64Sql("sg")} AS h FROM sh),
+      |bh AS (SELECT DISTINCT h FROM shd WHERE doc_id % 50 = 0),
+      |ov AS (SELECT s.doc_id, COUNT(*) AS n_overlap
+      |  FROM shd s JOIN bh ON s.h = bh.h GROUP BY s.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(z.n, 0) AS n_shingles,
+      |  COALESCE(o.n_overlap, 0) AS n_overlap,
+      |  d.doc_id % 50 = 0 AS is_benchmark,
+      |  (d.doc_id % 50 <> 0 AND COALESCE(o.n_overlap, 0) >= 3) AS contaminated
+      |FROM documents d
+      |LEFT JOIN sizes z ON d.doc_id = z.doc_id
+      |LEFT JOIN ov o ON d.doc_id = o.doc_id
+      |""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07)
 }

@@ -69,6 +69,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(cc(99L) == 99L) // singleton keeps itself
   }
 
+  test("dd07 decontamination covers every doc; benchmark docs never flagged") {
+    val df = SparkEntry.queries("dd07_decontaminate")(spark, sf)
+    assert(df.count() == Tables.load(spark, sf, "documents").count())
+    // a benchmark doc overlaps itself fully but must not be flagged
+    assert(df.filter(col("is_benchmark") && col("contaminated")).count() == 0)
+    val b = df.filter(col("is_benchmark") && col("n_shingles") > 0)
+    assert(b.filter(col("n_overlap") =!= col("n_shingles")).count() == 0)
+    // overlap is bounded by the doc's own shingle count
+    assert(df.filter(col("n_overlap") > col("n_shingles")).count() == 0)
+  }
+
   test("dd05 blocked GEMM: multi-block split equals the single-block result") {
     // force 8 blocks (64-row panels) so the cross-block task path —
     // which no default-sized test corpus reaches — runs and must
