@@ -250,7 +250,12 @@ object Similarity {
     * fixed-order sample, first-Ks init, fixed Lloyd iterations. */
   private[pipelines] object Pq {
     val M = 8
-    val Ks = 16
+    // 8-bit codes per subspace (the FAISS IVFPQ default): Ks=16 at
+    // sf0.1 left so much quantization error that true neighbors fell
+    // below the re-rank depth (recall@5 0.32 vs ann03's 0.74 probing
+    // ceiling) — one byte per subvector is the same 8-byte code with
+    // 16x finer cells
+    val Ks = 256
     val Iters = 5
     // deep enough that ADC ordering error inside the probed lists is
     // fully recovered by the exact re-rank (recall then equals the
