@@ -39,6 +39,35 @@ object TypedSchema {
     case t              => raw.cast(t)
   }
 
+  private val AddColRe =
+    """(?i)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMN\s+(\w+)\s+(\S+)\s*""".r
+  private val DropColRe =
+    """(?i)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+
+  /** Evolve a declared schema by one DDL statement from the control
+    * stream ([[graft.streaming.CdcStreaming.ddlEvents]]) — the
+    * consumer-side reaction to in-band schema changes (ref:
+    * OperationType.java DDL; the reference delivers the statement
+    * text, reacting is the subscriber's job). Supported shapes:
+    * `ALTER TABLE t ADD COLUMN name type` (type may be any
+    * [[RecordField]] sqlType) and `ALTER TABLE t DROP COLUMN name`.
+    * Statements for other tables or unrecognized DDL leave the schema
+    * unchanged (a consumer must never crash on an unknown DDL — the
+    * record already carries it for audit). */
+  def applyDdl(schema: TableSchema, statement: String): TableSchema =
+    statement match {
+      case AddColRe(t, name, tpe)
+          if tableMatches(schema, t) &&
+            !schema.fields.exists(_.name == name) =>
+        schema.copy(fields = schema.fields :+ RecordField(name, tpe))
+      case DropColRe(t, name) if tableMatches(schema, t) =>
+        schema.copy(fields = schema.fields.filterNot(_.name == name))
+      case _ => schema
+    }
+
+  private def tableMatches(schema: TableSchema, t: String): Boolean =
+    t == schema.tbl || t == s"${schema.db}.${schema.tbl}"
+
   /** Project the chosen image (`after` or `before`) of `schema`'s
     * table into typed columns, keeping record metadata as
     * `record_id`/`record_ts_us`/`record_op` (prefixed so declared

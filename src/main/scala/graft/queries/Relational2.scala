@@ -268,6 +268,26 @@ object Relational2 {
       |    ORDER BY p_ts ASC, p_id ASC) AS rn FROM cand)
       |WHERE rn = 1""".stripMargin))
 
+  // ---------------------------------------------------------------- q35
+  /** Approximate quantiles via the GK sketch (percentile_approx) —
+    * the mergeable-sketch quantile family beside q20's HLL: one
+    * map-side sketch per partition, merged at the exchange, error
+    * bounded by the accuracy parameter regardless of data size (the
+    * 100 TB quantile recipe; exact percentiles q25 need a full sort
+    * per group). Sketch internals differ per engine → rows-only, with
+    * the sanity bound asserted in RelationalSpec: approx p50 within
+    * the exact p25..p75 envelope. */
+  private val q35 = QueryDef(
+    "q35_approx_quantile",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+            .as("approx_pcts"),
+          count(lit(1)).as("n")),
+    None) // rows-only: GK sketch state is engine-specific
+
   val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }

@@ -25,7 +25,13 @@ class PerfSpec extends AnyFunSuite {
     val bounds = Map(
       "dd02_minhash_lsh"   -> 15.0,
       "dd04_ngram_jaccard" -> 15.0,
-      "dd05_embed_dup"     -> 15.0)
+      "dd05_embed_dup"     -> 15.0,
+      // round-3 additions: dd06's loop must stay O(rounds) over a
+      // persisted edge list (round 2 shipped it recomputing the whole
+      // verification pipeline per round); ann04's ADC + train path is
+      // driver+primitive-loop math that must stay monomorphic
+      "dd06_dup_clusters"  -> 20.0,
+      "ann04_knn_ivfpq"    -> 15.0)
     bounds.foreach { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       fn(spark, "/root/testdata/sf0.01").count() // warm listing/codegen

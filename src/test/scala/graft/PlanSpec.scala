@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: correctness tests prove WHAT a
+  * query returns; these prove it computes it with the plan that
+  * survives a 100x scale-up (SURVEY §5). A future edit that silently
+  * turns a broadcast star join into a nested loop, un-pushes a
+  * parquet filter, or adds an unplanned shuffle fails here instead of
+  * in the next round's bench.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(p: String, marker: String): Int =
+    marker.r.findAllIn(p).size
+
+  test("q08 star join: dims broadcast, no nested loop, facts shuffle once") {
+    val p = plan("q08_join_star")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q02 filter reaches the parquet scan as pushed filters") {
+    val p = plan("q02_filter")
+    assert("PushedFilters: \\[[^\\]]".r.findAllIn(p).nonEmpty,
+      "predicate did not push into the scan")
+  }
+
+  test("q17 global sort+limit plans as TakeOrderedAndProject") {
+    val p = plan("q17_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"),
+      "order-by+limit must not global-sort")
+  }
+
+  test("q33 uses the custom bounded-heap top-k operator") {
+    val p = plan("q33_topk_custom")
+    assert(p.contains("TopKPerGroup"), "custom exec node missing from plan")
+    assert(!p.contains("Window"), "fell back to a window sort")
+  }
+
+  test("dd01 exact dedup is a single-shuffle hash aggregate") {
+    val p = plan("dd01_dedup_exact")
+    assert(count(p, "Exchange") <= 2, s"unexpected extra shuffles:\n$p")
+    assert(!p.contains("SortAggregate"), "string min forced a sort agg")
+  }
+
+  test("dd07 decontamination broadcasts the benchmark index, corpus never shuffles") {
+    val p = plan("dd07_decontaminate")
+    assert(p.contains("BroadcastExchange"), "benchmark index must broadcast")
+    // the only shuffle belongs to building the bounded benchmark-side
+    // index (explode+distinct over ~2% of docs); the corpus side must
+    // be shuffle-free — with one shuffle on the bench side and its
+    // single-row agg, total exchanges stay <= 3
+    assert(count(p, "Exchange") - count(p, "BroadcastExchange") <= 3,
+      s"corpus side picked up a shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("mm02 frame sampling is shuffle-free") {
+    val p = plan("mm02_frame_sample")
+    assert(count(p, "Exchange") == 0, s"1->N fan-out must ride the scan:\n$p")
+  }
+
+  test("tx04 fingerprinting is shuffle-free") {
+    val p = plan("tx04_fingerprint")
+    assert(count(p, "Exchange") == 0, s"per-doc hashing must ride the scan:\n$p")
+  }
+}

@@ -69,6 +69,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("q35 approx quantiles land inside the exact p25..p75 envelope") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q35_approx_quantile")(spark, sf)
+      .select(col("l_returnflag"),
+        element_at(col("approx_pcts"), 2).as("ap50"))
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+    val bad = approx.join(exact, "l_returnflag")
+      .filter(col("ap50") < col("p25") || col("ap50") > col("p75"))
+    assert(bad.count() == 0)
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
