@@ -239,9 +239,16 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
+    // eager localCheckpoint (not just persist): each round references
+    // the previous labels TWICE (union + convergence count), so an
+    // unbroken lineage doubles per round — 3 rounds planned as a
+    // 210-exchange tree even though execution hit the cache. The
+    // checkpoint truncates the plan to the materialized data, keeping
+    // per-round planning O(1). On a real cluster swap in a reliable
+    // checkpoint dir (localCheckpoint trades fault-tolerance for
+    // speed) — the algorithm is unchanged.
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
-      .persist()
-    var prev: org.apache.spark.sql.DataFrame = null
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -249,16 +256,13 @@ object Dedup {
         .select(col("a").as("doc_id"), col("cluster"))
       val next = labels.unionAll(viaNeighbor)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .persist()
+        .localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).count()
-      if (prev != null) prev.unpersist()
-      prev = labels // counted above, safe to drop one round later
       labels = next
       iter += 1
     }
-    if (prev != null) prev.unpersist()
     edges.unpersist()
     labels.withColumn("is_keeper", col("doc_id") === col("cluster"))
   }
