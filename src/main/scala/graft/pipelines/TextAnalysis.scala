@@ -198,5 +198,53 @@ object TextAnalysis {
       |  FROM tf JOIN d USING (term))
       |WHERE rank <= 3""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(tx01, tx02, tx03, tx04, tx05)
+  // -------------------------------------------------------------- tx06
+  /** Rare-word ratio quality signal: corpus vocabulary = the top-10
+    * words by document frequency (ties broken by word — deterministic
+    * in both engines), per-doc fraction of token occurrences outside
+    * it. High rare-ratio documents are the gibberish/OCR-noise
+    * candidates a quality filter drops (the corpus-statistics signal
+    * beside tx02's per-doc shape ratios). Shape: vocabulary is a
+    * corpus-level aggregate (one map-side-combinable shuffle over
+    * token rows) that collapses to a broadcast array; scoring is then
+    * a narrow per-doc array op — the corpus itself never shuffles. */
+  private val tx06 = QueryDef(
+    "tx06_rareword",
+    (s, dir) => {
+      val w = TextShingles.words(s, dir)
+      val vocab = w.select(col("doc_id"), explode(col("ws")).as("word"))
+        .distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("word").asc).limit(10)
+        .agg(sort_array(collect_list(col("word"))).as("vocab"))
+      w.crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          expr("size(filter(ws, x -> NOT array_contains(vocab, x)))")
+            .cast("long").as("n_rare"))
+        .withColumn("rare_ratio",
+          when(col("n_tokens") > 0,
+            col("n_rare").cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+      |  FROM tok GROUP BY word),
+      |vocab AS (SELECT word FROM df ORDER BY df DESC, word ASC LIMIT 10),
+      |stats AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_rare
+      |  FROM tok t LEFT JOIN vocab v ON t.word = v.word
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(s.n_rare, 0) AS BIGINT) AS n_rare,
+      |  CASE WHEN COALESCE(s.n_tokens, 0) > 0
+      |    THEN CAST(s.n_rare AS DOUBLE) / s.n_tokens ELSE 0.0 END AS rare_ratio
+      |FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+      |""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(tx01, tx02, tx03, tx04, tx05, tx06)
 }
