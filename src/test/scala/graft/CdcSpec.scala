@@ -670,6 +670,19 @@ class CdcSourceSpec extends AnyFunSuite {
         |JOIN dim_ops d ON c.op = d.op""".stripMargin)
       assert(joined.count() ==
         recs.count(r => r.op == Op.Update || r.op == Op.Insert))
+      // the same catalog table opens as a STREAM (the reference's
+      // streaming-SQL consumption path)
+      val q = spark.readStream.table("cdc_sql_t")
+        .groupBy("op").count()
+        .writeStream.format("memory").queryName("cdc_sql_stream_t")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val ops = spark.table("cdc_sql_stream_t").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(ops(Op.Update) == recs.count(_.op == Op.Update))
+        assert(ops(Op.Insert) == recs.count(_.op == Op.Insert))
+      } finally q.stop()
     } finally {
       spark.sql("DROP TABLE IF EXISTS cdc_sql_t")
       spark.sql("DROP VIEW IF EXISTS dim_ops")

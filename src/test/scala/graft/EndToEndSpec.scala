@@ -107,4 +107,30 @@ class EndToEndSpec extends AnyFunSuite {
     // the audit_log table never reached the pipeline (table pushdown)
     assert(state.filter(col("key").contains("audit_log")).count() == 0)
   }
+
+  test("corpus pipeline: cluster -> decontaminate -> quality-filter -> keep list") {
+    // the training-data leg, composed from the operator surface the
+    // way a real pipeline chains them: one keeper per near-dup
+    // cluster, benchmark-contaminated docs dropped, high rare-word
+    // docs dropped
+    val sf = "/root/testdata/sf0.001"
+    val clusters = SparkEntry.queries("dd06_dup_clusters")(spark, sf)
+    val decon = SparkEntry.queries("dd07_decontaminate")(spark, sf)
+    val quality = SparkEntry.queries("tx06_rareword")(spark, sf)
+    val keep = clusters.filter(col("is_keeper"))
+      .join(decon, "doc_id")
+      .filter(!col("contaminated") && !col("is_benchmark"))
+      .join(quality.select(col("doc_id"), col("rare_ratio")), "doc_id")
+      .filter(col("rare_ratio") < 0.95)
+      .select(col("doc_id"), col("cluster"))
+    val kept = keep.count()
+    assert(kept > 0)
+    // one doc per cluster, and each keeper is its cluster's id
+    assert(keep.groupBy("cluster").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(keep.filter(col("doc_id") =!= col("cluster")).count() == 0)
+    // the pipeline actually dropped something (dups + benchmark set)
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(kept < total)
+  }
 }
