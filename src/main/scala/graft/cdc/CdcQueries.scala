@@ -286,6 +286,73 @@ object CdcQueries {
       |   THEN CAST(k AS BIGINT) & 15 END AS flags
       |FROM changelog""".stripMargin))
 
+  // -------------------------------------------------------------- cdc09
+  /** Temporal (versioned-dim) join — Flink's `FOR SYSTEM_TIME AS OF`
+    * over a changelog (the reference's dimension-lookup use of a DTS
+    * stream): each read-only probe joins the row image its key's
+    * changelog held AT the probe's timestamp, where a DELETE makes
+    * the key invisible until re-inserted. Differs from q21's event
+    * as-of join in the versioned-state semantics: the matched row is
+    * the whole carried image, and deletes mask it.
+    *
+    * Shape: union versions + facts, ONE window per key carrying the
+    * last version image forward (last ignoreNulls) — one shuffle,
+    * linear in |versions|+|facts|; never the per-fact subquery or the
+    * versions×facts blowup a naive join would plan. */
+  private val cdc09 = QueryDef(
+    "cdc09_temporal_join",
+    (s, dir) => {
+      val versions = dataOps(s, dir).select(
+        col("pk"), col("ts_us").as("us"), lit(0).as("kind"),
+        col("record_id"), col("op"), col("val"), col("k"),
+        lit(null).cast("long").as("probe_id"))
+      // probes: the changelog's read-only records (views → HEARTBEAT
+      // in the op mapping) — each asks "what row image did this key
+      // hold at my timestamp"
+      val facts = changelog(s, dir).filter(col("op") === "HEARTBEAT")
+        .select(
+          col("pk"), col("ts_us").as("us"), lit(1).as("kind"),
+          lit(null).cast("long").as("record_id"),
+          lit(null).cast("string").as("op"),
+          lit(null).cast("double").as("val"),
+          lit(null).cast("int").as("k"),
+          col("record_id").as("probe_id"))
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(col("us").asc, col("kind").asc, col("record_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      versions.unionAll(facts)
+        .withColumn("v_id", last(col("record_id"), ignoreNulls = true).over(w))
+        .withColumn("v_op", last(col("op"), ignoreNulls = true).over(w))
+        .withColumn("v_val", last(col("val"), ignoreNulls = true).over(w))
+        .withColumn("v_k", last(col("k"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("v_op").isNotNull &&
+          col("v_op") =!= "DELETE")
+        .select(col("probe_id"), col("pk"), col("us").as("probe_us"),
+          col("v_id"), col("v_val"), col("v_k"))
+    },
+    Some(s"""$changelogSql,
+      |u AS (
+      |  SELECT pk, ts_us AS us, 0 AS kind, record_id, op, val, k,
+      |    CAST(NULL AS BIGINT) AS probe_id
+      |  FROM changelog WHERE op <> 'HEARTBEAT'
+      |  UNION ALL
+      |  SELECT pk, ts_us, 1, NULL, NULL, NULL, NULL, record_id
+      |  FROM changelog WHERE op = 'HEARTBEAT'),
+      |carried AS (
+      |  SELECT *,
+      |    LAST_VALUE(record_id IGNORE NULLS) OVER w AS v_id,
+      |    LAST_VALUE(op IGNORE NULLS) OVER w AS v_op,
+      |    LAST_VALUE(val IGNORE NULLS) OVER w AS v_val,
+      |    LAST_VALUE(k IGNORE NULLS) OVER w AS v_k
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY pk
+      |    ORDER BY us ASC, kind ASC, record_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT probe_id, pk, us AS probe_us, v_id, v_val, v_k
+      |FROM carried
+      |WHERE kind = 1 AND v_op IS NOT NULL AND v_op <> 'DELETE'
+      |""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08)
+    cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09)
 }
