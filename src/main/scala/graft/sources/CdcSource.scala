@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -199,6 +200,45 @@ class CdcTable(
   }
 }
 
+/** DSv2 custom metrics: the scan's pruning work, visible per query in
+  * the SQL UI / QueryExecution metrics — at 100 TB "how much did the
+  * source NOT read" is the number an operator actually watches.
+  *   - chunksPruned: whole segments skipped by footer stats (driver)
+  *   - recordsSkippedHeader: records dropped on the fixed-header /
+  *     prefix read, tail never parsed (pushdown + table selection)
+  *   - recordsDecoded: records fully decoded to rows
+  *   - recordsCorruptSkipped: permissive-mode skips
+  */
+private[sources] object CdcMetrics {
+  final class ChunksPruned extends CustomSumMetric {
+    override def name(): String = "chunksPruned"
+    override def description(): String =
+      "chunks skipped whole by footer stats"
+  }
+  final class RecordsSkippedHeader extends CustomSumMetric {
+    override def name(): String = "recordsSkippedHeader"
+    override def description(): String =
+      "records dropped on header/prefix read (tail never parsed)"
+  }
+  final class RecordsDecoded extends CustomSumMetric {
+    override def name(): String = "recordsDecoded"
+    override def description(): String = "records fully decoded to rows"
+  }
+  final class RecordsCorruptSkipped extends CustomSumMetric {
+    override def name(): String = "recordsCorruptSkipped"
+    override def description(): String = "corrupt records skipped (permissive)"
+  }
+  def all: Array[CustomMetric] = Array(
+    new ChunksPruned, new RecordsSkippedHeader, new RecordsDecoded,
+    new RecordsCorruptSkipped)
+
+  final case class Value(metricName: String, metricValue: Long)
+    extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = metricValue
+  }
+}
+
 /** Offset = number of chunks fully consumed (chunk list is sorted and
   * append-only, like Kafka segment offsets). */
 case class CdcOffset(chunksConsumed: Int) extends Offset {
@@ -224,6 +264,13 @@ class CdcScan(
   extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  private val chunksPruned = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  override def supportedCustomMetrics(): Array[CustomMetric] = CdcMetrics.all
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    Array(CdcMetrics.Value("chunksPruned", chunksPruned.get))
 
   /** Make the pushdown visible in explain output (PlanAudit greps
     * for PushedFilters the way it does on parquet scans). */
@@ -267,9 +314,14 @@ class CdcScan(
     }
   }
 
+  // planned once per scan: Spark may ask for the partitions more than
+  // once per execution — caching keeps the listing + footer reads (and
+  // the chunksPruned metric) single-counted
+  private lazy val batchParts: Array[InputPartition] =
+    planSplits(CdcChunkFile.listChunks(path))
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      planSplits(CdcChunkFile.listChunks(path))
+    override def planInputPartitions(): Array[InputPartition] = batchParts
     override def createReaderFactory(): PartitionReaderFactory =
       new CdcReaderFactory(ordinals)
   }
@@ -285,7 +337,7 @@ class CdcScan(
         startTsUs.exists(ts => f.maxTsUs < ts) ||
         hdrFilters.tsMinUs.exists(f.maxTsUs < _) ||
         hdrFilters.tsMaxUs.exists(f.minTsUs > _)
-      if (pruned) Nil
+      if (pruned) { chunksPruned.incrementAndGet(); Nil }
       else f.splits.map { case (s0, e0) =>
         CdcInputPartition(c, s0, e0, startTsUs, tableSel, permissive,
           hdrFilters): InputPartition
@@ -379,6 +431,9 @@ class CdcPartitionReader(
   private val raw =
     CdcChunkFile.readRawRecordsRange(chunkPath, startOff, endOff)
   private var current: InternalRow = _
+  private var nSkipped = 0L
+  private var nDecoded = 0L
+  private var nCorrupt = 0L
 
   override def next(): Boolean = {
     while (raw.hasNext) {
@@ -389,12 +444,14 @@ class CdcPartitionReader(
           dbTblKeep(bytes)
         if (keep) {
           current = toRow(bytes)
+          nDecoded += 1
           return true
-        }
+        } else nSkipped += 1
       } catch {
         // framing is intact (length prefixes), only this payload is
         // bad — skip and count rather than kill the subscription
         case e: Exception if permissive =>
+          nCorrupt += 1
           CdcSource.corruptSkipped.incrementAndGet()
       }
     }
@@ -403,6 +460,11 @@ class CdcPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    CdcMetrics.Value("recordsSkippedHeader", nSkipped),
+    CdcMetrics.Value("recordsDecoded", nDecoded),
+    CdcMetrics.Value("recordsCorruptSkipped", nCorrupt))
 
   /** Fixed-header checks: ts bounds + op byte — no parsing at all. */
   private def headerKeep(bytes: Array[Byte]): Boolean = {

@@ -305,6 +305,34 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(got(2L) == ((None, None)))
   }
 
+  test("scan reports custom metrics: pruned chunks, header skips, decodes") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir) // 3 chunks x 10 records, ts 1s..30s
+    val conf = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(conf)
+    spark.conf.set(conf, "false") // keep BatchScanExec reachable
+    try {
+      // reposition past chunk 0 (maxTs 10s) => 1 chunk pruned whole;
+      // op pushdown drops non-UPDATE records on the header byte
+      val df = CdcStreaming.readBatch(spark, dir,
+          startingTimestampUs = Some(10000001L))
+        .filter(col("op") === Op.Update)
+        .select("id", "op")
+      df.collect() // executes THIS QueryExecution (count() builds its own)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      def metric(n: String): Long = scan.metrics(n).value
+      assert(metric("chunksPruned") == 1L)
+      // chunks 1+2 hold records 10..29: ops cycle per 10 with
+      // UPDATE at i%10 not in {0,5,9} => 14 updates, 6 skipped
+      assert(metric("recordsDecoded") == 14L)
+      assert(metric("recordsSkippedHeader") == 6L)
+      assert(metric("recordsCorruptSkipped") == 0L)
+    } finally spark.conf.set(conf, old)
+  }
+
   test("DDL control stream evolves the declared schema (add/drop column)") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("gcl").toString
