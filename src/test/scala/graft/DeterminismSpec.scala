@@ -21,6 +21,9 @@ class DeterminismSpec extends AnyFunSuite {
     "ann01_knn_brute",    // float fold + ranking
     "ann03_knn_ivf",      // k-means on a collected sample + probing
     "ann04_knn_ivfpq",    // PQ codebooks + ADC + exact re-rank
+    "cdc09_temporal_join",// carried-image window over a union
+    "dd07_decontaminate", // broadcast benchmark index + array ops
+    "tx06_rareword",      // tie-broken top-df vocabulary
     "tx02_quality",       // double ratio arithmetic
     "tx05_keyterms")      // tie-broken ranking over shuffled aggs
 
