@@ -246,6 +246,23 @@ object CdcStreaming {
       .groupBy(col("value"))
       .agg(sum(col("change")).as("live_rows"))
 
+  /** Retract stream → WINDOWED live-count aggregate in one streaming
+    * query: the event-time variant of [[liveCountByValue]] — sign-sums
+    * per (tumbling window, value), watermark bounding the window
+    * state. Run in update/complete mode; a window's sums become final
+    * once the watermark passes it. */
+  def windowedLiveCounts(
+      changes: DataFrame, valueExpr: org.apache.spark.sql.Column,
+      win: String = "10 seconds", watermark: String = "0 seconds")(
+      implicit spark: SparkSession): DataFrame =
+    materializeRetract(changes, valueExpr)
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("value"))
+      .agg(sum(col("change")).as("live_rows"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("value"), col("live_rows"))
+
   /** Current state of one logical key, as maintained by the upsert
     * materializer. */
   final case class KeyState(

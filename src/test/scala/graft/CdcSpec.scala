@@ -751,6 +751,64 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-table catalog: one subscription dir, per-table SQL") {
+    val dir = Files.createTempDirectory("gcl").toString
+    // two dbs, three tables on one wire
+    def r(id: Long, db: String, tbl: String) =
+      ChangeRecord(id, "tx", 1000000L * id, 0L, Op.Update, db, tbl,
+        Seq("k"), null, Map("k" -> id.toString, "v" -> s"v$id"))
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", Seq(
+      r(1, "appdb", "users"), r(2, "appdb", "orders"),
+      r(3, "appdb", "users"), r(4, "auditdb", "log")))
+    val cat = "cdc_cat_t"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CdcCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    try {
+      val ns = spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+        .map(_.getString(0)).toSet
+      assert(ns == Set("appdb", "auditdb"))
+      val tbls = spark.sql(s"SHOW TABLES IN $cat.appdb").collect()
+        .map(_.getString(1)).toSet
+      assert(tbls == Set("users", "orders"))
+      // per-table scans carry the table selector (prefix-filtered)
+      assert(spark.sql(s"SELECT * FROM $cat.appdb.users").count() == 2)
+      assert(spark.sql(s"SELECT * FROM $cat.auditdb.log").count() == 1)
+      // a missing table is a resolution error, not an empty scan
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.appdb.nope").collect()
+      }
+      // newly appended chunks surface new tables (cache revalidates)
+      CdcChunkFile.write(s"$dir/chunk-00001${CdcChunkFile.Extension}",
+        Seq(r(5, "appdb", "carts")))
+      assert(spark.sql(s"SELECT * FROM $cat.appdb.carts").count() == 1)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.path")
+    }
+  }
+
+  test("retract → windowed aggregate chains event time through FMGWS") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir)
+    val q = CdcStreaming.windowedLiveCounts(
+        CdcStreaming.readStream(spark, dir, maxChunksPerTrigger = Some(1)),
+        element_at(col("after"), "v"), win = "10 seconds")
+      .writeStream.format("memory").queryName("retract_win_t")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("retract_win_t")
+      // sign-sums must globally reconcile: total live rows = keys
+      // alive at the end (k0, k1 — k2 deleted by record 29)
+      assert(got.agg(sum("live_rows")).head().getLong(0) == 2L)
+      // each window's net change is the inserts minus deletes whose
+      // LAST effect lands in it — never negative overall counts
+      assert(got.groupBy("value").agg(sum("live_rows").as("n"))
+        .filter(col("n") < 0).count() == 0)
+    } finally q.stop()
+  }
+
   test("restart from checkpoint continues, no duplicates") {
     val dir = Files.createTempDirectory("gcl").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
