@@ -25,18 +25,18 @@ import java.util
   *                                        -- `table` pushdown applied
   * }}}
   *
-  * Discovery reads each record's (db, tbl) PREFIX only — the lazy
-  * header play; tails are never parsed — and caches per chunk-listing
-  * state, so repeated catalog calls cost one directory listing. Each
-  * loaded table is an ordinary [[CdcTable]] with the per-table
-  * selector pushed into the reader (non-matching records drop on the
-  * prefix read). The catalog is read-only: the write path goes
-  * through the `graft-cdc` sink, mirroring the reference (a
-  * subscription is not a place you CREATE tables).
-  *
-  * At 100 TB the discovery scan is the listing cost, not the data
-  * cost, but a footer-v3 carrying the chunk's distinct (db, tbl) set
-  * would make it O(chunks); the read path is unaffected either way.
+  * Discovery is O(chunks): v3 footers carry each chunk's distinct
+  * (db, tbl) directory, so listing namespaces/tables reads footers
+  * only — records are never touched. Pre-v3 chunks fall back to the
+  * per-record (db, tbl) PREFIX read (the lazy header play; tails are
+  * never parsed). Results cache per chunk-listing state, so repeated
+  * catalog calls cost one directory listing. Each loaded table is an
+  * ordinary [[CdcTable]] with the per-table selector pushed into the
+  * reader: v3 chunks that never mention the table are pruned WHOLE,
+  * and surviving chunks drop non-matching records on the prefix read.
+  * The catalog is read-only: the write path goes through the
+  * `graft-cdc` sink, mirroring the reference (a subscription is not a
+  * place you CREATE tables).
   */
 class CdcCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -64,8 +64,11 @@ class CdcCatalog extends TableCatalog with SupportsNamespaces {
     val c = cache
     if (c != null && c._1 == chunks) c._2
     else {
+      // v3 footers carry the chunk's (db,tbl) set → discovery is
+      // O(chunks); pre-v3 chunks fall back to the prefix read
       val found = chunks.iterator.flatMap { ch =>
-        CdcChunkFile.readRawRecords(ch).map(RecordCodec.headerTable)
+        CdcChunkFile.readFooter(ch).tables.getOrElse(
+          CdcChunkFile.readRawRecords(ch).map(RecordCodec.headerTable).toSet)
       }.toSet
       cache = (chunks, found)
       found

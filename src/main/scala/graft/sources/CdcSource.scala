@@ -326,17 +326,27 @@ class CdcScan(
       new CdcReaderFactory(ordinals)
   }
 
-  /** One footer read per chunk buys both timestamp pruning AND
-    * sub-chunk splitting: indexed chunks yield one input partition
+  /** One footer read per chunk buys timestamp pruning, TABLE pruning
+    * AND sub-chunk splitting: indexed chunks yield one input partition
     * per ~SplitStride records, so a single huge segment parallelizes
-    * across the cluster instead of serializing onto one core. */
+    * across the cluster instead of serializing onto one core; a chunk
+    * whose v3 table directory never mentions the selected/pushed table
+    * is skipped whole — a single-table subscription over a many-table
+    * transport reads only the chunks that carry its table. */
   private def planSplits(chunks: Seq[String]): Array[InputPartition] =
     chunks.flatMap { c =>
       val f = CdcChunkFile.readFooter(c)
+      // any (db,tbl) in the chunk compatible with selector + pushdown?
+      def tableMiss = f.tables.exists(!_.exists { case (d, t) =>
+        tableSel.forall(_ == ((d, t))) &&
+          hdrFilters.db.forall(_ == d) && hdrFilters.tbl.forall(_ == t)
+      })
       val pruned =
         startTsUs.exists(ts => f.maxTsUs < ts) ||
         hdrFilters.tsMinUs.exists(f.maxTsUs < _) ||
-        hdrFilters.tsMaxUs.exists(f.minTsUs > _)
+        hdrFilters.tsMaxUs.exists(f.minTsUs > _) ||
+        ((tableSel.isDefined || hdrFilters.db.isDefined ||
+          hdrFilters.tbl.isDefined) && tableMiss)
       if (pruned) { chunksPruned.incrementAndGet(); Nil }
       else f.splits.map { case (s0, e0) =>
         CdcInputPartition(c, s0, e0, startTsUs, tableSel, permissive,

@@ -809,6 +809,104 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("footer v3 table directory prunes whole chunks on table selection") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("gcl").toString
+    def r(id: Long, db: String, tbl: String) =
+      ChangeRecord(id, "tx", 1000000L * id, 0L, Op.Update, db, tbl,
+        Seq("k"), null, Map("k" -> id.toString, "v" -> s"v$id"))
+    // chunk 0 carries only users, chunk 1 only orders
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}",
+      (1L to 5L).map(r(_, "appdb", "users")))
+    CdcChunkFile.write(s"$dir/chunk-00001${CdcChunkFile.Extension}",
+      (6L to 10L).map(r(_, "appdb", "orders")))
+    val f = CdcChunkFile.readFooter(
+      s"$dir/chunk-00000${CdcChunkFile.Extension}")
+    assert(f.tables.contains(Set(("appdb", "users"))))
+    assert(f.nRecords == 5 && f.minTsUs == 1000000L && f.maxTsUs == 5000000L)
+    val conf = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(conf)
+    spark.conf.set(conf, "false") // keep BatchScanExec reachable
+    try {
+      // the per-table selector skips the orders chunk WHOLE: one input
+      // partition, one chunk pruned, and its records never header-read
+      val df = CdcStreaming.readBatch(spark, dir, table = Some("appdb.users"))
+      val rows = df.collect()
+      assert(rows.length == 5 && rows.forall(_.getAs[String]("tbl") == "users"))
+      assert(df.rdd.getNumPartitions == 1)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(scan.metrics("chunksPruned").value == 1L)
+      assert(scan.metrics("recordsSkippedHeader").value == 0L)
+      // a pushed tbl-equality filter prunes the same way, no selector
+      val df2 = CdcStreaming.readBatch(spark, dir)
+        .filter(col("tbl") === "orders").select("id", "tbl")
+      assert(df2.collect().length == 5)
+      val scan2 = df2.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(scan2.metrics("chunksPruned").value == 1L)
+    } finally spark.conf.set(conf, old)
+  }
+
+  test("pre-v3 chunks read fine: no table dir, no table pruning, still split") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val recs = (0 until 5).map(i =>
+      CdcFixtures.rec(i.toLong, 1000000L * (i + 1), Op.Insert, s"k$i", s"v$i"))
+    // hand-write a round-2 (v2) chunk: records, no index, v2 footer
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$dir/chunk-00000${CdcChunkFile.Extension}")))
+    recs.map(RecordCodec.encode).foreach { b =>
+      out.write(b.length & 0xff); out.write((b.length >> 8) & 0xff)
+      out.write((b.length >> 16) & 0xff); out.write((b.length >> 24) & 0xff)
+      out.write(b)
+    }
+    val foot = java.nio.ByteBuffer.allocate(CdcChunkFile.FooterLen2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    foot.putInt(0).putLong(1000000L).putLong(5000000L)
+    foot.putInt(recs.length).putInt(CdcChunkFile.FooterMagic2)
+    out.write(foot.array()); out.close()
+    val f = CdcChunkFile.readFooter(
+      s"$dir/chunk-00000${CdcChunkFile.Extension}")
+    assert(f.tables.isEmpty && f.nRecords == 5 && f.splits.length == 1)
+    // reads fully; a table selector still works (per-record prefix path)
+    assert(CdcStreaming.readBatch(spark, dir).count() == 5)
+    assert(CdcStreaming.readBatch(spark, dir,
+      table = Some("appdb.users")).count() == 5)
+    assert(CdcStreaming.readBatch(spark, dir,
+      table = Some("appdb.nope")).count() == 0)
+  }
+
+  test("catalog discovery is footer-only on v3 chunks (records untouched)") {
+    val dir = Files.createTempDirectory("gcl").toString
+    def r(id: Long, db: String, tbl: String) =
+      ChangeRecord(id, "tx", 1000000L * id, 0L, Op.Update, db, tbl,
+        Seq("k"), null, Map("k" -> id.toString, "v" -> s"v$id"))
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", Seq(
+      r(1, "appdb", "users"), r(2, "appdb", "orders"), r(3, "auditdb", "log")))
+    // vandalize the RECORD region: first record's length prefix becomes
+    // Int.MaxValue, so any fallback prefix-read of records would throw —
+    // discovery must come from the v3 footer alone
+    val raf = new java.io.RandomAccessFile(
+      s"$dir/chunk-00000${CdcChunkFile.Extension}", "rw")
+    try { raf.seek(0); raf.writeInt(0x7fffffff) } finally raf.close()
+    val cat = "cdc_cat_v3"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CdcCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    try {
+      val ns = spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+        .map(_.getString(0)).toSet
+      assert(ns == Set("appdb", "auditdb"))
+      val tbls = spark.sql(s"SHOW TABLES IN $cat.appdb").collect()
+        .map(_.getString(1)).toSet
+      assert(tbls == Set("users", "orders"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.path")
+    }
+  }
+
   test("restart from checkpoint continues, no duplicates") {
     val dir = Files.createTempDirectory("gcl").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
