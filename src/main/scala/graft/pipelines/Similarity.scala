@@ -128,7 +128,7 @@ object Similarity {
     * join on the list id. */
   private[pipelines] object Ivf {
     val C = 16
-    val Iters = 5
+    val Iters = 15
     val NProbe = 4
     val SampleEvery = 4 // train on vec_id % 4 == 0 (deterministic sample)
 
@@ -260,7 +260,7 @@ object Similarity {
     // deep enough that ADC ordering error inside the probed lists is
     // fully recovered by the exact re-rank (recall then equals the
     // IVF probing ceiling — ann03's recall at the same NProbe)
-    val RerankDepth = 50
+    val RerankDepth = 150
 
     def slice(v: Array[Double], m: Int): Array[Double] = {
       val sub = v.length / M
