@@ -28,6 +28,20 @@ object Bench {
     def run(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).count()
 
+    // Deterministic block sweep between runs: iterative queries
+    // localCheckpoint per round, and those blocks are PINNED in
+    // storage memory (non-evictable) until the ContextCleaner sees
+    // the RDD get GC'd — which in a quiet 8g heap may be never. Left
+    // to accumulate, they starve every later query's execution
+    // memory (BENCH_r03: dd06 80 s, tx02–tx04 ~30× their steady
+    // state, everything after dd06 degraded). Queries never share
+    // cached state across calls, so sweeping is semantics-free.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", " ").replace("\r", " ").replace("\t", " ")
@@ -39,16 +53,24 @@ object Bench {
     val results = names.map { n =>
       try {
         run(n)
+        sweep() // warm run's leftovers must not occupy the timed run
         val t0 = System.nanoTime()
         run(n)
-        n -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep()
+        n -> dt
       } catch {
         case e: Throwable =>
           errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          sweep()
           n -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: the driver parses the JSON from a bounded stdout
+    // tail, and full-precision doubles pushed the line past the tail
+    // window three rounds running (BENCH_r0{1,2,3} parsed:null).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // end-to-end subscription throughput: records/s through the
@@ -101,7 +123,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann02_recall":$r2,"ann03_recall":$r3,"ann04_recall":$r4,"stream_rps":$streamRps,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ann02_recall":${f3(r2)},"ann03_recall":${f3(r3)},"ann04_recall":${f3(r4)},"stream_rps":${f3(streamRps)},"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))

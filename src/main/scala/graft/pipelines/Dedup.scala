@@ -247,6 +247,20 @@ object Dedup {
     // per-round planning O(1). On a real cluster swap in a reliable
     // checkpoint dir (localCheckpoint trades fault-tolerance for
     // speed) — the algorithm is unchanged.
+    // localCheckpoint blocks are PINNED (eviction would break
+    // recompute, so the unified memory manager can't reclaim them) and
+    // are only freed when the ContextCleaner notices the RDD got GC'd.
+    // Left to GC timing, a 20-round loop can hold 20 label snapshots in
+    // storage memory and starve every LATER query's execution memory —
+    // the ADVICE-r3 leak. Free each superseded snapshot explicitly the
+    // moment its convergence count is done: the checkpointed RDD sits
+    // under the Dataset's LogicalRDD leaf.
+    def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
     var changed = 1L
@@ -260,6 +274,7 @@ object Dedup {
       changed = next
         .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).count()
+      freeCheckpoint(labels) // superseded: nothing reads it again
       labels = next
       iter += 1
     }

@@ -379,11 +379,11 @@ object Similarity {
       // bounded query set: vectors to the driver, LUTs broadcast
       val qvecs = typed.filter(_._1 < NQueries).collect().sortBy(_._1)
         .map { case (id, v) => id -> Ivf.normalize(v) }
-      val luts: Map[(Long, Int), Array[Double]] = qvecs.flatMap {
-        case (qid, qu) =>
-          Ivf.probes(qu, cents, Ivf.NProbe).map { c =>
-            (qid, c) -> Pq.lut(qu, cbs)
-          }
+      // LUT depends only on the query (codebooks are shared), so key
+      // by qid — keying by (qid, probed cluster) stored the identical
+      // M×Ks table NProbe× over in the broadcast (ADVICE r3)
+      val luts: Map[Long, Array[Double]] = qvecs.map {
+        case (qid, qu) => qid -> Pq.lut(qu, cbs)
       }.toMap
       val coarse: Map[(Long, Int), Double] = qvecs.flatMap {
         case (qid, qu) =>
@@ -409,7 +409,7 @@ object Similarity {
         .as[(Long, Int, Long, Array[Byte])]
         .map { case (qid, c, vid, codes) =>
           (qid, vid, Pq.adc(bcCoarse.value((qid, c)), codes,
-            bcLuts.value((qid, c))))
+            bcLuts.value(qid)))
         }.toDF("q_id", "n_id", "adc")
       val wAdc = Window.partitionBy(col("q_id"))
         .orderBy(col("adc").desc, col("n_id").asc)

@@ -276,7 +276,10 @@ object Relational2 {
     * 100 TB quantile recipe; exact percentiles q25 need a full sort
     * per group). Sketch internals differ per engine → rows-only, with
     * the sanity bound asserted in RelationalSpec: approx p50 within
-    * the exact p25..p75 envelope. */
+    * the exact p25..p75 envelope. One sketch per group (a single
+    * percentile_approx over the 3-quantile array), unpacked into
+    * scalar columns — the external harness hashes rows-only results
+    * too, and an array cell is unhashable there (ADVICE r3). */
   private val q35 = QueryDef(
     "q35_approx_quantile",
     (s, dir) =>
@@ -284,8 +287,13 @@ object Relational2 {
         .groupBy(col("l_returnflag"))
         .agg(
           expr("percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
-            .as("approx_pcts"),
-          count(lit(1)).as("n")),
+            .as("pcts"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("pcts").getItem(0).as("p25"),
+          col("pcts").getItem(1).as("p50"),
+          col("pcts").getItem(2).as("p75"),
+          col("n")),
     None) // rows-only: GK sketch state is engine-specific
 
   val defs: Seq[QueryDef] =

@@ -107,6 +107,10 @@ object CdcParquetSink {
       spark: SparkSession, batch: DataFrame, tableDir: String,
       batchId: Long, nBuckets: Int = DefaultBuckets,
       maxDeltas: Int = DefaultMaxDeltas): Unit = {
+    // maxDeltas=0 would classify every touched bucket as "folded" on
+    // every batch — silently degrading to the round-2 whole-bucket
+    // rewrite (ADVICE r3); 1 is the legitimate floor (fold each batch)
+    require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
     Files.createDirectories(Paths.get(tableDir))
     val version = versionName(batchId)
     // at-least-once replay: manifest is written last, so its existence
@@ -201,6 +205,40 @@ object CdcParquetSink {
     Files.move(tmp, Paths.get(tableDir, Latest),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    gcUnreferenced(tableDir, manifest)
+  }
+
+  /** Delete bucket dirs superseded by the just-published manifest —
+    * without GC, every fold/compact left its inputs on disk and file
+    * count grew without bound between compactions (ADVICE r3). Old
+    * MANIFEST files are kept (they are the at-least-once replay
+    * short-circuit and are O(lines), never data-sized). Single-writer
+    * store: a reader racing the fold may need a retry, same contract
+    * as any non-snapshot-isolated table store. */
+  private def gcUnreferenced(tableDir: String,
+      manifest: Map[Int, Seq[String]]): Unit = {
+    val referenced = manifest.values.flatten.toSet
+    def deleteRecursively(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      Files.deleteIfExists(p)
+    }
+    val dirs = Files.list(Paths.get(tableDir)).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .filter { d => val n = d.getFileName.toString
+        n.startsWith("v") || n.startsWith("compact-") }
+      .toSeq
+    dirs.foreach { vdir =>
+      val vname = vdir.getFileName.toString
+      Files.list(vdir).iterator().asScala.toSeq
+        .filter(b => b.getFileName.toString.startsWith("bucket="))
+        .filterNot(b => referenced(s"$vname/${b.getFileName}"))
+        .foreach(deleteRecursively)
+      // only marker files (_SUCCESS) left → the whole version is dead
+      val liveBuckets = Files.list(vdir).iterator().asScala
+        .count(_.getFileName.toString.startsWith("bucket="))
+      if (liveBuckets == 0) deleteRecursively(vdir)
+    }
   }
 
   /** Start the continuous materialization. */

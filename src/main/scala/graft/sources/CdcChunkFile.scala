@@ -193,28 +193,51 @@ object CdcChunkFile {
     (0 until n).map(_ => (str(), str())).toSet
   }
 
+  /** A record iterator that owns a file handle. Fully-consumed
+    * iterators close themselves; early-terminating callers (limit
+    * pushdown) must call close(). */
+  trait RecordRangeIterator extends Iterator[Array[Byte]]
+    with java.io.Closeable
+
   /** Iterate raw record payloads of one byte range (caller decodes
-    * lazily or fully). Reads ONLY [start, end) plus nothing else. */
+    * lazily or fully). Reads ONLY [start, end) plus nothing else —
+    * STREAMED through a fixed 1 MB buffer, never materializing the
+    * range: an unindexed (v1) chunk's whole-region range used to be
+    * allocated as one ByteBuffer with the length cast to Int, so a
+    * >2 GB chunk overflowed/OOM'd (ADVICE r3). */
   def readRawRecordsRange(
-      path: String, start: Long, end: Long): Iterator[Array[Byte]] = {
+      path: String, start: Long, end: Long): RecordRangeIterator = {
+    val total = end - start
+    require(total >= 0, s"negative range [$start,$end) in $path")
     val ch = Files.newByteChannel(Paths.get(path))
-    val len = (end - start).toInt
-    val buf = ByteBuffer.allocate(len)
-    try {
-      ch.position(start)
-      while (buf.hasRemaining && ch.read(buf) >= 0) {}
-    } finally ch.close()
-    val all = buf.array()
-    new Iterator[Array[Byte]] {
-      private var pos = 0
-      override def hasNext: Boolean = pos < len
+    ch.position(start)
+    val in = new java.io.BufferedInputStream(
+      java.nio.channels.Channels.newInputStream(ch), 1 << 20)
+    new RecordRangeIterator {
+      private var consumed = 0L
+      private var closed = false
+      override def hasNext: Boolean = {
+        val more = !closed && consumed < total
+        if (!more) close()
+        more
+      }
       override def next(): Array[Byte] = {
-        val n = ((all(pos) & 0xff)) | ((all(pos + 1) & 0xff) << 8) |
-          ((all(pos + 2) & 0xff) << 16) | ((all(pos + 3) & 0xff) << 24)
-        val b = java.util.Arrays.copyOfRange(all, pos + 4, pos + 4 + n)
-        pos += 4 + n
+        val hdr = in.readNBytes(4)
+        if (hdr.length < 4)
+          { close(); throw new java.io.EOFException(path) }
+        val n = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) |
+          ((hdr(2) & 0xff) << 16) | ((hdr(3) & 0xff) << 24)
+        if (n < 0 || consumed + 4L + n > total)
+          { close()
+            throw new java.io.IOException(
+              s"corrupt record frame (len=$n at byte ${start + consumed}) in $path") }
+        val b = in.readNBytes(n)
+        if (b.length < n) { close(); throw new java.io.EOFException(path) }
+        consumed += 4L + n
         b
       }
+      override def close(): Unit =
+        if (!closed) { closed = true; in.close() }
     }
   }
 

@@ -469,7 +469,9 @@ class CdcPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  // the range iterator owns a file handle; Spark may stop consuming
+  // early (limit pushdown), so release it here rather than at GC
+  override def close(): Unit = raw.close()
 
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     CdcMetrics.Value("recordsSkippedHeader", nSkipped),

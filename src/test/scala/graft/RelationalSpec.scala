@@ -72,8 +72,7 @@ class RelationalSpec extends AnyFunSuite {
   test("q35 approx quantiles land inside the exact p25..p75 envelope") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("q35_approx_quantile")(spark, sf)
-      .select(col("l_returnflag"),
-        element_at(col("approx_pcts"), 2).as("ap50"))
+      .select(col("l_returnflag"), col("p50").as("ap50"))
     val exact = Tables.load(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),

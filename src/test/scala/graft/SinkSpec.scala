@@ -6,7 +6,7 @@ import graft.sources.CdcChunkFile
 import graft.streaming.CdcStreaming
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 class SinkSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -126,6 +126,31 @@ class SinkSpec extends AnyFunSuite {
       .select(element_at(col("after"), "v")).head().getString(0)
     assert(k1v == "u2")
     assert(table.filter(col("key").endsWith("|k2")).count() == 0)
+
+    // GC: the fold superseded hot's old base+deltas — their bucket
+    // dirs must be gone from disk, and everything the live manifest
+    // references must still exist (file count can't grow unbounded
+    // between compactions)
+    val live = m2.values.flatten.toSet
+    m1(hot).foreach { rel =>
+      assert(!Files.exists(Paths.get(tableDir, rel)),
+        s"superseded $rel should be GC'd") }
+    live.foreach { rel =>
+      assert(Files.exists(Paths.get(tableDir, rel)),
+        s"live $rel must survive GC") }
+    // manifests are the replay short-circuit: all three survive
+    (0L to 2L).foreach { b =>
+      assert(Files.exists(Paths.get(tableDir, f"manifest-v$b%012d.tsv"))) }
+  }
+
+  test("maxDeltas < 1 is rejected (would degrade to whole-bucket rewrites)") {
+    val dir = Files.createTempDirectory("gcl").toString
+    CdcFixtures.writeChunks(dir)
+    val batch = CdcStreaming.readBatch(spark, dir)
+    intercept[IllegalArgumentException] {
+      CdcParquetSink.applyBatch(spark, batch,
+        Files.createTempDirectory("tbl").toString, 0L, maxDeltas = 0)
+    }
   }
 
   test("replayed micro-batch no-ops once its manifest exists") {
