@@ -360,5 +360,40 @@ object Dedup {
       |LEFT JOIN ov o ON d.doc_id = o.doc_id
       |""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07)
+  // -------------------------------------------------------------- dd08
+  /** Corpus MIXING / stratified downsampling: keep a fixed quota per
+    * (lang, source) stratum, selection DETERMINISTIC by a salted md5
+    * of the doc id — the "sample 20 docs per source per language"
+    * step a training mix runs, reproducible across runs and engines
+    * (no RNG state; md5 hex is identical everywhere). Executes on the
+    * custom [[graft.plans.TopKPerGroup]] operator: bounded heap per
+    * stratum with a map-side partial, so the 100 TB corpus shuffles
+    * at most strata×quota rows per partition — never a full sort and
+    * never the table (the exact shape Spark's row_number-over-window
+    * plan would sort-and-spill on). */
+  private val SampleQuota = 20
+  private val dd08 = QueryDef(
+    "dd08_sample_stratified",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("pick",
+          md5(concat(col("doc_id").cast("string"), lit(":mix"))
+            .cast("binary")))
+      graft.plans.TopKPerGroup(docs,
+        Seq(col("lang"), col("source")),
+        Seq(col("pick").asc, col("doc_id").asc), SampleQuota)
+        .select(col("doc_id"), col("lang"), col("source"), col("pick"))
+    },
+    Some(s"""SELECT doc_id, lang, source, pick FROM (
+      |  SELECT doc_id, lang, source,
+      |    md5(CAST(doc_id AS VARCHAR) || ':mix') AS pick,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix') ASC,
+      |        doc_id ASC) AS rn
+      |  FROM documents)
+      |WHERE rn <= $SampleQuota
+      |""".stripMargin))
+
+  val defs: Seq[QueryDef] =
+    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08)
 }

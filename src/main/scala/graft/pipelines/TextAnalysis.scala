@@ -246,5 +246,111 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
       |""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(tx01, tx02, tx03, tx04, tx05, tx06)
+  // -------------------------------------------------------------- tx07
+  /** Repetition / boilerplate signal (the Gopher-style "repetition"
+    * quality gates): per doc, the duplicate-trigram ratio (templated
+    * and machine-generated text repeats long n-grams) and the
+    * top-token share (max term frequency / token count — keyword-stuffed
+    * or degenerate docs concentrate mass on one token). Trigram stats
+    * are a NARROW per-row array op (shingles + array_distinct ride the
+    * scan, nothing row-multiplies); the top-token share is one
+    * (doc, term) shuffle with map-side partial counts, the same shape
+    * as tx05's tf pass. Ratios are exact small-int divisions — both
+    * engines produce bit-identical doubles. */
+  private val tx07 = QueryDef(
+    "tx07_repetition",
+    (s, dir) => {
+      val w = TextShingles.words(s, dir)
+        .withColumn("tri", expr(TextShingles.shingleArray(3)))
+      val narrow = w.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(col("tri")).cast("long").as("n_tri"),
+        size(array_distinct(col("tri"))).cast("long").as("n_tri_distinct"))
+      val topTf = TextShingles.words(s, dir)
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id")).agg(max(col("tf")).as("max_tf"))
+      narrow.join(topTf, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_tri"),
+          col("n_tri_distinct"),
+          when(col("n_tri") > 0,
+            lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri"))
+            .otherwise(lit(0.0)).as("dup_tri_ratio"),
+          when(col("n_tokens") > 0,
+            coalesce(col("max_tf"), lit(0L)).cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)).as("top_tok_ratio"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sg
+      |  FROM w CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t),
+      |td AS (SELECT doc_id, COUNT(*) AS n_tri,
+      |  COUNT(DISTINCT sg) AS n_tri_distinct FROM tri GROUP BY 1),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |mt AS (SELECT doc_id, MAX(tf) AS max_tf FROM tf GROUP BY 1)
+      |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(td.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CAST(COALESCE(td.n_tri_distinct, 0) AS BIGINT) AS n_tri_distinct,
+      |  CASE WHEN COALESCE(td.n_tri, 0) > 0
+      |    THEN 1.0 - CAST(td.n_tri_distinct AS DOUBLE) / td.n_tri
+      |    ELSE 0.0 END AS dup_tri_ratio,
+      |  CASE WHEN len(ws) > 0
+      |    THEN CAST(COALESCE(mt.max_tf, 0) AS DOUBLE) / len(ws)
+      |    ELSE 0.0 END AS top_tok_ratio
+      |FROM w LEFT JOIN td ON w.doc_id = td.doc_id
+      |LEFT JOIN mt ON w.doc_id = mt.doc_id
+      |""".stripMargin))
+
+  // -------------------------------------------------------------- tx08
+  /** PII redaction — the compliance pass a corpus takes before
+    * training: emails, IPv4s and SSN-shaped ids are replaced with
+    * typed placeholder tokens and counted per doc. One narrow per-row
+    * pass (regexp_replace/extract_all ride the scan, zero shuffles);
+    * patterns stay in the Java∩RE2 common dialect so both engines
+    * match identical spans. The synthetic corpus contains no PII
+    * (counts verify as zero against the oracle); TextSpec proves the
+    * redaction path itself on constructed rows. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** text → text with PII spans replaced by placeholder tokens. */
+  private[graft] def redact(c: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      SsnRe, "<SSN>")
+
+  private val tx08 = QueryDef(
+    "tx08_pii_redact",
+    (s, dir) =>
+      // column-function API, not expr(): Spark's SQL literal parser
+      // eats backslashes ('\d' → 'd'), silently corrupting patterns
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+            .cast("long").as("n_ip"),
+          size(regexp_extract_all(col("text"), lit(SsnRe), lit(0)))
+            .cast("long").as("n_ssn"),
+          redact(col("text")).as("red_text")),
+    Some(s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(text, '$SsnRe')) AS BIGINT) AS n_ssn,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '$EmailRe', '<EMAIL>', 'g'),
+      |    '$Ipv4Re', '<IP>', 'g'),
+      |    '$SsnRe', '<SSN>', 'g') AS red_text
+      |FROM documents
+      |""".stripMargin))
+
+  val defs: Seq[QueryDef] =
+    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08)
 }

@@ -159,4 +159,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.filter(col("fake_width") < 16 || col("fake_width") > 79)
       .count() == 0)
   }
+
+  test("tx07 repetition: a templated doc scores high, word soup low") {
+    val df = SparkEntry.queries("tx07_repetition")(spark, sf)
+    // ratios well-formed and total over the corpus
+    assert(df.count() == Tables.load(spark, sf, "documents").count())
+    assert(df.filter(col("dup_tri_ratio") < 0 || col("dup_tri_ratio") > 1)
+      .count() == 0)
+    assert(df.filter(col("top_tok_ratio") < 0 || col("top_tok_ratio") > 1)
+      .count() == 0)
+    // the signal itself, on constructed rows: pure repetition maxes the
+    // duplicate-trigram ratio, all-distinct text floors it
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ("spam ham " * 30).trim),        // 2-token template repeated
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "))) // all distinct
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("ws"))
+      .withColumn("tri",
+        expr(graft.pipelines.TextShingles.shingleArray(3)))
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("tri"))).cast("double") /
+          size(col("tri"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) > 0.9, s"templated doc should repeat, got ${rows(1L)}")
+    assert(rows(2L) == 0.0, s"distinct doc should not, got ${rows(2L)}")
+  }
+
+  test("tx08 pii redaction masks emails/ips/ssns and only those") {
+    import spark.implicits._
+    val df = Seq(
+      "contact bob.smith+x@example.co.uk today",
+      "server at 10.0.255.7 responded",
+      "ssn 123-45-6789 on file; call 555-1234",
+      "nothing sensitive here 1.2.3 end")
+      .toDF("text")
+      .select(graft.pipelines.TextAnalysis.redact(col("text")).as("red"))
+      .as[String].collect()
+    assert(df(0) == "contact <EMAIL> today")
+    assert(df(1) == "server at <IP> responded")
+    assert(df(2) == "ssn <SSN> on file; call 555-1234")
+    assert(df(3) == "nothing sensitive here 1.2.3 end")
+    // corpus pass is total and count columns agree with redaction
+    val out = SparkEntry.queries("tx08_pii_redact")(spark, sf)
+    assert(out.count() == Tables.load(spark, sf, "documents").count())
+    assert(out.filter((col("n_email") + col("n_ip") + col("n_ssn") > 0) =!=
+      col("red_text").contains("<")).count() == 0)
+  }
+
+  test("dd08 stratified sample: quota per stratum, deterministic picks") {
+    val df = SparkEntry.queries("dd08_sample_stratified")(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    // never more than the quota per (lang, source)
+    assert(df.groupBy("lang", "source").count()
+      .filter(col("count") > 20).count() == 0)
+    // strata smaller than the quota are kept whole
+    val small = docs.groupBy("lang", "source").count()
+      .filter(col("count") <= 20)
+    val kept = df.groupBy("lang", "source").count()
+      .withColumnRenamed("count", "k")
+    assert(small.join(kept, Seq("lang", "source"))
+      .filter(col("count") =!= col("k")).count() == 0)
+    // same seed ⇒ same picks (no RNG state anywhere)
+    val again = SparkEntry.queries("dd08_sample_stratified")(spark, sf)
+    assert(df.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
 }
