@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash32",
         "_FUNC_(words) - [n_tokens, 32-bit simhash fingerprint]"),
       (exprs: Seq[Expression]) => graft.functions.SimHash32(exprs.head)))
+    e.injectFunction((FunctionIdentifier("vec_lsum"),
+      info("vec_lsum",
+        "_FUNC_(arr) - elementwise SUM aggregate over ARRAY<BIGINT>"),
+      (exprs: Seq[Expression]) => graft.functions.VecLongSumAgg(exprs.head)))
 
     e.injectOptimizerRule(_ => RewriteZipWithDot)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

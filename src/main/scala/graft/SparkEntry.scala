@@ -13,6 +13,8 @@ object SparkEntry {
     graft.pipelines.Dedup.defs ++
     graft.pipelines.Similarity.defs ++
     graft.pipelines.TextAnalysis.defs ++
+    graft.pipelines.Embeddings.defs ++
+    graft.pipelines.Packing.defs ++
     graft.pipelines.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,67 @@
+package graft.pipelines
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 sequence packing (pk01): assign documents to fixed
+  * token-budget training bins, deterministically. The pre-training
+  * writer step: docs are pseudo-shuffled by a salted md5, dealt into
+  * hash shards, and packed greedily by running token count — bin =
+  * ⌊(cumsum−1)/budget⌋, so a doc that crosses a boundary stays with
+  * its predecessors (bounded overflow, never a split doc).
+  *
+  * Scale shape: there is NO global sort. The only ordered operation is
+  * a per-shard window (cumsum); shard count scales with the cluster
+  * (md5 spreads docs uniformly, so shard skew is √n-bounded), and each
+  * shard's sort is a local spillable sort — the same plan at 1000
+  * executors, just more shards. Everything is engine-portable string
+  * math (md5 hex, ascii), so DuckDB hash-matches bit-for-bit.
+  */
+object Packing {
+
+  private val TokenBudget = 256
+  private val NShards = 8
+
+  private val pk01 = QueryDef(
+    "pk01_seq_pack",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(filter(split(text, '\\\\s+'), x -> x <> '')) AS BIGINT)")
+            .as("n_tok"),
+          md5(concat(col("doc_id").cast("string"), lit(":pack"))
+            .cast("binary")).as("pick"))
+        .withColumn("shard",
+          (ascii(substring(col("pick"), 1, 1)) % NShards).cast("int"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("pick").asc, col("doc_id").asc)
+      docs
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("cum_tok",
+          sum(col("n_tok")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("bin",
+          floor((col("cum_tok") - 1) / TokenBudget).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"),
+          col("cum_tok"), col("bin"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+      |    x -> x <> '')) AS BIGINT) AS n_tok,
+      |  md5(CAST(doc_id AS VARCHAR) || ':pack') AS pick
+      |  FROM documents),
+      |sh AS (SELECT doc_id, n_tok, pick,
+      |  CAST(ascii(substr(pick, 1, 1)) % $NShards AS INT) AS shard FROM d),
+      |win AS (SELECT doc_id, shard, n_tok,
+      |  CAST(ROW_NUMBER() OVER o AS BIGINT) AS pos,
+      |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY pick ASC, doc_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM sh
+      |  WINDOW o AS (PARTITION BY shard ORDER BY pick ASC, doc_id ASC))
+      |SELECT doc_id, shard, pos, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+      |  CAST(floor((cum_tok - 1) / $TokenBudget) AS BIGINT) AS bin
+      |FROM win""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(pk01)
+}

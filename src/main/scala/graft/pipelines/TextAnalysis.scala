@@ -351,6 +351,51 @@ object TextAnalysis {
       |FROM documents
       |""".stripMargin))
 
+  // -------------------------------------------------------------- tx09
+  /** Unigram-LM fluency score (the CCNet-style perplexity filter in
+    * count space): every token occurrence is scored by its corpus
+    * frequency, and a doc's signal is the mean — low-mean docs are the
+    * improbable/gibberish tail a fluency filter drops. Count space
+    * (not log space) on purpose: Java's and DuckDB's libm `log` can
+    * differ in the last ulp (tx05's documented hazard), while integer
+    * sums + one exact division are bit-identical everywhere. Shape:
+    * the corpus LM "trains" in one map-side-combinable term count,
+    * scoring is a (term) join back — at 100 TB the vocabulary table is
+    * millions of rows (skew-safe hash join), never the corpus twice. */
+  private val tx09 = QueryDef(
+    "tx09_unigram_lm",
+    (s, dir) => {
+      val tok = TextShingles.words(s, dir)
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+      val ctf = tok.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+      val scored = tok.join(ctf, "term")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))
+      Tables.load(s, dir, "documents").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("sum_ctf"), lit(0L)).as("sum_ctf"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            col("sum_ctf").cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)).as("mean_ctf"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      |ctf AS (SELECT term, COUNT(*) AS ctf FROM tok GROUP BY term),
+      |sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(c.ctf) AS sum_ctf
+      |  FROM tok t JOIN ctf c USING (term) GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(sc.sum_ctf, 0) AS BIGINT) AS sum_ctf,
+      |  CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+      |    THEN CAST(sc.sum_ctf AS DOUBLE) / sc.n_tokens ELSE 0.0 END
+      |    AS mean_ctf
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08)
+    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09)
 }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.functions.MinHashSigs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+/** Dedup-on-ingest: near-duplicate detection for a CONTINUOUS document
+  * stream against an existing corpus — the shape a training-data
+  * pipeline actually runs day 2 (the corpus is already deduped; new
+  * crawl batches arrive forever and each doc must be checked as it
+  * lands, not in a nightly O(corpus²) rebuild).
+  *
+  * Spark-first decomposition:
+  *  - the corpus collapses ONCE into a static LSH band index
+  *    ((band, sig) → distinct), built with the same native
+  *    [[MinHashSigs]] expression the batch dedup (dd02) uses — one
+  *    codegen'd call per doc, no shingle explode;
+  *  - the stream side computes its signatures the same way, explodes
+  *    only bands-per-doc rows (bounded fan-out, never shingles), and
+  *    probes the index with a STREAM-STATIC left-semi join — no state,
+  *    no watermark needed for the join itself (the static side is a
+  *    bounded build relation; at 100 TB it is a bucketed parquet table
+  *    and the probe is an ordinary shuffle-hash join per micro-batch);
+  *  - band hits collapse back to one row per doc with
+  *    `dropDuplicatesWithinWatermark` — event-time-bounded state, the
+  *    only stateful operator in the query.
+  *
+  * False positives are the LSH kind (a band collision without real
+  * overlap); the batch pipeline's verify pass (dd04) applies downstream
+  * on the flagged stream if exactness is needed.
+  */
+object IngestDedup {
+
+  /** Shingle size / band count — matching dd02's batch parameters so a
+    * streamed doc and its batch twin hash identically. */
+  val ShingleK = 3
+  val Bands = 4
+
+  private def sigs(ws: Column): Column =
+    column(MinHashSigs(expression(ws), ShingleK, Bands))
+
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.withColumn("ws",
+      expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+
+  /** Static corpus → LSH band index (band, sig), distinct. Build once,
+    * persist (bucket by (band, sig) at scale) and reuse per batch. */
+  def corpusIndex(corpus: DataFrame): DataFrame =
+    tokenized(corpus)
+      .select(posexplode(sigs(col("ws"))).as(Seq("band", "sig")))
+      .distinct()
+
+  /** Streaming docs (doc_id, text, ts) → the near-duplicate subset
+    * (doc_id, ts), one row per flagged doc. `index` is a static
+    * [[corpusIndex]] result; `watermark` bounds the per-doc collapse
+    * state (docs older than it may re-emit, never silently drop). */
+  def flagNearDuplicates(
+      docs: DataFrame,
+      index: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    tokenized(docs)
+      .select(col("doc_id"), col("ts"),
+        posexplode(sigs(col("ws"))).as(Seq("band", "sig")))
+      .join(index, Seq("band", "sig"), "left_semi")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+}

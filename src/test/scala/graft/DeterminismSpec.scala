@@ -25,7 +25,10 @@ class DeterminismSpec extends AnyFunSuite {
     "dd07_decontaminate", // broadcast benchmark index + array ops
     "tx06_rareword",      // tie-broken top-df vocabulary
     "tx02_quality",       // double ratio arithmetic
-    "tx05_keyterms")      // tie-broken ranking over shuffled aggs
+    "tx05_keyterms",      // tie-broken ranking over shuffled aggs
+    "emb02_label_centroid", // native long-array agg merge order
+    "pk01_seq_pack",      // per-shard windowed cumsum
+    "tx09_unigram_lm")    // vocab join + integer sums
 
   test("results are identical at 1x and 16x input partitioning") {
     sensitive.foreach { name =>

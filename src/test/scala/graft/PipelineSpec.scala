@@ -225,4 +225,126 @@ class PipelineSpec extends AnyFunSuite {
     val again = SparkEntry.queries("dd08_sample_stratified")(spark, sf)
     assert(df.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
+
+  test("emb01 int8 quantization: codes bounded, error bounded by half-step") {
+    val df = SparkEntry.queries("emb01_int8_quant")(spark, sf)
+    assert(df.filter(col("n_sat") < 1).count() == 0) // amax always saturates
+    // per-dim error ≤ half a quantization step ⇒ L2 ≤ sqrt(d)/(2*scale);
+    // with clamping the bound is a whole step at the saturated dims
+    assert(df.filter(
+      col("err_l2") > sqrt(col("n_dims")) / col("qscale")).count() == 0)
+    assert(df.filter(col("qscale") <= 0).count() == 0)
+  }
+
+  test("emb02 centroid via native agg equals the posexplode plan") {
+    val df = SparkEntry.queries("emb02_label_centroid")(spark, sf)
+    // d rows per (label); n_vecs consistent with the embeddings table
+    val emb = Tables.load(spark, sf, "embeddings")
+    val d = emb.selectExpr("size(embedding) AS d").head().getInt(0)
+    assert(df.groupBy("label").count().filter(col("count") =!= d).count() == 0)
+    val perLabel = emb.groupBy("label").count()
+      .withColumnRenamed("count", "expected")
+    assert(df.select("label", "n_vecs").distinct()
+      .join(perLabel, "label")
+      .filter(col("n_vecs") =!= col("expected")).count() == 0)
+    // the declarative twin (posexplode → groupBy) must agree exactly —
+    // integer sums are partitioning-invariant
+    val twin = Tables.load(spark, sf, "embeddings")
+      .selectExpr("label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qscale",
+        when(col("amax") > 0d, lit(127.0) / col("amax")).otherwise(lit(1.0)))
+      .selectExpr("label",
+        "transform(v, x -> CAST(greatest(-127L, least(127L, CAST(floor(x * qscale + 0.5d) AS BIGINT))) AS BIGINT)) AS codes")
+      .select(col("label"), posexplode(col("codes")).as(Seq("idx", "code")))
+      .groupBy("label", "idx").agg(sum("code").as("sum_code"))
+      .select(col("label"), col("idx").cast("long").as("idx"), col("sum_code"))
+    assert(df.select("label", "idx", "sum_code").except(twin).count() == 0)
+  }
+
+  test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1, Seq(1L, 2L)),
+        org.apache.spark.sql.Row(1, null),
+        org.apache.spark.sql.Row(1, Seq(10L, 20L, 30L)),
+        org.apache.spark.sql.Row(2, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    val out = df.groupBy("g").agg(ColumnBridge.column(
+        graft.functions.VecLongSumAgg(
+          ColumnBridge.expression(col("v"))).toAggregateExpression()).as("s"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(out(1) == Seq(11L, 22L, 30L))
+    assert(out(2) == null) // all-null group ⇒ NULL, matching SUM
+  }
+
+  test("pk01 packing: bins respect budget up to one doc of overflow") {
+    val df = SparkEntry.queries("pk01_seq_pack")(spark, sf).cache()
+    try {
+      // every doc lands in exactly one (shard, bin); positions dense
+      assert(df.count() ==
+        Tables.load(spark, sf, "documents").count())
+      val bins = df.groupBy("shard", "bin")
+        .agg(sum("n_tok").as("tok"), max("n_tok").as("biggest"))
+      // a bin exceeds the budget only by less than its largest doc
+      assert(bins.filter(col("tok") >= lit(256) + col("biggest")).count() == 0)
+      // deterministic: same result twice
+      val again = SparkEntry.queries("pk01_seq_pack")(spark, sf)
+      assert(df.except(again).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("ingest dedup flags streamed near-dups against the corpus index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val index = graft.streaming.IngestDedup.corpusIndex(corpus).cache()
+    try {
+      val dupTexts = corpus.orderBy("doc_id").limit(2).collect()
+        .map(_.getString(1))
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val docs = mem.toDF().toDF("doc_id", "ts", "text")
+      val q = graft.streaming.IngestDedup
+        .flagNearDuplicates(docs, index)
+        .writeStream.format("memory").queryName("ingest_dedup_t")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          (1000L, t0, dupTexts(0)),       // exact copy of a corpus doc
+          (1001L, t0, dupTexts(1)),       // exact copy of another
+          (2000L, t0, "qqqa qqqb qqqc qqqd qqqe qqqf qqqg"), // novel
+          (2001L, t0, "zzza zzzb zzzc zzzd zzze zzzf"))      // novel
+        q.processAllAvailable()
+        val got = spark.table("ingest_dedup_t").select("doc_id")
+          .as[Long].collect().toSet
+        assert(got == Set(1000L, 1001L))
+        // redelivery within the watermark is suppressed (one row per doc)
+        mem.addData((1000L, t0, dupTexts(0)))
+        q.processAllAvailable()
+        assert(spark.table("ingest_dedup_t")
+          .filter(col("doc_id") === 1000L).count() == 1)
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
+  test("tx09 unigram score: totals covered, means within corpus bounds") {
+    val df = SparkEntry.queries("tx09_unigram_lm")(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(df.count() == docs.count())
+    // mean corpus frequency lies between the rarest and commonest term
+    val r = df.filter(col("n_tokens") > 0)
+      .agg(min("mean_ctf"), max("mean_ctf")).head()
+    assert(r.getDouble(0) >= 1.0) // every token occurs at least once
+    val maxCtf = graft.pipelines.TextShingles.words(spark, sf)
+      .select(explode(col("ws")).as("t")).groupBy("t").count()
+      .agg(max("count")).head().getLong(0)
+    assert(r.getDouble(1) <= maxCtf.toDouble)
+  }
 }

@@ -70,4 +70,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("tx04_fingerprint")
     assert(count(p, "Exchange") == 0, s"per-doc hashing must ride the scan:\n$p")
   }
+
+  test("emb01 quantization is shuffle-free") {
+    val p = plan("emb01_int8_quant")
+    assert(count(p, "Exchange") == 0, s"per-vector math must ride the scan:\n$p")
+  }
+
+  test("emb02 centroid aggregates natively with a map-side partial") {
+    val p = plan("emb02_label_centroid")
+    // vec_lsum is an ObjectHashAggregate (TypedImperativeAggregate);
+    // partial_vec_lsum before the exchange is the 100 TB property —
+    // each task ships one array per label, never the corpus
+    assert(p.contains("ObjectHashAggregate"), s"native agg missing:\n$p")
+    assert(p.contains("partial_vec_lsum"), s"no map-side partial:\n$p")
+    assert(count(p, "Exchange") == 1, s"centroid needs exactly one shuffle:\n$p")
+    assert(!p.contains("Generate\n") || p.indexOf("ObjectHashAggregate") >
+      p.indexOf("Generate"), "posexplode must run AFTER aggregation")
+  }
+
+  test("pk01 packing never global-sorts: windows are per-shard") {
+    val p = plan("pk01_seq_pack")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked into the packing plan:\n$p")
+    assert(count(p, "Exchange") == 1,
+      s"one hash shuffle on shard expected:\n$p")
+  }
 }
