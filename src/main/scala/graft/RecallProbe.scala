@@ -12,6 +12,77 @@ object RecallProbe {
         val r = pipelines.Similarity.recallAtK(spark, dir, n)
         println(s"RECALL $n $r")
       }
+      ceilingGrid(spark, dir)
     } finally spark.stop()
+  }
+
+  /** IVF probing CEILING per (C, NProbe): the fraction of brute-force
+    * top-5 neighbors whose list is among the query's NProbe probes —
+    * the recall any scoring inside those lists (exact or PQ) cannot
+    * exceed. Driver-side math over the collected corpus; diagnostic
+    * only (the corpus at probe scale is thousands of vectors). */
+  private def ceilingGrid(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import pipelines.Similarity.Ivf
+    import spark.implicits._
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val unit = e.map { case (id, v) => id -> Ivf.normalize(v) }.toMap
+    val truth = SparkEntry.queries("ann01_knn_brute")(spark, dir)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    val sample = e.filter(_._1 % Ivf.SampleEvery == 0).map(t => Ivf.normalize(t._2))
+    val sample2 = e.filter(_._1 % 2 == 0).map(t => Ivf.normalize(t._2))
+    def ceil(cents: Array[Array[Double]], p: Int): Double = {
+      val lists = unit.map { case (id, u) => id -> Ivf.assign(u, cents) }
+      truth.count { case (q, n) =>
+        Ivf.probes(unit(q), cents, p).contains(lists(n))
+      }.toDouble / truth.length
+    }
+    // deterministic maximin (farthest-point) init: does better seeding
+    // lift the ceiling at the same scan fraction?
+    def maximinInit(s: Array[Array[Double]], c: Int): Array[Array[Double]] = {
+      val chosen = scala.collection.mutable.ArrayBuffer(s(0))
+      while (chosen.length < c) {
+        var best = -1; var bestD = Double.NegativeInfinity
+        var i = 0
+        while (i < s.length) {
+          var near = Double.NegativeInfinity // max dot = nearest on unit sphere
+          chosen.foreach { ch => val d = Ivf.dot(s(i), ch); if (d > near) near = d }
+          if (-near > bestD) { bestD = -near; best = i }
+          i += 1
+        }
+        chosen += s(best)
+      }
+      chosen.toArray
+    }
+    def lloyd(s: Array[Array[Double]], init: Array[Array[Double]]): Array[Array[Double]] = {
+      val c = init.length; val d = s.head.length
+      var cents = init.map(_.clone)
+      for (_ <- 0 until Ivf.Iters) {
+        val sums = Array.fill(c)(new Array[Double](d)); val counts = new Array[Int](c)
+        s.foreach { u =>
+          val a = Ivf.assign(u, cents); counts(a) += 1
+          var i = 0; while (i < d) { sums(a)(i) += u(i); i += 1 }
+        }
+        cents = Array.tabulate(c)(j => if (counts(j) == 0) cents(j) else {
+          val m = sums(j); var i = 0
+          while (i < d) { m(i) /= counts(j); i += 1 }; Ivf.normalize(m)
+        })
+      }
+      cents
+    }
+    for (c <- Seq(16, 32, 64); p <- Seq(2, 4, 6, 8, 12, 16) if p < c) {
+      val cents = Ivf.train(sample, c)
+      println(f"CEIL      C=$c%-3d NProbe=$p%-3d scan=${p.toDouble / c}%.3f " +
+        f"ceiling=${ceil(cents, p)}%.3f")
+    }
+    for (c <- Seq(16, 32); p <- Seq(4, 6, 8) if p < c) {
+      val mm = lloyd(sample, maximinInit(sample, c))
+      println(f"CEIL-MM   C=$c%-3d NProbe=$p%-3d scan=${p.toDouble / c}%.3f " +
+        f"ceiling=${ceil(mm, p)}%.3f")
+      val mm2 = lloyd(sample2, maximinInit(sample2, c))
+      println(f"CEIL-MM2x C=$c%-3d NProbe=$p%-3d scan=${p.toDouble / c}%.3f " +
+        f"ceiling=${ceil(mm2, p)}%.3f")
+    }
   }
 }

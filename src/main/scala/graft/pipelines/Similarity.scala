@@ -126,7 +126,7 @@ object Similarity {
     * sample that fits one node, broadcast ~C×d doubles of centroids,
     * and scoring touches ~NProbe/C of the corpus via an ordinary hash
     * join on the list id. */
-  private[pipelines] object Ivf {
+  private[graft] object Ivf {
     val C = 16
     val Iters = 15
     val NProbe = 4
@@ -165,25 +165,25 @@ object Similarity {
         .sortBy(j => (-dot(u, cents(j)), j))
         .take(p).toArray
 
-    /** Deterministic Lloyd k-means on unit vectors: init = first C
+    /** Deterministic Lloyd k-means on unit vectors: init = first `c`
       * sample vectors (sample pre-sorted by vec_id), fixed iteration
       * count, means accumulated in sample order — every step is a
       * fixed-order float fold, so centroids are bit-stable across runs
       * and partitionings. */
-    def train(sampleSorted: Array[Array[Double]]): Array[Array[Double]] = {
+    def train(sampleSorted: Array[Array[Double]], c: Int = C): Array[Array[Double]] = {
       val d = sampleSorted.head.length
-      var cents = sampleSorted.take(C).map(_.clone)
+      var cents = sampleSorted.take(c).map(_.clone)
       var it = 0
       while (it < Iters) {
-        val sums = Array.fill(C)(new Array[Double](d))
-        val counts = new Array[Int](C)
+        val sums = Array.fill(c)(new Array[Double](d))
+        val counts = new Array[Int](c)
         sampleSorted.foreach { u =>
           val a = assign(u, cents)
           counts(a) += 1
           var i = 0
           while (i < d) { sums(a)(i) += u(i); i += 1 }
         }
-        cents = Array.tabulate(C) { j =>
+        cents = Array.tabulate(c) { j =>
           if (counts(j) == 0) cents(j)
           else {
             val m = sums(j)
@@ -248,7 +248,7 @@ object Similarity {
     * per-(query, probe-list) LUTs precomputed from the bounded query
     * set and broadcast. Training is deterministic like [[Ivf]]:
     * fixed-order sample, first-Ks init, fixed Lloyd iterations. */
-  private[pipelines] object Pq {
+  private[graft] object Pq {
     val M = 8
     // 8-bit codes per subspace (the FAISS IVFPQ default): Ks=16 at
     // sf0.1 left so much quantization error that true neighbors fell

@@ -66,4 +66,28 @@ object IngestDedup {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
+
+  /** The §2.2 ↔ §2.3 integration: a `graft-cdc` SUBSCRIPTION of a
+    * documents table, checked for near-dups as records arrive. The
+    * reference's domain (CDC transport of table changes) feeds the
+    * training-pipeline domain (corpus dedup) in one streaming query:
+    * per-table selection pushes into the chunk reader (non-matching
+    * tables never decode their record tail), INSERT/UPDATE
+    * after-images project to typed columns via [[graft.cdc.TypedSchema]]
+    * (the declared schema must carry `doc_id` and `text`), commit time
+    * becomes the event time, and the LSH probe runs as above. */
+  def fromCdcSubscription(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: graft.cdc.TypedSchema.TableSchema,
+      index: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val changes = CdcStreaming
+      .readStream(spark, path, table = Some(s"${schema.db}.${schema.tbl}"))
+      .filter(col("op").isin(graft.cdc.Op.Insert, graft.cdc.Op.Update))
+    val docs = graft.cdc.TypedSchema.project(changes, schema)
+      .select(col("doc_id"),
+        timestamp_micros(col("record_ts_us")).as("ts"), col("text"))
+    flagNearDuplicates(docs, index, watermark)
+  }
 }

@@ -334,6 +334,44 @@ class PipelineSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("cdc subscription of a documents table feeds ingest dedup end-to-end") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val index = graft.streaming.IngestDedup.corpusIndex(corpus).cache()
+    try {
+      val dupText = corpus.orderBy("doc_id").limit(1).head().getString(1)
+      val dir = java.nio.file.Files.createTempDirectory("gcl_ingest").toString
+      def rec(id: Long, text: String, op: String = cdc.Op.Insert) =
+        cdc.ChangeRecord(id, s"tx-$id", 1000000L * (id + 1), 0L, op,
+          "app", "docs", Seq("doc_id"), null,
+          Map("doc_id" -> id.toString, "text" -> text))
+      // a dup insert, a novel insert, an unrelated table's record, and
+      // a DELETE (no after image — must not reach the projection)
+      graft.sources.CdcChunkFile.write(
+        s"$dir/chunk-00000${graft.sources.CdcChunkFile.Extension}",
+        Seq(rec(5000L, dupText),
+          rec(5001L, "qqqh qqqi qqqj qqqk qqql qqqm"),
+          cdc.ChangeRecord(5002L, "tx", 3000000L, 0L, cdc.Op.Insert,
+            "app", "other", Seq("k"), null, Map("k" -> "1")),
+          cdc.ChangeRecord(5000L, "tx-d", 4000000L, 0L, cdc.Op.Delete,
+            "app", "docs", Seq("doc_id"),
+            Map("doc_id" -> "5000", "text" -> dupText), null)))
+      val schema = cdc.TypedSchema.TableSchema("app", "docs", Seq("doc_id"),
+        Seq(cdc.TypedSchema.RecordField("doc_id", "bigint"),
+          cdc.TypedSchema.RecordField("text", "string")))
+      val q = graft.streaming.IngestDedup
+        .fromCdcSubscription(spark, dir, schema, index)
+        .writeStream.format("memory").queryName("cdc_ingest_t")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("cdc_ingest_t").select("doc_id")
+          .as[Long].collect().toSet
+        assert(got == Set(5000L)) // only the duplicated corpus doc
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("tx09 unigram score: totals covered, means within corpus bounds") {
     val df = SparkEntry.queries("tx09_unigram_lm")(spark, sf)
     val docs = Tables.load(spark, sf, "documents")
