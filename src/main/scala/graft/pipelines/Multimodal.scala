@@ -121,5 +121,69 @@ object Multimodal {
         |""".stripMargin))
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02)
+  // -------------------------------------------------------------- mm03
+  /** Near-duplicate MEDIA detection: average-hash (aHash) perceptual
+    * fingerprint + banded Hamming self-join — the image-dedup pass of
+    * a multimodal corpus. The aHash "pixels" are a STUB (byte values
+    * at the first 32 payload offsets stand in for downscaled-image
+    * luma; a real codec slots into the same expression), but the
+    * similarity machinery is the real thing: bit_i = pixel_i > mean,
+    * 32-bit fingerprint, four 8-bit bands as LSH buckets (a pair
+    * within Hamming ≤ 3 must agree on ≥1 of 4 bands — pigeonhole),
+    * exact `bit_count(xor)` verify on band-collided pairs only. One
+    * explode×4 + one equi-join on the band key: the dd03 shape applied
+    * to binary payloads, never an all-pairs product. */
+  private val mm03 = {
+    val NBits = 32
+    val MaxHamming = 3
+    def px(i: Int) =
+      s"(CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END)"
+    val sumPx = (1 to NBits).map(px).mkString(" + ")
+    // bit i set when pixel_i * 32 > sum of pixels (integer-only
+    // comparison — no float mean, so both engines agree exactly)
+    def bit(i: Int) =
+      s"(CASE WHEN ${px(i)} * $NBits > px_sum THEN ${1L << (i - 1)} ELSE 0 END)"
+    val hashExpr = (1 to NBits).map(bit).mkString(" + ")
+    val bandsSpark = "array(shiftright(phash, 24) & 255, " +
+      "shiftright(phash, 16) & 255, shiftright(phash, 8) & 255, phash & 255)"
+    QueryDef(
+      "mm03_phash_dedup",
+      (s, dir) => {
+        val h = Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "text", s"$sumPx AS px_sum")
+          .selectExpr("doc_id", s"CAST($hashExpr AS BIGINT) AS phash")
+        val banded = h.select(col("doc_id"), col("phash"),
+          posexplode(expr(bandsSpark)).as(Seq("pos", "bsig")))
+          .withColumn("band", (col("pos") + 1).cast("int")).drop("pos")
+        // band key = (band position, band value); same-band collision
+        val l = banded.select(col("doc_id").as("m1"), col("phash").as("h1"),
+          col("band"), col("bsig"))
+        val r = banded.select(col("doc_id").as("m2"), col("phash").as("h2"),
+          col("band"), col("bsig"))
+        l.join(r, Seq("band", "bsig"))
+          .filter(col("m1") < col("m2"))
+          .select(col("m1"), col("m2"),
+            expr("CAST(bit_count(h1 ^ h2) AS INT)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= MaxHamming)
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+        |  CAST($hashExpr AS BIGINT) AS phash FROM
+        |  (SELECT doc_id, text, $sumPx AS px_sum FROM documents)),
+        |b AS (SELECT doc_id, phash, band,
+        |  CASE band WHEN 1 THEN (phash >> 24) & 255
+        |            WHEN 2 THEN (phash >> 16) & 255
+        |            WHEN 3 THEN (phash >> 8) & 255
+        |            ELSE phash & 255 END AS bsig
+        |  FROM h CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, 4)) AS band) t)
+        |SELECT DISTINCT l.doc_id AS m1, r.doc_id AS m2,
+        |  CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+        |FROM b l JOIN b r ON l.band = r.band AND l.bsig = r.bsig
+        |  AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.phash, r.phash)) <= $MaxHamming
+        |""".stripMargin))
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03)
 }

@@ -226,6 +226,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("mm03 phash banded join is COMPLETE vs brute-force hamming") {
+    val df = SparkEntry.queries("mm03_phash_dedup")(spark, sf).cache()
+    try {
+      assert(df.filter(col("m1") >= col("m2")).count() == 0)
+      assert(df.filter(col("hamming") < 0 || col("hamming") > 3).count() == 0)
+      // pigeonhole: a pair within Hamming<=3 of a 4-banded 32-bit hash
+      // MUST agree on >=1 band, so the banded join may lose NOTHING vs
+      // the all-pairs scan — recompute brute-force at test scale
+      val pxSum = (1 to 32).map(i =>
+        s"(CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END)")
+        .mkString(" + ")
+      val hashExpr = (1 to 32).map(i =>
+        s"(CASE WHEN (CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END) * 32 > px_sum THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      val h = Tables.load(spark, sf, "documents")
+        .selectExpr("doc_id", "text", s"$pxSum AS px_sum")
+        .selectExpr("doc_id", s"CAST($hashExpr AS BIGINT) AS ph")
+      val brute = h.select(col("doc_id").as("m1"), col("ph").as("p1"))
+        .crossJoin(h.select(col("doc_id").as("m2"), col("ph").as("p2")))
+        .filter(col("m1") < col("m2"))
+        .select(col("m1"), col("m2"),
+          expr("CAST(bit_count(p1 ^ p2) AS INT)").as("hamming"))
+        .filter(col("hamming") <= 3)
+      assert(df.count() == brute.count())
+      assert(brute.except(df).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("emb01 int8 quantization: codes bounded, error bounded by half-step") {
     val df = SparkEntry.queries("emb01_int8_quant")(spark, sf)
     assert(df.filter(col("n_sat") < 1).count() == 0) // amax always saturates
