@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch diagnostic: measured scaling evidence for the plan-shape
+  * claims in SURVEY §5. Synthesizes k× corpora from sf0.1 (replicas
+  * get a mutated text tail and jittered embeddings so near-dup /
+  * similarity structure stays realistic instead of k² exact copies),
+  * writes them as parquet, and times representative operators at each
+  * multiplier. A linear-shaped operator should scale ~k; dd05's
+  * blocked GEMM is O(n²) by design (exact all-pairs) and is measured
+  * at small multipliers to show the expected quadratic growth.
+  * Not part of the driver contract.
+  */
+object ScaleProbe {
+
+  private def scaled(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+    val docs = Tables.load(spark, srcDir, "documents")
+    val embs = Tables.load(spark, srcDir, "embeddings")
+    val nDocs = docs.count()
+    val nEmbs = embs.count()
+    val reps = spark.range(k).select(col("id").as("rep"))
+    // replica texts get a distinct tail token so replicas are NEAR
+    // duplicates of each other, not byte-identical clones
+    docs.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rtoken"), col("rep")))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // deterministic per-(vec,rep,dim) jitter ~1e-3 keeps cosines close
+    // but not identical
+    embs.crossJoin(reps)
+      .select((col("vec_id") + col("rep") * nEmbs).as("vec_id"),
+        expr("""transform(embedding,
+          |  (x, i) -> CAST(x + (CASE WHEN rep = 0 THEN 0.0 ELSE
+          |    ((pmod(hash(vec_id, rep, i), 13) - 6) * 0.001) END) AS FLOAT))
+          |""".stripMargin).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.fromEnv(appName = "scale-probe")
+    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val linearOps = Seq("dd01_dedup_exact", "dd02_minhash_lsh", "dd03_simhash",
+      "tx05_keyterms", "tx09_unigram_lm", "emb01_int8_quant",
+      "emb02_label_centroid", "pk01_seq_pack", "dd07_decontaminate")
+    val quadOps = Seq("dd05_embed_dup")
+    def time(name: String, dir: String): (Double, Long) = {
+      SparkEntry.queries(name)(spark, dir).count() // warm
+      sweep()
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      sweep()
+      (dt, rows)
+    }
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val mults = Seq(1, 4, 16)
+    val dirs = mults.map { k =>
+      val d = s"$base/x$k"
+      scaled(spark, srcDir, d, k)
+      k -> d
+    }.toMap
+    for (op <- linearOps) {
+      val ts = mults.map(k => k -> time(op, dirs(k)))
+      val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
+        .mkString(" ")
+      val r = ts.last._2._1 / ts.head._2._1
+      val rr = ts.last._2._2.toDouble / math.max(1L, ts.head._2._2)
+      println(f"SCALE $op%-22s $line time(x16/x1)=$r%.1f rows(x16/x1)=$rr%.1f")
+    }
+    for (op <- quadOps; k <- Seq(1, 2, 4)) {
+      if (!dirs.contains(k)) scaled(spark, srcDir, s"$base/x$k", k)
+      val (t, rows) = time(op, dirs.getOrElse(k, s"$base/x$k"))
+      println(f"SCALE $op%-22s x$k=$t%.2fs/${rows}r (quadratic by design)")
+    }
+    spark.stop()
+  }
+}
