@@ -1,0 +1,137 @@
+package graft
+
+import graft.cdc.{ChangeRecord, Op, RecordCodec}
+import org.scalacheck.{Arbitrary, Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based fuzz of the binary record codec: whatever record
+  * shape the generators produce — unicode keys, empty/null maps, null
+  * columns, extreme timestamps, every op code — encode→decode must be
+  * the identity, and the lazy header/prefix reads must agree with the
+  * full decode without parsing the tail. The example-based CdcSpec
+  * cases pin known shapes; this hunts the shapes nobody thought of.
+  */
+object CodecProps extends Properties("RecordCodec") {
+
+  /** Valid-unicode strings only: arbitrary UTF-16 chars include
+    * unpaired surrogates, which NO UTF-8 transport can carry (the JDK
+    * substitutes U+FFFD) -- a property of Unicode, not a codec bug.
+    * Codepoints span the BMP and astral planes and include NUL. */
+  private val genStr: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(32)),
+    Gen.const(""),
+    Gen.const("na\u00efve-\u6771\u4eac-\ud83d\ude42"),
+    Gen.listOfN(8,
+      Gen.chooseNum(0, 0x10FFFF - 0x800).map { cp =>
+        val c = if (cp >= 0xD800) cp + 0x800 else cp // skip surrogate block
+        new String(Character.toChars(c))
+      }).map(_.mkString))
+
+  private val genCell: Gen[String] = Gen.oneOf(genStr, Gen.const(null: String))
+
+  private val genImage: Gen[Map[String, String]] = Gen.oneOf(
+    Gen.const(null: Map[String, String]),
+    Gen.const(Map.empty[String, String]),
+    Gen.mapOfN(4, Gen.zip(Gen.alphaNumStr.map("c" + _.take(8)), genCell)))
+
+  private val genRecord: Gen[ChangeRecord] = for {
+    id <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    tx <- Gen.oneOf(genStr, Gen.const(null: String))
+    ts <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    born <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    op <- Gen.oneOf(Op.all)
+    db <- genStr
+    tbl <- genStr
+    pks <- Gen.oneOf(Gen.const(Seq.empty[String]),
+      Gen.listOfN(3, Gen.alphaNumStr.map("p" + _.take(6))).map(_.toSeq))
+    before <- genImage
+    after <- genImage
+    props <- genImage
+    st <- Gen.oneOf(genStr, Gen.const(null: String))
+    sv <- Gen.oneOf(genStr, Gen.const(null: String))
+  } yield ChangeRecord(id, tx, ts, born, op, db, tbl, pks, before, after,
+    props, st, sv)
+
+  implicit private val arbRecord: Arbitrary[ChangeRecord] = Arbitrary(genRecord)
+
+  property("encode-decode is the identity") = forAll { (r: ChangeRecord) =>
+    RecordCodec.decode(RecordCodec.encode(r)) == r
+  }
+
+  property("lazy header fields match the full decode") = forAll {
+    (r: ChangeRecord) =>
+      val bytes = RecordCodec.encode(r)
+      val full = RecordCodec.decode(bytes)
+      Prop.all(
+        Prop(RecordCodec.headerId(bytes) == full.id) :| "id",
+        Prop(RecordCodec.headerTsUs(bytes) == full.tsUs) :| "tsUs",
+        Prop(RecordCodec.headerBornUs(bytes) == full.bornUs) :| "bornUs",
+        Prop(RecordCodec.headerOp(bytes) == full.op) :| "op")
+  }
+
+  property("prefix (db,tbl) read matches the full decode") = forAll {
+    (r: ChangeRecord) =>
+      val bytes = RecordCodec.encode(r)
+      RecordCodec.headerTable(bytes) == ((r.db, r.tbl))
+  }
+
+  property("v1 encoding still decodes (extended fields null out)") = forAll {
+    (r: ChangeRecord) =>
+      val v1 = r.copy(props = null, sourceType = null, sourceVersion = null)
+      RecordCodec.decode(RecordCodec.encode(v1, 1.toByte)) == v1
+  }
+
+  // ---- pruned decode (the column-pruning hot path) vs full decode ----
+
+  private def plain(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      a.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(plain).toSeq
+    case m: org.apache.spark.sql.catalyst.util.MapData =>
+      val ks = m.keyArray().toObjectArray(org.apache.spark.sql.types.StringType)
+      val vs = m.valueArray().toObjectArray(org.apache.spark.sql.types.StringType)
+      ks.map(plain).zip(vs.map(plain)).toMap
+    case other => other
+  }
+
+  private def fieldOf(r: ChangeRecord, ord: Int): Any = ord match {
+    case 0 => r.id
+    case 1 => r.transactionId
+    case 2 => r.tsUs
+    case 3 => r.bornUs
+    case 4 => r.op
+    case 5 => r.db
+    case 6 => r.tbl
+    case 7 => r.pkNames
+    case 8 => r.before
+    case 9 => r.after
+    case 10 => r.props
+    case 11 => r.sourceType
+    case 12 => r.sourceVersion
+  }
+
+  private val genOrdinals: Gen[Array[Int]] =
+    Gen.someOf(0 to 12).map(_.toArray.sorted)
+      .suchThat(_.nonEmpty)
+
+  property("pruned decode matches the full decode on every projected column") =
+    forAll(genRecord, genOrdinals) { (r, ords) =>
+      val bytes = RecordCodec.encode(r)
+      val proj = new RecordCodec.RowProjection(ords)
+      val row = RecordCodec.decodeProjected(bytes, proj)
+      Prop.all(ords.zipWithIndex.map { case (ord, i) =>
+        Prop(plain(row.values(i)) == fieldOf(r, ord)) :| s"ordinal $ord"
+      }: _*)
+    }
+
+  property("pruned decode of v1 bytes nulls the extended ordinals") =
+    forAll(genRecord) { r =>
+      val v1 = r.copy(props = null, sourceType = null, sourceVersion = null)
+      val bytes = RecordCodec.encode(v1, 1.toByte)
+      val proj = new RecordCodec.RowProjection(Array(10, 11, 12))
+      val row = RecordCodec.decodeProjected(bytes, proj)
+      row.values.forall(_ == null)
+    }
+}
