@@ -34,7 +34,7 @@ object CodecProps extends Properties("RecordCodec") {
     Gen.const(Map.empty[String, String]),
     Gen.mapOfN(4, Gen.zip(Gen.alphaNumStr.map("c" + _.take(8)), genCell)))
 
-  private val genRecord: Gen[ChangeRecord] = for {
+  val genRecord: Gen[ChangeRecord] = for {
     id <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
     tx <- Gen.oneOf(genStr, Gen.const(null: String))
     ts <- Gen.chooseNum(Long.MinValue, Long.MaxValue)

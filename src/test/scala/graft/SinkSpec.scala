@@ -295,6 +295,56 @@ class SinkSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("randomized model check: any DML sequence folds to the map model") {
+    // deterministic fuzz: random insert/update/delete streams over a
+    // small key space, random timestamps WITH ties (exercising the
+    // record-id tie-break), random batch boundaries, maxDeltas=2 so
+    // chains fold mid-run — the sink's read must equal the naive
+    // per-key argmax-(tsUs, id) model, and compaction must not change
+    // the live rows
+    for (seed <- Seq(7, 41, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val recs = (0 until n).map { i =>
+        val op = rnd.nextInt(6) match {
+          case 0 => Op.Delete
+          case 1 => Op.Insert
+          case _ => Op.Update
+        }
+        // ~50% tie odds per draw: ts from just 8 distinct values
+        CdcFixtures.rec(i.toLong, 1000000L * (1 + rnd.nextInt(8)), op,
+          s"k${rnd.nextInt(10)}", s"v$i")
+      }
+      val tableDir = Files.createTempDirectory(s"tbl_model_$seed").toString
+      var batchId = 0L
+      var rest = recs
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(25)
+        val (batch, tail) = rest.splitAt(take)
+        val d = Files.createTempDirectory("gcl_model").toString
+        CdcChunkFile.write(s"$d/chunk-00000${CdcChunkFile.Extension}", batch)
+        CdcParquetSink.applyBatch(spark, CdcStreaming.readBatch(spark, d),
+          tableDir, batchId, nBuckets = 4, maxDeltas = 2)
+        batchId += 1
+        rest = tail
+      }
+      // the model: per key, winner by (tsUs, id); DELETE winner = absent
+      val model = recs.groupBy(r =>
+          (if (r.op == Op.Delete) r.before else r.after)("uid"))
+        .flatMap { case (k, rs) =>
+          val w = rs.maxBy(r => (r.tsUs, r.id))
+          if (w.op == Op.Delete) None else Some(k -> w.after("v"))
+        }
+      def liveRows: Map[String, String] =
+        CdcParquetSink.readTable(spark, tableDir).get
+          .select(expr("after['uid']"), expr("after['v']"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      withClue(s"seed $seed: ") { assert(liveRows == model) }
+      CdcParquetSink.compact(spark, tableDir)
+      withClue(s"seed $seed after compact: ") { assert(liveRows == model) }
+    }
+  }
+
   test("dedupRedelivered drops exact redeliveries by record id") {
     val dir = Files.createTempDirectory("gcl").toString
     val recs = CdcFixtures.writeChunks(dir)
