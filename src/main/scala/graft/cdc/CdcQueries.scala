@@ -353,6 +353,59 @@ object CdcQueries {
       |WHERE kind = 1 AND v_op IS NOT NULL AND v_op <> 'DELETE'
       |""".stripMargin))
 
+  // -------------------------------------------------------------- cdc10
+  /** The SINK under the oracle gate: the derived changelog is dealt
+    * into four deterministic micro-batches (id mod 4 — deliberately
+    * out of timestamp order, batches interleave history), folded into
+    * a fresh [[graft.sinks.CdcParquetSink]] bucketed BASE+DELTA store
+    * with maxDeltas=2 (chains fold mid-run), and the materialized
+    * table is read back through the chain-merge path. The result must
+    * hash-match the same last-DML-wins SQL cdc02 oracles — proving the
+    * sink's append/fold/tombstone/merge machinery end-to-end against
+    * DuckDB, not just against example-based specs. Values survive a
+    * string detour through the row image (double→string→double is
+    * exact by the JLS shortest-repr contract). */
+  private val cdc10 = QueryDef(
+    "cdc10_sink_materialize",
+    (s, dir) => {
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        col("ts_us").as("tsUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"))
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft_cdc10").toString
+      (0L until 4L).foreach { b =>
+        graft.sinks.CdcParquetSink.applyBatch(
+          s, asRecords.filter(pmod(col("id"), lit(4)) === b),
+          tableDir, b, nBuckets = 8, maxDeltas = 2)
+      }
+      graft.sinks.CdcParquetSink.readTable(s, tableDir).get
+        .select(
+          expr("after['pk']").cast("bigint").as("pk"),
+          col("recordId").as("record_id"),
+          col("tsUs").as("ts_us"),
+          col("op"),
+          expr("after['val']").cast("double").as("val"),
+          expr("after['k']").cast("int").as("k"))
+    },
+    // the sink must agree with the declarative last-wins materialization
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, ts_us, op, val, k FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY ts_us DESC, record_id DESC) AS rn
+      |  FROM changelog WHERE op <> 'HEARTBEAT')
+      |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09)
+    cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10)
 }

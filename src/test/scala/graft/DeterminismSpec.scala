@@ -28,7 +28,8 @@ class DeterminismSpec extends AnyFunSuite {
     "tx05_keyterms",      // tie-broken ranking over shuffled aggs
     "emb02_label_centroid", // native long-array agg merge order
     "pk01_seq_pack",      // per-shard windowed cumsum
-    "tx09_unigram_lm")    // vocab join + integer sums
+    "tx09_unigram_lm",    // vocab join + integer sums
+    "cdc10_sink_materialize") // sink append/fold/merge chain state
 
   test("results are identical at 1x and 16x input partitioning") {
     sensitive.foreach { name =>
