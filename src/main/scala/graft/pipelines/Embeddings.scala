@@ -119,5 +119,76 @@ object Embeddings {
       |  CAST(SUM(code) AS DOUBLE) / COUNT(*) AS mean_code
       |FROM x GROUP BY label, idx""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(emb01, emb02)
+  // ------------------------------------------------------------- emb03
+  /** Dimension-truncation (matryoshka-style) retrieval audit: would
+    * storing only the first d/2 dimensions preserve nearest-neighbor
+    * structure? For each query, brute-force top-5 on the FULL vectors
+    * and on the TRUNCATED prefix, and report the overlap — the
+    * measurement behind a 2× storage-tier decision (keep half the
+    * dims hot, full vectors cold). Both sides are ordered folds +
+    * rank windows, so DuckDB reproduces them bit-for-bit; the overlap
+    * is a small self-join on the two top-5 sets. The corpus is scored
+    * twice (two broadcast-probe passes) — still linear, and at 100 TB
+    * the truncated pass reads half the bytes, which is the point. */
+  private val emb03 = {
+    val K = 5
+    val NQueries = 10
+    val HalfDims = 32
+    QueryDef(
+      "emb03_trunc_recall",
+      (s, dir) => {
+        def top5(vcol: String => org.apache.spark.sql.Column): DataFrame = {
+          val e = Tables.load(s, dir, "embeddings")
+            .select(col("vec_id"), vcol("embedding").as("v"))
+            .withColumn("nn", VectorOps.norm2("v"))
+          val q = e.filter(col("vec_id") < NQueries)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nn").as("qn"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("n_id").asc)
+          broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("n_id"),
+              VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= K)
+            .select(col("q_id"), col("n_id"))
+        }
+        val full = top5(c => VectorOps.toDouble(c))
+        val trunc = top5(c =>
+          expr(s"slice(CAST($c AS ARRAY<DOUBLE>), 1, $HalfDims)"))
+        full.join(trunc, Seq("q_id", "n_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+          .join(full.select(col("q_id")).distinct(), Seq("q_id"), "right")
+          .select(col("q_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+        |  ${VectorOps.castSql("embedding")} AS v FROM embeddings),
+        |fn AS (SELECT vec_id, v, ${VectorOps.dotSql("v", "v")} AS nn FROM e),
+        |ft AS (SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      ${VectorOps.cosineSql("q.v", "e2.v", "q.nn", "e2.nn")} DESC,
+        |      e2.vec_id ASC) AS rn
+        |  FROM fn q JOIN fn e2 ON e2.vec_id <> q.vec_id
+        |  WHERE q.vec_id < $NQueries),
+        |t AS (SELECT vec_id, v[1:$HalfDims] AS v FROM e),
+        |tn AS (SELECT vec_id, v, ${VectorOps.dotSql("v", "v")} AS nn FROM t),
+        |tt AS (SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      ${VectorOps.cosineSql("q.v", "e2.v", "q.nn", "e2.nn")} DESC,
+        |      e2.vec_id ASC) AS rn
+        |  FROM tn q JOIN tn e2 ON e2.vec_id <> q.vec_id
+        |  WHERE q.vec_id < $NQueries),
+        |f5 AS (SELECT q_id, n_id FROM ft WHERE rn <= $K),
+        |t5 AS (SELECT q_id, n_id FROM tt WHERE rn <= $K),
+        |ov AS (SELECT f5.q_id, COUNT(*) AS n_overlap
+        |  FROM f5 JOIN t5 USING (q_id, n_id) GROUP BY f5.q_id)
+        |SELECT q.q_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+        |FROM (SELECT DISTINCT q_id FROM f5) q
+        |LEFT JOIN ov ON q.q_id = ov.q_id
+        |""".stripMargin))
+  }
+
+  val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03)
 }

@@ -290,6 +290,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.select("label", "idx", "sum_code").except(twin).count() == 0)
   }
 
+  test("emb03 truncation recall is one row per query, bounded by k") {
+    val df = SparkEntry.queries("emb03_trunc_recall")(spark, sf)
+    assert(df.count() == 10)
+    assert(df.filter(col("n_overlap") < 0 || col("n_overlap") > 5).count() == 0)
+    // truncation keeps SOME structure: overlap is not all-zero
+    assert(df.agg(sum("n_overlap")).head().getLong(0) > 0)
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(
