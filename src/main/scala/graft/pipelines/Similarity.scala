@@ -16,7 +16,7 @@ object Similarity {
 
   private val K = 5
   private val NQueries = 10
-  private val BucketBits = 6
+  private val BucketBits = 8
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -59,15 +59,15 @@ object Similarity {
   /** Sign-bit bucketed top-k with MULTI-PROBE: bucket = sign pattern
     * of the first [[BucketBits]] dims (a fixed random-hyperplane LSH
     * with axis planes); each query scores its own bucket plus every
-    * Hamming-≤2 neighbor (the buckets one or two borderline sign
-    * flips would land in) — (1 + b + b(b-1)/2)/2^b of the corpus,
-    * 22/64 ≈ 34% here. Probe breadth is THE recall/scan knob: at
-    * 100 TB you add bits (halving each bucket) and probe the same
-    * Hamming radius for a smaller scanned fraction; round 2's
-    * Hamming-1 probing measured recall@5 = 0.30 (half its ceiling —
-    * it also returned only 3 of the 5 truth neighbors; now k matches
-    * truth). Bench reports the live recall each round. The probe join
-    * stays an ordinary hash join on the bucket key. */
+    * Hamming-≤3 neighbor — (1 + b + C(b,2) + C(b,3))/2^b of the
+    * corpus, 93/256 ≈ 36% here. Probe breadth vs bit count is THE
+    * recall/scan knob, and the round-4 grid showed the tradeoff is
+    * near-linear on this corpus (finer buckets at equal scan gain a
+    * little: 8-bit/H≤3 = 0.68 recall@5 vs 6-bit/H≤2 = 0.64 at ~34%;
+    * 10-bit/H≤3 = 0.40 at 17% — you get what you scan). At 100 TB
+    * you add bits (halving each bucket) and probe a radius matching
+    * your scan budget. Bench reports the live recall each round. The
+    * probe join stays an ordinary hash join on the bucket key. */
   private val ann02 = {
     // Spark arrays are 0-based (v[j]); DuckDB lists 1-based (v[j+1])
     val bucketSpark = (0 until BucketBits)
@@ -80,7 +80,10 @@ object Similarity {
     val flips: Seq[Int] = Seq(0) ++
       (0 until BucketBits).map(1 << _) ++
       (for { i <- 0 until BucketBits; j <- i + 1 until BucketBits }
-        yield (1 << i) | (1 << j))
+        yield (1 << i) | (1 << j)) ++
+      (for { i <- 0 until BucketBits; j <- i + 1 until BucketBits;
+             k <- j + 1 until BucketBits }
+        yield (1 << i) | (1 << j) | (1 << k))
     val probesSpark = flips.map(m => s"CAST(bucket ^ $m AS BIGINT)")
       .mkString("array(", ", ", ")")
     val probesSql = flips.map(m => s"xor(bucket, $m)")

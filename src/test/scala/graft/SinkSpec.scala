@@ -345,6 +345,50 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized streaming retract model: live counts equal the batch model") {
+    implicit val s = spark
+    // random DML with timestamp ties arriving OUT OF ORDER across
+    // micro-batches: the retract materializer's monotone state must
+    // converge to the per-key argmax-(tsUs, id) model regardless, and
+    // the chained sign-sum must telescope to the live counts
+    for (seed <- Seq(11, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val recs = (0 until 40).map { i =>
+        val op = rnd.nextInt(5) match {
+          case 0 => Op.Delete
+          case 1 => Op.Insert
+          case _ => Op.Update
+        }
+        CdcFixtures.rec(i.toLong, 1000000L * (1 + rnd.nextInt(8)), op,
+          s"k${rnd.nextInt(8)}", s"v${rnd.nextInt(6)}")
+      }
+      val shuffled = rnd.shuffle(recs)
+      val dir = Files.createTempDirectory(s"gcl_retract_$seed").toString
+      shuffled.grouped(10).zipWithIndex.foreach { case (g, i) =>
+        CdcChunkFile.write(f"$dir/chunk-$i%05d${CdcChunkFile.Extension}", g)
+      }
+      val q = CdcStreaming.liveCountByValue(
+          CdcStreaming.readStream(spark, dir, maxChunksPerTrigger = Some(1)),
+          expr("after['v']"))
+        .writeStream.format("memory").queryName(s"retract_model_$seed")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(s"retract_model_$seed")
+          .filter(col("live_rows") =!= 0)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val model = recs.groupBy(r =>
+            (if (r.op == Op.Delete) r.before else r.after)("uid"))
+          .flatMap { case (_, rs) =>
+            val w = rs.maxBy(r => (r.tsUs, r.id))
+            if (w.op == Op.Delete) None else Some(w.after("v"))
+          }
+          .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+        withClue(s"seed $seed: ") { assert(got == model) }
+      } finally q.stop()
+    }
+  }
+
   test("dedupRedelivered drops exact redeliveries by record id") {
     val dir = Files.createTempDirectory("gcl").toString
     val recs = CdcFixtures.writeChunks(dir)
