@@ -296,6 +296,47 @@ object Relational2 {
           col("n")),
     None) // rows-only: GK sketch state is engine-specific
 
+  // ---------------------------------------------------------------- q36
+  /** FULL OUTER JOIN — the one join flavor the inventory lacked:
+    * per-user signup stats ⋈ per-user purchase stats, where each side
+    * has users the other lacks, so both null-extension directions are
+    * exercised. The aggregates shrink each side before the join (the
+    * scale rule: join the aggregates, never outer-join raw facts and
+    * re-aggregate); exact-decimal sums keep the money column
+    * engine-equal. */
+  private val q36 = QueryDef(
+    "q36_join_full_outer",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_signups"),
+          min(unix_micros(col("ts"))).as("first_signup_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("spend"))
+      signups.join(purchases, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+          col("first_signup_us"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+    },
+    Some(s"""WITH s AS (SELECT user_id, COUNT(*) AS n_signups,
+      |    MIN(epoch_us(ts)) AS first_signup_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT user_id, COUNT(*) AS n_purchases,
+      |    ${dsumSql("value")} AS spend
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT COALESCE(s.user_id, p.user_id) AS user_id,
+      |  CAST(COALESCE(s.n_signups, 0) AS BIGINT) AS n_signups,
+      |  s.first_signup_us,
+      |  CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+      |  COALESCE(p.spend, 0.0) AS spend
+      |FROM s FULL OUTER JOIN p ON s.user_id = p.user_id
+      |""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }

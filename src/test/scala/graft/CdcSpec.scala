@@ -787,6 +787,50 @@ class CdcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized catalog model: discovery and per-table scans match") {
+    // seeded fuzz over random (db, tbl) layouts spread across chunks:
+    // SHOW NAMESPACES / SHOW TABLES / per-table SELECT counts must all
+    // equal the generating model, whatever the distribution
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val dbs = (0 until 3).map(i => s"db$i")
+      val tbls = (0 until 4).map(i => s"t$i")
+      val recs = (1 to 80).map { i =>
+        val db = dbs(rnd.nextInt(dbs.size))
+        val tbl = tbls(rnd.nextInt(tbls.size))
+        ChangeRecord(i.toLong, "tx", 1000000L * i, 0L, Op.Update, db, tbl,
+          Seq("k"), null, Map("k" -> i.toString, "v" -> s"v$i"))
+      }
+      val dir = Files.createTempDirectory(s"gcl_cat_$seed").toString
+      rnd.shuffle(recs).grouped(1 + rnd.nextInt(30)).zipWithIndex.foreach {
+        case (g, i) =>
+          CdcChunkFile.write(f"$dir/chunk-$i%05d${CdcChunkFile.Extension}", g)
+      }
+      val model = recs.groupBy(r => (r.db, r.tbl)).view.mapValues(_.size).toMap
+      val cat = s"cdc_cat_fuzz_$seed"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CdcCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      try {
+        val ns = spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+          .map(_.getString(0)).toSet
+        assert(ns == model.keySet.map(_._1), s"seed $seed namespaces")
+        ns.foreach { db =>
+          val got = spark.sql(s"SHOW TABLES IN $cat.$db").collect()
+            .map(_.getString(1)).toSet
+          val want = model.keySet.filter(_._1 == db).map(_._2)
+          assert(got == want, s"seed $seed tables in $db")
+          want.foreach { t =>
+            assert(spark.sql(s"SELECT * FROM $cat.$db.$t").count() ==
+              model((db, t)), s"seed $seed count $db.$t")
+          }
+        }
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.path")
+      }
+    }
+  }
+
   test("retract → windowed aggregate chains event time through FMGWS") {
     implicit val s = spark
     val dir = Files.createTempDirectory("gcl").toString
