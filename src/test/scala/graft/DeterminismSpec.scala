@@ -29,7 +29,10 @@ class DeterminismSpec extends AnyFunSuite {
     "emb02_label_centroid", // native long-array agg merge order
     "pk01_seq_pack",      // per-shard windowed cumsum
     "tx09_unigram_lm",    // vocab join + integer sums
-    "cdc10_sink_materialize") // sink append/fold/merge chain state
+    "cdc10_sink_materialize", // sink append/fold/merge chain state
+    "mm03_phash_dedup",   // banded join + distinct pair set
+    "q36_join_full_outer", // two-sided null extension + decimal sums
+    "emb03_trunc_recall") // double rank windows on two vector scales
 
   test("results are identical at 1x and 16x input partitioning") {
     sensitive.foreach { name =>

@@ -31,7 +31,12 @@ class PerfSpec extends AnyFunSuite {
       // verification pipeline per round); ann04's ADC + train path is
       // driver+primitive-loop math that must stay monomorphic
       "dd06_dup_clusters"  -> 20.0,
-      "ann04_knn_ivfpq"    -> 15.0)
+      "ann04_knn_ivfpq"    -> 15.0,
+      // round-4 additions: cdc10 runs real sink I/O (4 micro-batches +
+      // chain-merge read), mm03's banded join must stay candidate-
+      // bounded — both guard against a pinned-block or plan regression
+      "cdc10_sink_materialize" -> 25.0,
+      "mm03_phash_dedup"   -> 15.0)
     bounds.foreach { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       fn(spark, "/root/testdata/sf0.01").count() // warm listing/codegen
