@@ -28,19 +28,11 @@ object Bench {
     def run(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).count()
 
-    // Deterministic block sweep between runs: iterative queries
-    // localCheckpoint per round, and those blocks are PINNED in
-    // storage memory (non-evictable) until the ContextCleaner sees
-    // the RDD get GC'd — which in a quiet 8g heap may be never. Left
-    // to accumulate, they starve every later query's execution
-    // memory (BENCH_r03: dd06 80 s, tx02–tx04 ~30× their steady
-    // state, everything after dd06 degraded). Queries never share
-    // cached state across calls, so sweeping is semantics-free.
-    def sweep(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    // Deterministic block sweep between runs (see GraftSession.sweep:
+    // pinned localCheckpoint blocks caused the BENCH_r03 cliff; the
+    // helper also swallows sweep-own failures so a dying context
+    // can't turn a recorded per-query error into a lost bench)
+    def sweep(): Unit = GraftSession.sweep(spark)
 
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")

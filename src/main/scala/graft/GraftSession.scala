@@ -38,4 +38,20 @@ object GraftSession {
   def fromEnv(fallback: Int = 4, appName: String = "graft"): SparkSession =
     build(sys.env.getOrElse("SPARK_GRAFT_CPUS", fallback.toString).toInt,
       appName)
+
+  /** Free every pinned cached/localCheckpoint block between queries.
+    * Iterative queries eagerly localCheckpoint per round; those blocks
+    * are NON-EVICTABLE until the ContextCleaner notices the RDD got
+    * GC'd — which in a quiet heap may be never. Left to accumulate,
+    * they starve every later query's execution memory (the BENCH_r03
+    * cliff: dd06 80 s, tx* ~30×). Queries never share cached state
+    * across calls, so sweeping is semantics-free. Swallows its own
+    * failures: a sweep on a dying/stopped context must never mask the
+    * real error or abort a harness loop mid-run. */
+  def sweep(spark: SparkSession): Unit =
+    try {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    } catch { case _: Throwable => () }
 }

@@ -55,22 +55,11 @@ object RecallProbe {
       }
       chosen.toArray
     }
-    def lloyd(s: Array[Array[Double]], init: Array[Array[Double]]): Array[Array[Double]] = {
-      val c = init.length; val d = s.head.length
-      var cents = init.map(_.clone)
-      for (_ <- 0 until Ivf.Iters) {
-        val sums = Array.fill(c)(new Array[Double](d)); val counts = new Array[Int](c)
-        s.foreach { u =>
-          val a = Ivf.assign(u, cents); counts(a) += 1
-          var i = 0; while (i < d) { sums(a)(i) += u(i); i += 1 }
-        }
-        cents = Array.tabulate(c)(j => if (counts(j) == 0) cents(j) else {
-          val m = sums(j); var i = 0
-          while (i < d) { m(i) /= counts(j); i += 1 }; Ivf.normalize(m)
-        })
-      }
-      cents
-    }
+    // seeded runs reuse the PRODUCTION trainer (Ivf.train with an
+    // explicit init) — a local Lloyd copy could silently drift from
+    // what ann03/ann04 actually run
+    def lloyd(s: Array[Array[Double]], init: Array[Array[Double]]): Array[Array[Double]] =
+      Ivf.train(s, init.length, init)
     for (c <- Seq(16, 32, 64); p <- Seq(2, 4, 6, 8, 12, 16) if p < c) {
       val cents = Ivf.train(sample, c)
       println(f"CEIL      C=$c%-3d NProbe=$p%-3d scan=${p.toDouble / c}%.3f " +

@@ -59,11 +59,7 @@ object ScaleProbe {
       sweep()
       (dt, rows)
     }
-    def sweep(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    def sweep(): Unit = GraftSession.sweep(spark)
     val mults = Seq(1, 4, 16)
     val dirs = mults.map { k =>
       val d = s"$base/x$k"

@@ -382,8 +382,15 @@ object CdcQueries {
               lit("val"), col("val").cast("string"),
               lit("k"), col("k").cast("string")),
             (_, v) => v.isNotNull)).as("after"))
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft_cdc10").toString
+      // deterministic per-input table dir, NOT a fresh temp dir per
+      // call: bench/verify/specs invoke queries repeatedly, and a new
+      // sink tree per invocation grows /tmp without bound. The sink's
+      // idempotent-replay short-circuit (manifest exists ⇒ batch
+      // no-ops) makes reuse exact — same input, same chains. The
+      // layout tag invalidates reuse if the query's shape changes.
+      val tableDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc10_b4x8m2_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
       (0L until 4L).foreach { b =>
         graft.sinks.CdcParquetSink.applyBatch(
           s, asRecords.filter(pmod(col("id"), lit(4)) === b),

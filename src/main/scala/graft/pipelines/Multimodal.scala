@@ -160,12 +160,15 @@ object Multimodal {
           col("band"), col("bsig"))
         val r = banded.select(col("doc_id").as("m2"), col("phash").as("h2"),
           col("band"), col("bsig"))
+        // filter BEFORE distinct: a pair can collide on up to 4 bands,
+        // and dropping >MaxHamming rows first keeps them out of the
+        // distinct's exchange entirely
         l.join(r, Seq("band", "bsig"))
           .filter(col("m1") < col("m2"))
           .select(col("m1"), col("m2"),
             expr("CAST(bit_count(h1 ^ h2) AS INT)").as("hamming"))
-          .distinct()
           .filter(col("hamming") <= MaxHamming)
+          .distinct()
       },
       Some(s"""WITH h AS (SELECT doc_id,
         |  CAST($hashExpr AS BIGINT) AS phash FROM

@@ -32,8 +32,13 @@ object Packing {
             .as("n_tok"),
           md5(concat(col("doc_id").cast("string"), lit(":pack"))
             .cast("binary")).as("pick"))
+        // hex-digit VALUE, not its ascii code: ascii('0'..'9','a'..'f')
+        // mod 8 lands 3 chars on one shard and 1 on another (a fixed
+        // 3:1 structural skew); the 16 digit values mod 8 give exactly
+        // 2 digits per shard — uniform, and identical in both engines
         .withColumn("shard",
-          (ascii(substring(col("pick"), 1, 1)) % NShards).cast("int"))
+          ((expr("instr('0123456789abcdef', substring(pick, 1, 1))") - 1)
+            % NShards).cast("int"))
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("pick").asc, col("doc_id").asc)
       docs
@@ -52,7 +57,8 @@ object Packing {
       |  md5(CAST(doc_id AS VARCHAR) || ':pack') AS pick
       |  FROM documents),
       |sh AS (SELECT doc_id, n_tok, pick,
-      |  CAST(ascii(substr(pick, 1, 1)) % $NShards AS INT) AS shard FROM d),
+      |  CAST((instr('0123456789abcdef', substr(pick, 1, 1)) - 1)
+      |    % $NShards AS INT) AS shard FROM d),
       |win AS (SELECT doc_id, shard, n_tok,
       |  CAST(ROW_NUMBER() OVER o AS BIGINT) AS pos,
       |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY pick ASC, doc_id ASC

@@ -169,24 +169,31 @@ object Similarity {
         .take(p).toArray
 
     /** Deterministic Lloyd k-means on unit vectors: init = first `c`
-      * sample vectors (sample pre-sorted by vec_id), fixed iteration
-      * count, means accumulated in sample order — every step is a
-      * fixed-order float fold, so centroids are bit-stable across runs
-      * and partitionings. */
-    def train(sampleSorted: Array[Array[Double]], c: Int = C): Array[Array[Double]] = {
+      * sample vectors (sample pre-sorted by vec_id) unless an explicit
+      * seed set is given, fixed iteration count, means accumulated in
+      * sample order — every step is a fixed-order float fold, so
+      * centroids are bit-stable across runs and partitionings. The
+      * `init` hook exists so diagnostics (RecallProbe's seeding study)
+      * measure THIS trainer, not a reimplementation that could drift. */
+    def train(
+        sampleSorted: Array[Array[Double]],
+        c: Int = C,
+        init: Array[Array[Double]] = null): Array[Array[Double]] = {
       val d = sampleSorted.head.length
-      var cents = sampleSorted.take(c).map(_.clone)
+      var cents =
+        if (init != null) init.map(_.clone) else sampleSorted.take(c).map(_.clone)
+      val k = cents.length
       var it = 0
       while (it < Iters) {
-        val sums = Array.fill(c)(new Array[Double](d))
-        val counts = new Array[Int](c)
+        val sums = Array.fill(k)(new Array[Double](d))
+        val counts = new Array[Int](k)
         sampleSorted.foreach { u =>
           val a = assign(u, cents)
           counts(a) += 1
           var i = 0
           while (i < d) { sums(a)(i) += u(i); i += 1 }
         }
-        cents = Array.tabulate(c) { j =>
+        cents = Array.tabulate(k) { j =>
           if (counts(j) == 0) cents(j)
           else {
             val m = sums(j)

@@ -215,27 +215,34 @@ object CdcParquetSink {
     * short-circuit and are O(lines), never data-sized). Single-writer
     * store: a reader racing the fold may need a retry, same contract
     * as any non-snapshot-isolated table store. */
+  /** Directory listing that CLOSES its stream eagerly — `Files.list`
+    * holds an open fd until closed, and a continuous sink calls this
+    * every micro-batch (GC-timed release accumulates fds until "Too
+    * many open files"; same hazard CdcChunkFile.listChunks documents). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def gcUnreferenced(tableDir: String,
       manifest: Map[Int, Seq[String]]): Unit = {
     val referenced = manifest.values.flatten.toSet
     def deleteRecursively(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
       Files.deleteIfExists(p)
     }
-    val dirs = Files.list(Paths.get(tableDir)).iterator().asScala
+    val dirs = listDir(Paths.get(tableDir))
       .filter(Files.isDirectory(_))
       .filter { d => val n = d.getFileName.toString
         n.startsWith("v") || n.startsWith("compact-") }
-      .toSeq
     dirs.foreach { vdir =>
       val vname = vdir.getFileName.toString
-      Files.list(vdir).iterator().asScala.toSeq
+      listDir(vdir)
         .filter(b => b.getFileName.toString.startsWith("bucket="))
         .filterNot(b => referenced(s"$vname/${b.getFileName}"))
         .foreach(deleteRecursively)
       // only marker files (_SUCCESS) left → the whole version is dead
-      val liveBuckets = Files.list(vdir).iterator().asScala
+      val liveBuckets = listDir(vdir)
         .count(_.getFileName.toString.startsWith("bucket="))
       if (liveBuckets == 0) deleteRecursively(vdir)
     }

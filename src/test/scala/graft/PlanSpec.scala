@@ -84,8 +84,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), s"native agg missing:\n$p")
     assert(p.contains("partial_vec_lsum"), s"no map-side partial:\n$p")
     assert(count(p, "Exchange") == 1, s"centroid needs exactly one shuffle:\n$p")
-    assert(!p.contains("Generate\n") || p.indexOf("ObjectHashAggregate") >
-      p.indexOf("Generate"), "posexplode must run AFTER aggregation")
+    // treeString renders the generator as "Generate posexplode(...)";
+    // the node must sit ABOVE (before, in top-down print order) the
+    // aggregate, i.e. explode AFTER aggregation at execution time
+    assert(p.contains("Generate "), s"posexplode node missing:\n$p")
+    assert(p.indexOf("Generate ") < p.indexOf("ObjectHashAggregate"),
+      "posexplode must run AFTER aggregation (print order: above it)")
   }
 
   test("pk01 packing never global-sorts: windows are per-shard") {
