@@ -384,13 +384,28 @@ object CdcQueries {
             (_, v) => v.isNotNull)).as("after"))
       // deterministic per-input table dir, NOT a fresh temp dir per
       // call: bench/verify/specs invoke queries repeatedly, and a new
-      // sink tree per invocation grows /tmp without bound. The sink's
-      // idempotent-replay short-circuit (manifest exists ⇒ batch
-      // no-ops) makes reuse exact — same input, same chains. The
-      // layout tag invalidates reuse if the query's shape changes.
-      val tableDir = java.nio.file.Paths.get(
+      // sink tree per invocation grows /tmp without bound. Rebuilt
+      // from scratch each call (delete-then-write) so a timed run
+      // measures the real write path instead of the sink's
+      // idempotent-replay short-circuit; at most one tree per input
+      // dir ever exists.
+      val tablePath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc10_b4x8m2_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+        "graft_cdc10_b4x8m2_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      def rmTree(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try {
+            val it = st.iterator()
+            val children = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+            while (it.hasNext) children += it.next()
+            children.foreach(rmTree)
+          } finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rmTree(tablePath)
+      val tableDir = tablePath.toString
       (0L until 4L).foreach { b =>
         graft.sinks.CdcParquetSink.applyBatch(
           s, asRecords.filter(pmod(col("id"), lit(4)) === b),
