@@ -365,6 +365,8 @@ object CdcQueries {
     * DuckDB, not just against example-based specs. Values survive a
     * string detour through the row image (double→string→double is
     * exact by the JLS shortest-repr contract). */
+  private val cdc10Calls = new java.util.concurrent.atomic.AtomicLong()
+
   private val cdc10 = QueryDef(
     "cdc10_sink_materialize",
     (s, dir) => {
@@ -382,16 +384,19 @@ object CdcQueries {
               lit("val"), col("val").cast("string"),
               lit("k"), col("k").cast("string")),
             (_, v) => v.isNotNull)).as("after"))
-      // deterministic per-input table dir, NOT a fresh temp dir per
-      // call: bench/verify/specs invoke queries repeatedly, and a new
-      // sink tree per invocation grows /tmp without bound. Rebuilt
-      // from scratch each call (delete-then-write) so a timed run
-      // measures the real write path instead of the sink's
-      // idempotent-replay short-circuit; at most one tree per input
-      // dir ever exists.
+      // bounded per-input table dirs, NOT a fresh temp dir per call:
+      // bench/verify/specs invoke queries repeatedly, and a new sink
+      // tree per invocation grows /tmp without bound. Each call
+      // rebuilds from scratch (so a timed run measures the real write
+      // path, not the sink's idempotent-replay short-circuit) in one
+      // of TWO alternating dirs — the previous invocation's returned
+      // DataFrame still reads its own files (DeterminismSpec holds two
+      // frames and compares them), while growth stays bounded at two
+      // trees per input dir.
       val tablePath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc10_b4x8m2_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        "graft_cdc10_b4x8m2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + (cdc10Calls.getAndIncrement() % 2))
       def rmTree(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p)) {
           val st = java.nio.file.Files.list(p)
