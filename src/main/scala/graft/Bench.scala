@@ -58,11 +58,15 @@ object Bench {
           n -> -1.0
       }
     }
-    // ms precision: the driver parses the JSON from a bounded stdout
-    // tail, and full-precision doubles pushed the line past the tail
-    // window three rounds running (BENCH_r0{1,2,3} parsed:null).
+    // the driver parses the JSON from a 2000-byte stdout tail
+    // (BENCH_r03's captured window), and the line must fit UNDER that
+    // minus sbt's trailing [success] line: 10ms precision per query,
+    // integer stream_rps, basename sf. At 74 queries this is ~1900
+    // bytes; if the suite outgrows the window, switch per-query values
+    // to integer milliseconds.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // end-to-end subscription throughput: records/s through the
@@ -115,7 +119,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ann02_recall":${f3(r2)},"ann03_recall":${f3(r3)},"ann04_recall":${f3(r4)},"stream_rps":${f3(streamRps)},"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ann02_recall":${f2(r2)},"ann03_recall":${f2(r3)},"ann04_recall":${f2(r4)},"stream_rps":${streamRps.round},"errors":$errJson,"n_failed":${errors.size},"sf":"${new java.io.File(sfDir).getName}"}"""
     println(line)
     Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
