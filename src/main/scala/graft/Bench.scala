@@ -113,13 +113,16 @@ object Bench {
       try graft.pipelines.Similarity.recallAtK(spark, sfDir, name)
       catch { case e: Throwable => errors(s"recall:$name") =
         Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }
-    val r2 = recallOf("ann02_knn_bucket")
-    val r3 = recallOf("ann03_knn_ivf")
-    val r4 = recallOf("ann04_knn_ivfpq")
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
-      .mkString("{", ",", "}")
+    // recall@5 vs brute truth, FIXED order [ann02, ann03, ann04, ann05]
+    // (an array, not per-key fields — byte budget, see above)
+    val recalls = Seq("ann02_knn_bucket", "ann03_knn_ivf",
+      "ann04_knn_ivfpq", "ann05_knn_sq8").map(recallOf)
+    val errJson =
+      if (errors.isEmpty) "" // empty map costs 12 bytes of the window
+      else ""","errors":""" + errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ann02_recall":${f2(r2)},"ann03_recall":${f2(r3)},"ann04_recall":${f2(r4)},"stream_rps":${streamRps.round},"errors":$errJson,"n_failed":${errors.size},"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"recalls":${recalls.map(f2).mkString("[", ",", "]")}$errJson,"n_failed":${errors.size},"stream_rps":${streamRps.round},"sf":"${new java.io.File(sfDir).getName}"}"""
     println(line)
     Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))

@@ -36,7 +36,7 @@ object Embeddings {
       s"CAST(floor(x * $s + 0.5) AS BIGINT))) AS BIGINT))"
 
   /** vec_id, label, v (array<double>), amax, qscale, codes. */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private[pipelines] def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         VectorOps.toDouble("embedding").as("v"))
@@ -46,7 +46,7 @@ object Embeddings {
           .otherwise(lit(1.0)))
       .withColumn("codes", expr(codesSpark("v", "qscale")))
 
-  private def quantizedSql: String =
+  private[pipelines] def quantizedSql: String =
     s"""q0 AS (SELECT vec_id, label,
        |  ${VectorOps.castSql("embedding")} AS v FROM embeddings),
        |q1 AS (SELECT vec_id, label, v,

@@ -441,6 +441,85 @@ object Similarity {
     },
     None) // rows-only: k-means/PQ training is not SQL-expressible
 
+  // -------------------------------------------------------------- ann05
+  /** Scalar-quantization ANN (the FAISS SQ8 rung of the ladder):
+    * corpus vectors scored from their int8 codes — 4× less memory
+    * traffic than floats, 8× less than doubles — with an exact cosine
+    * re-rank of the top candidates. The asymmetric score
+    * cos(q, ĉ) = Σ q_i·c_i / (|q|·√(Σ c_i²)) cancels the
+    * quantization scale entirely, so the candidate rank needs ONE
+    * ordered double fold per pair plus an exact integer norm; unlike
+    * IVF/PQ there is no trained state, which makes this the one
+    * approximate-ANN entry the DuckDB oracle can reproduce
+    * bit-for-bit (sql, not rows-only). Scan shape = ann01's linear
+    * broadcast probe, just over 8-bit codes — at 100 TB the win is
+    * bandwidth, and recall loss is bounded by quantization error
+    * (re-rank depth 50 absorbs rank inversions near the cut). */
+  private val ann05 = {
+    val Depth = 50
+    QueryDef(
+      "ann05_knn_sq8",
+      (s, dir) => {
+        val corpus = Embeddings.quantized(s, dir)
+          .select(col("vec_id").as("n_id"), col("codes"),
+            expr("aggregate(codes, 0L, (a, c) -> a + c * c)").as("cnn"))
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nn").as("qn"))
+        val approx = broadcast(q).join(corpus, col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"), col("qn"),
+            expr("aggregate(zip_with(qv, codes, (x, c) -> x * c), 0D, (a, y) -> a + y)")
+              .as("adot"),
+            col("cnn"))
+          .withColumn("acos",
+            col("adot") / (sqrt(col("qn")) * sqrt(col("cnn").cast("double"))))
+        val wA = Window.partitionBy(col("q_id"))
+          .orderBy(col("acos").desc, col("n_id").asc)
+        val cand = approx.withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= Depth).select("q_id", "n_id")
+        val exact = cand
+          .join(e.select(col("vec_id").as("n_id"), col("v"), col("nn")), "n_id")
+          .join(broadcast(q), "q_id")
+          .select(col("q_id"), col("n_id"),
+            VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)
+        exact.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= K)
+      },
+      Some(s"""WITH ${Embeddings.quantizedSql},
+        |corpus AS (SELECT vec_id AS n_id, codes,
+        |  list_reduce(list_transform(codes, c -> c * c), (a, b) -> a + b)
+        |    AS cnn FROM q),
+        |e AS (SELECT vec_id, ${VectorOps.castSql("embedding")} AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, ${VectorOps.dotSql("v", "v")} AS nn FROM e),
+        |qs AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM n
+        |  WHERE vec_id < $NQueries),
+        |approx AS (SELECT qs.q_id, corpus.n_id,
+        |  list_reduce(list_transform(list_zip(qs.qv, corpus.codes),
+        |    p -> p[1] * p[2]), (a, b) -> a + b)
+        |    / (sqrt(qs.qn) * sqrt(CAST(corpus.cnn AS DOUBLE))) AS acos
+        |  FROM qs JOIN corpus ON corpus.n_id <> qs.q_id),
+        |cand AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY acos DESC, n_id ASC) AS rn FROM approx)
+        |  WHERE rn <= $Depth),
+        |exact AS (SELECT c.q_id, c.n_id,
+        |  ${VectorOpsCosineSql()}
+        |  FROM cand c
+        |  JOIN n nb ON nb.vec_id = c.n_id
+        |  JOIN qs ON qs.q_id = c.q_id)
+        |SELECT q_id, n_id, cos, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id ASC) AS rn FROM exact)
+        |WHERE rn <= $K""".stripMargin))
+  }
+
+  private def VectorOpsCosineSql(): String =
+    s"${VectorOps.cosineSql("qs.qv", "nb.v", "qs.qn", "nb.nn")} AS cos"
+
   /** recall@K of an approximate ANN result against [[ann01]]'s
     * brute-force truth on the same data (used by Bench reporting and
     * PipelineSpec). */
@@ -453,5 +532,5 @@ object Similarity {
     hit.toDouble / truth.count()
   }
 
-  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04)
+  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05)
 }

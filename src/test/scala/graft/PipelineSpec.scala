@@ -122,6 +122,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF-PQ recall@5 fell to $recall")
   }
 
+  test("ann05 SQ8: quantized candidate rank + exact re-rank holds high recall") {
+    val df = SparkEntry.queries("ann05_knn_sq8")(spark, sf)
+    val perQ = df.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5))
+    assert(df.filter(col("q_id") === col("n_id")).count() == 0)
+    // int8 quantization error is tiny relative to cosine gaps and the
+    // 50-deep exact re-rank absorbs rank inversions near the cut —
+    // recall should sit near 1.0, far above the scan-bounded methods
+    val recall = graft.pipelines.Similarity.recallAtK(
+      spark, sf, "ann05_knn_sq8")
+    assert(recall >= 0.9, s"SQ8 recall@5 fell to $recall")
+  }
+
   test("tx01 langid picks argmax with priority tie-break") {
     val df = SparkEntry.queries("tx01_langid")(spark, sf)
     val bad = df.filter(col("pred_lang") === "de" && col("h_en") >= col("h_de"))
