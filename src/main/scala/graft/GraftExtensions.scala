@@ -75,15 +75,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object RewriteZipWithDot extends Rule[LogicalPlan] {
 
   private object DotShape {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+    /** Array-level double cast for an integral-element array operand.
+      * The analyzer puts the equivalent CAST INSIDE the zip_with
+      * lambda (per element), so hoisting it to the array is
+      * semantics-identical — including null elements (cast preserves
+      * them) and ragged lengths (zip_with's null-pad → null sum either
+      * way, which VecDot's dotOrNull reproduces). */
+    private def widen(arr: Expression): Expression = arr.dataType match {
+      case ArrayType(DoubleType, _) => arr
+      case ArrayType(_, containsNull) =>
+        Cast(arr, ArrayType(DoubleType, containsNull))
+    }
+
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-            ZipWith(a, b,
-              LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _), _, _)),
-            Literal(0.0, org.apache.spark.sql.types.DoubleType),
+            ZipWith(a, b, LambdaFunction(mul, _, _)),
+            Literal(0.0, DoubleType),
             LambdaFunction(Add(acc: NamedLambdaVariable, x2: NamedLambdaVariable, _), _, _),
             LambdaFunction(fin: NamedLambdaVariable, _, _))
-          if x1.exprId != y1.exprId && acc.exprId != x2.exprId =>
-        Some((a, b))
+          if acc.exprId != x2.exprId =>
+        mul match {
+          // both elements already double
+          case Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _)
+              if x1.exprId != y1.exprId =>
+            Some((a, b))
+          // mixed types: the analyzer casts the narrower element to
+          // double inside the lambda (e.g. ann05's double · int8-code
+          // rank fold). Hoist by widening whichever ARRAY is not
+          // double (identity on the double one) — keyed on the array
+          // types, not the lambda-variable positions, so a reversed
+          // `(x, c) -> c * x` matches too
+          case Multiply(x1: NamedLambdaVariable,
+                Cast(y1: NamedLambdaVariable, DoubleType, _, _), _)
+              if x1.exprId != y1.exprId =>
+            Some((widen(a), widen(b)))
+          case Multiply(Cast(x1: NamedLambdaVariable, DoubleType, _, _),
+                y1: NamedLambdaVariable, _)
+              if x1.exprId != y1.exprId =>
+            Some((widen(a), widen(b)))
+          case _ => None
+        }
       case _ => None
     }
   }

@@ -63,6 +63,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.select("vec_id", "norm2").except(viaOps).count() == 0)
   }
 
+  test("rewrite also catches the mixed double·long fold (analyzer-cast lambda)") {
+    // the SQ8 rank shape: double query vector times integer codes —
+    // the analyzer casts the long element inside the lambda, and the
+    // rule must hoist that to an array cast rather than miss the match
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_mixed_t")
+    // dv: doubles from the table (not literals — an all-literal query
+    // constant-folds to a LocalRelation before the rewrite can show);
+    // lv: int codes; lv3: ragged; lvn: a null element
+    val df = spark.sql(
+      """SELECT vec_id,
+        | aggregate(zip_with(dv, lv, (x, c) -> x * c), 0D,
+        |   (a, y) -> a + y) AS s,
+        | aggregate(zip_with(dv, lv, (x, c) -> c * x), 0D,
+        |   (a, y) -> a + y) AS s_rev,
+        | aggregate(zip_with(dv, slice(lv, 1, 3), (x, c) -> x * c), 0D,
+        |   (a, y) -> a + y) AS s_ragged,
+        | aggregate(zip_with(dv, transform(lv, (c, i) ->
+        |     CASE WHEN i = 1 THEN CAST(NULL AS BIGINT) ELSE c END),
+        |   (x, c) -> x * c), 0D, (a, y) -> a + y) AS s_nullelem
+        |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS dv,
+        |        transform(CAST(embedding AS ARRAY<DOUBLE>),
+        |          x -> CAST(floor(x * 10) AS BIGINT)) AS lv
+        |      FROM emb_mixed_t)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("(?i)vecdot".r.findAllIn(optimized).size >= 4,
+      s"expected 4 VecDot rewrites in optimized plan:\n$optimized")
+    // values match the plain double fold computed WITHOUT the rewrite
+    // (pre-cast arrays so the all-double shape applies)
+    val twin = spark.sql(
+      """SELECT vec_id,
+        | aggregate(zip_with(dv, CAST(lv AS ARRAY<DOUBLE>), (x, c) -> x * c),
+        |   0D, (a, y) -> a + y) AS s
+        |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS dv,
+        |        transform(CAST(embedding AS ARRAY<DOUBLE>),
+        |          x -> CAST(floor(x * 10) AS BIGINT)) AS lv
+        |      FROM emb_mixed_t)""".stripMargin)
+    assert(df.select("vec_id", "s").except(twin).count() == 0)
+    assert(df.filter(org.apache.spark.sql.functions.col("s") =!=
+      org.apache.spark.sql.functions.col("s_rev")).count() == 0)
+    val r = df.head()
+    assert(r.isNullAt(3)) // ragged lengths -> zip_with null-pad -> null sum
+    assert(r.isNullAt(4)) // null element propagates
+  }
+
   test("dedup-family SQL functions resolve and match the native paths") {
     val row = spark.sql(
       "SELECT minhash_sigs(array('a', 'b', 'c', 'd'), 3, 4) AS sigs, " +
