@@ -99,7 +99,15 @@ object Bench {
         consume() // warm (JIT + listing)
         val t0 = System.nanoTime()
         consume()
-        n / ((System.nanoTime() - t0) / 1e9)
+        val rps = n / ((System.nanoTime() - t0) / 1e9)
+        // ~40 MB of throwaway chunks per bench run — clean up eagerly
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          val it = st.iterator()
+          while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+        } finally st.close()
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir))
+        rps
       } catch {
         case e: Throwable =>
           errors("stream_rps") =

@@ -376,6 +376,7 @@ object CdcQueries {
         col("op"),
         lit("app").as("db"), lit("users").as("tbl"),
         array(lit("pk")).as("pkNames"),
+        lit(null).cast("array<string>").as("ukNames"),
         when(col("op") === "DELETE",
           map(lit("pk"), col("pk").cast("string"))).as("before"),
         when(col("op") =!= "DELETE",

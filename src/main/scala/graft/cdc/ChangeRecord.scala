@@ -26,7 +26,12 @@ final case class ChangeRecord(
     after: Map[String, String],
     props: Map[String, String] = null,
     sourceType: String = null,
-    sourceVersion: String = null)
+    sourceVersion: String = null,
+    /** First unique-key index columns (ref RecordSchema
+      * getUniqueIndexInfo / RecordIndexInfo.isFirstUniqueIndex):
+      * pk-less tables key on their unique index downstream. null =
+      * none declared; codec v1/v2 records decode into null. */
+    ukNames: Seq[String] = null)
 
 /** Operation vocabulary (ref: OperationType.java — the subset with
   * data-plane meaning plus the control records the fetcher surfaces).

@@ -18,11 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Layout (little-endian):
   * {{{
-  *   0  u8   magic 'G'      1  u8   version (1 or 2)
+  *   0  u8   magic 'G'      1  u8   version (1-3)
   *   2  i64  id             10 i64  tsUs
   *   18 i64  bornUs         26 u8   opCode
   *   27 ...  varlen tail: txId, db, tbl, pkNames, before, after
   *   v2 adds: props map, sourceType str, sourceVersion str
+  *   v3 adds: ukNames (i32 count, -1 = none declared, + str*) — the
+  *     first unique-key index (ref RecordSchema.getUniqueIndexInfo)
   * }}}
   * str := i32 byteLen (-1 = null) + utf8; map := i32 n + (str,str)*.
   * Version evolution: the header is fixed across versions (lazy
@@ -34,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object RecordCodec {
 
   val Magic: Byte = 'G'
-  val Version: Byte = 2
+  val Version: Byte = 3
   val HeaderLen: Int = 27
 
   // ------------------------------------------------------------ encode
@@ -62,6 +64,13 @@ object RecordCodec {
       writeMap(out, r.props)
       writeStr(out, r.sourceType)
       writeStr(out, r.sourceVersion)
+    }
+    if (version >= 3) {
+      if (r.ukNames == null) writeI32(out, -1)
+      else {
+        writeI32(out, r.ukNames.length)
+        r.ukNames.foreach(writeStr(out, _))
+      }
     }
     bos.toByteArray
   }
@@ -148,8 +157,14 @@ object RecordCodec {
     val (props, srcType, srcVer) =
       if (version >= 2) (readMap(buf), readStr(buf), readStr(buf))
       else (null, null, null)
+    val uks =
+      if (version < 3) null
+      else {
+        val n = buf.getInt
+        if (n < 0) null else (0 until n).map(_ => readStr(buf))
+      }
     ChangeRecord(id, tx, ts, born, op, db, tbl, pks, before, after,
-      props, srcType, srcVer)
+      props, srcType, srcVer, uks)
   }
 
   // ----------------------------------------------- direct-to-row decode
@@ -157,13 +172,13 @@ object RecordCodec {
   /** Column-pruned decode plan: `ordinals(i)` = source-schema ordinal
     * of output column i (CdcSource.schema order: 0 id, 1 txId, 2 tsUs,
     * 3 bornUs, 4 op, 5 db, 6 tbl, 7 pkNames, 8 before, 9 after,
-    * 10 props, 11 sourceType, 12 sourceVersion). Precomputed once per
+    * 10 props, 11 sourceType, 12 sourceVersion, 13 ukNames). Precomputed once per
     * scan so the per-record loop allocates nothing extra. */
   final class RowProjection(val ordinals: Array[Int]) extends Serializable {
-    val need: Array[Int] = Array.fill(13)(-1)
+    val need: Array[Int] = Array.fill(14)(-1)
     ordinals.zipWithIndex.foreach { case (src, i) => need(src) = i }
     /** Wire order of the variable-length tail sections. */
-    val wire: Array[Int] = Array(1, 5, 6, 7, 8, 9, 10, 11, 12)
+    val wire: Array[Int] = Array(1, 5, 6, 7, 8, 9, 10, 11, 12, 13)
     /** Index into [[wire]] of the last section we must parse; -1 if
       * the header alone satisfies the projection. */
     val lastWire: Int = {
@@ -206,14 +221,14 @@ object RecordCodec {
       var w = 0
       while (w <= proj.lastWire) {
         val ord = proj.wire(w)
-        val absent = version < 2 && ord >= 10
+        val absent = (version < 2 && ord >= 10) || (version < 3 && ord >= 13)
         val slot = need(ord)
         if (absent) {
           if (slot >= 0) out(slot) = null
         } else ord match {
           case 1 | 5 | 6 | 11 | 12 =>
             if (slot >= 0) out(slot) = readUtf8(bytes, buf) else skipStr(buf)
-          case 7 =>
+          case 7 | 13 =>
             val n = buf.getInt
             if (slot >= 0) {
               if (n < 0) out(slot) = null

@@ -123,7 +123,8 @@ object CdcSource {
     StructField("after", MapType(StringType, StringType)),
     StructField("props", MapType(StringType, StringType)),
     StructField("sourceType", StringType),
-    StructField("sourceVersion", StringType)))
+    StructField("sourceVersion", StringType),
+    StructField("ukNames", ArrayType(StringType))))
 }
 
 class CdcTable(

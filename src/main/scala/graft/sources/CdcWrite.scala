@@ -111,7 +111,14 @@ private class CdcDataWriter(
             (if (vs.isNullAt(j)) null else vs.getUTF8String(j).toString)
         }.toMap
       }
+    val uks =
+      if (r.isNullAt(13)) null
+      else {
+        val a = r.getArray(13)
+        (0 until a.numElements()).map(j =>
+          if (a.isNullAt(j)) null else a.getUTF8String(j).toString)
+      }
     ChangeRecord(r.getLong(0), str(1), r.getLong(2), r.getLong(3), str(4),
-      str(5), str(6), pks, map(8), map(9), map(10), str(11), str(12))
+      str(5), str(6), pks, map(8), map(9), map(10), str(11), str(12), uks)
   }
 }

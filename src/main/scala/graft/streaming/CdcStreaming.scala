@@ -48,10 +48,19 @@ object CdcStreaming {
     * pk value comes from whichever image carries it (DELETEs: before;
     * INSERTs: after). Single-column keys produce the same string the
     * round-1 pk1 form did. */
-  def keyExpr: org.apache.spark.sql.Column =
+  def keyExpr: org.apache.spark.sql.Column = {
+    // pk-less tables key on their first UNIQUE index, the reference's
+    // fallback (ref RecordSchema.getUniqueIndexInfo /
+    // RowImage.getUniqueKeyValues beside getPrimaryKeyValues): pk
+    // columns when declared, else uk columns, else no key suffix
+    // (the pre-v3 behavior for records carrying neither)
+    val keyCols = when(size(col("pkNames")) > 0, col("pkNames"))
+      .otherwise(coalesce(col("ukNames"),
+        array().cast("array<string>")))
     concat_ws("|", col("db"), col("tbl"),
-      concat_ws("#", transform(col("pkNames"), n =>
+      concat_ws("#", transform(keyCols, n =>
         coalesce(element_at(col("after"), n), element_at(col("before"), n)))))
+  }
 
   /** Event-time + watermark advanced by ALL records INCLUDING
     * heartbeats, which are dropped only afterwards — the reference's

@@ -49,8 +49,11 @@ object CodecProps extends Properties("RecordCodec") {
     props <- genImage
     st <- Gen.oneOf(genStr, Gen.const(null: String))
     sv <- Gen.oneOf(genStr, Gen.const(null: String))
+    uks <- Gen.oneOf(Gen.const(null: Seq[String]),
+      Gen.const(Seq.empty[String]),
+      Gen.listOfN(2, Gen.alphaNumStr.map("u" + _.take(6))).map(_.toSeq))
   } yield ChangeRecord(id, tx, ts, born, op, db, tbl, pks, before, after,
-    props, st, sv)
+    props, st, sv, uks)
 
   implicit private val arbRecord: Arbitrary[ChangeRecord] = Arbitrary(genRecord)
 
@@ -77,8 +80,15 @@ object CodecProps extends Properties("RecordCodec") {
 
   property("v1 encoding still decodes (extended fields null out)") = forAll {
     (r: ChangeRecord) =>
-      val v1 = r.copy(props = null, sourceType = null, sourceVersion = null)
+      val v1 = r.copy(props = null, sourceType = null, sourceVersion = null,
+        ukNames = null)
       RecordCodec.decode(RecordCodec.encode(v1, 1.toByte)) == v1
+  }
+
+  property("v2 encoding still decodes (ukNames nulls out)") = forAll {
+    (r: ChangeRecord) =>
+      val v2 = r.copy(ukNames = null)
+      RecordCodec.decode(RecordCodec.encode(v2, 2.toByte)) == v2
   }
 
   // ---- pruned decode (the column-pruning hot path) vs full decode ----
@@ -110,10 +120,11 @@ object CodecProps extends Properties("RecordCodec") {
     case 10 => r.props
     case 11 => r.sourceType
     case 12 => r.sourceVersion
+    case 13 => r.ukNames
   }
 
   private val genOrdinals: Gen[Array[Int]] =
-    Gen.someOf(0 to 12).map(_.toArray.sorted)
+    Gen.someOf(0 to 13).map(_.toArray.sorted)
       .suchThat(_.nonEmpty)
 
   property("pruned decode matches the full decode on every projected column") =
@@ -128,9 +139,10 @@ object CodecProps extends Properties("RecordCodec") {
 
   property("pruned decode of v1 bytes nulls the extended ordinals") =
     forAll(genRecord) { r =>
-      val v1 = r.copy(props = null, sourceType = null, sourceVersion = null)
+      val v1 = r.copy(props = null, sourceType = null, sourceVersion = null,
+        ukNames = null)
       val bytes = RecordCodec.encode(v1, 1.toByte)
-      val proj = new RecordCodec.RowProjection(Array(10, 11, 12))
+      val proj = new RecordCodec.RowProjection(Array(10, 11, 12, 13))
       val row = RecordCodec.decodeProjected(bytes, proj)
       row.values.forall(_ == null)
     }

@@ -345,6 +345,37 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("pk-less tables key on their unique index (codec v3 ukNames)") {
+    implicit val s = spark
+    // a table with NO primary key but a unique index on (email):
+    // updates to the same email must collapse to one live row, and a
+    // delete must tombstone it — the reference's RowImage
+    // getUniqueKeyValues fallback beside getPrimaryKeyValues
+    def rec(id: Long, sec: Long, op: String, email: String, v: String) =
+      graft.cdc.ChangeRecord(id, "tx", sec * 1000000L, 0L, op, "app", "nopk",
+        Seq.empty, // no pk declared
+        if (op == Op.Insert) null else Map("email" -> email, "v" -> "old"),
+        if (op == Op.Delete) null else Map("email" -> email, "v" -> v),
+        ukNames = Seq("email"))
+    val dir = Files.createTempDirectory("gcl_uk").toString
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", Seq(
+      rec(1, 10, Op.Insert, "a@x", "v1"),
+      rec(2, 20, Op.Update, "a@x", "v2"),
+      rec(3, 30, Op.Insert, "b@x", "v3"),
+      rec(4, 40, Op.Delete, "b@x", null)))
+    // wire roundtrip carries ukNames through the source schema
+    val batch = CdcStreaming.readBatch(spark, dir)
+    assert(batch.filter(col("ukNames") === array(lit("email"))).count() == 4)
+    // sink materialization keys on the unique index: a@x collapses to
+    // v2, b@x is deleted, NOT all four records on one empty key
+    val tableDir = Files.createTempDirectory("tbl_uk").toString
+    CdcParquetSink.applyBatch(spark, batch, tableDir, 0L, nBuckets = 2)
+    val live = CdcParquetSink.readTable(spark, tableDir).get
+      .select(expr("after['email']"), expr("after['v']"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(live == Map("a@x" -> "v2"))
+  }
+
   test("randomized streaming retract model: live counts equal the batch model") {
     implicit val s = spark
     // random DML with timestamp ties arriving OUT OF ORDER across
