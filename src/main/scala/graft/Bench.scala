@@ -61,9 +61,10 @@ object Bench {
     // the driver parses the JSON from a 2000-byte stdout tail
     // (BENCH_r03's captured window), and the line must fit UNDER that
     // minus sbt's trailing [success] line: 10ms precision per query,
-    // integer stream_rps, basename sf. At 74 queries this is ~1900
-    // bytes; if the suite outgrows the window, switch per-query values
-    // to integer milliseconds.
+    // integer stream_rps, basename sf — measure bench.json after adding a
+    // query (~25 bytes each, ~100 bytes of headroom at 75 queries);
+    // if the suite outgrows the window, switch per-query values to
+    // integer milliseconds.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
@@ -96,18 +97,18 @@ object Bench {
             .load().writeStream.format("noop").start()
           try q.processAllAvailable() finally q.stop()
         }
-        consume() // warm (JIT + listing)
-        val t0 = System.nanoTime()
-        consume()
-        val rps = n / ((System.nanoTime() - t0) / 1e9)
-        // ~40 MB of throwaway chunks per bench run — clean up eagerly
-        val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
         try {
-          val it = st.iterator()
-          while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
-        } finally st.close()
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir))
-        rps
+          consume() // warm (JIT + listing)
+          val t0 = System.nanoTime()
+          consume()
+          n / ((System.nanoTime() - t0) / 1e9)
+        } finally {
+          // ~40 MB of throwaway chunks per run: clean up whether the
+          // measurement succeeded or not, and never let a cleanup
+          // failure discard a valid measurement
+          try graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+          catch { case _: Throwable => () }
+        }
       } catch {
         case e: Throwable =>
           errors("stream_rps") =

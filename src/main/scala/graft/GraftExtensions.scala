@@ -90,16 +90,28 @@ object RewriteZipWithDot extends Rule[LogicalPlan] {
     }
 
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      // Every variable reference must be the ENCLOSING lambda's own
+      // parameter — a lambda body referencing an OUTER lambda variable
+      // (e.g. zip_with(a, b, (x, y) -> x * s) under transform(scales,
+      // s -> ...)) is also a NamedLambdaVariable and would otherwise
+      // silently rewrite to a plain dot product of a and b.
       case ArrayAggregate(
-            ZipWith(a, b, LambdaFunction(mul, _, _)),
+            ZipWith(a, b, LambdaFunction(mul,
+              Seq(p1: NamedLambdaVariable, p2: NamedLambdaVariable), _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(acc: NamedLambdaVariable, x2: NamedLambdaVariable, _), _, _),
-            LambdaFunction(fin: NamedLambdaVariable, _, _))
-          if acc.exprId != x2.exprId =>
+            LambdaFunction(Add(acc: NamedLambdaVariable, x2: NamedLambdaVariable, _),
+              Seq(accP: NamedLambdaVariable, xP: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(finP: NamedLambdaVariable), _))
+          if Set(acc.exprId, x2.exprId) == Set(accP.exprId, xP.exprId) &&
+            acc.exprId != x2.exprId && fin.exprId == finP.exprId =>
+        val params = Set(p1.exprId, p2.exprId)
+        def ownParams(u: NamedLambdaVariable, v: NamedLambdaVariable): Boolean =
+          u.exprId != v.exprId && Set(u.exprId, v.exprId) == params
         mul match {
           // both elements already double
           case Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _)
-              if x1.exprId != y1.exprId =>
+              if ownParams(x1, y1) =>
             Some((a, b))
           // mixed types: the analyzer casts the narrower element to
           // double inside the lambda (e.g. ann05's double · int8-code
@@ -109,11 +121,11 @@ object RewriteZipWithDot extends Rule[LogicalPlan] {
           // `(x, c) -> c * x` matches too
           case Multiply(x1: NamedLambdaVariable,
                 Cast(y1: NamedLambdaVariable, DoubleType, _, _), _)
-              if x1.exprId != y1.exprId =>
+              if ownParams(x1, y1) =>
             Some((widen(a), widen(b)))
           case Multiply(Cast(x1: NamedLambdaVariable, DoubleType, _, _),
                 y1: NamedLambdaVariable, _)
-              if x1.exprId != y1.exprId =>
+              if ownParams(x1, y1) =>
             Some((widen(a), widen(b)))
           case _ => None
         }

@@ -365,7 +365,12 @@ object CdcQueries {
     * DuckDB, not just against example-based specs. Values survive a
     * string detour through the row image (double→string→double is
     * exact by the JLS shortest-repr contract). */
-  private val cdc10Calls = new java.util.concurrent.atomic.AtomicLong()
+  // parity counter PER INPUT DIR: a single global counter would let
+  // two interleaved calls for different sf dirs land consecutive
+  // same-dir calls on the same parity and delete files the previous
+  // invocation's returned DataFrame still reads
+  private val cdc10Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   private val cdc10 = QueryDef(
     "cdc10_sink_materialize",
@@ -394,23 +399,14 @@ object CdcQueries {
       // DataFrame still reads its own files (DeterminismSpec holds two
       // frames and compares them), while growth stays bounded at two
       // trees per input dir.
+      val parity = cdc10Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement() % 2
       val tablePath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         "graft_cdc10_b4x8m2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          "_" + (cdc10Calls.getAndIncrement() % 2))
-      def rmTree(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try {
-            val it = st.iterator()
-            val children = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-            while (it.hasNext) children += it.next()
-            children.foreach(rmTree)
-          } finally st.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rmTree(tablePath)
+          "_" + parity)
+      graft.Fs.deleteRecursively(tablePath)
       val tableDir = tablePath.toString
       (0L until 4L).foreach { b =>
         graft.sinks.CdcParquetSink.applyBatch(

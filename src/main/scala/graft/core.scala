@@ -33,6 +33,28 @@ object Tables {
   }
 }
 
+/** Filesystem helpers shared by the sink, queries and harnesses.
+  * `Files.list` holds an OPEN FD until the stream is closed — relying
+  * on GC accumulates fds on any long-running loop (micro-batch sinks,
+  * bench runs) until "Too many open files"; every caller here closes
+  * eagerly. */
+object Fs {
+  def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(p)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      val it = s.iterator()
+      while (it.hasNext) out += it.next()
+      out.toSeq
+    } finally s.close()
+  }
+
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
+  }
+}
+
 /** Oracle-parity helpers (SURVEY.md §3): double sums are
   * order-dependent under parallel aggregation, so money-ish columns are
   * accumulated as exact DECIMAL(28,6) and emitted as double — Spark and

@@ -507,7 +507,7 @@ object Similarity {
         |    ORDER BY acos DESC, n_id ASC) AS rn FROM approx)
         |  WHERE rn <= $Depth),
         |exact AS (SELECT c.q_id, c.n_id,
-        |  ${VectorOpsCosineSql()}
+        |  ${VectorOps.cosineSql("qs.qv", "nb.v", "qs.qn", "nb.nn")} AS cos
         |  FROM cand c
         |  JOIN n nb ON nb.vec_id = c.n_id
         |  JOIN qs ON qs.q_id = c.q_id)
@@ -516,9 +516,6 @@ object Similarity {
         |    ORDER BY cos DESC, n_id ASC) AS rn FROM exact)
         |WHERE rn <= $K""".stripMargin))
   }
-
-  private def VectorOpsCosineSql(): String =
-    s"${VectorOps.cosineSql("qs.qv", "nb.v", "qs.qn", "nb.nn")} AS cos"
 
   /** recall@K of an approximate ANN result against [[ann01]]'s
     * brute-force truth on the same data (used by Bench reporting and

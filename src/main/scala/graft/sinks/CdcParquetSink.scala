@@ -215,36 +215,23 @@ object CdcParquetSink {
     * short-circuit and are O(lines), never data-sized). Single-writer
     * store: a reader racing the fold may need a retry, same contract
     * as any non-snapshot-isolated table store. */
-  /** Directory listing that CLOSES its stream eagerly — `Files.list`
-    * holds an open fd until closed, and a continuous sink calls this
-    * every micro-batch (GC-timed release accumulates fds until "Too
-    * many open files"; same hazard CdcChunkFile.listChunks documents). */
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
-
   private def gcUnreferenced(tableDir: String,
       manifest: Map[Int, Seq[String]]): Unit = {
     val referenced = manifest.values.flatten.toSet
-    def deleteRecursively(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-      Files.deleteIfExists(p)
-    }
-    val dirs = listDir(Paths.get(tableDir))
+    val dirs = graft.Fs.listDir(Paths.get(tableDir))
       .filter(Files.isDirectory(_))
       .filter { d => val n = d.getFileName.toString
         n.startsWith("v") || n.startsWith("compact-") }
     dirs.foreach { vdir =>
       val vname = vdir.getFileName.toString
-      listDir(vdir)
+      graft.Fs.listDir(vdir)
         .filter(b => b.getFileName.toString.startsWith("bucket="))
         .filterNot(b => referenced(s"$vname/${b.getFileName}"))
-        .foreach(deleteRecursively)
+        .foreach(graft.Fs.deleteRecursively)
       // only marker files (_SUCCESS) left → the whole version is dead
-      val liveBuckets = listDir(vdir)
+      val liveBuckets = graft.Fs.listDir(vdir)
         .count(_.getFileName.toString.startsWith("bucket="))
-      if (liveBuckets == 0) deleteRecursively(vdir)
+      if (liveBuckets == 0) graft.Fs.deleteRecursively(vdir)
     }
   }
 

@@ -13,12 +13,11 @@ class DeterminismSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val spark = SparkTestSession.spark
 
-  /** EVERY query must be partitioning-invariant, with two documented
-    * exceptions whose operators are approximate SKETCHES: q35's GK
-    * quantile sketch is explicitly merge-order-sensitive (the same
-    * data split differently can emit a different — equally valid —
-    * approximate quantile). q20's HLL is merge-order-insensitive and
-    * stays in. Everything exact is in. */
+  /** EVERY query must be partitioning-invariant, with ONE documented
+    * exception: q35's GK quantile sketch is merge-order-sensitive by
+    * definition (the same data split differently can emit a different
+    * — equally valid — approximate quantile). q20's HLL IS
+    * merge-order-insensitive, so it stays in. Everything exact is in. */
   private val sketchExempt = Set("q35_approx_quantile")
   private lazy val sensitive: Seq[String] =
     SparkEntry.all.map(_.name).filterNot(sketchExempt)

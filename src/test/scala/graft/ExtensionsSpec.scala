@@ -108,6 +108,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(4)) // null element propagates
   }
 
+  test("rewrite refuses lambdas that capture an OUTER variable") {
+    // zip_with(a, b, (x, y) -> x * s) under transform(scales, s -> ...)
+    // must NOT become vec_dot(a, b): s is a NamedLambdaVariable too,
+    // but it is not the zip_with lambda's own parameter — rewriting
+    // would silently compute sum(a_i*b_i) instead of s*sum(a_i)
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_capture_t")
+    val df = spark.sql(
+      """SELECT vec_id,
+        | transform(array(2D, 10D), s ->
+        |   aggregate(zip_with(dv, dv, (x, y) -> x * s), 0D,
+        |     (a, v) -> a + v)) AS scaled_sums,
+        | aggregate(dv, 0D, (a, v) -> a + v) AS plain_sum
+        |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS dv
+        |      FROM emb_capture_t)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!"(?i)vecdot".r.findAllIn(optimized).hasNext,
+      s"captured-variable lambda must not rewrite:\n$optimized")
+    val r = df.head()
+    val sums = r.getSeq[Double](1)
+    val plain = r.getDouble(2)
+    assert(math.abs(sums(0) - 2.0 * plain) < 1e-9)
+    assert(math.abs(sums(1) - 10.0 * plain) < 1e-9)
+  }
+
   test("dedup-family SQL functions resolve and match the native paths") {
     val row = spark.sql(
       "SELECT minhash_sigs(array('a', 'b', 'c', 'd'), 3, 4) AS sigs, " +
