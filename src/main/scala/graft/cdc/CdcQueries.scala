@@ -355,7 +355,7 @@ object CdcQueries {
 
   // -------------------------------------------------------------- cdc10
   /** The SINK under the oracle gate: the derived changelog is dealt
-    * into four deterministic micro-batches (id mod 4 — deliberately
+    * into three deterministic micro-batches (id mod 3 — deliberately
     * out of timestamp order, batches interleave history), folded into
     * a fresh [[graft.sinks.CdcParquetSink]] bucketed BASE+DELTA store
     * with maxDeltas=2 (chains fold mid-run), and the materialized
@@ -404,14 +404,14 @@ object CdcQueries {
         .getAndIncrement() % 2
       val tablePath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc10_b4x8m2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc10_b3x4m2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
       val tableDir = tablePath.toString
-      (0L until 4L).foreach { b =>
+      (0L until 3L).foreach { b =>
         graft.sinks.CdcParquetSink.applyBatch(
-          s, asRecords.filter(pmod(col("id"), lit(4)) === b),
-          tableDir, b, nBuckets = 8, maxDeltas = 2)
+          s, asRecords.filter(pmod(col("id"), lit(3)) === b),
+          tableDir, b, nBuckets = 4, maxDeltas = 2)
       }
       graft.sinks.CdcParquetSink.readTable(s, tableDir).get
         .select(
