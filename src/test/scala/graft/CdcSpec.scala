@@ -787,6 +787,28 @@ class CdcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("empty subscription dir: batch is empty with full schema, stream waits") {
+    val dir = Files.createTempDirectory("gcl_empty").toString
+    // batch: zero rows, but the schema must be the full record schema
+    // (a consumer's projection compiles before any chunk exists)
+    val batch = CdcStreaming.readBatch(spark, dir)
+    assert(batch.count() == 0)
+    assert(batch.columns.contains("ukNames"))
+    // stream: starts on the empty dir, consumes nothing, then picks up
+    // the first chunk that appears (day-0 subscription bootstrap)
+    val q = CdcStreaming.readStream(spark, dir)
+      .writeStream.format("memory").queryName("cdc_empty_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_empty_t").count() == 0)
+      CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}",
+        Seq(CdcFixtures.rec(1L, 1000000L, Op.Insert, "k0", "v0")))
+      q.processAllAvailable()
+      assert(spark.table("cdc_empty_t").count() == 1)
+    } finally q.stop()
+  }
+
   test("randomized catalog model: discovery and per-table scans match") {
     // seeded fuzz over random (db, tbl) layouts spread across chunks:
     // SHOW NAMESPACES / SHOW TABLES / per-table SELECT counts must all
