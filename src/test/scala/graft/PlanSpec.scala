@@ -92,6 +92,40 @@ class PlanSpec extends AnyFunSuite {
       "posexplode must run AFTER aggregation (print order: above it)")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // SURVEY §5 leans on AQE skew-join for hot keys at 100 TB; prove
+    // the session config actually fires. One key holds ~90% of the
+    // left side; with broadcast off and the skew thresholds scaled to
+    // test size, the post-execution adaptive plan must show the hot
+    // partition split (isSkew=true reads), not one straggler task.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 300000).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(0, 1000).select(
+        col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe's own QueryExecution — count()/write()
+      // build separate plan trees and would leave `joined`'s adaptive
+      // plan un-finalized (isFinalPlan=false, no skew info)
+      joined.queryExecution.toRdd.count()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"AQE skew handling did not fire:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pk01 packing never global-sorts: windows are per-shard") {
     val p = plan("pk01_seq_pack")
     assert(!p.contains("rangepartitioning"),
