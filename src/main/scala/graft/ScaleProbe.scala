@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Scaled `events` table: replicas shift event ids and user ids so
+    * the changelog has k× records over k× keys (realistic growth, not
+    * k× duplicates of one history). `ts` stays a raw nanosecond long —
+    * the shape [[Tables.events]] expects from the driver's parquet. */
+  private def scaledEvents(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.load(spark, srcDir, "events")
+    val nEv = ev.count()
+    val nUsers = ev.agg(max("user_id")).head().getLong(0) + 1
+    val reps = spark.range(k).select(col("id").as("rep"))
+    ev.crossJoin(reps)
+      .select((col("event_id") + col("rep") * nEv).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * nUsers).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   private def scaled(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
     val docs = Tables.load(spark, srcDir, "documents")
     val embs = Tables.load(spark, srcDir, "embeddings")
@@ -78,6 +96,14 @@ object ScaleProbe {
       if (!dirs.contains(k)) scaled(spark, srcDir, s"$base/x$k", k)
       val (t, rows) = time(op, dirs.getOrElse(k, s"$base/x$k"))
       println(f"SCALE $op%-22s x$k=$t%.2fs/${rows}r (quadratic by design)")
+    }
+    // the SINK write path: cdc10 pushes k× changelog records over k×
+    // keys through applyBatch (delta appends + mid-run folds) and the
+    // chain-merge read — write I/O should scale with the BATCH
+    for (k <- mults) {
+      scaledEvents(spark, srcDir, s"$base/ev$k", k)
+      val ts = time("cdc10_sink_materialize", s"$base/ev$k")
+      println(f"SCALE sink(cdc10)          x$k=${ts._1}%.2fs/${ts._2}r")
     }
     spark.stop()
   }
