@@ -92,6 +92,16 @@ class PlanSpec extends AnyFunSuite {
       "posexplode must run AFTER aggregation (print order: above it)")
   }
 
+  test("ann05's SQ8 rank fold rewrites to the native dot product") {
+    // the mixed double·long fold must hit RewriteZipWithDot — an
+    // interpreted per-pair lambda here is the exact hot-loop regression
+    // the rule exists to prevent
+    val p = SparkEntry.queries("ann05_knn_sq8")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert("(?i)vecdot".r.findAllIn(p).nonEmpty,
+      s"SQ8 rank fold fell back to an interpreted lambda:\n${p.take(2000)}")
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // SURVEY §5 leans on AQE skew-join for hot keys at 100 TB; prove
     // the session config actually fires. One key holds ~90% of the
