@@ -30,7 +30,11 @@ object RecallProbe {
     val unit = e.map { case (id, v) => id -> Ivf.normalize(v) }.toMap
     val truth = SparkEntry.queries("ann01_knn_brute")(spark, dir)
       .select("q_id", "n_id").as[(Long, Long)].collect()
-    val sample = e.filter(_._1 % Ivf.SampleEvery == 0).map(t => Ivf.normalize(t._2))
+    // the PRODUCTION bounded sample (hash-ordered TrainCap cut), not a
+    // reimplementation that could drift from what ann03/ann04 train on
+    val sample = pipelines.Similarity.trainingSample(
+      graft.Tables.load(spark, dir, "embeddings")
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"))
     val sample2 = e.filter(_._1 % 2 == 0).map(t => Ivf.normalize(t._2))
     def ceil(cents: Array[Array[Double]], p: Int): Double = {
       val lists = unit.map { case (id, u) => id -> Ivf.assign(u, cents) }

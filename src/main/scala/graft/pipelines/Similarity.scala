@@ -133,7 +133,13 @@ object Similarity {
     val C = 16
     val Iters = 15
     val NProbe = 4
-    val SampleEvery = 4 // train on vec_id % 4 == 0 (deterministic sample)
+    /** Training-sample cap, CONSTANT (FAISS guidance ~256 vectors per
+      * centroid): the driver-side k-means cost is corpus-independent —
+      * at most TrainCap·d doubles are ever collected, whether the
+      * corpus is 4k vectors or 10⁹. (The round-4 id-stride sample,
+      * vec_id % 4, was proportional: 25% of the corpus to the driver.)
+      */
+    val TrainCap = 256 * C
 
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -208,6 +214,25 @@ object Similarity {
     }
   }
 
+  /** Deterministic BOUNDED training sample for k-means: the corpus
+    * ordered by a 64-bit hash of vec_id (a fixed pseudo-random
+    * permutation, so the cut is unbiased even when ids correlate with
+    * ingest time) and cut at [[Ivf.TrainCap]]. Plans as
+    * TakeOrderedAndProject — a distributed top-k, never a full
+    * collect — so at most TrainCap·d doubles reach the driver at ANY
+    * corpus size. The collected rows are re-sorted by vec_id so the
+    * k-means init and fold order (and therefore the trained
+    * centroids) are independent of partitioning and file layout.
+    * `df` needs columns (vec_id, v: array&lt;double&gt;). */
+  private[graft] def trainingSample(df: DataFrame): Array[Array[Double]] = {
+    import df.sparkSession.implicits._
+    df.select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(Ivf.TrainCap)
+      .as[(Long, Array[Double])]
+      .collect().sortBy(_._1).map(t => Ivf.normalize(t._2))
+  }
+
   /** IVF top-k: train centroids on the sample, assign every corpus
     * vector to one inverted list, probe the query's NProbe nearest
     * lists and score only there. Approximate (recall measured against
@@ -219,8 +244,7 @@ object Similarity {
       import s.implicits._
       val e = vecs(s, dir)
       val typed = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
-      val sample = typed.filter(_._1 % Ivf.SampleEvery == 0)
-        .collect().sortBy(_._1).map(t => Ivf.normalize(t._2))
+      val sample = trainingSample(e)
       val cents = Ivf.train(sample)
       val bc = s.sparkContext.broadcast(cents)
       val assigned = typed
@@ -381,8 +405,7 @@ object Similarity {
       import s.implicits._
       val e = vecs(s, dir)
       val typed = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
-      val sample = typed.filter(_._1 % Ivf.SampleEvery == 0)
-        .collect().sortBy(_._1).map(t => Ivf.normalize(t._2))
+      val sample = trainingSample(e)
       val cents = Ivf.train(sample)
       val cbs = Pq.train(sample.map(u =>
         Pq.residual(u, cents(Ivf.assign(u, cents)))))

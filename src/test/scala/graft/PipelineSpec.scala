@@ -122,6 +122,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF-PQ recall@5 fell to $recall")
   }
 
+  test("ann03/ann04 training sample is corpus-size-independent and deterministic") {
+    // VERDICT r4 #1: the k-means training collect must be bounded by a
+    // CONSTANT, not proportional to the corpus — same cap at 2× and 8×
+    // the cap's size, bit-identical under repartitioning
+    def corpus(n: Int) = spark.range(n.toLong).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 8), " +
+        "i -> CAST(pmod(hash(id, i), 97) AS DOUBLE) / 97.0 + 0.01)").as("v"))
+    val cap = graft.pipelines.Similarity.Ivf.TrainCap
+    val atTwice = graft.pipelines.Similarity.trainingSample(corpus(cap * 2))
+    val atEight = graft.pipelines.Similarity.trainingSample(corpus(cap * 8))
+    assert(atTwice.length == cap, s"sample grew past the cap: ${atTwice.length}")
+    assert(atEight.length == cap, s"sample grew past the cap: ${atEight.length}")
+    val rep = graft.pipelines.Similarity.trainingSample(
+      corpus(cap * 8).repartition(13))
+    assert(rep.length == cap &&
+      rep.zip(atEight).forall { case (a, b) => a.sameElements(b) })
+    // sub-cap corpora train on everything
+    assert(graft.pipelines.Similarity.trainingSample(corpus(100)).length == 100)
+  }
+
   test("ann05 SQ8: quantized candidate rank + exact re-rank holds high recall") {
     val df = SparkEntry.queries("ann05_knn_sq8")(spark, sf)
     val perQ = df.groupBy("q_id").count().collect()
