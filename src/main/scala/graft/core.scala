@@ -31,6 +31,32 @@ object Tables {
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Exact row count of a table from its parquet FOOTER statistics —
+    * a driver-side metadata read (O(files), no Spark job, no data
+    * pages touched). Used where a plan needs the table's cardinality
+    * before it runs (e.g. [[graft.pipelines.EmbedDup]]'s block-grid
+    * sizing): a `count()` job is a full extra pass over a 100 TB
+    * table; the footers already hold the answer. Goes through the
+    * Hadoop FS API, so it works on whatever filesystem the session is
+    * configured for, single files and part-file directories alike. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      else Seq(root)
+    files.map { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }
 
 /** Filesystem helpers shared by the sink, queries and harnesses.
