@@ -97,6 +97,28 @@ object ScaleProbe {
       val (t, rows) = time(op, dirs.getOrElse(k, s"$base/x$k"))
       println(f"SCALE $op%-22s x$k=$t%.2fs/${rows}r (quadratic by design)")
     }
+    // the ANN ladder at a FIXED query set over a k× corpus: every rung
+    // should scale ~linearly in corpus size (brute = full scan, the
+    // others by their scan fraction), output constant at 50 rows
+    for (op <- Seq("ann01_knn_brute", "ann02_knn_bucket", "ann03_knn_ivf",
+        "ann04_knn_ivfpq", "ann05_knn_sq8")) {
+      val ts = mults.map(k => k -> time(op, dirs(k)))
+      val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
+        .mkString(" ")
+      val r = ts.last._2._1 / ts.head._2._1
+      println(f"SCALE $op%-22s $line time(x16/x1)=$r%.1f (queries fixed)")
+    }
+    // mm03's banded-join candidate volume (VERDICT r4 #2): collided
+    // pairs BEFORE the Hamming radius filter — the join's true work.
+    // Replicas share their first 64 bytes (the tail mutation sits past
+    // the fingerprint window), so genuine near-dup groups grow k² —
+    // candidate growth should track that output bound, not an
+    // n²/buckets structural floor
+    for (k <- mults) {
+      val cands = graft.pipelines.Multimodal.Phash.collided(spark, dirs(k)).count()
+      val (t, out) = time("mm03_phash_dedup", dirs(k))
+      println(f"SCALE mm03 candidates      x$k=$t%.2fs cand=${cands} out=${out}")
+    }
     // the SINK write path: cdc10 pushes k× changelog records over k×
     // keys through applyBatch (delta appends + mid-run folds) and the
     // chain-merge read — write I/O should scale with the BATCH

@@ -122,69 +122,101 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------- mm03
+  /** aHash machinery shared by the mm03 query, its spec's brute-force
+    * completeness proof, and ScaleProbe's candidate-growth line.
+    *
+    * 64-bit fingerprint in FOUR 16-bit bands: 65,536 buckets per band,
+    * so the structural candidate floor is ~4n²/2¹⁶ — 256× below the
+    * round-4 32-bit/8-bit-band scheme's ~4n²/2⁸, at the same
+    * pigeonhole completeness (Hamming ≤ 3 diffs across 4 bands leave
+    * ≥1 band identical). The fingerprint travels AS the four band
+    * values, never one 64-bit integer: bit 63 would make the
+    * sum-of-bits expression overflow signed BIGINT in the oracle
+    * engine, while 16-bit bands stay comfortably integer-exact in
+    * both. Hamming distance = Σ per-band bit_count(xor). */
+  private[graft] object Phash {
+    val NBits = 64
+    val NBands = 4
+    val BandBits = NBits / NBands // 16
+    val MaxHamming = NBands - 1 // the pigeonhole-complete radius
+    def px(i: Int) =
+      s"(CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END)"
+    val sumPx: String = (1 to NBits).map(px).mkString(" + ")
+    // bit j of band k set when pixel * 64 > sum of pixels (integer-only
+    // comparison — no float mean, so both engines agree exactly)
+    def bandExpr(k: Int): String = (1 to BandBits).map { j =>
+      s"(CASE WHEN ${px((k - 1) * BandBits + j)} * $NBits > px_sum THEN ${1L << (j - 1)} ELSE 0 END)"
+    }.mkString(" + ")
+    val hammingExpr: String = (1 to NBands)
+      .map(k => s"bit_count(l$k ^ r$k)").mkString(" + ")
+
+    /** (doc_id, b1..b4): the fingerprint as band values. */
+    def hashed(s: SparkSession, dir: String) =
+      Tables.load(s, dir, "documents")
+        .selectExpr("doc_id", "text", s"$sumPx AS px_sum")
+        .selectExpr(
+          "doc_id" +: (1 to NBands).map(k => s"CAST(${bandExpr(k)} AS BIGINT) AS b$k"): _*)
+
+    /** Band-collided ordered pairs with their exact Hamming distance —
+      * BEFORE the radius filter and distinct. Row count here is the
+      * banded join's true work, the quantity ScaleProbe tracks. */
+    def collided(s: SparkSession, dir: String) = {
+      val banded = hashed(s, dir).select(col("doc_id"),
+        col("b1"), col("b2"), col("b3"), col("b4"),
+        posexplode(expr("array(b1, b2, b3, b4)")).as(Seq("pos", "bsig")))
+        .withColumn("band", (col("pos") + 1).cast("int")).drop("pos")
+      // band key = (band position, band value); same-band collision
+      val l = banded.select(col("doc_id").as("m1"), col("b1").as("l1"),
+        col("b2").as("l2"), col("b3").as("l3"), col("b4").as("l4"),
+        col("band"), col("bsig"))
+      val r = banded.select(col("doc_id").as("m2"), col("b1").as("r1"),
+        col("b2").as("r2"), col("b3").as("r3"), col("b4").as("r4"),
+        col("band"), col("bsig"))
+      l.join(r, Seq("band", "bsig"))
+        .filter(col("m1") < col("m2"))
+        .select(col("m1"), col("m2"),
+          expr(s"CAST($hammingExpr AS INT)").as("hamming"))
+    }
+  }
+
   /** Near-duplicate MEDIA detection: average-hash (aHash) perceptual
     * fingerprint + banded Hamming self-join — the image-dedup pass of
     * a multimodal corpus. The aHash "pixels" are a STUB (byte values
-    * at the first 32 payload offsets stand in for downscaled-image
+    * at the first 64 payload offsets stand in for downscaled-image
     * luma; a real codec slots into the same expression), but the
     * similarity machinery is the real thing: bit_i = pixel_i > mean,
-    * 32-bit fingerprint, four 8-bit bands as LSH buckets (a pair
-    * within Hamming ≤ 3 must agree on ≥1 of 4 bands — pigeonhole),
-    * exact `bit_count(xor)` verify on band-collided pairs only. One
-    * explode×4 + one equi-join on the band key: the dd03 shape applied
-    * to binary payloads, never an all-pairs product. */
+    * 64-bit fingerprint in four 16-bit LSH bands ([[Phash]] — a pair
+    * within Hamming ≤ 3 must agree on ≥1 of 4 bands, pigeonhole),
+    * exact per-band `bit_count(xor)` verify on band-collided pairs
+    * only. One explode×4 + one equi-join on the band key: the dd03
+    * shape applied to binary payloads, never an all-pairs product. */
   private val mm03 = {
-    val NBits = 32
-    val MaxHamming = 3
-    def px(i: Int) =
-      s"(CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END)"
-    val sumPx = (1 to NBits).map(px).mkString(" + ")
-    // bit i set when pixel_i * 32 > sum of pixels (integer-only
-    // comparison — no float mean, so both engines agree exactly)
-    def bit(i: Int) =
-      s"(CASE WHEN ${px(i)} * $NBits > px_sum THEN ${1L << (i - 1)} ELSE 0 END)"
-    val hashExpr = (1 to NBits).map(bit).mkString(" + ")
-    val bandsSpark = "array(shiftright(phash, 24) & 255, " +
-      "shiftright(phash, 16) & 255, shiftright(phash, 8) & 255, phash & 255)"
+    import Phash._
+    val bandSqlCols = (1 to NBands)
+      .map(k => s"CAST(${bandExpr(k)} AS BIGINT) AS b$k").mkString(", ")
+    val hammingSql = (1 to NBands)
+      .map(k => s"bit_count(xor(l.b$k, r.b$k))").mkString(" + ")
     QueryDef(
       "mm03_phash_dedup",
-      (s, dir) => {
-        val h = Tables.load(s, dir, "documents")
-          .selectExpr("doc_id", "text", s"$sumPx AS px_sum")
-          .selectExpr("doc_id", s"CAST($hashExpr AS BIGINT) AS phash")
-        val banded = h.select(col("doc_id"), col("phash"),
-          posexplode(expr(bandsSpark)).as(Seq("pos", "bsig")))
-          .withColumn("band", (col("pos") + 1).cast("int")).drop("pos")
-        // band key = (band position, band value); same-band collision
-        val l = banded.select(col("doc_id").as("m1"), col("phash").as("h1"),
-          col("band"), col("bsig"))
-        val r = banded.select(col("doc_id").as("m2"), col("phash").as("h2"),
-          col("band"), col("bsig"))
+      (s, dir) =>
         // filter BEFORE distinct: a pair can collide on up to 4 bands,
         // and dropping >MaxHamming rows first keeps them out of the
         // distinct's exchange entirely
-        l.join(r, Seq("band", "bsig"))
-          .filter(col("m1") < col("m2"))
-          .select(col("m1"), col("m2"),
-            expr("CAST(bit_count(h1 ^ h2) AS INT)").as("hamming"))
+        collided(s, dir)
           .filter(col("hamming") <= MaxHamming)
-          .distinct()
-      },
-      Some(s"""WITH h AS (SELECT doc_id,
-        |  CAST($hashExpr AS BIGINT) AS phash FROM
+          .distinct(),
+      Some(s"""WITH h AS (SELECT doc_id, $bandSqlCols FROM
         |  (SELECT doc_id, text, $sumPx AS px_sum FROM documents)),
-        |b AS (SELECT doc_id, phash, band,
-        |  CASE band WHEN 1 THEN (phash >> 24) & 255
-        |            WHEN 2 THEN (phash >> 16) & 255
-        |            WHEN 3 THEN (phash >> 8) & 255
-        |            ELSE phash & 255 END AS bsig
+        |b AS (SELECT doc_id, b1, b2, b3, b4, band,
+        |  CASE band WHEN 1 THEN b1 WHEN 2 THEN b2
+        |            WHEN 3 THEN b3 ELSE b4 END AS bsig
         |  FROM h CROSS JOIN LATERAL
-        |    (SELECT unnest(generate_series(1, 4)) AS band) t)
+        |    (SELECT unnest(generate_series(1, $NBands)) AS band) t)
         |SELECT DISTINCT l.doc_id AS m1, r.doc_id AS m2,
-        |  CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+        |  CAST($hammingSql AS INT) AS hamming
         |FROM b l JOIN b r ON l.band = r.band AND l.bsig = r.bsig
         |  AND l.doc_id < r.doc_id
-        |WHERE bit_count(xor(l.phash, r.phash)) <= $MaxHamming
+        |WHERE $hammingSql <= $MaxHamming
         |""".stripMargin))
   }
 

@@ -80,6 +80,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.filter(col("n_overlap") > col("n_shingles")).count() == 0)
   }
 
+  test("footer rowCount equals count() on single files and part-file dirs") {
+    val single = Tables.rowCount(spark, sf, "embeddings")
+    assert(single == Tables.load(spark, sf, "embeddings").count())
+    // Spark-written multi-part directory (the ScaleProbe shape)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rowcount").toString
+    try {
+      spark.range(1234).repartition(7).write.parquet(s"$tmp/t.parquet")
+      assert(Tables.rowCount(spark, tmp, "t") == 1234L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("dd05 blocked GEMM: multi-block split equals the single-block result") {
     // force 8 blocks (64-row panels) so the cross-block task path —
     // which no default-sized test corpus reaches — runs and must
@@ -265,26 +276,25 @@ class PipelineSpec extends AnyFunSuite {
     try {
       assert(df.filter(col("m1") >= col("m2")).count() == 0)
       assert(df.filter(col("hamming") < 0 || col("hamming") > 3).count() == 0)
-      // pigeonhole: a pair within Hamming<=3 of a 4-banded 32-bit hash
-      // MUST agree on >=1 band, so the banded join may lose NOTHING vs
-      // the all-pairs scan — recompute brute-force at test scale
-      val pxSum = (1 to 32).map(i =>
-        s"(CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END)")
-        .mkString(" + ")
-      val hashExpr = (1 to 32).map(i =>
-        s"(CASE WHEN (CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END) * 32 > px_sum THEN ${1L << (i - 1)} ELSE 0 END)")
-        .mkString(" + ")
-      val h = Tables.load(spark, sf, "documents")
-        .selectExpr("doc_id", "text", s"$pxSum AS px_sum")
-        .selectExpr("doc_id", s"CAST($hashExpr AS BIGINT) AS ph")
-      val brute = h.select(col("doc_id").as("m1"), col("ph").as("p1"))
-        .crossJoin(h.select(col("doc_id").as("m2"), col("ph").as("p2")))
+      // pigeonhole: a pair within Hamming<=3 of a 4-banded 64-bit hash
+      // MUST agree on >=1 of the 16-bit bands, so the banded join may
+      // lose NOTHING vs the all-pairs scan — recompute brute-force
+      // from the production fingerprint at test scale
+      val h = graft.pipelines.Multimodal.Phash.hashed(spark, sf)
+      val hamming = (1 to 4).map(k => s"bit_count(p$k ^ q$k)").mkString(" + ")
+      val brute = h.select(col("doc_id").as("m1"), col("b1").as("p1"),
+          col("b2").as("p2"), col("b3").as("p3"), col("b4").as("p4"))
+        .crossJoin(h.select(col("doc_id").as("m2"), col("b1").as("q1"),
+          col("b2").as("q2"), col("b3").as("q3"), col("b4").as("q4")))
         .filter(col("m1") < col("m2"))
         .select(col("m1"), col("m2"),
-          expr("CAST(bit_count(p1 ^ p2) AS INT)").as("hamming"))
+          expr(s"CAST($hamming AS INT)").as("hamming"))
         .filter(col("hamming") <= 3)
       assert(df.count() == brute.count())
       assert(brute.except(df).count() == 0)
+      // the bands really are 16-bit values
+      assert(h.filter(col("b1") < 0 || col("b1") > 65535 ||
+        col("b4") < 0 || col("b4") > 65535).count() == 0)
     } finally df.unpersist()
   }
 
