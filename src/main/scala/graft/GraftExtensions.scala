@@ -75,18 +75,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object RewriteZipWithDot extends Rule[LogicalPlan] {
 
   private object DotShape {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
 
-    /** Array-level double cast for an integral-element array operand.
+    /** Array-level double cast for a NUMERIC-element array operand.
       * The analyzer puts the equivalent CAST INSIDE the zip_with
       * lambda (per element), so hoisting it to the array is
       * semantics-identical — including null elements (cast preserves
       * them) and ragged lengths (zip_with's null-pad → null sum either
-      * way, which VecDot's dotOrNull reproduces). */
+      * way, which VecDot's dotOrNull reproduces). The hoisted cast's
+      * containsNull widens whenever the element cast can MAKE nulls
+      * (Cast.forceNullable) so VecDot keeps its element-null scan —
+      * carrying the source flag alone would compile the scan out and
+      * read the null slot as 0.0 (ADVICE r4). The rewrite itself is
+      * GATED on numeric elements ([[numericElems]]): that is the only
+      * shape the engine emits, and e.g. a string-element fold keeps
+      * its lambda (non-numeric strings → null sum under non-ANSI). */
     private def widen(arr: Expression): Expression = arr.dataType match {
       case ArrayType(DoubleType, _) => arr
-      case ArrayType(_, containsNull) =>
-        Cast(arr, ArrayType(DoubleType, containsNull))
+      case ArrayType(et, containsNull) =>
+        Cast(arr, ArrayType(DoubleType,
+          containsNull || Cast.forceNullable(et, DoubleType)))
+    }
+
+    private def numericElems(e: Expression): Boolean = e.dataType match {
+      case ArrayType(_: NumericType, _) => true
+      case _ => false
     }
 
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
@@ -121,11 +134,11 @@ object RewriteZipWithDot extends Rule[LogicalPlan] {
           // `(x, c) -> c * x` matches too
           case Multiply(x1: NamedLambdaVariable,
                 Cast(y1: NamedLambdaVariable, DoubleType, _, _), _)
-              if ownParams(x1, y1) =>
+              if ownParams(x1, y1) && numericElems(a) && numericElems(b) =>
             Some((widen(a), widen(b)))
           case Multiply(Cast(x1: NamedLambdaVariable, DoubleType, _, _),
                 y1: NamedLambdaVariable, _)
-              if ownParams(x1, y1) =>
+              if ownParams(x1, y1) && numericElems(a) && numericElems(b) =>
             Some((widen(a), widen(b)))
           case _ => None
         }

@@ -368,7 +368,13 @@ object CdcQueries {
   // parity counter PER INPUT DIR: a single global counter would let
   // two interleaved calls for different sf dirs land consecutive
   // same-dir calls on the same parity and delete files the previous
-  // invocation's returned DataFrame still reads
+  // invocation's returned DataFrame still reads.
+  // CONTRACT (ADVICE r4): the two-slot ring protects exactly ONE
+  // prior invocation per dir — the Nth call deletes the tree backing
+  // the (N-2)th call's still-lazy frame, and the harnesses honor that
+  // (DeterminismSpec holds at most two frames; Bench/Verify consume
+  // each frame before the next call). A caller that must hold >2
+  // results materializes them first (localCheckpoint/collect).
   private val cdc10Calls =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 

@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -35,6 +36,16 @@ case class VecLongSumAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "vec_lsum"
+
+  /** Analysis-time gate: [[addInto]]'s `getLong` reads 8-byte slots of
+    * the unsafe array — an ARRAY<INT> (4-byte packing) would misread
+    * memory into garbage sums, so anything but ARRAY<BIGINT> must be
+    * rejected before execution (ADVICE r4). */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_lsum requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 

@@ -46,8 +46,12 @@ object Packing {
         .withColumn("cum_tok",
           sum(col("n_tok")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // clamp: a zero-token doc at shard position 1 has cum_tok=0 →
+        // floor(-1/budget) = -1, a negative bin id leaking to packing
+        // consumers (ADVICE r4); both engines clamp identically
         .withColumn("bin",
-          floor((col("cum_tok") - 1) / TokenBudget).cast("long"))
+          greatest(lit(0L),
+            floor((col("cum_tok") - 1) / TokenBudget)).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"),
           col("cum_tok"), col("bin"))
     },
@@ -66,7 +70,7 @@ object Packing {
       |  FROM sh
       |  WINDOW o AS (PARTITION BY shard ORDER BY pick ASC, doc_id ASC))
       |SELECT doc_id, shard, pos, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
-      |  CAST(floor((cum_tok - 1) / $TokenBudget) AS BIGINT) AS bin
+      |  CAST(greatest(0, floor((cum_tok - 1) / $TokenBudget)) AS BIGINT) AS bin
       |FROM win""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(pk01)

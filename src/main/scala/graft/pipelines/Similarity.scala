@@ -552,5 +552,10 @@ object Similarity {
     hit.toDouble / truth.count()
   }
 
+  // ORDER IS LOAD-BEARING: Bench emits recall@5 as a POSITIONAL array
+  // in fixed order [ann02, ann03, ann04, ann05] (byte budget — the
+  // driver parses the line from a bounded stdout tail). Inserting an
+  // ann entry mid-list silently re-indexes that array; append only,
+  // and update Bench's recall list together with this Seq (ADVICE r4).
   val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05)
 }
