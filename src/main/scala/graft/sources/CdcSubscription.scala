@@ -15,6 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DTSSubscribeTableSourceFactory.java `table.name`) and is pushed
   * into the partition reader — filtered records never parse their
   * row-image tail.
+  *
+  * `user`/`password` (ref: DtsOptions.java:44-51) matter only for a
+  * networked broker; the file transport ignores them, but they
+  * validate and flow into [[toKafkaOptions]] so a real endpoint is a
+  * config change, not a code change.
   */
 final case class CdcSubscription(
     server: String,
@@ -23,11 +28,15 @@ final case class CdcSubscription(
     group: Option[String] = None,
     checkpoint: Option[String] = None,
     maxChunksPerTrigger: Option[Int] = None,
-    table: Option[String] = None) {
+    table: Option[String] = None,
+    user: Option[String] = None,
+    password: Option[String] = None) {
 
   require(server != null && server.nonEmpty, "cdc subscription: 'server' is required")
   require(sid.isDefined || group.isDefined,
     "cdc subscription: one of 'sid' or 'group' is required (ref DtsOptions semantics)")
+  require(user.isDefined == password.isDefined,
+    "cdc subscription: 'user' and 'password' must be set together (ref DtsOptions)")
   table.foreach(CdcSource.parseTableSelector) // validate eagerly
 
   /** Start position in epoch micros, parsed from either a raw number
@@ -47,6 +56,50 @@ final case class CdcSubscription(
   }
 
   def path: String = s"$server/$topic"
+
+  /** The same subscription as `spark-sql-kafka-0-10` reader options —
+    * the structural bridge to the reference's day-1 deployment (the
+    * DTS endpoint speaks the Kafka protocol; ref: DtsOptions.java
+    * 21-57, DtsKafkaConsumerThread's fetch loop). This sandbox has no
+    * broker, so the mapping is the deliverable: with the connector jar
+    * on the classpath, `spark.readStream.format("kafka")
+    * .options(sub.toKafkaOptions).load()` consumes the same
+    * subscription over the wire —
+    *
+    *   - server → `kafka.bootstrap.servers`
+    *   - topic → `subscribe`
+    *   - group/sid → `kafka.group.id` (group preferred, the ref's
+    *     consumer-group semantics; sid is its session analogue)
+    *   - checkpoint → `startingTimestamp` (epoch-ms; the per-partition
+    *     `startingOffsetsByTimestamp` form needs a partition map a
+    *     config object cannot know) — exactly the reference's
+    *     searchOffsetByTimestamp repositioning
+    *   - user/password → SASL/PLAIN jaas config (the DTS broker's auth
+    *     mode), else the PLAINTEXT protocol
+    *   - maxChunksPerTrigger → `maxOffsetsPerTrigger` (admission
+    *     control; a chunk holds [[CdcChunkFile]] record batches, so
+    *     the cap converts at that granularity)
+    */
+  def toKafkaOptions: Map[String, String] = {
+    def jaasEscape(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val base = Map(
+      "kafka.bootstrap.servers" -> server,
+      "subscribe" -> topic) ++
+      group.orElse(sid).map("kafka.group.id" -> _) ++
+      checkpointUs.map(us => "startingTimestamp" -> (us / 1000L).toString) ++
+      maxChunksPerTrigger.map(n =>
+        "maxOffsetsPerTrigger" -> (n.toLong * CdcChunkFile.SplitStride).toString)
+    val auth = (user, password) match {
+      case (Some(u), Some(p)) => Map(
+        "kafka.security.protocol" -> "SASL_PLAINTEXT",
+        "kafka.sasl.mechanism" -> "PLAIN",
+        "kafka.sasl.jaas.config" ->
+          ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+            s"""username="${jaasEscape(u)}" password="${jaasEscape(p)}";"""))
+      case _ => Map("kafka.security.protocol" -> "PLAINTEXT")
+    }
+    base ++ auth
+  }
 
   def readStream(spark: SparkSession): DataFrame =
     graft.streaming.CdcStreaming.readStream(

@@ -108,6 +108,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(4)) // null element propagates
   }
 
+  test("rewrite refuses non-numeric element arrays (string cast → null fold)") {
+    // ADVICE r4: under non-ANSI, a string element that isn't numeric
+    // casts to null INSIDE the lambda → the fold is NULL. Hoisting
+    // that cast over an array typed containsNull=false would compile
+    // VecDot's null scan out and return a number instead — so the
+    // mixed-type rewrite is gated on numeric elements and this shape
+    // must keep its lambda and its NULL result
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_str_t")
+    val df = spark.sql(
+      """SELECT vec_id,
+        | aggregate(zip_with(dv, sv, (x, c) -> x * c), 0D,
+        |   (a, y) -> a + y) AS s
+        |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS dv,
+        |        transform(CAST(embedding AS ARRAY<DOUBLE>),
+        |          (x, i) -> CASE WHEN i = 1 THEN 'not-a-number'
+        |                         ELSE CAST(x AS STRING) END) AS sv
+        |      FROM emb_str_t)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!"(?i)vecdot".r.findAllIn(optimized).hasNext,
+      s"string-element fold must not rewrite:\n$optimized")
+    // engine semantics preserved: under ANSI (the session default) the
+    // in-lambda string→double cast THROWS on the malformed element —
+    // the buggy hoist would instead have silently returned a number
+    val e = intercept[Exception] { df.collect() }
+    assert(e.getMessage.contains("CAST_INVALID_INPUT"))
+  }
+
+  test("vec_lsum rejects non-BIGINT arrays at analysis time") {
+    // ADVICE r4: ARRAY<INT> passing analysis would make getLong read
+    // 4-byte-packed unsafe data as 8-byte slots — garbage sums; the
+    // aggregate now declares inputTypes and analysis must fail instead
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_lsum(array(1, 2, 3))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("vec_lsum") ||
+      e.getMessage.contains("BIGINT"))
+    // the declared shape still works
+    val ok = spark.sql(
+      "SELECT vec_lsum(v) AS s FROM VALUES (array(1L, 2L)), (array(3L, 4L)) t(v)")
+      .head().getSeq[Long](0)
+    assert(ok == Seq(4L, 6L))
+  }
+
   test("rewrite refuses lambdas that capture an OUTER variable") {
     // zip_with(a, b, (x, y) -> x * s) under transform(scales, s -> ...)
     // must NOT become vec_dot(a, b): s is a NamedLambdaVariable too,
@@ -179,6 +223,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sub.readBatch(spark).count() == 16)
     val dtSub = sub.copy(checkpoint = Some("1970-01-01 00:00:15"))
     assert(dtSub.checkpointUs.contains(15000000L))
+  }
+
+  test("subscription maps onto spark-sql-kafka options (ref DtsOptions surface)") {
+    val sub = CdcSubscription(server = "broker1:9092,broker2:9092",
+      topic = "dts-sub-topic", group = Some("g-7"),
+      checkpoint = Some("1970-01-01 00:00:15"),
+      maxChunksPerTrigger = Some(2),
+      user = Some("alice"), password = Some("""p"w\d"""))
+    val o = sub.toKafkaOptions
+    assert(o("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(o("subscribe") == "dts-sub-topic")
+    assert(o("kafka.group.id") == "g-7")
+    // checkpoint repositioning: epoch-us → epoch-ms timestamp seek
+    assert(o("startingTimestamp") == "15000")
+    assert(o("maxOffsetsPerTrigger") ==
+      (2L * sources.CdcChunkFile.SplitStride).toString)
+    assert(o("kafka.security.protocol") == "SASL_PLAINTEXT")
+    assert(o("kafka.sasl.mechanism") == "PLAIN")
+    // jaas string escapes quotes/backslashes in credentials
+    assert(o("kafka.sasl.jaas.config") ==
+      "org.apache.kafka.common.security.plain.PlainLoginModule required " +
+        """username="alice" password="p\"w\\d";""")
+    // no credentials → plaintext, no jaas key
+    val anon = CdcSubscription(server = "b:9092", sid = Some("s1"))
+    val ao = anon.toKafkaOptions
+    assert(ao("kafka.security.protocol") == "PLAINTEXT")
+    assert(!ao.contains("kafka.sasl.jaas.config"))
+    assert(ao("kafka.group.id") == "s1") // sid is the group fallback
+    // user without password rejected (ref requires the pair)
+    assertThrows[IllegalArgumentException] {
+      CdcSubscription(server = "b:9092", sid = Some("s"), user = Some("u"))
+    }
   }
 }
 
