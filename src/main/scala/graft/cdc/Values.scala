@@ -145,4 +145,94 @@ object Values {
     buf.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
     buf.array()
   }
+
+  // ---------------------------------------------- full WKB → WKT decode
+
+  /** ANY-geometry WKB → WKT text, the reference's full contract (ref:
+    * GeometryUtil.java:14 feeds arbitrary WKB through a WKB reader and
+    * emits WKT; r4 decoded POINT only). Pure-JVM parse — all 7 OGC
+    * type codes (POINT, LINESTRING, POLYGON, MULTIPOINT,
+    * MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION), per-geometry
+    * byte order (each nested geometry carries its own, as WKB
+    * specifies), the EWKB embedded-SRID flag (0x20000000), and MySQL's
+    * internal 4-byte SRID prefix. Zero-element inputs render as
+    * `<TYPE> EMPTY`. Returns None on malformed input. */
+  def wkbToWkt(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 5) return None
+    def parseAt(off: Int): Option[String] =
+      try {
+        val buf = java.nio.ByteBuffer.wrap(bytes, off, bytes.length - off)
+        Some(readGeometry(buf, 0))
+      } catch { case _: Exception => None }
+    // standard WKB first (first byte must be a byte-order marker);
+    // otherwise MySQL's internal form = 4-byte SRID, then WKB
+    val direct =
+      if (bytes(0) == 0 || bytes(0) == 1) parseAt(0) else None
+    direct.orElse(if (bytes.length >= 9) parseAt(4) else None)
+  }
+
+  private val WktNames = Map(
+    1 -> "POINT", 2 -> "LINESTRING", 3 -> "POLYGON", 4 -> "MULTIPOINT",
+    5 -> "MULTILINESTRING", 6 -> "MULTIPOLYGON", 7 -> "GEOMETRYCOLLECTION")
+
+  /** One geometry (byte-order byte + type word + payload) → full WKT.
+    * `depth` bounds GEOMETRYCOLLECTION recursion so hostile input
+    * can't overflow the stack. */
+  private def readGeometry(buf: java.nio.ByteBuffer, depth: Int): String = {
+    require(depth < 32, "wkb nesting too deep")
+    val (gtype, body) = readTyped(buf, depth, expect = 0)
+    s"${WktNames(gtype)} $body"
+  }
+
+  /** Parses one geometry and returns (type code, parenthesized body).
+    * `expect` != 0 restricts the allowed type (multi-geometry members
+    * must be the declared member type). */
+  private def readTyped(
+      buf: java.nio.ByteBuffer, depth: Int, expect: Int): (Int, String) = {
+    val bo = buf.get()
+    require(bo == 0 || bo == 1, s"bad wkb byte order $bo")
+    buf.order(if (bo == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+              else java.nio.ByteOrder.BIG_ENDIAN)
+    val typeWord = buf.getInt()
+    if ((typeWord & 0x20000000) != 0) buf.getInt() // EWKB embedded SRID
+    val gtype = typeWord & 0xffff
+    require(WktNames.contains(gtype), s"unknown wkb geometry type $gtype")
+    require(expect == 0 || gtype == expect,
+      s"wkb member type $gtype where $expect required")
+    def coord(): String = s"${buf.getDouble()} ${buf.getDouble()}"
+    def seqOf(one: () => String): String = {
+      val n = buf.getInt()
+      require(n >= 0 && n <= buf.remaining(), s"bad wkb element count $n")
+      if (n == 0) "EMPTY"
+      else (0 until n).map(_ => one()).mkString("(", ", ", ")")
+    }
+    def ring(): String = seqOf(coord _)
+    // nested members carry their own byte-order byte; readTyped resets
+    // the buffer order per member
+    def member(t: Int): String = {
+      val order = buf.order() // restore for the count reads that follow
+      val s = readTyped(buf, depth + 1, t)._2
+      buf.order(order)
+      s
+    }
+    val body = gtype match {
+      case 1 => s"(${coord()})"
+      case 2 => ring()
+      case 3 => seqOf(ring _)
+      case 4 => seqOf(() => member(1))
+      case 5 => seqOf(() => member(2))
+      case 6 => seqOf(() => member(3))
+      case 7 =>
+        val n = buf.getInt()
+        require(n >= 0 && n <= buf.remaining(), s"bad wkb element count $n")
+        if (n == 0) "EMPTY"
+        else (0 until n).map { _ =>
+          val order = buf.order()
+          val s = readGeometry(buf, depth + 1)
+          buf.order(order)
+          s
+        }.mkString("(", ", ", ")")
+    }
+    (gtype, body)
+  }
 }

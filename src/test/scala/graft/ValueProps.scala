@@ -80,4 +80,151 @@ object ValueProps extends Properties("Values") {
 
   property("latin1 means windows-1252: 0x80 is the euro sign") =
     Prop(Values.decodeString(Array(0x80.toByte), "latin1") == "€")
+
+  // ---------------------------------------------------- full WKB → WKT
+  // geometry ADT + independent WKB encoder: every node carries its own
+  // byte order (WKB allows mixing within one geometry)
+
+  private case class Pt(x: Double, y: Double) {
+    def wkt: String = s"$x $y"
+  }
+  private sealed trait Geom { def be: Boolean }
+  private case class GPoint(be: Boolean, p: Pt) extends Geom
+  private case class GLine(be: Boolean, pts: List[Pt]) extends Geom
+  private case class GPoly(be: Boolean, rings: List[List[Pt]]) extends Geom
+  private case class GMPoint(be: Boolean, ms: List[GPoint]) extends Geom
+  private case class GMLine(be: Boolean, ms: List[GLine]) extends Geom
+  private case class GMPoly(be: Boolean, ms: List[GPoly]) extends Geom
+  private case class GColl(be: Boolean, ms: List[Geom]) extends Geom
+
+  private final class W {
+    private val out = new java.io.ByteArrayOutputStream
+    def u8(v: Int): Unit = out.write(v)
+    def i32(v: Int, be: Boolean): Unit = out.write(
+      java.nio.ByteBuffer.allocate(4)
+        .order(if (be) java.nio.ByteOrder.BIG_ENDIAN
+               else java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(v).array())
+    def f64(v: Double, be: Boolean): Unit = out.write(
+      java.nio.ByteBuffer.allocate(8)
+        .order(if (be) java.nio.ByteOrder.BIG_ENDIAN
+               else java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putDouble(v).array())
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  private def typeCode(g: Geom): Int = g match {
+    case _: GPoint => 1; case _: GLine => 2; case _: GPoly => 3
+    case _: GMPoint => 4; case _: GMLine => 5; case _: GMPoly => 6
+    case _: GColl => 7
+  }
+
+  /** `ewkbSrid` set on the top level writes the EWKB SRID flag + value. */
+  private def encode(g: Geom, w: W, ewkbSrid: Option[Int] = None): Unit = {
+    val be = g.be
+    w.u8(if (be) 0 else 1)
+    w.i32(typeCode(g) | ewkbSrid.map(_ => 0x20000000).getOrElse(0), be)
+    ewkbSrid.foreach(w.i32(_, be))
+    def pts(ps: List[Pt]): Unit = {
+      w.i32(ps.length, be); ps.foreach(p => { w.f64(p.x, be); w.f64(p.y, be) })
+    }
+    g match {
+      case GPoint(_, p) => w.f64(p.x, be); w.f64(p.y, be)
+      case GLine(_, l) => pts(l)
+      case GPoly(_, rs) => w.i32(rs.length, be); rs.foreach(pts)
+      case GMPoint(_, ms) => w.i32(ms.length, be); ms.foreach(encode(_, w))
+      case GMLine(_, ms) => w.i32(ms.length, be); ms.foreach(encode(_, w))
+      case GMPoly(_, ms) => w.i32(ms.length, be); ms.foreach(encode(_, w))
+      case GColl(_, ms) => w.i32(ms.length, be); ms.foreach(encode(_, w))
+    }
+  }
+
+  private def body(g: Geom): String = g match {
+    case GPoint(_, p) => s"(${p.wkt})"
+    case GLine(_, l) =>
+      if (l.isEmpty) "EMPTY" else l.map(_.wkt).mkString("(", ", ", ")")
+    case GPoly(_, rs) =>
+      if (rs.isEmpty) "EMPTY"
+      else rs.map(r => if (r.isEmpty) "EMPTY"
+        else r.map(_.wkt).mkString("(", ", ", ")")).mkString("(", ", ", ")")
+    case GMPoint(_, ms) =>
+      if (ms.isEmpty) "EMPTY" else ms.map(body).mkString("(", ", ", ")")
+    case GMLine(_, ms) =>
+      if (ms.isEmpty) "EMPTY" else ms.map(body).mkString("(", ", ", ")")
+    case GMPoly(_, ms) =>
+      if (ms.isEmpty) "EMPTY" else ms.map(body).mkString("(", ", ", ")")
+    case GColl(_, ms) =>
+      if (ms.isEmpty) "EMPTY" else ms.map(wkt).mkString("(", ", ", ")")
+  }
+  private def wkt(g: Geom): String = {
+    val names = Map(1 -> "POINT", 2 -> "LINESTRING", 3 -> "POLYGON",
+      4 -> "MULTIPOINT", 5 -> "MULTILINESTRING", 6 -> "MULTIPOLYGON",
+      7 -> "GEOMETRYCOLLECTION")
+    s"${names(typeCode(g))} ${body(g)}"
+  }
+
+  private val genBe: Gen[Boolean] = Gen.oneOf(true, false)
+  private val genPt: Gen[Pt] =
+    for (x <- genDouble; y <- genDouble) yield Pt(x, y)
+  private def genPts(max: Int): Gen[List[Pt]] =
+    Gen.choose(0, max).flatMap(Gen.listOfN(_, genPt))
+  private val genPoint: Gen[GPoint] =
+    for (be <- genBe; p <- genPt) yield GPoint(be, p)
+  private val genLine: Gen[GLine] =
+    for (be <- genBe; l <- genPts(4)) yield GLine(be, l)
+  private val genPoly: Gen[GPoly] = for {
+    be <- genBe
+    rs <- Gen.choose(0, 3).flatMap(Gen.listOfN(_, genPts(4)))
+  } yield GPoly(be, rs)
+  private def genMulti: Gen[Geom] = Gen.oneOf(
+    for (be <- genBe; ms <- Gen.choose(0, 3).flatMap(Gen.listOfN(_, genPoint)))
+      yield GMPoint(be, ms),
+    for (be <- genBe; ms <- Gen.choose(0, 3).flatMap(Gen.listOfN(_, genLine)))
+      yield GMLine(be, ms),
+    for (be <- genBe; ms <- Gen.choose(0, 3).flatMap(Gen.listOfN(_, genPoly)))
+      yield GMPoly(be, ms))
+  private val genGeom: Gen[Geom] = Gen.oneOf(
+    genPoint, genLine, genPoly, genMulti,
+    for {
+      be <- genBe
+      ms <- Gen.choose(0, 3).flatMap(Gen.listOfN(_,
+        Gen.oneOf(genPoint, genLine, genPoly, genMulti)))
+    } yield GColl(be, ms))
+
+  property("wkb→wkt across all 7 type codes, mixed byte orders") =
+    forAll(genGeom) { g =>
+      val w = new W; encode(g, w)
+      Values.wkbToWkt(w.bytes).contains(wkt(g))
+    }
+
+  // MySQL internal form = 4-byte LE SRID prefix before standard WKB;
+  // srid low byte outside {0,1} (a real SRID) keeps the sniff
+  // unambiguous
+  private val genSrid: Gen[Int] =
+    Gen.choose(2, 1000000).suchThat(s => (s & 0xff) > 1)
+
+  property("mysql srid prefix is skipped for every geometry type") =
+    forAll(genGeom, genSrid) { (g, srid) =>
+      val w = new W
+      w.i32(srid, be = false) // MySQL writes the prefix little-endian
+      encode(g, w)
+      Values.wkbToWkt(w.bytes).contains(wkt(g))
+    }
+
+  property("ewkb embedded-srid flag is skipped") =
+    forAll(genGeom, genSrid) { (g, srid) =>
+      val w = new W; encode(g, w, ewkbSrid = Some(srid))
+      Values.wkbToWkt(w.bytes).contains(wkt(g))
+    }
+
+  property("wkbToWkt agrees with the point codec") =
+    forAll(genDouble, genDouble) { (x, y) =>
+      Values.wkbToWkt(Values.pointToWkb(x, y))
+        .contains(s"POINT ($x $y)")
+    }
+
+  property("malformed wkb returns None, never throws") =
+    forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      Values.wkbToWkt(bs.toArray); true
+    }
 }
