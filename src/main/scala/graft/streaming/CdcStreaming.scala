@@ -41,6 +41,46 @@ object CdcStreaming {
     r.load()
   }
 
+  /** Decode a Kafka-shaped frame — any batch or streaming DataFrame
+    * with a binary `value` column, e.g.
+    * `spark.readStream.format("kafka").options(sub.toKafkaOptions)
+    * .load()` — into the subscription's typed
+    * [[graft.cdc.ChangeRecord]] columns, the exact schema the
+    * `graft-cdc` file source emits. The wire-side half of
+    * [[graft.sources.CdcSubscription.toKafkaOptions]]: the option map
+    * gets the stream to the broker, this turns its payloads into the
+    * engine's records, so every downstream pipeline (materializers,
+    * windows, IngestDedup, CdcParquetSink) runs unchanged against a
+    * live endpoint (ref: the DtsKafkaFetcher → deserializer topology,
+    * DtsKafkaConsumerThread.java / LazyRecordDeserializer.java).
+    *
+    * `table` applies the same `db.tbl` selection the file source
+    * pushes into its reader; with no chunk footer on the wire, it
+    * becomes a per-record PREFIX check — `headerTable` reads only the
+    * fixed header + (db,tbl) prefix, so skipped tables still never
+    * parse their row-image tail (the reference's lazy-parse claim on
+    * the Kafka path). Undecodable payloads are dropped under
+    * `permissive` (the source's corrupt-record mode), rethrown
+    * otherwise. */
+  def fromKafkaRecords(
+      kafka: DataFrame,
+      table: Option[String] = None,
+      permissive: Boolean = true): DataFrame = {
+    val spark = kafka.sparkSession
+    import spark.implicits._
+    val sel = table.map(graft.sources.CdcSource.parseTableSelector)
+    kafka.select(col("value")).as[Array[Byte]]
+      .flatMap { bytes =>
+        try {
+          if (!sel.forall(graft.cdc.RecordCodec.headerTable(bytes) == _)) None
+          else Some(graft.cdc.RecordCodec.decode(bytes))
+        } catch {
+          case e: Exception => if (permissive) None else throw e
+        }
+      }
+      .toDF()
+  }
+
   /** Logical key of a change record: db|tbl|all-pk-values (every
     * declared pk column in pkNames order, '#'-joined) — composite
     * primary keys hash to distinct keys instead of colliding on the

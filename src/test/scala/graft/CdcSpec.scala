@@ -159,6 +159,45 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(row.getAs[scala.collection.Seq[String]]("pkNames").toSeq == Seq("uid"))
   }
 
+  test("kafka-shaped frames decode to the source schema (wire bridge)") {
+    import spark.implicits._
+    val recs = (0 until 20).map(i => CdcFixtures.rec(i.toLong,
+      1000000L * (i + 1), if (i % 5 == 0) Op.Insert else Op.Update,
+      s"k${i % 3}", s"v$i"))
+    val other = ChangeRecord(99L, "tx-9", 5L, 4L, Op.Insert, "otherdb",
+      "t2", Seq("uid"), null, Map("uid" -> "x", "v" -> "y"))
+    // kafka reader shape: binary value + transport metadata columns
+    val values = (recs :+ other).map(RecordCodec.encode) :+ Array[Byte](1, 2, 3)
+    val kafka = values.toDF("value")
+      .withColumn("topic", lit("dts-sub"))
+      .withColumn("partition", lit(0))
+      .withColumn("offset", monotonically_increasing_id())
+    val decoded = CdcStreaming.fromKafkaRecords(kafka)
+    // exact source-schema parity (names + types), so every downstream
+    // pipeline runs unchanged on the wire path
+    assert(decoded.schema.map(f => (f.name, f.dataType)) ==
+      graft.sources.CdcSource.schema.map(f => (f.name, f.dataType)))
+    // corrupt payload dropped under permissive; all fields roundtrip
+    val got = decoded.as[ChangeRecord].collect().sortBy(_.id)
+    assert(got.toSeq == (recs :+ other).sortBy(_.id))
+    // per-table selection via the prefix-only header read
+    val sel = CdcStreaming.fromKafkaRecords(kafka, Some("otherdb.t2"))
+    assert(sel.as[ChangeRecord].collect().toSeq == Seq(other))
+    // strict mode surfaces the corrupt payload instead of dropping it
+    intercept[Exception] {
+      CdcStreaming.fromKafkaRecords(kafka, permissive = false).count()
+    }
+    // and the decode is stream-capable: same plan over MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Array[Byte]]
+    mem.addData(values: _*)
+    val q = CdcStreaming.fromKafkaRecords(mem.toDF())
+      .writeStream.format("memory").queryName("kafka_bridge_t").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("kafka_bridge_t").count() == 21)
+  }
+
   test("footer stats prune chunks on timestamp reposition") {
     val dir = Files.createTempDirectory("gcl").toString
     CdcFixtures.writeChunks(dir)
