@@ -32,6 +32,20 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Persist `df` as a bucketed, per-bucket-sorted MANAGED table —
+    * the CO-LOCATED join recipe (SURVEY §5): two fact tables bucketed
+    * by their join key into the same bucket count join with ZERO
+    * exchanges, because the shuffle is paid ONCE at write time and
+    * amortized over every later join/aggregate on that key. At 100 TB
+    * that is the difference between re-shuffling both fact tables per
+    * query and a scan-only SortMergeJoin. PlanSpec pins the
+    * exchange-free plan and its agreement with the unbucketed join. */
+  def saveBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Exact row count of a table from its parquet FOOTER statistics —
     * a driver-side metadata read (O(files), no Spark job, no data
     * pages touched). Used where a plan needs the table's cardinality

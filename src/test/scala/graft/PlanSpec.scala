@@ -19,6 +19,43 @@ class PlanSpec extends AnyFunSuite {
   private def count(p: String, marker: String): Int =
     marker.r.findAllIn(p).size
 
+  test("bucketed fact tables join and aggregate with zero exchanges") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // pre-bucketed fact-fact join: the write-time shuffle is the only
+    // shuffle this key ever pays — join AND the same-key aggregate
+    // must plan with no Exchange at all (broadcast disabled so the
+    // tiny test tables can't cheat the proof)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.saveBucketed(
+        Tables.load(spark, sf, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice")),
+        "bk_orders_t", "k", 8)
+      Tables.saveBucketed(
+        Tables.load(spark, sf, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_quantity")),
+        "bk_li_t", "k", 8)
+      val j = spark.table("bk_orders_t").join(spark.table("bk_li_t"), "k")
+        .groupBy("k").agg(sum("l_quantity").as("q"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a co-located join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join planned a shuffle:\n$p")
+      // and it computes the same thing as the unbucketed plan
+      val plain = Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey").as("k"))
+        .join(Tables.load(spark, sf, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_quantity")), "k")
+        .groupBy("k").agg(sum("l_quantity").as("q"))
+      assert(j.except(plain).count() == 0 && plain.except(j).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bk_orders_t")
+      spark.sql("DROP TABLE IF EXISTS bk_li_t")
+    }
+  }
+
   test("q08 star join: dims broadcast, no nested loop, facts shuffle once") {
     val p = plan("q08_join_star")
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
