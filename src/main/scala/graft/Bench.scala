@@ -65,8 +65,16 @@ object Bench {
     // query (~25 bytes each, ~100 bytes of headroom at 75 queries);
     // if the suite outgrows the window, switch per-query values to
     // integer milliseconds.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // trailing zeros trimmed ("0.40" -> "0.4"): same JSON schema, ~25
+    // fewer bytes per line — headroom for the stdout-tail window as
+    // queries are added
+    def trim(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    def f3(v: Double): String =
+      trim("%.3f".formatLocal(java.util.Locale.ROOT, v))
+    def f2(v: Double): String =
+      trim("%.2f".formatLocal(java.util.Locale.ROOT, v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -128,6 +128,48 @@ object ShingleHashRuntime {
     new GenericArrayData(Array(n.toLong, fp))
   }
 
+  /** Robust-winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): the distinct minima of every w-window of consecutive
+    * k-shingle hash64 values. Any verbatim run of ≥ w+k-1 tokens shared
+    * by two documents contains one complete window in both, whose
+    * minimum both select — so a fingerprint equi-join is COMPLETE for
+    * passages of that length while emitting only ~2/w of the shingles.
+    * Docs with 0 < shingles < w keep their single global minimum;
+    * shingle-less docs fingerprint nothing (empty array). */
+  def winnowFingerprints(ws: ArrayData, k: Int, w: Int): GenericArrayData = {
+    val words = wordBytes(ws)
+    val nSh = words.length - k + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) { hs(i) = hash64(shingleBytes(words, i, k, emptySalt)); i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nSh < w) {
+      var m = Long.MaxValue
+      i = 0
+      while (i < nSh) { if (hs(i) < m) m = hs(i); i += 1 }
+      seen.add(m)
+    } else {
+      // O(n) sliding minimum via a monotonic index deque
+      val deque = new Array[Int](nSh)
+      var head = 0
+      var tail = 0 // exclusive
+      i = 0
+      while (i < nSh) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(hs(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 64-bit shingle hashes (order irrelevant downstream —
     * consumers take sizes and intersections). */
   def shingleHashSet(ws: ArrayData, k: Int): GenericArrayData = {
@@ -176,6 +218,25 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ShingleHashRuntime.simHash32($c)")
   override protected def withNewChildInternal(c: Expression): SimHash32 = copy(c)
+}
+
+/** fps = winnow_fingerprints(ws, k, w): distinct winnowed shingle
+  * hash64 minima — the ExactSubstr/MOSS passage-dedup signal. One
+  * codegen'd call per row; the declarative nested-lambda form
+  * (transform over array_min(slice(hs, i, w))) re-evaluates its outer
+  * references per window once the optimizer inlines it into a
+  * Generate — measured 102 s vs 0.2 s for the same sf0.01 explode. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashRuntime.winnowFingerprints(v.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashRuntime.winnowFingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(c)
 }
 
 /** hset = shingle_hash_set(ws, k): distinct shingle hash64 values. */

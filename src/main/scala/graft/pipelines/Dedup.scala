@@ -394,6 +394,97 @@ object Dedup {
       |WHERE rn <= $SampleQuota
       |""".stripMargin))
 
+  // -------------------------------------------------------------- dd09
+  /** Verbatim PASSAGE overlap — the ExactSubstr dedup signal ("these
+    * two documents contain the same word-for-word run"), found via
+    * robust winnowing (the public fingerprinting recipe: Schleimer/
+    * Wilkerson/Aiken, SIGMOD'03). Per doc, ONE native call
+    * ([[graft.functions.WinnowFingerprints]]) hashes every k-shingle
+    * (the family's shared hash64 contract, so the oracle is bit-exact)
+    * and keeps the distinct minima of each w-window of consecutive
+    * shingle hashes via an O(n) monotonic deque. Any shared verbatim
+    * run of >= w+k-1 tokens contains one complete window in both docs,
+    * whose minimum both select — so the fingerprint equi-join is
+    * COMPLETE for that passage length (PipelineSpec proves it on
+    * crafted docs). Selected density is ~2/w of the shingles, so the
+    * exploded join key is a bounded fraction of the corpus (the dd02
+    * band shape, never all shingles); verification intersects the two
+    * candidate docs' full shingle-hash sets only for collided pairs
+    * (the dd04 shape). 100 TB: one narrow pass + one bounded-key join
+    * + candidate-bounded verify. */
+  private val PassageK = 5 // tokens per shingle
+  private val PassageW = 4 // shingle hashes per winnowing window
+  /** (d1, d2, n_shared_fp, n_shared_sh) for every pair sharing >= 1
+    * winnowed fingerprint. `docs` needs (doc_id, text) — factored out
+    * so PipelineSpec can drive the guarantee on constructed rows. */
+  private[graft] def passagePairs(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = PassageK, w: Int = PassageW): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val st = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("ws"))
+      .withColumn("fps", column(
+        graft.functions.WinnowFingerprints(expression(col("ws")), k, w)))
+      .withColumn("hset", column(
+        graft.functions.ShingleHashSet(expression(col("ws")), k)))
+      .select(col("doc_id"), col("fps"), col("hset"))
+    val f = st.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val cand = f.select(col("doc_id").as("d1"), col("fp"))
+      .join(f.select(col("doc_id").as("d2"), col("fp")), "fp")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).cast("long").as("n_shared_fp"))
+    // exact verify on candidates only: true shared-shingle count
+    cand
+      .join(st.select(col("doc_id").as("d1"), col("hset").as("h1")), "d1")
+      .join(st.select(col("doc_id").as("d2"), col("hset").as("h2")), "d2")
+      .select(col("d1"), col("d2"), col("n_shared_fp"),
+        expr("CAST(size(array_intersect(h1, h2)) AS BIGINT)")
+          .as("n_shared_sh"))
+  }
+
+  private val dd09 = {
+    val k = PassageK
+    val w = PassageW
+    val sgSql = (0 until k).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    QueryDef(
+      "dd09_passage_overlap",
+      (s, dir) => passagePairs(Tables.load(s, dir, "documents")),
+      // winnowing in SQL: positional shingle hashes, then a sliding
+      // ROWS frame MIN per window start. Window starts are
+      // i <= nsh-w+1; for 0 < nsh < w only i=1 survives and its
+      // truncated frame covers the whole doc — the same short-doc
+      // fallback the native expression applies.
+      Some(s"""WITH wd AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, i,
+        |    ${hash64Sql(s"$sgSql")} AS h,
+        |    len(ws) - ${k - 1} AS nsh
+        |  FROM wd CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(ws) - ${k - 1})) AS i) t),
+        |wm AS (SELECT doc_id, i, nsh,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+        |  FROM sh),
+        |f AS (SELECT DISTINCT doc_id, fp FROM wm
+        |  WHERE i <= GREATEST(nsh - ${w - 1}, 1)),
+        |shd AS (SELECT DISTINCT doc_id, h FROM sh),
+        |cand AS (SELECT l.doc_id AS d1, r.doc_id AS d2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+        |  FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |inter AS (SELECT c.d1, c.d2, c.n_shared_fp,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared_sh
+        |  FROM cand c
+        |  JOIN shd a ON c.d1 = a.doc_id
+        |  JOIN shd b ON c.d2 = b.doc_id AND a.h = b.h
+        |  GROUP BY 1, 2, 3)
+        |SELECT d1, d2, n_shared_fp, n_shared_sh FROM inter
+        |""".stripMargin))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08)
+    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09)
 }

@@ -80,6 +80,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.filter(col("n_overlap") > col("n_shingles")).count() == 0)
   }
 
+  test("dd09 winnow matches brute-force window minima (incl. short docs)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    val k = 5; val w = 4
+    for (n <- 0 to 40) {
+      val words = Array.fill(n)(s"w${rnd.nextInt(8)}")
+      val ad = new GenericArrayData(
+        words.map(x => UTF8String.fromString(x)): Array[Any])
+      val got = graft.functions.ShingleHashRuntime
+        .winnowFingerprints(ad, k, w).toLongArray().toSet
+      // brute force: hash every k-shingle, min of each w-window
+      val hs = words.sliding(k).filter(_.length == k)
+        .map(sg => graft.functions.ShingleHashRuntime
+          .hash64(sg.mkString(" ").getBytes("UTF-8"))).toArray
+      val want =
+        if (hs.isEmpty) Set.empty[Long]
+        else if (hs.length < w) Set(hs.min)
+        else hs.sliding(w).map(_.min).toSet
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("dd09 fingerprint join is complete for passages of w+k-1 tokens") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    // a shared verbatim run of exactly w+k-1 = 8 tokens, embedded at
+    // different offsets inside otherwise-disjoint documents, MUST
+    // collide on at least one winnowed fingerprint (the SIGMOD'03
+    // guarantee); disjoint docs must not pair at all
+    val passage = (1 to (w + k - 1)).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 $passage a7 a8 a9"),
+      (2L, s"b1 $passage b2 b3 b4 b5 b6 b7 b8 b9 b10 b11"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (4L, "short doc only"), // < k tokens: no shingles, never pairs
+      (5L, s"d1 d2 $passage")
+    ).toDF("doc_id", "text")
+    val pairs = graft.pipelines.Dedup.passagePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("dd09 corpus pairs: shared fingerprints bounded by shared shingles") {
+    val df = SparkEntry.queries("dd09_passage_overlap")(spark, sf)
+    assert(df.filter(col("d1") >= col("d2")).count() == 0)
+    assert(df.filter(col("n_shared_fp") < 1).count() == 0)
+    // every winnowed fingerprint IS a shingle hash present in both
+    // docs, so the verified count can never undercut the candidate's
+    assert(df.filter(col("n_shared_sh") < col("n_shared_fp")).count() == 0)
+  }
+
   test("footer rowCount equals count() on single files and part-file dirs") {
     val single = Tables.rowCount(spark, sf, "embeddings")
     assert(single == Tables.load(spark, sf, "embeddings").count())
