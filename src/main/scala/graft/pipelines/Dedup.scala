@@ -414,12 +414,21 @@ object Dedup {
     * + candidate-bounded verify. */
   private val PassageK = 5 // tokens per shingle
   private val PassageW = 4 // shingle hashes per winnowing window
+  /** Boilerplate guard: a fingerprint present in more than this many
+    * documents is shared template text (headers, licenses, nav chrome),
+    * not a meaningful passage — and at web scale its bucket would make
+    * the candidate self-join quadratic on one hot key. Far above any
+    * genuine near-dup group in the corpus, so results here are
+    * unaffected; at 10⁹ docs it is the difference between a bounded
+    * join and a skew wall. */
+  private val PassageMaxDf = 1000
   /** (d1, d2, n_shared_fp, n_shared_sh) for every pair sharing >= 1
     * winnowed fingerprint. `docs` needs (doc_id, text) — factored out
     * so PipelineSpec can drive the guarantee on constructed rows. */
   private[graft] def passagePairs(
       docs: org.apache.spark.sql.DataFrame,
-      k: Int = PassageK, w: Int = PassageW): org.apache.spark.sql.DataFrame = {
+      k: Int = PassageK, w: Int = PassageW,
+      maxDf: Int = PassageMaxDf): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val st = docs
       .select(col("doc_id"),
@@ -430,8 +439,15 @@ object Dedup {
         graft.functions.ShingleHashSet(expression(col("ws")), k)))
       .select(col("doc_id"), col("fps"), col("hset"))
     val f = st.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val cand = f.select(col("doc_id").as("d1"), col("fp"))
-      .join(f.select(col("doc_id").as("d2"), col("fp")), "fp")
+    // fps are per-doc distinct, so count(*) per fp IS document
+    // frequency; the hot list is tiny by definition (few fingerprints
+    // exceed the cap), so dropping it is a broadcast anti-join and the
+    // frequency count rides a map-side-combinable aggregate
+    val hot = f.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val fk = f.join(broadcast(hot), Seq("fp"), "left_anti")
+    val cand = fk.select(col("doc_id").as("d1"), col("fp"))
+      .join(fk.select(col("doc_id").as("d2"), col("fp")), "fp")
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).cast("long").as("n_shared_fp"))
@@ -470,10 +486,12 @@ object Dedup {
         |  FROM sh),
         |f AS (SELECT DISTINCT doc_id, fp FROM wm
         |  WHERE i <= GREATEST(nsh - ${w - 1}, 1)),
+        |hot AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) > $PassageMaxDf),
+        |fk AS (SELECT doc_id, fp FROM f ANTI JOIN hot USING (fp)),
         |shd AS (SELECT DISTINCT doc_id, h FROM sh),
         |cand AS (SELECT l.doc_id AS d1, r.doc_id AS d2,
         |    CAST(COUNT(*) AS BIGINT) AS n_shared_fp
-        |  FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        |  FROM fk l JOIN fk r ON l.fp = r.fp AND l.doc_id < r.doc_id
         |  GROUP BY 1, 2),
         |inter AS (SELECT c.d1, c.d2, c.n_shared_fp,
         |    CAST(COUNT(*) AS BIGINT) AS n_shared_sh

@@ -123,6 +123,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  test("dd09 boilerplate cap drops fingerprints above the doc-frequency limit") {
+    import spark.implicits._
+    // the shared passage's fingerprints live in 3 docs: with
+    // maxDf >= 3 all pairs surface; with maxDf = 2 the "boilerplate"
+    // fingerprints are dropped and no pair remains (the skew guard
+    // counts DOCUMENTS per fingerprint, not occurrences)
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 $passage a7 a8 a9"),
+      (2L, s"b1 $passage b2 b3 b4 b5 b6 b7 b8 b9 b10 b11"),
+      (5L, s"d1 d2 $passage")
+    ).toDF("doc_id", "text")
+    def pairsAt(cap: Int) = graft.pipelines.Dedup.passagePairs(docs, maxDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(3) == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    assert(pairsAt(2) == Set.empty)
+  }
+
   test("dd09 corpus pairs: shared fingerprints bounded by shared shingles") {
     val df = SparkEntry.queries("dd09_passage_overlap")(spark, sf)
     assert(df.filter(col("d1") >= col("d2")).count() == 0)
