@@ -139,6 +139,22 @@ class PlanSpec extends AnyFunSuite {
       s"SQ8 rank fold fell back to an interpreted lambda:\n${p.take(2000)}")
   }
 
+  test("dd09 at shuffle scale: identical winnow branches collapse to reused exchanges") {
+    // at 100 TB the fp self-join's two sides, the two hot-list
+    // subtrees, and the two verify probes are each one corpus pass
+    // UNLESS Spark reuses the identical exchanges — broadcast disabled
+    // so the tiny fixture plans the same shuffles production would
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("dd09_passage_overlap")(spark, sf)
+      df.collect() // AQE reuse is visible in the final adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"dd09 self-join recomputes the winnow pass per branch:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // SURVEY §5 leans on AQE skew-join for hot keys at 100 TB; prove
     // the session config actually fires. One key holds ~90% of the
