@@ -60,14 +60,12 @@ object Bench {
     }
     // the driver parses the JSON from a 2000-byte stdout tail
     // (BENCH_r03's captured window), and the line must fit UNDER that
-    // minus sbt's trailing [success] line: 10ms precision per query,
-    // integer stream_rps, basename sf — measure bench.json after adding a
-    // query (~25 bytes each, ~100 bytes of headroom at 75 queries);
-    // if the suite outgrows the window, switch per-query values to
-    // integer milliseconds.
-    // trailing zeros trimmed ("0.40" -> "0.4"): same JSON schema, ~25
-    // fewer bytes per line — headroom for the stdout-tail window as
-    // queries are added
+    // minus sbt's trailing [success] line (~70 bytes). At 77 queries
+    // the r4 format (seconds, 10ms precision) hit the edge, so this is
+    // the escape hatch that format documented from day one: per-query
+    // values are INTEGER MILLISECONDS, declared by "q_unit":"ms" on
+    // the line ("value" stays total seconds). ~1830 bytes at 77
+    // queries, ~26/query to grow.
     def trim(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
@@ -75,8 +73,9 @@ object Bench {
       trim("%.3f".formatLocal(java.util.Locale.ROOT, v))
     def f2(v: Double): String =
       trim("%.2f".formatLocal(java.util.Locale.ROOT, v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else Math.round(v * 1000).toString)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // end-to-end subscription throughput: records/s through the
     // graft-cdc micro-batch source (codec decode + row materialization
@@ -139,7 +138,7 @@ object Bench {
       else ""","errors":""" + errors.map { case (k, v) =>
         "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"recalls":${recalls.map(f2).mkString("[", ",", "]")}$errJson,"n_failed":${errors.size},"stream_rps":${streamRps.round},"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","q_unit":"ms","queries":$qs,"recalls":${recalls.map(f2).mkString("[", ",", "]")}$errJson,"n_failed":${errors.size},"stream_rps":${streamRps.round},"sf":"${new java.io.File(sfDir).getName}"}"""
     println(line)
     Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))

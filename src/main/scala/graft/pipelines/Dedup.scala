@@ -503,6 +503,83 @@ object Dedup {
         |""".stripMargin))
   }
 
+  // -------------------------------------------------------------- dd10
+  /** Temperature-based corpus MIXING (the multilingual up-sampling
+    * recipe: sample language l with probability proportional to
+    * p_l^alpha, alpha=0.5 — flattens the head so low-resource
+    * languages are over-represented relative to corpus share). All
+    * quota arithmetic is EXACT INTEGER math so both engines agree
+    * bit-for-bit: weight = floor(sqrt(n_docs)) (correctly-rounded
+    * double sqrt of a < 2^40 count floors identically everywhere),
+    * base quota = Budget*w div SumW, then largest-remainder
+    * allocation of the flooring leftover (tie: lang asc). Selection
+    * within a language is the dd08 salted-md5 deterministic order on
+    * the bounded-heap [[graft.plans.TopKPerGroup]] operator — at
+    * 100 TB, langs x Budget rows shuffle, never the corpus; the quota
+    * table is #langs rows (driver-bounded, broadcast); the final
+    * row_number window runs over the picked langs x Budget rows only. */
+  private val MixBudget = 100
+  private val dd10 = QueryDef(
+    "dd10_temperature_mix",
+    (s, dir) => temperatureMix(Tables.load(s, dir, "documents")),
+    Some(s"""WITH d AS (SELECT doc_id, lang,
+      |    md5(CAST(doc_id AS VARCHAR) || ':tmix') AS pick FROM documents),
+      |w AS (SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isq FROM d GROUP BY 1),
+      |t AS (SELECT SUM(isq) AS tot FROM w),
+      |q0 AS (SELECT lang, n_docs,
+      |    ($MixBudget * isq) // tot AS q_base,
+      |    ($MixBudget * isq) % tot AS rem FROM w, t),
+      |l AS (SELECT $MixBudget - SUM(q_base) AS leftover FROM q0),
+      |qa AS (SELECT lang, n_docs, q_base, rem,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rr FROM q0),
+      |quota AS (SELECT lang, n_docs,
+      |    CAST(q_base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |      AS quota FROM qa, l),
+      |r AS (SELECT doc_id, lang, pick, ROW_NUMBER() OVER
+      |    (PARTITION BY lang ORDER BY pick ASC, doc_id ASC) AS rn FROM d)
+      |SELECT r.doc_id, r.lang, q.n_docs, q.quota, r.pick
+      |FROM r JOIN quota q ON r.lang = q.lang
+      |WHERE r.rn <= q.quota
+      |""".stripMargin))
+
+  /** Factored out so PipelineSpec can drive quota math on constructed
+    * (imbalanced) corpora. `docs` needs (doc_id, lang). */
+  private[graft] def temperatureMix(
+      docs: org.apache.spark.sql.DataFrame,
+      budget: Int = MixBudget): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("lang"))
+      .withColumn("pick",
+        md5(concat(col("doc_id").cast("string"), lit(":tmix"))
+          .cast("binary")))
+    val w = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = w.agg(sum("isq").as("tot"))
+    val q0 = w.crossJoin(broadcast(tot))
+      .withColumn("q_base", expr(s"($budget * isq) div tot"))
+      .withColumn("rem", expr(s"($budget * isq) % tot"))
+    val left = q0.agg((lit(budget.toLong) - sum("q_base")).as("leftover"))
+    // the un-partitioned windows below run over #langs rows — a
+    // bounded, driver-small set at any corpus size
+    val quotas = q0.crossJoin(broadcast(left))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc)))
+      .withColumn("quota",
+        (col("q_base") + when(col("rr") <= col("leftover"), 1L)
+          .otherwise(0L)).cast("long"))
+      .select(col("lang"), col("n_docs"), col("quota"))
+    val picked = graft.plans.TopKPerGroup(d, Seq(col("lang")),
+      Seq(col("pick").asc, col("doc_id").asc), budget)
+    picked
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("pick").asc, col("doc_id").asc)))
+      .join(broadcast(quotas), "lang")
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("n_docs"), col("quota"),
+        col("pick"))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09)
+    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10)
 }

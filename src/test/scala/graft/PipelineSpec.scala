@@ -150,6 +150,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.filter(col("n_shared_sh") < col("n_shared_fp")).count() == 0)
   }
 
+  test("dd10 temperature quotas: integer largest-remainder math, flattened head") {
+    import spark.implicits._
+    // 400 en / 100 fr / 25 de docs, budget 100. isqrt weights are
+    // 20/10/5 (tot 35): base quotas floor(100*w/35) = 57/28/14 (sum
+    // 99), remainders 5/20/10 -> the 1 leftover goes to fr. Hand
+    // computed: en 57, fr 29, de 14 — the head flattens from 76% of
+    // the corpus to 57% of the sample while de doubles its share
+    val docs = ((1 to 400).map(i => (i.toLong, "en")) ++
+      (1001 to 1100).map(i => (i.toLong, "fr")) ++
+      (2001 to 2025).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val out = graft.pipelines.Dedup.temperatureMix(docs)
+    val quotas = out.select("lang", "quota").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas == Map("en" -> 57L, "fr" -> 29L, "de" -> 14L))
+    // every language fills its quota exactly (all have enough docs)
+    val got = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("en" -> 57L, "fr" -> 29L, "de" -> 14L))
+    // a language with fewer docs than quota contributes all it has
+    val tiny = ((1 to 400).map(i => (i.toLong, "en")) ++
+      (9001 to 9003).map(i => (i.toLong, "xx"))).toDF("doc_id", "lang")
+    val tinyGot = graft.pipelines.Dedup.temperatureMix(tiny)
+      .filter(col("lang") === "xx").count()
+    assert(tinyGot == 3L)
+  }
+
   test("footer rowCount equals count() on single files and part-file dirs") {
     val single = Tables.rowCount(spark, sf, "embeddings")
     assert(single == Tables.load(spark, sf, "embeddings").count())
