@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(words, k) - distinct 64-bit k-shingle hashes"),
       (exprs: Seq[Expression]) => graft.functions.ShingleHashSet(exprs.head,
         intLit(exprs(1), "shingle_hash_set k"))))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "_FUNC_(words, k, w) - distinct winnowed k-shingle hash minima " +
+          "(passage-dedup fingerprints, complete for runs of w+k-1 tokens)"),
+      (exprs: Seq[Expression]) => graft.functions.WinnowFingerprints(exprs.head,
+        intLit(exprs(1), "winnow_fingerprints k"),
+        intLit(exprs(2), "winnow_fingerprints w"))))
     e.injectFunction((FunctionIdentifier("simhash32"),
       info("simhash32",
         "_FUNC_(words) - [n_tokens, 32-bit simhash fingerprint]"),

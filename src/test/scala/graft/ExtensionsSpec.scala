@@ -181,12 +181,21 @@ class ExtensionsSpec extends AnyFunSuite {
     val row = spark.sql(
       "SELECT minhash_sigs(array('a', 'b', 'c', 'd'), 3, 4) AS sigs, " +
       "shingle_hash_set(array('a', 'b', 'c', 'd'), 3) AS hset, " +
-      "simhash32(array('hello', 'world')) AS sh").head()
+      "simhash32(array('hello', 'world')) AS sh, " +
+      "winnow_fingerprints(array('a', 'b', 'c', 'd', 'e', 'f', 'g'), 3, 4) AS fps")
+      .head()
     assert(row.getAs[scala.collection.Seq[Long]]("sigs").length == 4)
     assert(row.getAs[scala.collection.Seq[Long]]("hset").length == 2) // 2 shingles
     val sh = row.getAs[scala.collection.Seq[Long]]("sh")
     assert(sh.length == 2 && sh(0) == 2L)
     assert(sh(1) >= 0L && sh(1) <= 0xffffffffL)
+    // 5 shingles, 2 windows of 4 -> 1..2 distinct minima, each drawn
+    // from the doc's own shingle-hash set
+    val fps = row.getAs[scala.collection.Seq[Long]]("fps")
+    val hs7 = spark.sql(
+      "SELECT shingle_hash_set(array('a', 'b', 'c', 'd', 'e', 'f', 'g'), 3) AS h")
+      .head().getAs[scala.collection.Seq[Long]]("h").toSet
+    assert(fps.nonEmpty && fps.length <= 2 && fps.forall(hs7.contains))
     // non-literal k rejected with a clear message
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sigs(array('a'), CAST(rand() AS INT), 2)")

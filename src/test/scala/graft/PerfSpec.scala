@@ -36,7 +36,12 @@ class PerfSpec extends AnyFunSuite {
       // chain-merge read), mm03's banded join must stay candidate-
       // bounded — both guard against a pinned-block or plan regression
       "cdc10_sink_materialize" -> 25.0,
-      "mm03_phash_dedup"   -> 15.0)
+      "mm03_phash_dedup"   -> 15.0,
+      // round-5 addition: dd09's winnow must stay ONE native call per
+      // doc — its first declarative draft ran 100s+ at sf0.01 when the
+      // optimizer inlined the nested lambdas into a Generate, exactly
+      // the regression this bound would catch
+      "dd09_passage_overlap" -> 15.0)
     bounds.foreach { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       fn(spark, "/root/testdata/sf0.01").count() // warm listing/codegen
