@@ -73,5 +73,60 @@ object Packing {
       |  CAST(greatest(0, floor((cum_tok - 1) / $TokenBudget)) AS BIGINT) AS bin
       |FROM win""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(pk01)
+  // -------------------------------------------------------------- pk02
+  /** Context-window CHUNKING (the step before packing): split each
+    * document into max-L-token training chunks with a fixed overlap,
+    * so no content is lost at chunk boundaries (the standard
+    * long-document recipe for a bounded context window). Pure integer
+    * math — chunk count = 1 + ceil((n_tok − L)/stride) via
+    * (a + b − 1) div b, starts at i·stride — so both engines agree
+    * bit-for-bit. Execution is a bounded codegen'd posexplode
+    * (fan-out ≤ chunks per doc, proportional to doc length), one
+    * narrow pass, no shuffle — at 100 TB it rides the scan exactly
+    * like tx03's token count. Token-less docs emit no chunk (matches
+    * the oracle's empty generate_series). */
+  // sized so the fixture corpus (10-99 tokens/doc) exercises the 1-,
+  // 2- and 3-chunk paths; production would use e.g. 2048/256 — the
+  // integer math is length-agnostic
+  private val ChunkLen = 48
+  private val ChunkOverlap = 8
+  private val ChunkStride = ChunkLen - ChunkOverlap
+  private val pk02 = QueryDef(
+    "pk02_chunk_split",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(filter(split(text, '\\\\s+'), x -> x <> '')) AS BIGINT)")
+            .as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_chunks",
+          when(col("n_tok") <= ChunkLen, lit(1L)).otherwise(
+            expr(s"1L + (n_tok - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride")))
+        .select(col("doc_id"), col("n_tok"),
+          posexplode(expr("sequence(0L, n_chunks - 1L)"))
+            .as(Seq("chunk_id", "i")))
+        .select(col("doc_id"), col("n_tok"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          (col("i") * ChunkStride).as("tok_start"))
+        .withColumn("tok_len",
+          least(lit(ChunkLen.toLong), col("n_tok") - col("tok_start")))
+        .drop("i")
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+      |    x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |  CASE WHEN n_tok <= $ChunkLen THEN 1
+      |    ELSE 1 + (n_tok - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride
+      |  END AS n_chunks
+      |  FROM d WHERE n_tok > 0)
+      |SELECT doc_id, n_tok, CAST(i AS BIGINT) AS chunk_id,
+      |  CAST(i * $ChunkStride AS BIGINT) AS tok_start,
+      |  CAST(least($ChunkLen, n_tok - i * $ChunkStride) AS BIGINT) AS tok_len
+      |FROM c CROSS JOIN LATERAL
+      |  (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) t
+      |""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(pk01, pk02)
 }

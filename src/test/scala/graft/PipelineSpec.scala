@@ -176,6 +176,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(tinyGot == 3L)
   }
 
+  test("pk02 chunks tile every document: dense ids, stride starts, full coverage") {
+    val df = SparkEntry.queries("pk02_chunk_split")(spark, sf)
+    // every token-bearing doc appears, ids dense from 0
+    val perDoc = df.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("chunk_id").as("mx"), min("chunk_id").as("mn"),
+      max(col("tok_start") + col("tok_len")).as("covered"),
+      min("tok_start").as("first"), max("n_tok").as("n_tok"))
+    assert(perDoc.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() == 0)
+    // chunks start at 0 and the last chunk ends exactly at n_tok
+    assert(perDoc.filter(col("first") =!= 0 || col("covered") =!= col("n_tok"))
+      .count() == 0)
+    // every chunk fits the window and is non-empty; starts are on the stride
+    assert(df.filter(col("tok_len") <= 0 || col("tok_len") > 48).count() == 0)
+    assert(df.filter(col("tok_start") % 40 =!= 0).count() == 0)
+    // short docs are exactly one whole chunk
+    assert(df.filter(col("n_tok") <= 48 &&
+      (col("chunk_id") =!= 0 || col("tok_len") =!= col("n_tok"))).count() == 0)
+  }
+
   test("footer rowCount equals count() on single files and part-file dirs") {
     val single = Tables.rowCount(spark, sf, "embeddings")
     assert(single == Tables.load(spark, sf, "embeddings").count())
