@@ -67,7 +67,7 @@ object ScaleProbe {
     val linearOps = Seq("dd01_dedup_exact", "dd02_minhash_lsh", "dd03_simhash",
       "tx05_keyterms", "tx09_unigram_lm", "emb01_int8_quant",
       "emb02_label_centroid", "pk01_seq_pack", "dd07_decontaminate",
-      "dd09_passage_overlap")
+      "dd09_passage_overlap", "dd10_temperature_mix", "pk02_chunk_split")
     val quadOps = Seq("dd05_embed_dup")
     def time(name: String, dir: String): (Double, Long) = {
       SparkEntry.queries(name)(spark, dir).count() // warm
