@@ -64,8 +64,10 @@ object Bench {
     // the r4 format (seconds, 10ms precision) hit the edge, so this is
     // the escape hatch that format documented from day one: per-query
     // values are INTEGER MILLISECONDS, declared by "q_unit":"ms" on
-    // the line ("value" stays total seconds). ~1830 bytes at 77
-    // queries, ~26/query to grow.
+    // the line ("value" stays total seconds). Measured ~1905 bytes at
+    // 78 queries against a ~1925 budget — room for ONE more ~26-byte
+    // query before the next shave (candidates: drop "unit":"sec",
+    // shorten keys; both need the driver-side parser to follow).
     def trim(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s

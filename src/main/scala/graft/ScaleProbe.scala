@@ -64,6 +64,10 @@ object ScaleProbe {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv(appName = "scale-probe")
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    // "linear" = linear in corpus SCAN cost; dd02 and dd09 are
+    // output-bound on this fixture (replicas share near-all text, so
+    // TRUE pairs grow ~k² — the printed rows(x16/x1) makes the output
+    // bound visible and SURVEY §6 interprets the ratios against it)
     val linearOps = Seq("dd01_dedup_exact", "dd02_minhash_lsh", "dd03_simhash",
       "tx05_keyterms", "tx09_unigram_lm", "emb01_int8_quant",
       "emb02_label_centroid", "pk01_seq_pack", "dd07_decontaminate",

@@ -159,10 +159,16 @@ object Values {
     * `<TYPE> EMPTY`. Returns None on malformed input. */
   def wkbToWkt(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 5) return None
+    // a parse only counts if it consumes the WHOLE buffer: MySQL's
+    // internal form (4-byte SRID + WKB) with SRID low byte 0 or 1 —
+    // including the default SRID 0 — also LOOKS like a standard-WKB
+    // byte-order marker, but the misread geometry never spans the
+    // full input, so full-consumption disambiguates the two layouts
     def parseAt(off: Int): Option[String] =
       try {
         val buf = java.nio.ByteBuffer.wrap(bytes, off, bytes.length - off)
-        Some(readGeometry(buf, 0))
+        val wkt = readGeometry(buf, 0)
+        if (buf.hasRemaining) None else Some(wkt)
       } catch { case _: Exception => None }
     // standard WKB first (first byte must be a byte-order marker);
     // otherwise MySQL's internal form = 4-byte SRID, then WKB

@@ -193,6 +193,8 @@ object ShingleHashRuntime {
 /** sigs = minhash_sigs(ws, k, bands): array<long> of per-band minima. */
 case class MinHashSigs(child: Expression, k: Int, bands: Int)
   extends UnaryExpression {
+  require(k >= 1 && bands >= 1,
+    s"minhash_sigs needs k >= 1 and bands >= 1, got k=$k bands=$bands")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -228,6 +230,8 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   * Generate — measured 102 s vs 0.2 s for the same sf0.01 explode. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   extends UnaryExpression {
+  require(k >= 1 && w >= 1,
+    s"winnow_fingerprints needs k >= 1 and w >= 1, got k=$k w=$w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -242,6 +246,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 /** hset = shingle_hash_set(ws, k): distinct shingle hash64 values. */
 case class ShingleHashSet(child: Expression, k: Int)
   extends UnaryExpression {
+  require(k >= 1, s"shingle_hash_set needs k >= 1, got k=$k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =

@@ -71,7 +71,11 @@ object CdcStreaming {
     val sel = table.map(graft.sources.CdcSource.parseTableSelector)
     kafka.select(col("value")).as[Array[Byte]]
       .flatMap { bytes =>
-        try {
+        // null values are log-compaction tombstones (key-only deletion
+        // markers), not corrupt payloads: dropped in BOTH modes —
+        // strict mode must not kill the stream on routine compaction
+        if (bytes == null) None
+        else try {
           if (!sel.forall(graft.cdc.RecordCodec.headerTable(bytes) == _)) None
           else Some(graft.cdc.RecordCodec.decode(bytes))
         } catch {

@@ -166,8 +166,12 @@ class CdcSourceSpec extends AnyFunSuite {
       s"k${i % 3}", s"v$i"))
     val other = ChangeRecord(99L, "tx-9", 5L, 4L, Op.Insert, "otherdb",
       "t2", Seq("uid"), null, Map("uid" -> "x", "v" -> "y"))
-    // kafka reader shape: binary value + transport metadata columns
-    val values = (recs :+ other).map(RecordCodec.encode) :+ Array[Byte](1, 2, 3)
+    // kafka reader shape: binary value + transport metadata columns;
+    // a null value is a log-compaction tombstone — dropped in BOTH
+    // modes (it is absence, not corruption), so strict mode must not
+    // die on routine compaction
+    val values = (recs :+ other).map(RecordCodec.encode) :+
+      Array[Byte](1, 2, 3) :+ (null: Array[Byte])
     val kafka = values.toDF("value")
       .withColumn("topic", lit("dts-sub"))
       .withColumn("partition", lit(0))
@@ -187,6 +191,11 @@ class CdcSourceSpec extends AnyFunSuite {
     intercept[Exception] {
       CdcStreaming.fromKafkaRecords(kafka, permissive = false).count()
     }
+    // ...but a tombstone alone never trips strict mode
+    val tombOnly = Seq(RecordCodec.encode(other), null: Array[Byte])
+      .toDF("value")
+    assert(CdcStreaming.fromKafkaRecords(tombOnly, permissive = false)
+      .count() == 1)
     // and the decode is stream-capable: same plan over MemoryStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

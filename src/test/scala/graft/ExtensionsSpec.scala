@@ -202,6 +202,15 @@ class ExtensionsSpec extends AnyFunSuite {
         .head()
     }
     assert(e.getMessage.contains("integer literal"))
+    // non-positive k/w rejected at analysis, not an executor crash
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT winnow_fingerprints(array('a'), 1, 0)").head()
+    }
+    assert(e2.getMessage.contains("w >= 1"))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT shingle_hash_set(array('a'), 0)").head()
+    }
+    assert(e3.getMessage.contains("k >= 1"))
   }
 
   test("vec_dot matches the declarative fold on edge inputs") {

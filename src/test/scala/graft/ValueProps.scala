@@ -197,11 +197,13 @@ object ValueProps extends Properties("Values") {
       Values.wkbToWkt(w.bytes).contains(wkt(g))
     }
 
-  // MySQL internal form = 4-byte LE SRID prefix before standard WKB;
-  // srid low byte outside {0,1} (a real SRID) keeps the sniff
-  // unambiguous
+  // MySQL internal form = 4-byte LE SRID prefix before standard WKB.
+  // Srid 0 (MySQL's default) and 1 make the prefix's first byte look
+  // like a byte-order marker — full-consumption disambiguation in
+  // wkbToWkt must still pick the SRID form, so the generator covers
+  // the whole range INCLUDING the ambiguous low bytes
   private val genSrid: Gen[Int] =
-    Gen.choose(2, 1000000).suchThat(s => (s & 0xff) > 1)
+    Gen.oneOf(Gen.const(0), Gen.const(1), Gen.choose(0, 1000000))
 
   property("mysql srid prefix is skipped for every geometry type") =
     forAll(genGeom, genSrid) { (g, srid) =>
