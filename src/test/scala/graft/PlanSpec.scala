@@ -80,6 +80,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "fell back to a window sort")
   }
 
+  test("pk02 chunking is shuffle-free") {
+    val p = plan("pk02_chunk_split")
+    assert(count(p, "Exchange") == 0,
+      s"bounded chunk fan-out must ride the scan:\n$p")
+  }
+
+  test("dd10 corpus picks ride the bounded-heap top-k, joins broadcast") {
+    val p = plan("dd10_temperature_mix")
+    // the corpus-wide path must be the TopKPerGroup heaps (langs x
+    // budget rows shuffle, never the table); the quota table joins by
+    // broadcast; the only Window ops run over the picked/quota rows
+    assert(p.contains("TopKPerGroup"), s"custom top-k missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"quota join must broadcast:\n$p")
+  }
+
   test("dd01 exact dedup is a single-shuffle hash aggregate") {
     val p = plan("dd01_dedup_exact")
     assert(count(p, "Exchange") <= 2, s"unexpected extra shuffles:\n$p")
