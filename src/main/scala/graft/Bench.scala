@@ -65,9 +65,10 @@ object Bench {
     // the escape hatch that format documented from day one: per-query
     // values are INTEGER MILLISECONDS, declared by "q_unit":"ms" on
     // the line ("value" stays total seconds). Measured ~1905 bytes at
-    // 78 queries against a ~1925 budget — room for ONE more ~26-byte
-    // query before the next shave (candidates: drop "unit":"sec",
-    // shorten keys; both need the driver-side parser to follow).
+    // 78 queries against a ~1925 budget — AT the cap: any new query
+    // (~26 bytes) must come with a shave (candidates: drop
+    // "unit":"sec", shorten keys; both need the driver-side parser to
+    // follow) and a re-measure of bench.json.
     def trim(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s

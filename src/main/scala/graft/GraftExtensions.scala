@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }
+    // wrong arity must name the function and its signature, not throw
+    // an opaque IndexOutOfBoundsException from exprs(i)
+    def arity(fn: String, sig: String, exprs: Seq[Expression], n: Int): Unit =
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n arguments ($sig), got ${exprs.length}")
 
     e.injectFunction((FunctionIdentifier("cdc_header_id"),
       info("cdc_header_id", "_FUNC_(raw) - record id from codec header bytes"),
@@ -40,21 +45,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs",
         "_FUNC_(words, k, bands) - per-band MinHash signatures over k-shingles"),
-      (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs.head,
-        intLit(exprs(1), "minhash_sigs k"),
-        intLit(exprs(2), "minhash_sigs bands"))))
+      (exprs: Seq[Expression]) => {
+        arity("minhash_sigs", "words, k, bands", exprs, 3)
+        graft.functions.MinHashSigs(exprs.head,
+          intLit(exprs(1), "minhash_sigs k"),
+          intLit(exprs(2), "minhash_sigs bands"))
+      }))
     e.injectFunction((FunctionIdentifier("shingle_hash_set"),
       info("shingle_hash_set",
         "_FUNC_(words, k) - distinct 64-bit k-shingle hashes"),
-      (exprs: Seq[Expression]) => graft.functions.ShingleHashSet(exprs.head,
-        intLit(exprs(1), "shingle_hash_set k"))))
+      (exprs: Seq[Expression]) => {
+        arity("shingle_hash_set", "words, k", exprs, 2)
+        graft.functions.ShingleHashSet(exprs.head,
+          intLit(exprs(1), "shingle_hash_set k"))
+      }))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "_FUNC_(words, k, w) - distinct winnowed k-shingle hash minima " +
           "(passage-dedup fingerprints, complete for runs of w+k-1 tokens)"),
-      (exprs: Seq[Expression]) => graft.functions.WinnowFingerprints(exprs.head,
-        intLit(exprs(1), "winnow_fingerprints k"),
-        intLit(exprs(2), "winnow_fingerprints w"))))
+      (exprs: Seq[Expression]) => {
+        arity("winnow_fingerprints", "words, k, w", exprs, 3)
+        graft.functions.WinnowFingerprints(exprs.head,
+          intLit(exprs(1), "winnow_fingerprints k"),
+          intLit(exprs(2), "winnow_fingerprints w"))
+      }))
     e.injectFunction((FunctionIdentifier("simhash32"),
       info("simhash32",
         "_FUNC_(words) - [n_tokens, 32-bit simhash fingerprint]"),

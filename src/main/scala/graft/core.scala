@@ -62,10 +62,19 @@ object Tables {
     val root = new Path(s"$dir/$name.parquet")
     val fs = root.getFileSystem(conf)
     val files =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-      else Seq(root)
+      if (fs.getFileStatus(root).isDirectory) {
+        // recursive: partitioned layouts nest part files under
+        // key=value subdirectories
+        val it = fs.listFiles(root, true)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet")) out += p
+        }
+        require(out.nonEmpty,
+          s"$root contains no .parquet files — rowCount would silently be 0")
+        out.toSeq
+      } else Seq(root)
     files.map { p =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try r.getRecordCount finally r.close()

@@ -511,13 +511,22 @@ object Dedup {
     * quota arithmetic is EXACT INTEGER math so both engines agree
     * bit-for-bit: weight = floor(sqrt(n_docs)) (correctly-rounded
     * double sqrt of a < 2^40 count floors identically everywhere),
-    * base quota = Budget*w div SumW, then largest-remainder
-    * allocation of the flooring leftover (tie: lang asc). Selection
-    * within a language is the dd08 salted-md5 deterministic order on
-    * the bounded-heap [[graft.plans.TopKPerGroup]] operator — at
-    * 100 TB, langs x Budget rows shuffle, never the corpus; the quota
-    * table is #langs rows (driver-bounded, broadcast); the final
-    * row_number window runs over the picked langs x Budget rows only. */
+    * base quota = Budget*w div SumW, largest-remainder allocation of
+    * the flooring leftover (tie: lang asc), then quotas CAP at the
+    * language's capacity and ONE spillover round redistributes the
+    * capped surplus among languages with headroom (same integer
+    * largest-remainder machinery) — a language with fewer docs than
+    * its share no longer silently shrinks the sample; the budget
+    * fills whenever total capacity allows. (A spillover that itself
+    * overshoots remaining headroom is re-capped; the residual
+    * shortfall — only possible under cascaded caps — is visible as
+    * sum(quota) < budget beside the emitted n_docs column.)
+    * Selection within a language is the dd08 salted-md5 deterministic
+    * order on the bounded-heap [[graft.plans.TopKPerGroup]] operator —
+    * at 100 TB, langs x Budget rows shuffle, never the corpus; the
+    * quota table is #langs rows (driver-bounded, broadcast); the
+    * final row_number window runs over the picked langs x Budget rows
+    * only. */
   private val MixBudget = 100
   private val dd10 = QueryDef(
     "dd10_temperature_mix",
@@ -527,15 +536,30 @@ object Dedup {
       |w AS (SELECT lang, COUNT(*) AS n_docs,
       |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isq FROM d GROUP BY 1),
       |t AS (SELECT SUM(isq) AS tot FROM w),
-      |q0 AS (SELECT lang, n_docs,
+      |q0 AS (SELECT lang, n_docs, isq,
       |    ($MixBudget * isq) // tot AS q_base,
       |    ($MixBudget * isq) % tot AS rem FROM w, t),
       |l AS (SELECT $MixBudget - SUM(q_base) AS leftover FROM q0),
-      |qa AS (SELECT lang, n_docs, q_base, rem,
+      |qa AS (SELECT lang, n_docs, isq, q_base, rem,
       |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rr FROM q0),
+      |ca AS (SELECT lang, n_docs, isq,
+      |    LEAST(q_base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END, n_docs)
+      |      AS c FROM qa, l),
+      |sp AS (SELECT $MixBudget - SUM(c) AS spill FROM ca),
+      |u AS (SELECT COALESCE(SUM(isq) FILTER (WHERE c < n_docs), 0) AS totu
+      |  FROM ca),
+      |qb AS (SELECT lang, n_docs, c,
+      |    CASE WHEN c < n_docs AND totu > 0 THEN (spill * isq) // totu
+      |      ELSE 0 END AS b2,
+      |    CASE WHEN c < n_docs AND totu > 0 THEN (spill * isq) % totu
+      |      ELSE -1 END AS rem2
+      |  FROM ca, sp, u),
+      |l2 AS (SELECT (SELECT spill FROM sp) - SUM(b2) AS left2 FROM qb),
+      |qc AS (SELECT lang, n_docs, c, b2, rem2,
+      |    ROW_NUMBER() OVER (ORDER BY rem2 DESC, lang ASC) AS rr2 FROM qb),
       |quota AS (SELECT lang, n_docs,
-      |    CAST(q_base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
-      |      AS quota FROM qa, l),
+      |    CAST(LEAST(c + b2 + CASE WHEN rem2 >= 0 AND rr2 <= left2
+      |      THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS quota FROM qc, l2),
       |r AS (SELECT doc_id, lang, pick, ROW_NUMBER() OVER
       |    (PARTITION BY lang ORDER BY pick ASC, doc_id ASC) AS rn FROM d)
       |SELECT r.doc_id, r.lang, q.n_docs, q.quota, r.pick
@@ -562,12 +586,35 @@ object Dedup {
     val left = q0.agg((lit(budget.toLong) - sum("q_base")).as("leftover"))
     // the un-partitioned windows below run over #langs rows — a
     // bounded, driver-small set at any corpus size
-    val quotas = q0.crossJoin(broadcast(left))
+    val ca = q0.crossJoin(broadcast(left))
       .withColumn("rr", row_number().over(
         Window.orderBy(col("rem").desc, col("lang").asc)))
-      .withColumn("quota",
-        (col("q_base") + when(col("rr") <= col("leftover"), 1L)
-          .otherwise(0L)).cast("long"))
+      .withColumn("c", least(
+        col("q_base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L),
+        col("n_docs")))
+      .select(col("lang"), col("n_docs"), col("isq"), col("c"))
+    // spillover round: redistribute capped surplus among languages
+    // with headroom, same integer largest-remainder machinery; capped
+    // languages carry rem2 = -1 so they rank last and never receive
+    val spU = ca.agg(
+      (lit(budget.toLong) - sum("c")).as("spill"),
+      coalesce(sum(when(col("c") < col("n_docs"), col("isq"))), lit(0L))
+        .as("totu"))
+    val qb = ca.crossJoin(broadcast(spU))
+      .withColumn("b2",
+        when(col("c") < col("n_docs") && col("totu") > 0,
+          expr("(spill * isq) div totu")).otherwise(0L))
+      .withColumn("rem2",
+        when(col("c") < col("n_docs") && col("totu") > 0,
+          expr("(spill * isq) % totu")).otherwise(-1L))
+    val left2 = qb.agg((min(col("spill")) - sum("b2")).as("left2"))
+    val quotas = qb.crossJoin(broadcast(left2))
+      .withColumn("rr2", row_number().over(
+        Window.orderBy(col("rem2").desc, col("lang").asc)))
+      .withColumn("quota", least(
+        col("c") + col("b2") + when(
+          col("rem2") >= 0 && col("rr2") <= col("left2"), 1L).otherwise(0L),
+        col("n_docs")).cast("long"))
       .select(col("lang"), col("n_docs"), col("quota"))
     val picked = graft.plans.TopKPerGroup(d, Seq(col("lang")),
       Seq(col("pick").asc, col("doc_id").asc), budget)

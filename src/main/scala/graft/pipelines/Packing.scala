@@ -103,14 +103,10 @@ object Packing {
           when(col("n_tok") <= ChunkLen, lit(1L)).otherwise(
             expr(s"1L + (n_tok - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride")))
         .select(col("doc_id"), col("n_tok"),
-          posexplode(expr("sequence(0L, n_chunks - 1L)"))
-            .as(Seq("chunk_id", "i")))
-        .select(col("doc_id"), col("n_tok"),
-          col("chunk_id").cast("long").as("chunk_id"),
-          (col("i") * ChunkStride).as("tok_start"))
+          explode(expr("sequence(0L, n_chunks - 1L)")).as("chunk_id"))
+        .withColumn("tok_start", col("chunk_id") * ChunkStride)
         .withColumn("tok_len",
           least(lit(ChunkLen.toLong), col("n_tok") - col("tok_start")))
-        .drop("i")
     },
     Some(s"""WITH d AS (SELECT doc_id,
       |  CAST(len(list_filter(string_split_regex(text, '\\s+'),

@@ -168,12 +168,23 @@ class PipelineSpec extends AnyFunSuite {
     val got = out.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("en" -> 57L, "fr" -> 29L, "de" -> 14L))
-    // a language with fewer docs than quota contributes all it has
+    // a language with fewer docs than its share caps at capacity and
+    // the surplus SPILLS OVER: en 400/xx 3 → isqrt 20/1 (tot 21),
+    // round A gives en 95, xx 5; xx caps at 3, the spill of 2 goes to
+    // en → 97 + 3 = the full budget of 100
     val tiny = ((1 to 400).map(i => (i.toLong, "en")) ++
       (9001 to 9003).map(i => (i.toLong, "xx"))).toDF("doc_id", "lang")
-    val tinyGot = graft.pipelines.Dedup.temperatureMix(tiny)
-      .filter(col("lang") === "xx").count()
-    assert(tinyGot == 3L)
+    val tinyOut = graft.pipelines.Dedup.temperatureMix(tiny)
+    val tinyGot = tinyOut.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tinyGot == Map("en" -> 97L, "xx" -> 3L))
+    // when total capacity is below budget, every language fills up
+    val micro = ((1 to 4).map(i => (i.toLong, "aa")) ++
+      (11 to 13).map(i => (i.toLong, "bb"))).toDF("doc_id", "lang")
+    val microGot = graft.pipelines.Dedup.temperatureMix(micro)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(microGot == Map("aa" -> 4L, "bb" -> 3L))
   }
 
   test("pk02 chunks tile every document: dense ids, stride starts, full coverage") {
