@@ -577,38 +577,40 @@ object Dedup {
       .withColumn("pick",
         md5(concat(col("doc_id").cast("string"), lit(":tmix"))
           .cast("binary")))
-    val w = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    // Every cross-language scalar (tot, leftover, spill, totu, left2)
+    // is an unbounded-frame window aggregate over the #langs-row
+    // frame, NOT a separate .agg() crossJoined back in: each broadcast
+    // one-row aggregate re-executes its whole lineage, so the chained
+    // form re-scanned the corpus ~5x. The window form computes the
+    // entire quota table in one pass after a single shuffle to one
+    // partition — bounded (#langs rows) at any corpus size.
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("isq", floor(sqrt(col("n_docs"))).cast("long"))
-    val tot = w.agg(sum("isq").as("tot"))
-    val q0 = w.crossJoin(broadcast(tot))
+      .withColumn("tot", sum("isq").over(wAll))
       .withColumn("q_base", expr(s"($budget * isq) div tot"))
       .withColumn("rem", expr(s"($budget * isq) % tot"))
-    val left = q0.agg((lit(budget.toLong) - sum("q_base")).as("leftover"))
-    // the un-partitioned windows below run over #langs rows — a
-    // bounded, driver-small set at any corpus size
-    val ca = q0.crossJoin(broadcast(left))
+      .withColumn("leftover", lit(budget.toLong) - sum("q_base").over(wAll))
       .withColumn("rr", row_number().over(
         Window.orderBy(col("rem").desc, col("lang").asc)))
       .withColumn("c", least(
         col("q_base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L),
         col("n_docs")))
-      .select(col("lang"), col("n_docs"), col("isq"), col("c"))
-    // spillover round: redistribute capped surplus among languages
-    // with headroom, same integer largest-remainder machinery; capped
-    // languages carry rem2 = -1 so they rank last and never receive
-    val spU = ca.agg(
-      (lit(budget.toLong) - sum("c")).as("spill"),
-      coalesce(sum(when(col("c") < col("n_docs"), col("isq"))), lit(0L))
-        .as("totu"))
-    val qb = ca.crossJoin(broadcast(spU))
+      // spillover round: redistribute capped surplus among languages
+      // with headroom, same integer largest-remainder machinery;
+      // capped languages carry rem2 = -1 so they rank last and never
+      // receive
+      .withColumn("spill", lit(budget.toLong) - sum("c").over(wAll))
+      .withColumn("totu", coalesce(
+        sum(when(col("c") < col("n_docs"), col("isq"))).over(wAll), lit(0L)))
       .withColumn("b2",
         when(col("c") < col("n_docs") && col("totu") > 0,
           expr("(spill * isq) div totu")).otherwise(0L))
       .withColumn("rem2",
         when(col("c") < col("n_docs") && col("totu") > 0,
           expr("(spill * isq) % totu")).otherwise(-1L))
-    val left2 = qb.agg((min(col("spill")) - sum("b2")).as("left2"))
-    val quotas = qb.crossJoin(broadcast(left2))
+      .withColumn("left2", col("spill") - sum("b2").over(wAll))
       .withColumn("rr2", row_number().over(
         Window.orderBy(col("rem2").desc, col("lang").asc)))
       .withColumn("quota", least(
