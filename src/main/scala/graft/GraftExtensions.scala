@@ -32,16 +32,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     e.injectFunction((FunctionIdentifier("cdc_header_id"),
       info("cdc_header_id", "_FUNC_(raw) - record id from codec header bytes"),
-      (exprs: Seq[Expression]) => CdcHeaderId(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("cdc_header_id", "raw", exprs, 1)
+        CdcHeaderId(exprs.head)
+      }))
     e.injectFunction((FunctionIdentifier("cdc_header_ts_us"),
       info("cdc_header_ts_us", "_FUNC_(raw) - commit epoch-us from codec header bytes"),
-      (exprs: Seq[Expression]) => CdcHeaderTsUs(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("cdc_header_ts_us", "raw", exprs, 1)
+        CdcHeaderTsUs(exprs.head)
+      }))
     e.injectFunction((FunctionIdentifier("cdc_header_op_code"),
       info("cdc_header_op_code", "_FUNC_(raw) - operation code from codec header bytes"),
-      (exprs: Seq[Expression]) => CdcHeaderOpCode(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("cdc_header_op_code", "raw", exprs, 1)
+        CdcHeaderOpCode(exprs.head)
+      }))
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "_FUNC_(a, b) - sequential dot product of two double arrays"),
-      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity("vec_dot", "a, b", exprs, 2)
+        VecDot(exprs.head, exprs(1))
+      }))
     e.injectFunction((FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs",
         "_FUNC_(words, k, bands) - per-band MinHash signatures over k-shingles"),
@@ -72,11 +84,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash32"),
       info("simhash32",
         "_FUNC_(words) - [n_tokens, 32-bit simhash fingerprint]"),
-      (exprs: Seq[Expression]) => graft.functions.SimHash32(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("simhash32", "words", exprs, 1)
+        graft.functions.SimHash32(exprs.head)
+      }))
     e.injectFunction((FunctionIdentifier("vec_lsum"),
       info("vec_lsum",
         "_FUNC_(arr) - elementwise SUM aggregate over ARRAY<BIGINT>"),
-      (exprs: Seq[Expression]) => graft.functions.VecLongSumAgg(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("vec_lsum", "arr", exprs, 1)
+        graft.functions.VecLongSumAgg(exprs.head)
+      }))
 
     e.injectOptimizerRule(_ => RewriteZipWithDot)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Scratch diagnostic: recall@5 of each approximate ANN query vs the
   * brute-force truth, for parameter tuning. Not part of the driver
   * contract. */
@@ -24,17 +26,16 @@ object RecallProbe {
   private def ceilingGrid(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import pipelines.Similarity.Ivf
     import spark.implicits._
-    val e = graft.Tables.load(spark, dir, "embeddings")
-      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble("embedding").as("v"))
+    val e = vecs.as[(Long, Array[Double])].collect().sortBy(_._1)
     val unit = e.map { case (id, v) => id -> Ivf.normalize(v) }.toMap
     val truth = SparkEntry.queries("ann01_knn_brute")(spark, dir)
       .select("q_id", "n_id").as[(Long, Long)].collect()
     // the PRODUCTION bounded sample (hash-ordered TrainCap cut), not a
     // reimplementation that could drift from what ann03/ann04 train on
-    val sample = pipelines.Similarity.trainingSample(
-      graft.Tables.load(spark, dir, "embeddings")
-        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"))
+    val sample = pipelines.Similarity.trainingSample(vecs)
     val sample2 = e.filter(_._1 % 2 == 0).map(t => Ivf.normalize(t._2))
     def ceil(cents: Array[Array[Double]], p: Int): Double = {
       val lists = unit.map { case (id, u) => id -> Ivf.assign(u, cents) }

@@ -532,7 +532,8 @@ object Dedup {
     "dd10_temperature_mix",
     (s, dir) => temperatureMix(Tables.load(s, dir, "documents")),
     Some(s"""WITH d AS (SELECT doc_id, lang,
-      |    md5(CAST(doc_id AS VARCHAR) || ':tmix') AS pick FROM documents),
+      |    md5(CAST(doc_id AS VARCHAR) || ':tmix') AS pick FROM documents
+      |    WHERE lang IS NOT NULL),
       |w AS (SELECT lang, COUNT(*) AS n_docs,
       |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isq FROM d GROUP BY 1),
       |t AS (SELECT SUM(isq) AS tot FROM w),
@@ -573,7 +574,12 @@ object Dedup {
       docs: org.apache.spark.sql.DataFrame,
       budget: Int = MixBudget): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL-lang docs are excluded UP FRONT: left in, they'd form a
+    // quota group that consumes budget share, then vanish in the
+    // final equi-join on lang — an invisible undershoot (both engines
+    // agreed, so the oracle never surfaced it).
     val d = docs.select(col("doc_id"), col("lang"))
+      .filter(col("lang").isNotNull)
       .withColumn("pick",
         md5(concat(col("doc_id").cast("string"), lit(":tmix"))
           .cast("binary")))

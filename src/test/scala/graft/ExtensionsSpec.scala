@@ -213,6 +213,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("k >= 1"))
   }
 
+  test("every injected function rejects wrong arity with its signature") {
+    // extra arg must not be silently ignored; missing arg must not be
+    // an opaque IndexOutOfBoundsException from exprs(i)
+    val calls = Seq(
+      "cdc_header_id(x'00', 1)" -> "cdc_header_id expects 1",
+      "cdc_header_ts_us()" -> "cdc_header_ts_us expects 1",
+      "cdc_header_op_code(x'00', x'00')" -> "cdc_header_op_code expects 1",
+      "vec_dot(array(1D))" -> "vec_dot expects 2",
+      "vec_dot(array(1D), array(1D), array(1D))" -> "vec_dot expects 2",
+      "simhash32(array('a'), 1)" -> "simhash32 expects 1",
+      "vec_lsum(array(1L), 2)" -> "vec_lsum expects 1",
+      "minhash_sigs(array('a'), 3)" -> "minhash_sigs expects 3",
+      "shingle_hash_set(array('a'))" -> "shingle_hash_set expects 2",
+      "winnow_fingerprints(array('a'), 3, 4, 5)" -> "winnow_fingerprints expects 3")
+    calls.foreach { case (call, msg) =>
+      val e = intercept[Exception] { spark.sql(s"SELECT $call").head() }
+      assert(e.getMessage.contains(msg), s"for $call got: ${e.getMessage}")
+    }
+  }
+
   test("vec_dot matches the declarative fold on edge inputs") {
     // unequal lengths and null elements must be NULL, exactly like
     // aggregate(zip_with(...)) — the rewrite must be semantics-

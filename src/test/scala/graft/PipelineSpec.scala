@@ -185,6 +185,19 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(microGot == Map("aa" -> 4L, "bb" -> 3L))
+    // NULL-lang docs don't consume budget share: with them excluded
+    // up front, the en/fr/de split is identical to the corpus without
+    // the null rows (left in, the null group would siphon ~its isq
+    // share of the budget and then vanish in the final lang join)
+    val withNulls = ((1 to 400).map(i => (i.toLong, "en")) ++
+      (1001 to 1100).map(i => (i.toLong, "fr")) ++
+      (2001 to 2025).map(i => (i.toLong, "de")) ++
+      (5001 to 5400).map(i => (i.toLong, null.asInstanceOf[String])))
+      .toDF("doc_id", "lang")
+    val nullGot = graft.pipelines.Dedup.temperatureMix(withNulls)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nullGot == Map("en" -> 57L, "fr" -> 29L, "de" -> 14L))
   }
 
   test("pk02 chunks tile every document: dense ids, stride starts, full coverage") {
