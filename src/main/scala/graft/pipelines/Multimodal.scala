@@ -150,8 +150,26 @@ object Multimodal {
     val hammingExpr: String = (1 to NBands)
       .map(k => s"bit_count(l$k ^ r$k)").mkString(" + ")
 
-    /** (doc_id, b1..b4): the fingerprint as band values. */
-    def hashed(s: SparkSession, dir: String) =
+    /** (doc_id, b1..b4): the fingerprint as band values. ONE native
+      * [[graft.functions.AHashBands]] call per row — the declarative
+      * CASE chain (which the DuckDB oracle still runs, and a spec
+      * pins as bit-equal) evaluates 128 `substr(text, i, 1)` calls
+      * per row, each an O(i) code-point walk: measured ~0.8 s of
+      * mm03's 1.5 s at sf0.1 went to re-walking prefixes. */
+    def hashed(s: SparkSession, dir: String) = {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      Tables.load(s, dir, "documents")
+        .withColumn("bands",
+          column(graft.functions.AHashBands(expression(col("text")))))
+        .select(
+          col("doc_id") +: (1 to NBands).map(k =>
+            element_at(col("bands"), k).as(s"b$k")): _*)
+    }
+
+    /** The declarative twin of [[hashed]] (the oracle's form), kept
+      * callable so the equivalence spec can diff the two on crafted
+      * and corpus rows. */
+    def hashedSqlForm(s: SparkSession, dir: String) =
       Tables.load(s, dir, "documents")
         .selectExpr("doc_id", "text", s"$sumPx AS px_sum")
         .selectExpr(

@@ -437,6 +437,40 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("mm03 native AHashBands is bit-equal with the declarative CASE chain") {
+    // corpus rows: native path == the SQL form the oracle still runs
+    val native = graft.pipelines.Multimodal.Phash.hashed(spark, sf)
+    val sqlForm = graft.pipelines.Multimodal.Phash.hashedSqlForm(spark, sf)
+    assert(native.exceptAll(sqlForm).count() == 0)
+    assert(sqlForm.exceptAll(native).count() == 0)
+    // crafted rows: code-point indexing (ascii/length/substr all count
+    // code points — a 4-byte emoji is ONE px), boundary lengths, null
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val emoji = new String(Character.toChars(128512)) // U+1F600, 4 bytes
+    val rows = Seq(
+      "", "a", "abc", "a" * 63, "b" * 64, "c" * 65,
+      emoji * 70, ("x" + emoji) * 40, "é中" * 50,
+      "\u0000ctrl" + "\u0001" * 80, null)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.zipWithIndex.map { case (t, i) => org.apache.spark.sql.Row(i.toLong, t) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    import graft.pipelines.Multimodal.Phash
+    val nat = df.withColumn("bands",
+        column(graft.functions.AHashBands(expression(col("text")))))
+      .select(col("doc_id") +: (1 to 4).map(k =>
+        element_at(col("bands"), k).as(s"b$k")): _*)
+    val sql = df.selectExpr("doc_id", "text", s"${Phash.sumPx} AS px_sum")
+      .selectExpr("doc_id" +: (1 to 4).map(k =>
+        s"CAST(${Phash.bandExpr(k)} AS BIGINT) AS b$k"): _*)
+    assert(nat.exceptAll(sql).count() == 0)
+    assert(sql.exceptAll(nat).count() == 0)
+  }
+
   test("emb01 int8 quantization: codes bounded, error bounded by half-step") {
     val df = SparkEntry.queries("emb01_int8_quant")(spark, sf)
     assert(df.filter(col("n_sat") < 1).count() == 0) // amax always saturates
