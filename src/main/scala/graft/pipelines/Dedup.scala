@@ -85,12 +85,21 @@ object Dedup {
   private val dd02 = QueryDef(
     "dd02_minhash_lsh",
     (s, dir) => {
-      val sig = signatures(docShingleState(s, dir))
-      sig.as("s1").join(sig.as("s2"),
+      // persist the NARROW (doc_id, b, sig) frame — hset prunes out of
+      // this branch — so the self-join's two consumers share one scan
+      // + MinHashSigs pass instead of recomputing per side (see
+      // jaccardPairs for the measured recompute + why exchange reuse
+      // can't save a broadcast side); the pair result is checkpointed
+      // so the cache is dropped before returning
+      val sig = signatures(docShingleState(s, dir)).persist()
+      val out = sig.as("s1").join(sig.as("s2"),
           col("s1.b") === col("s2.b") && col("s1.sig") === col("s2.sig") &&
           col("s1.doc_id") < col("s2.doc_id"))
         .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
         .distinct()
+        .localCheckpoint(true)
+      sig.unpersist(blocking = false)
+      out
     },
     Some(s"""WITH ${TextShingles.shinglesSql(3)},
       |$signaturesSql
@@ -149,10 +158,23 @@ object Dedup {
   // -------------------------------------------------------------- dd04
   /** Verified near-dup pairs: exact Jaccard |A∩B|/|A∪B| on distinct
     * 3-shingle sets, only for pairs the bands surfaced
-    * (candidate-bounded — never all-pairs). Shared by dd04 and dd06. */
+    * (candidate-bounded — never all-pairs). Shared by dd04 and dd06.
+    *
+    * The shingle state is computed in ONE corpus pass and persisted:
+    * the plan consumes it three times (both sides of the signature
+    * self-join + the per-pair hash-set lookups), and without the cache
+    * Spark re-runs the scan + MinHashSigs/ShingleHashSet under every
+    * consumer — measured 4 corpus passes, each native hash twice, and
+    * exchange reuse does NOT kick in (broadcast sides canonicalize
+    * apart from streamed sides). Spark's own MinHashLSH caches the
+    * transformed dataset before approxSimilarityJoin for the same
+    * reason. The small verified-pair result is materialized eagerly
+    * (localCheckpoint) so the corpus-sized cache can be dropped before
+    * returning — at 100 TB the cache spills MEMORY_AND_DISK and one
+    * materialization replaces four scan+hash passes. */
   private[pipelines] def jaccardPairs(
       s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val st = docShingleState(s, dir)
+    val st = docShingleState(s, dir).persist()
     val sig = signatures(st)
     val cand = sig.as("s1").join(sig.as("s2"),
         col("s1.b") === col("s2.b") && col("s1.sig") === col("s2.sig") &&
@@ -163,7 +185,7 @@ object Dedup {
     // candidate list is band-bounded, so this is |cand| array ops,
     // not a shuffle of every (doc, shingle) row
     val sets = st.select(col("doc_id"), col("hset"))
-    cand
+    val out = cand
       .join(sets.as("a"), col("d1") === col("a.doc_id"))
       .join(sets.as("b"), col("d2") === col("b.doc_id"))
       .select(col("d1"), col("d2"),
@@ -173,6 +195,9 @@ object Dedup {
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.2)
+      .localCheckpoint(true)
+    st.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB twin of [[jaccardPairs]] as a WITH-clause chain ending in
@@ -240,7 +265,7 @@ object Dedup {
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
     // eager localCheckpoint (not just persist): each round references
-    // the previous labels TWICE (union + convergence count), so an
+    // the previous labels TWICE (neighbor join + own-label branch), so an
     // unbroken lineage doubles per round — 3 rounds planned as a
     // 210-exchange tree even though execution hit the cache. The
     // checkpoint truncates the plan to the materialized data, keeping
@@ -261,21 +286,34 @@ object Dedup {
           l.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+    // `pinned` is always the LogicalRDD-rooted frame freeCheckpoint
+    // can unpin; `labels` may be a projection over it (a Project root
+    // would make freeCheckpoint silently no-op — the r3 leak shape)
+    var pinned = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
+    var labels = pinned
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val viaNeighbor = edges.join(labels, col("b") === col("doc_id"))
-        .select(col("a").as("doc_id"), col("cluster"))
-      val next = labels.unionAll(viaNeighbor)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .select(col("a").as("doc_id"), col("cluster"),
+          lit(null).cast("long").as("old"))
+      // convergence rides the SAME aggregation: the own-label branch
+      // carries its cluster in `old` (exactly one such row per doc, so
+      // min(old) = the previous label), and `changed` is then a plain
+      // filter+count over the already-materialized checkpoint — the
+      // old form re-joined next against labels every round, one extra
+      // corpus-sized shuffle join per round at scale
+      val own = labels
+        .select(col("doc_id"), col("cluster"), col("cluster").as("old"))
+      val next = own.unionAll(viaNeighbor)
+        .groupBy("doc_id")
+        .agg(min("cluster").as("cluster"), min("old").as("old"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
-      freeCheckpoint(labels) // superseded: nothing reads it again
-      labels = next
+      changed = next.filter(col("cluster") =!= col("old")).count()
+      freeCheckpoint(pinned) // superseded: nothing reads it again
+      pinned = next
+      labels = next.select(col("doc_id"), col("cluster"))
       iter += 1
     }
     edges.unpersist()

@@ -168,7 +168,18 @@ object TextAnalysis {
     * DuckDB's libm log can differ in the last ulp, and a hash-exact
     * oracle must not depend on which libm linked. The shape is the
     * canonical vocab build: one (doc, term) shuffle for tf, one term
-    * shuffle for df, a broadcast-sized df table joined back. */
+    * shuffle for df, a broadcast-sized df table joined back.
+    *
+    * The per-doc top-3 runs on the custom [[graft.plans.TopKPerGroup]]
+    * operator (bounded heap, partial before the exchange) instead of a
+    * windowed row_number — at 100 TB that is a heap scan of the
+    * (doc, term) table, not a full sort of it. The rank column is
+    * re-derived by a window AFTER the heap, over ≤3 rows per doc
+    * already clustered by doc_id (no extra exchange; the sort is
+    * per-3-row-group). The heap order (tf DESC, df ASC, term ASC) is
+    * total within a doc — terms are unique per (doc, term) — so the
+    * top-3 set and ranks are deterministic, bit-equal with the
+    * row_number form the DuckDB oracle runs. */
   private val tx05 = QueryDef(
     "tx05_keyterms",
     (s, dir) => {
@@ -178,11 +189,15 @@ object TextAnalysis {
       val tf = words.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val joined = tf.join(dfreq, "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+      val top = graft.plans.TopKPerGroup(joined,
+        keys = Seq(joined("doc_id")),
+        order = Seq(joined("tf").desc, joined("df").asc, joined("term").asc),
+        k = 3)
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-      tf.join(dfreq, "term")
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+      top.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
     },
     Some("""WITH w AS (SELECT doc_id,

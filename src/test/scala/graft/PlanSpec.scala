@@ -80,6 +80,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "fell back to a window sort")
   }
 
+  test("tx05 per-doc top-3 heaps on TopKPerGroup; window only re-ranks it") {
+    val p = plan("tx05_keyterms")
+    assert(p.contains("TopKPerGroup"), s"custom top-k missing:\n$p")
+    // the window that re-derives rank must sit directly on the heap
+    // output (<=3 rows/doc, already clustered by doc_id) — an Exchange
+    // between them would mean the corpus-sized table reshuffled for a
+    // full window sort
+    val winIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TopKPerGroup")
+    assert(winIdx >= 0 && topIdx > winIdx, s"window must wrap the heap:\n$p")
+    assert(!p.substring(winIdx, topIdx).contains("Exchange"),
+      s"rank window reshuffled the heap output:\n$p")
+  }
+
   test("pk02 chunking is shuffle-free") {
     val p = plan("pk02_chunk_split")
     assert(count(p, "Exchange") == 0,
