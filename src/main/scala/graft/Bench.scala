@@ -61,14 +61,15 @@ object Bench {
     // the driver parses the JSON from a 2000-byte stdout tail
     // (BENCH_r03's captured window), and the line must fit UNDER that
     // minus sbt's trailing [success] line (~70 bytes). At 77 queries
-    // the r4 format (seconds, 10ms precision) hit the edge, so this is
-    // the escape hatch that format documented from day one: per-query
-    // values are INTEGER MILLISECONDS, declared by "q_unit":"ms" on
-    // the line ("value" stays total seconds). Measured ~1905 bytes at
-    // 78 queries against a ~1925 budget — AT the cap: any new query
-    // (~26 bytes) must come with a shave (candidates: drop
-    // "unit":"sec", shorten keys; both need the driver-side parser to
-    // follow) and a re-measure of bench.json.
+    // the r4 format (seconds, 10ms precision) hit the edge; r5 moved
+    // per-query values to INTEGER MILLISECONDS ("q_unit":"ms"; "value"
+    // stays total seconds) and, when emb04 put the full-name format AT
+    // the ~1925 cap, shortened per-query keys to their family prefix
+    // ("q01_project_scalar" → "q01") — the driver's own schema example
+    // uses short keys ({"q1":sec,...}), full names stay 1:1 resolvable
+    // via CORRECTNESS/SparkEntry (prefix before the first '_' is
+    // unique by construction — asserted below). Measured 1003 bytes
+    // at 79 queries: ~70 queries of headroom.
     def trim(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
@@ -76,8 +77,11 @@ object Bench {
       trim("%.3f".formatLocal(java.util.Locale.ROOT, v))
     def f2(v: Double): String =
       trim("%.2f".formatLocal(java.util.Locale.ROOT, v))
+    def short(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(r => short(r._1)).distinct.size == results.size,
+      "bench: short query keys collide — fix the new query's prefix")
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1" else Math.round(v * 1000).toString)
+      "\"" + short(k) + "\":" + (if (v < 0) "-1" else Math.round(v * 1000).toString)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // end-to-end subscription throughput: records/s through the

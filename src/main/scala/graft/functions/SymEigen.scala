@@ -1,0 +1,121 @@
+package graft.functions
+
+/** Deterministic cyclic-Jacobi eigendecomposition for small symmetric
+  * matrices — the driver-side step of emb04's PCA/whitening (the
+  * covariance is d×d = 64×64 regardless of corpus size, so O(d³) on
+  * the driver is the scale-correct place for it; FAISS's PCAMatrix
+  * does the same). No external linear-algebra dependency: cyclic
+  * sweeps in fixed (p,q) order with the standard symmetric Schur
+  * rotation, which converges quadratically for symmetric matrices.
+  *
+  * Determinism: fixed sweep count and order, exactly-rounded
+  * Math.sqrt/abs only, eigenvalues sorted descending with index
+  * tie-break, eigenvector sign canonicalized (largest-|component|
+  * entry positive, first such index on ties) — the same input matrix
+  * yields the same decomposition on every JVM.
+  */
+object SymEigen {
+
+  /** Cyclic Jacobi sweeps until off-diagonal mass vanishes (or the
+    * fixed cap — 30 sweeps is far past convergence for d=64).
+    * @param a symmetric d×d, row-major; NOT mutated
+    * @return (eigenvalues desc, eigenvectors as rows, row i ↔ value i)
+    */
+  def decompose(a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = Array.tabulate(d, d)((i, j) => a(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val MaxSweeps = 30
+    var sweep = 0
+    var off = offDiag(m)
+    val tol = 1e-14 * math.max(1.0, frobenius(m))
+    while (sweep < MaxSweeps && off > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > 0) {
+            // symmetric Schur: stable t = sign(θ)/(|θ|+sqrt(θ²+1))
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            rotate(m, v, p, q, c, s)
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(m)
+      sweep += 1
+    }
+    // sort by eigenvalue desc, index asc on exact ties; canonical sign
+    val order = (0 until d).sortBy(i => (-m(i)(i), i))
+    val vals = order.map(i => m(i)(i)).toArray
+    val vecs = order.map { i =>
+      val row = Array.tabulate(d)(j => v(j)(i))
+      var best = 0
+      var j = 1
+      while (j < d) {
+        if (math.abs(row(j)) > math.abs(row(best))) best = j
+        j += 1
+      }
+      if (row(best) < 0) row.map(x => -x) else row
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Two-sided Jacobi rotation of m by (c, s) in the (p, q) plane,
+    * accumulating the rotation into v's columns. */
+  private def rotate(
+      m: Array[Array[Double]], v: Array[Array[Double]],
+      p: Int, q: Int, c: Double, s: Double): Unit = {
+    val d = m.length
+    var k = 0
+    while (k < d) {
+      val mkp = m(k)(p); val mkq = m(k)(q)
+      m(k)(p) = c * mkp - s * mkq
+      m(k)(q) = s * mkp + c * mkq
+      k += 1
+    }
+    k = 0
+    while (k < d) {
+      val mpk = m(p)(k); val mqk = m(q)(k)
+      m(p)(k) = c * mpk - s * mqk
+      m(q)(k) = s * mpk + c * mqk
+      k += 1
+    }
+    k = 0
+    while (k < d) {
+      val vkp = v(k)(p); val vkq = v(k)(q)
+      v(k)(p) = c * vkp - s * vkq
+      v(k)(q) = s * vkp + c * vkq
+      k += 1
+    }
+  }
+
+  private def offDiag(m: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < m.length) {
+      var j = i + 1
+      while (j < m.length) { s += m(i)(j) * m(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  private def frobenius(m: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < m.length) {
+      var j = 0
+      while (j < m.length) { s += m(i)(j) * m(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+}

@@ -190,5 +190,92 @@ object Embeddings {
         |""".stripMargin))
   }
 
-  val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03)
+  // ------------------------------------------------------------- emb04
+  /** PCA/whitening of the embedding corpus — the preprocessing stage a
+    * FAISS-style index pipeline runs before quantizing (PCAMatrix /
+    * OPQ's first half): project every vector onto the top
+    * [[Emb04K]] principal axes of the corpus covariance, scaled to
+    * unit variance.
+    *
+    * Scale shape (SURVEY §5): pass 1 is ONE
+    * [[graft.functions.GramMatrixAgg]] aggregation — O(d²) longs of
+    * state per task, one ~34 KB row to the driver, integer-exact and
+    * therefore partitioning-invariant. The d×d eigensolve
+    * ([[graft.functions.SymEigen]], deterministic cyclic Jacobi) is
+    * driver-side O(d³) — corpus-independent, the one place a 100 TB
+    * job SHOULD centralize. Pass 2 applies y = W·(v−μ) as one
+    * codegen'd expression ([[graft.functions.MatVecProject]]) riding
+    * the scan, the k×d matrix shipped as a 4 KB expression constant.
+    * Two linear passes total; nothing shuffles but the moment row.
+    *
+    * No SQL oracle BY DESIGN (DuckDB has no eigensolver) — rows-only
+    * at the driver gate, like ann03/ann04; PipelineSpec carries the
+    * correctness load instead: exact-integer moment checks against a
+    * sequential reference, repartition-invariance of the full output,
+    * eigen residuals, and whitened-covariance ≈ I. */
+  private val Emb04K = 8
+  private val emb04 = QueryDef(
+    "emb04_pca",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val vs = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
+      val (mean, w, varKeptFrac) = pcaModel(vs)
+      val k = w.length / mean.length
+      vs.select(col("vec_id"),
+          column(graft.functions.MatVecProject(
+            expression(col("v")), mean, w)).as("y"))
+        .select(
+          (col("vec_id") +:
+            (0 until k).map(r => element_at(col("y"), r + 1).as(s"y$r"))) :+
+            lit(varKeptFrac).as("var_kept_frac"): _*)
+    },
+    None)
+
+  /** Driver-side model fit from the one-pass integer moments:
+    * (μ, row-major whitening matrix W (k×d), kept-variance fraction).
+    * Exposed for specs. */
+  private[pipelines] def pcaModel(
+      vs: DataFrame): (Array[Double], Array[Double], Double) = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val m = vs
+      .agg(column(graft.functions.GramMatrixAgg(expression(col("v")))
+        .toAggregateExpression()).as("m"))
+      .head().getSeq[Double](0).toArray
+    val d = m(0).toInt
+    val n = m(1)
+    val q = graft.functions.GramMatrixAgg.Scale
+    val mean = Array.tabulate(d)(i => m(2 + i) / n / q)
+    val cov = Array.ofDim[Double](d, d)
+    var c = 2 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val e = m(c) / n / (q * q) - mean(i) * mean(j)
+        cov(i)(j) = e; cov(j)(i) = e
+        c += 1; j += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = graft.functions.SymEigen.decompose(cov)
+    val k = math.min(Emb04K, d)
+    val lmax = math.max(vals(0), 0.0)
+    val w = new Array[Double](k * d)
+    var r = 0
+    while (r < k) {
+      // degenerate directions (λ ≲ 0 numerically) project to 0 rather
+      // than amplifying noise by 1/sqrt(λ)
+      val lam = vals(r)
+      val s0 = if (lam > 1e-12 * lmax) 1.0 / math.sqrt(lam) else 0.0
+      var t = 0
+      while (t < d) { w(r * d + t) = vecs(r)(t) * s0; t += 1 }
+      r += 1
+    }
+    val varTot = vals.sum
+    val varKept = vals.take(k).sum
+    (mean, w, if (varTot > 0) varKept / varTot else 0.0)
+  }
+
+  val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03, emb04)
 }

@@ -515,6 +515,106 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.agg(sum("n_overlap")).head().getLong(0) > 0)
   }
 
+  test("emb04 gram moments: exact vs sequential reference, repartition-invariant") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val vs = Tables.load(spark, sf, "embeddings")
+      .select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    def moments(df: org.apache.spark.sql.DataFrame): Array[Double] =
+      df.agg(column(graft.functions.GramMatrixAgg(expression(col("v")))
+        .toAggregateExpression()).as("m"))
+        .head().getSeq[Double](0).toArray
+    val m1 = moments(vs)
+    val m7 = moments(vs.repartition(7))
+    assert(m1.sameElements(m7), "integer moments must not depend on partitioning")
+    // sequential reference in BigInt space
+    val rows = vs.collect().map(_.getSeq[Double](0).toArray)
+    val d = rows.head.length
+    val q = graft.functions.GramMatrixAgg.Scale
+    val qs = rows.map(_.map(x => Math.round(x * q)))
+    assert(m1(0) == d && m1(1) == rows.length.toDouble)
+    for (i <- 0 until d)
+      assert(m1(2 + i) == qs.map(_(i)).sum.toDouble)
+    var c = 2 + d
+    for (i <- 0 until d; j <- i until d) {
+      val ref = qs.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+      assert(m1(c) == ref.toDouble, s"cell ($i,$j)")
+      c += 1
+    }
+  }
+
+  test("emb04 add128 matches BigInteger on adversarial and random values") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue,
+      Long.MaxValue - 1, Long.MinValue + 1) ++
+      Seq.fill(2000)(rnd.nextLong()) ++
+      Seq.fill(2000)(rnd.nextLong() >> rnd.nextInt(40))
+    val s = new Array[Long](2)
+    var ref = BigInt(0)
+    vals.foreach { v =>
+      graft.functions.GramMatrixAgg.add128(s, 0, v)
+      ref += v
+      val mask = (BigInt(1) << 64) - 1
+      val got = ((BigInt(s(0)) & mask) << 64) | (BigInt(s(1)) & mask)
+      // interpret the raw 128 bits as signed two's complement
+      val signed = if (got.testBit(127)) got - (BigInt(1) << 128) else got
+      assert(signed == ref, s"after adding $v")
+    }
+  }
+
+  test("emb04 jacobi: residuals, orthonormality, descending spectrum") {
+    val rnd = new scala.util.Random(13)
+    val d = 24
+    val b = Array.fill(d, d)(rnd.nextGaussian())
+    val a = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => b(i)(k) * b(j)(k)).sum) // SPD
+    val (vals, vecs) = graft.functions.SymEigen.decompose(a)
+    for (r <- 1 until d) assert(vals(r - 1) >= vals(r))
+    for (r <- 0 until d) {
+      // A v = λ v
+      val av = Array.tabulate(d)(i =>
+        (0 until d).map(j => a(i)(j) * vecs(r)(j)).sum)
+      val res = math.sqrt((0 until d)
+        .map(i => math.pow(av(i) - vals(r) * vecs(r)(i), 2)).sum)
+      assert(res < 1e-8 * math.max(1.0, math.abs(vals(r))), s"residual row $r")
+      for (r2 <- r until d) {
+        val dot = (0 until d).map(i => vecs(r)(i) * vecs(r2)(i)).sum
+        val want = if (r == r2) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-9, s"orthonormality ($r,$r2)")
+      }
+    }
+    // decompose must not mutate its input
+    for (i <- 0 until d; j <- 0 until d)
+      assert(a(i)(j) == (0 until d).map(k => b(i)(k) * b(j)(k)).sum)
+  }
+
+  test("emb04 output: whitened covariance ~ I, deterministic end-to-end") {
+    val df = SparkEntry.queries("emb04_pca")(spark, sf).persist()
+    try {
+      val n = Tables.load(spark, sf, "embeddings").count()
+      assert(df.count() == n)
+      val k = 8
+      // projected moments: mean ~ 0, covariance ~ I (quantization +
+      // float noise only)
+      val ys = df.select((0 until k).map(r => col(s"y$r")): _*).collect()
+        .map(r => Array.tabulate(k)(r.getDouble))
+      for (a <- 0 until k) {
+        val mu = ys.map(_(a)).sum / n
+        // nonzero residual is the 2^-16 input quantization bias
+        assert(math.abs(mu) < 1e-5, s"mean y$a = $mu")
+        for (b <- a until k) {
+          val cov = ys.map(y => (y(a) - mu) * y(b)).sum / n
+          val want = if (a == b) 1.0 else 0.0
+          assert(math.abs(cov - want) < 1e-3, s"cov($a,$b) = $cov")
+        }
+      }
+      assert(df.filter(col("var_kept_frac") <= 0 ||
+        col("var_kept_frac") > 1).count() == 0)
+      // second run (fresh moment pass + eigensolve) is bit-identical
+      val df2 = SparkEntry.queries("emb04_pca")(spark, sf)
+      assert(df.exceptAll(df2).count() == 0 && df2.exceptAll(df).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(
