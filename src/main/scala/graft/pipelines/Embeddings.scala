@@ -277,5 +277,159 @@ object Embeddings {
     (mean, w, if (varTot > 0) varKept / varTot else 0.0)
   }
 
-  val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03, emb04)
+  // ------------------------------------------------------------- emb05
+  /** Distributed Lloyd k-means over the embedding corpus — the
+    * clustering stage a SemDeDup-style curation pipeline and a
+    * FAISS coarse quantizer both train first. Fully distributed, the
+    * shape the ann03/ann04 critique asked for:
+    *
+    *  - ASSIGNMENT is ONE codegen'd expression per row
+    *    ([[graft.functions.NearestCentroid]]) — the K×d centroid
+    *    matrix rides inside the expression as a 4 KB reference
+    *    object, so there is no centroid join and no K×n explode; the
+    *    pass is a pure map riding the scan.
+    *  - UPDATE is a map-side-combined aggregate: per task, ONE
+    *    (count, d-long sums) row per cluster crosses the exchange
+    *    ([[VecLongSumAgg]] on fixed-point codes) — K rows total reach
+    *    the driver, never vectors.
+    *  - DRIVER state is K×d doubles per round — corpus-independent
+    *    (contrast a collect()-and-train loop, which is linear in n).
+    *
+    * Bit-exact vs DuckDB through [[Emb05T]] full iterations: centroid
+    * sums are INTEGER (2^16 fixed-point codes ⇒ partitioning-
+    * invariant), means divide in one fixed op order, and distances
+    * expand as ‖v‖² − 2⟨v,μ⟩ + ‖μ‖² with every fold in element order
+    * — so both engines walk the exact same centroid trajectory and
+    * the final (vec_id, cluster, size) table hash-matches. Ties pick
+    * the lowest cluster id in both engines; empty clusters carry
+    * their previous centroid forward. Init = the K lowest-vec_id
+    * vectors (deterministic in both engines).
+    */
+  private val Emb05K = 8
+  private val Emb05T = 3
+  private val Emb05Q = 65536L
+
+  private val emb05CodesSpark =
+    s"transform(v, x -> CAST(floor(x * ${Emb05Q}D + 0.5d) AS BIGINT))"
+  private val emb05CodesSql =
+    s"list_transform(v, x -> CAST(floor(x * $Emb05Q.0 + 0.5) AS BIGINT))"
+
+  /** (flat row-major K×d matrix, per-centroid ‖μ‖² as an in-order
+    * fold) — the reference objects [[graft.functions.NearestCentroid]]
+    * ships to executors. */
+  private def emb05Flat(
+      cents: Array[Array[Double]]): (Array[Double], Array[Double]) = {
+    val k = cents.length
+    val d = cents(0).length
+    val flat = new Array[Double](k * d)
+    val norms = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var nn = 0.0
+      var j = 0
+      while (j < d) {
+        val x = cents(c)(j)
+        flat(c * d + j) = x
+        nn += x * x
+        j += 1
+      }
+      norms(c) = nn
+      c += 1
+    }
+    (flat, norms)
+  }
+
+  /** [[Emb05T]] Lloyd rounds over `base` (columns: vec_id, v, codes).
+    * Returns the trained centroids; driver memory is K×d doubles.
+    * Exposed for specs (empty-cluster carry-forward, trajectory). */
+  private[graft] def kmeansCentroids(
+      base: DataFrame, k: Int = Emb05K,
+      iters: Int = Emb05T): Array[Array[Double]] = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    var cents: Array[Array[Double]] = base.sort(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("long"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    var t = 0
+    while (t < iters) {
+      val (flat, norms) = emb05Flat(cents)
+      val upd = base.groupBy(
+          column(graft.functions.NearestCentroid(
+            expression(col("v")), flat, norms)).as("cid"))
+        .agg(count(lit(1)).as("n"),
+          column(VecLongSumAgg(expression(col("codes")))
+            .toAggregateExpression()).as("s"))
+        .collect()
+      // empty clusters keep their previous centroid (both engines)
+      val next = cents.map(_.clone)
+      upd.foreach { r =>
+        val cid = r.getLong(0).toInt
+        val n = r.getLong(1)
+        val s = r.getSeq[Long](2)
+        next(cid) = Array.tabulate(s.length)(i => s(i).toDouble / n / Emb05Q)
+      }
+      cents = next
+      t += 1
+    }
+    cents
+  }
+
+  private def emb05Sql: String = {
+    def dot(a: String, b: String) = VectorOps.dotSql(a, b)
+    def assignSql(out: String, cents: String, cols: String): String =
+      s"""$out AS (SELECT ${cols}c.cid,
+         |  ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+         |    en.qq - 2 * ${dot("en.v", "c.m")} + ${dot("c.m", "c.m")} ASC,
+         |    c.cid ASC) AS rn
+         |  FROM en CROSS JOIN $cents c)"""
+    def iterSql(t: Int): String =
+      s"""${assignSql(s"a$t", s"c${t - 1}", "en.vec_id, en.codes, ")},
+         |u$t AS (SELECT a.cid, t.i - 1 AS idx, COUNT(*) AS n,
+         |    CAST(SUM(a.codes[t.i]) AS DOUBLE) AS s
+         |  FROM a$t a CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, len(a.codes))) AS i) t
+         |  WHERE a.rn = 1 GROUP BY a.cid, t.i),
+         |m$t AS (SELECT cid, list(s / n / $Emb05Q ORDER BY idx) AS m
+         |  FROM u$t GROUP BY cid),
+         |c$t AS (SELECT p.cid, COALESCE(mn.m, p.m) AS m
+         |  FROM c${t - 1} p LEFT JOIN m$t mn USING (cid))"""
+    s"""WITH e AS (SELECT vec_id, ${VectorOps.castSql("embedding")} AS v
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, v, $emb05CodesSql AS codes,
+       |  ${dot("v", "v")} AS qq FROM e),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $Emb05K)),
+       |${(1 to Emb05T).map(iterSql).mkString(",\n")},
+       |${assignSql("af", s"c$Emb05T", "en.vec_id, ")},
+       |fin AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+       |sz AS (SELECT cid, COUNT(*) AS n_vecs FROM fin GROUP BY cid)
+       |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster_id, sz.n_vecs
+       |FROM fin f JOIN sz USING (cid)""".stripMargin
+  }
+
+  private val emb05 = QueryDef(
+    "emb05_kmeans",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      def load() = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
+      // the training rounds re-scan the corpus T+1 times; persist for
+      // them, and drop the corpus-sized cache BEFORE returning (the
+      // dd02 lesson — the returned plan recomputes from parquet)
+      val base = load().withColumn("codes", expr(emb05CodesSpark)).persist()
+      val cents =
+        try kmeansCentroids(base)
+        finally base.unpersist(blocking = false)
+      val (flat, norms) = emb05Flat(cents)
+      val fin = load().select(col("vec_id"),
+        column(graft.functions.NearestCentroid(
+          expression(col("v")), flat, norms)).as("cluster_id"))
+      val sizes = fin.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+      fin.join(broadcast(sizes), Seq("cluster_id"))
+        .select(col("vec_id"), col("cluster_id"), col("n_vecs"))
+    },
+    Some(emb05Sql))
+
+  val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03, emb04, emb05)
 }

@@ -615,6 +615,75 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("emb05 nearest_centroid: brute-force match, low-id ties, null array") {
+    val rnd = new scala.util.Random(31)
+    val k = 5
+    val d = 16
+    val cents = Array.fill(k, d)(rnd.nextGaussian())
+    val flat = cents.flatten
+    val norms = cents.map(c => c.foldLeft(0.0)((a, x) => a + x * x))
+    def brute(v: Array[Double]): Long = {
+      // independent op order on purpose: true L2 argmin, not the
+      // expanded-form fold the expression uses
+      val dists = cents.map(c =>
+        v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum)
+      dists.indices.minBy(i => (dists(i), i)).toLong
+    }
+    (0 until 200).foreach { _ =>
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val got = graft.functions.NearestCentroid.assign(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        flat, norms, k, d)
+      assert(got == brute(v))
+    }
+    // exact tie: v equidistant from duplicated centroids → lowest id
+    val dup = Array(cents(2), cents(2), cents(2))
+    val (df2, dn2) = (dup.flatten,
+      dup.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+    val tied = graft.functions.NearestCentroid.assign(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill(d)(rnd.nextGaussian())),
+      df2, dn2, 3, d)
+    assert(tied == 0L)
+    // null input array → null through the expression path
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val rows = Seq(Some(Seq.fill(d)(0.5)), None).toDF("v")
+      .select(column(graft.functions.NearestCentroid(
+        expression(col("v")), flat, norms)).as("c"))
+      .collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
+  }
+
+  test("emb05 lloyd: updated centroid is the exact quantized mean; empty cluster carries forward") {
+    import spark.implicits._
+    def mkBase(pts: Seq[(Long, Seq[Double])]) = pts.toDF("vec_id", "v")
+      .withColumn("codes",
+        expr("transform(v, x -> CAST(floor(x * 65536D + 0.5d) AS BIGINT))"))
+    val q = 65536.0
+    def m(xs: Seq[Double]) =
+      xs.map(x => Math.floor(x * q + 0.5).toLong).sum.toDouble / xs.size / q
+    // two tight groups; inits = the two lowest vec_ids, one in each
+    // group, so one round converges each centroid to its group's
+    // exact integer-quantized mean
+    val got = graft.pipelines.Embeddings.kmeansCentroids(
+      mkBase(Seq(
+        (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(0.25, 0.0)),
+        (3L, Seq(0.0, 0.25)), (4L, Seq(10.5, 10.0)))),
+      k = 2, iters = 1)
+    assert(got(0).toSeq == Seq(m(Seq(0.0, 0.25, 0.0)), m(Seq(0.0, 0.0, 0.25))))
+    assert(got(1).toSeq == Seq(m(Seq(10.0, 10.5)), m(Seq(10.0, 10.0))))
+    // duplicated init point: both centroids start at (0,0), every
+    // point tie-breaks to cluster 0, cluster 1 is EMPTY and must keep
+    // its previous centroid bit-for-bit
+    val g2 = graft.pipelines.Embeddings.kmeansCentroids(
+      mkBase(Seq(
+        (0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 0.0)), (2L, Seq(5.0, 5.0)))),
+      k = 2, iters = 1)
+    assert(g2(1).toSeq == Seq(0.0, 0.0), "empty cluster must carry forward")
+    assert(g2(0).toSeq == Seq(m(Seq(0.0, 0.0, 5.0)), m(Seq(0.0, 0.0, 5.0))))
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(

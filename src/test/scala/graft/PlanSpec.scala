@@ -158,6 +158,21 @@ class PlanSpec extends AnyFunSuite {
       "posexplode must run AFTER aggregation (print order: above it)")
   }
 
+  test("emb05 final pass is a map + broadcast size join, no centroid join") {
+    val p = plan("emb05_kmeans")
+    // assignment must be the codegen'd expression riding the scan —
+    // a relational argmin would show a join/explode against a
+    // centroid table here
+    assert(p.toLowerCase.contains("nearestcentroid"),
+      s"native assignment expression missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"size join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      s"unexpected heavy join:\n$p")
+    // one shuffle (the K-row size aggregate) + its broadcast — the
+    // corpus itself never exchanges
+    assert(count(p, "Exchange") <= 3, s"too many exchanges:\n$p")
+  }
+
   test("ann05's SQ8 rank fold rewrites to the native dot product") {
     // the mixed double·long fold must hit RewriteZipWithDot — an
     // interpreted per-pair lambda here is the exact hot-loop regression
