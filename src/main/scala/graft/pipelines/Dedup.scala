@@ -673,6 +673,55 @@ object Dedup {
         col("pick"))
   }
 
+  // -------------------------------------------------------------- dd11
+  /** Canonical-document selection — the step a pipeline runs right
+    * AFTER dd06's clustering: every near-dup cluster keeps exactly ONE
+    * representative, chosen by QUALITY, not by the accidental min
+    * doc_id dd06's label happens to be. Pick order per cluster:
+    * longest document first (most complete version), then source name
+    * ascending (stand-in for a configured source-priority map), then
+    * doc_id ascending as the final total-order tiebreak.
+    *
+    * Scale shape: reuses dd06's propagation output (cluster sizes are
+    * near-dup blobs — small by construction), so the canonical pick is
+    * one window over rows already hashed by cluster: a single shuffle
+    * of (doc_id, cluster, n_chars, source), never the text. At 100 TB
+    * the cost is dd06 + one narrow exchange; no new corpus pass.
+    */
+  private val dd11 = QueryDef(
+    "dd11_canonical_pick",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val meta = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val clusters = connectedComponents(
+        meta.select(col("doc_id")),
+        jaccardPairs(s, dir).select(col("d1"), col("d2")))
+        .select(col("doc_id"), col("cluster"))
+      val w = Window.partitionBy(col("cluster")).orderBy(
+        col("n_chars").desc, col("source").asc, col("doc_id").asc)
+      clusters.join(meta, "doc_id")
+        .withColumn("canonical_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster"), col("source"),
+          col("n_chars"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("keep"))
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairsSqlCtes,
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |cl AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a)
+      |SELECT c.doc_id, c.cluster, d.source, d.n_chars,
+      |  FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster ORDER BY
+      |    d.n_chars DESC, d.source ASC, c.doc_id ASC) AS canonical_id,
+      |  c.doc_id = FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster
+      |    ORDER BY d.n_chars DESC, d.source ASC, c.doc_id ASC) AS keep
+      |FROM cl c JOIN documents d ON c.doc_id = d.doc_id
+      |""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10)
+    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11)
 }

@@ -411,6 +411,75 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
       |""".stripMargin))
 
+  // -------------------------------------------------------------- tx10
+  /** Quality-filter CASCADE with first-fail attribution — the
+    * C4/Gopher-style rule funnel every corpus build runs before
+    * training: an ordered list of cheap heuristics; each document is
+    * charged to the FIRST rule it fails (so the funnel's per-rule
+    * drop counts sum to the rejected total, the number a pipeline
+    * owner actually tunes against).
+    *
+    * Every rule is INTEGER-EXACT: ratio thresholds are stated as
+    * cross-multiplied integer comparisons (e.g. distinct/total < 0.4
+    * ⇔ 10·n_distinct < 4·n_tok), so no engine-specific float
+    * division can flip a boundary document. One narrow pass riding
+    * the scan — per-doc token stats are array folds on the split,
+    * no shuffle, no UDF.
+    *
+    * Rules, in charge order:
+    *   1 too_short       n_tok < 20
+    *   2 too_long        n_tok > 1000
+    *   3 word_len        mean token length outside [3,5]
+    *                     (sum_wlen < 3·n_tok or > 5·n_tok)
+    *   4 low_diversity   distinct-token ratio < 0.4
+    *   5 no_stopwords    zero stopword hits
+    */
+  private val tx10 = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val stopArrSpark = stops.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val stopArrSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+    val firstFail =
+      """CASE WHEN n_tok < 20 THEN 'too_short'
+        |  WHEN n_tok > 1000 THEN 'too_long'
+        |  WHEN sum_wlen < 3 * n_tok OR sum_wlen > 5 * n_tok THEN 'word_len'
+        |  WHEN 10 * n_distinct < 4 * n_tok THEN 'low_diversity'
+        |  WHEN n_stop = 0 THEN 'no_stopwords'
+        |  ELSE 'pass' END""".stripMargin
+    QueryDef(
+      "tx10_filter_funnel",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id",
+            "filter(split(text, '\\\\s+'), x -> x <> '') AS ws")
+          .selectExpr("doc_id",
+            "CAST(size(ws) AS BIGINT) AS n_tok",
+            "CAST(size(array_distinct(ws)) AS BIGINT) AS n_distinct",
+            "CAST(aggregate(transform(ws, x -> length(x)), 0," +
+              " (a, x) -> a + x) AS BIGINT) AS sum_wlen",
+            s"CAST(size(filter(ws, x -> array_contains($stopArrSpark, x)))" +
+              " AS BIGINT) AS n_stop")
+          .selectExpr("doc_id", "n_tok", "n_distinct", "sum_wlen", "n_stop",
+            s"$firstFail AS first_fail",
+            s"CAST(CASE WHEN ($firstFail) = 'pass' THEN 1 ELSE 0 END" +
+              " AS BIGINT) AS keep"),
+      Some(s"""WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |  CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+        |    AS BIGINT) AS sum_wlen,
+        |  CAST(len(list_filter(ws, x -> list_contains($stopArrSql, x)))
+        |    AS BIGINT) AS n_stop
+        |  FROM w)
+        |SELECT doc_id, n_tok, n_distinct, sum_wlen, n_stop,
+        |  $firstFail AS first_fail,
+        |  CAST(CASE WHEN ($firstFail) = 'pass' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS keep
+        |FROM m""".stripMargin))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09)
+    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10)
 }

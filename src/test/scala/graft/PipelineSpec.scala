@@ -684,6 +684,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(g2(0).toSeq == Seq(m(Seq(0.0, 0.0, 5.0)), m(Seq(0.0, 0.0, 5.0))))
   }
 
+  test("tx10 funnel: first-fail attribution is exact and ordered") {
+    val df = SparkEntry.queries("tx10_filter_funnel")(spark, sf).persist()
+    try {
+      val n = Tables.load(spark, sf, "documents").count()
+      assert(df.count() == n)
+      // keep <=> first_fail = 'pass'
+      assert(df.filter((col("keep") === 1) =!=
+        (col("first_fail") === "pass")).count() == 0)
+      // a doc charged to rule r must VIOLATE r and SATISFY every
+      // earlier rule — the attribution invariant that makes per-rule
+      // drop counts sum to the rejected total
+      val okShort = col("n_tok") >= 20
+      val okLong = col("n_tok") <= 1000
+      val okWlen = col("sum_wlen") >= lit(3) * col("n_tok") &&
+        col("sum_wlen") <= lit(5) * col("n_tok")
+      val okDiv = lit(10) * col("n_distinct") >= lit(4) * col("n_tok")
+      val okStop = col("n_stop") > 0
+      assert(df.filter(col("first_fail") === "too_short" && okShort)
+        .count() == 0)
+      assert(df.filter(col("first_fail") === "too_long" &&
+        (!okShort || okLong)).count() == 0)
+      assert(df.filter(col("first_fail") === "word_len" &&
+        (!okShort || !okLong || okWlen)).count() == 0)
+      assert(df.filter(col("first_fail") === "low_diversity" &&
+        (!okShort || !okLong || !okWlen || okDiv)).count() == 0)
+      assert(df.filter(col("first_fail") === "no_stopwords" &&
+        (!okShort || !okLong || !okWlen || !okDiv || okStop)).count() == 0)
+      assert(df.filter(col("first_fail") === "pass" &&
+        !(okShort && okLong && okWlen && okDiv && okStop)).count() == 0)
+      // the corpus must actually exercise the funnel (pass + >1 rule)
+      val kinds = df.select("first_fail").distinct().count()
+      assert(kinds >= 3, s"degenerate funnel: only $kinds outcomes")
+    } finally df.unpersist()
+  }
+
+  test("dd11 canonical pick: one keeper per cluster, chosen by the quality order") {
+    val df = SparkEntry.queries("dd11_canonical_pick")(spark, sf).persist()
+    try {
+      val n = Tables.load(spark, sf, "documents").count()
+      assert(df.count() == n)
+      // exactly one keeper per cluster, and it IS the canonical
+      val perCluster = df.groupBy("cluster")
+        .agg(sum(col("keep").cast("long")).as("n_keep"),
+          countDistinct("canonical_id").as("n_canon"))
+      assert(perCluster.filter(col("n_keep") =!= 1).count() == 0)
+      assert(perCluster.filter(col("n_canon") =!= 1).count() == 0)
+      // no cluster member beats its canonical under
+      // (n_chars desc, source asc, doc_id asc)
+      val canon = df.filter(col("keep"))
+        .select(col("cluster"), col("n_chars").as("c_len"),
+          col("source").as("c_src"), col("doc_id").as("c_id"))
+      val beats = df.join(canon, "cluster").filter(
+        col("n_chars") > col("c_len") ||
+        (col("n_chars") === col("c_len") && col("source") < col("c_src")) ||
+        (col("n_chars") === col("c_len") && col("source") === col("c_src") &&
+          col("doc_id") < col("c_id")))
+      assert(beats.count() == 0)
+    } finally df.unpersist()
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(

@@ -158,6 +158,11 @@ class PlanSpec extends AnyFunSuite {
       "posexplode must run AFTER aggregation (print order: above it)")
   }
 
+  test("tx10 filter funnel is shuffle-free") {
+    val p = plan("tx10_filter_funnel")
+    assert(count(p, "Exchange") == 0, s"per-doc rules must ride the scan:\n$p")
+  }
+
   test("emb05 final pass is a map + broadcast size join, no centroid join") {
     val p = plan("emb05_kmeans")
     // assignment must be the codegen'd expression riding the scan —
