@@ -374,16 +374,23 @@ object Embeddings {
     cents
   }
 
-  private def emb05Sql: String = {
-    def dot(a: String, b: String) = VectorOps.dotSql(a, b)
-    def assignSql(out: String, cents: String, cols: String): String =
-      s"""$out AS (SELECT ${cols}c.cid,
-         |  ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
-         |    en.qq - 2 * ${dot("en.v", "c.m")} + ${dot("c.m", "c.m")} ASC,
-         |    c.cid ASC) AS rn
-         |  FROM en CROSS JOIN $cents c)"""
+  /** One assignment CTE: rank centroids per vector by the expanded
+    * distance, exactly the [[graft.functions.NearestCentroid]] op
+    * order. Shared by the emb05 and emb06 oracles. */
+  private def emb05AssignSql(
+      out: String, cents: String, cols: String): String =
+    s"""$out AS (SELECT ${cols}c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+       |    en.qq - 2 * ${VectorOps.dotSql("en.v", "c.m")} + ${VectorOps.dotSql("c.m", "c.m")} ASC,
+       |    c.cid ASC) AS rn
+       |  FROM en CROSS JOIN $cents c)"""
+
+  /** The full training replay: base CTEs (e, en), deterministic init
+    * (c0), and [[Emb05T]] Lloyd rounds ending at centroids
+    * `c<Emb05T>`. Shared by the emb05 and emb06 oracles. */
+  private def emb05TrainCtes: String = {
     def iterSql(t: Int): String =
-      s"""${assignSql(s"a$t", s"c${t - 1}", "en.vec_id, en.codes, ")},
+      s"""${emb05AssignSql(s"a$t", s"c${t - 1}", "en.vec_id, en.codes, ")},
          |u$t AS (SELECT a.cid, t.i - 1 AS idx, COUNT(*) AS n,
          |    CAST(SUM(a.codes[t.i]) AS DOUBLE) AS s
          |  FROM a$t a CROSS JOIN LATERAL
@@ -393,19 +400,22 @@ object Embeddings {
          |  FROM u$t GROUP BY cid),
          |c$t AS (SELECT p.cid, COALESCE(mn.m, p.m) AS m
          |  FROM c${t - 1} p LEFT JOIN m$t mn USING (cid))"""
-    s"""WITH e AS (SELECT vec_id, ${VectorOps.castSql("embedding")} AS v
+    s"""e AS (SELECT vec_id, ${VectorOps.castSql("embedding")} AS v
        |  FROM embeddings),
        |en AS (SELECT vec_id, v, $emb05CodesSql AS codes,
-       |  ${dot("v", "v")} AS qq FROM e),
+       |  ${VectorOps.dotSql("v", "v")} AS qq FROM e),
        |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS m
        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $Emb05K)),
-       |${(1 to Emb05T).map(iterSql).mkString(",\n")},
-       |${assignSql("af", s"c$Emb05T", "en.vec_id, ")},
+       |${(1 to Emb05T).map(iterSql).mkString(",\n")}"""
+  }
+
+  private def emb05Sql: String =
+    s"""WITH $emb05TrainCtes,
+       |${emb05AssignSql("af", s"c$Emb05T", "en.vec_id, ")},
        |fin AS (SELECT vec_id, cid FROM af WHERE rn = 1),
        |sz AS (SELECT cid, COUNT(*) AS n_vecs FROM fin GROUP BY cid)
        |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster_id, sz.n_vecs
        |FROM fin f JOIN sz USING (cid)""".stripMargin
-  }
 
   private val emb05 = QueryDef(
     "emb05_kmeans",
@@ -431,5 +441,100 @@ object Embeddings {
     },
     Some(emb05Sql))
 
-  val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03, emb04, emb05)
+  // ------------------------------------------------------------- emb06
+  /** SemDeDup — semantic deduplication, end-to-end (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus (emb05's distributed
+    * Lloyd), find near-duplicate pairs WITHIN each cluster (cosine >
+    * [[Emb06Tau]] — the clustering bounds the pairwise work to
+    * intra-cluster blocks, which is the paper's whole trick), group
+    * them transitively, and keep ONE vector per group: the one
+    * FARTHEST from its cluster centroid (the paper's diversity-
+    * preserving pick; ties → lowest vec_id).
+    *
+    * Scale shape: training + assignment as emb05 (maps + K-row aggs);
+    * the pairwise stage is one shuffle on cluster id with O(Σ c²)
+    * work bounded by cluster size — at 100 TB you raise K so blocks
+    * stay fixed-size (K ∝ n/B, the SemDeDup recipe), which this
+    * implementation takes as a parameter rather than hard-codes;
+    * grouping reuses dd06's min-label propagation (keyed joins, flat
+    * lineage); the final pick is one window over (grp, cdist) rows.
+    * The corpus text/vectors cross the wire only for the intra-
+    * cluster join.
+    *
+    * Bit-exact vs DuckDB: the oracle replays training via emb05's
+    * CTEs, recomputes the same in-order distance/cosine folds,
+    * closes groups with a recursive CTE, and applies the same
+    * FIRST_VALUE pick — hash-match across the full pipeline. */
+  private val Emb06Tau = 0.4
+
+  private val emb06 = QueryDef(
+    "emb06_semdedup",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      import org.apache.spark.sql.expressions.Window
+      def load() = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
+      val base = load().withColumn("codes", expr(emb05CodesSpark)).persist()
+      val cents =
+        try kmeansCentroids(base)
+        finally base.unpersist(blocking = false)
+      val (flat, norms) = emb05Flat(cents)
+      import s.implicits._
+      val centsDf = cents.zipWithIndex.toSeq
+        .map { case (m, i) => (i.toLong, m.toSeq) }.toDF("cid", "m")
+      // vec_id, v, cid, qq=‖v‖², cdist=‖v−μ_cid‖² (expanded form, the
+      // exact op order of the oracle's `qq - 2*dot + mm`)
+      val wd = load()
+        .select(col("vec_id"), col("v"),
+          column(graft.functions.NearestCentroid(
+            expression(col("v")), flat, norms)).as("cid"),
+          VectorOps.norm2("v").as("qq"))
+        .join(broadcast(centsDf), "cid")
+        .select(col("vec_id"), col("v"), col("cid"), col("qq"),
+          (col("qq") - lit(2) * VectorOps.dot("v", "m") +
+            VectorOps.dot("m", "m")).as("cdist"))
+      val left = wd.select(col("cid"), col("vec_id").as("id1"),
+        col("v").as("v1"), col("qq").as("q1"))
+      val right = wd.select(col("cid"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("qq").as("q2"))
+      val pairs = left.join(right, Seq("cid"))
+        .filter(col("id1") < col("id2"))
+        .filter(VectorOps.cosine("v1", "v2", "q1", "q2") > Emb06Tau)
+        .select(col("id1").as("d1"), col("id2").as("d2"))
+      val grp = Dedup.connectedComponents(
+          wd.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster").as("grp"))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("cdist").desc, col("vec_id").asc)
+      wd.join(grp, "vec_id")
+        .withColumn("keeper_id", first(col("vec_id")).over(w))
+        .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+          col("grp"), col("cdist"),
+          (col("vec_id") === col("keeper_id")).as("keep"))
+    },
+    Some(s"""WITH RECURSIVE $emb05TrainCtes,
+      |${emb05AssignSql("af", s"c$Emb05T", "en.vec_id, ")},
+      |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+      |wd AS (SELECT en.vec_id, en.v, en.qq, a.cid,
+      |  en.qq - 2 * ${VectorOps.dotSql("en.v", "c.m")} +
+      |    ${VectorOps.dotSql("c.m", "c.m")} AS cdist
+      |  FROM en JOIN asg a ON en.vec_id = a.vec_id
+      |  JOIN c$Emb05T c ON a.cid = c.cid),
+      |pr AS (SELECT x.vec_id AS d1, y.vec_id AS d2
+      |  FROM wd x JOIN wd y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |  WHERE ${VectorOps.cosineSql("x.v", "y.v", "x.qq", "y.qq")} > $Emb06Tau),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pr
+      |  UNION ALL SELECT d2, d1 FROM pr),
+      |reach(a, b) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      |g AS (SELECT a AS vec_id, MIN(b) AS grp FROM reach GROUP BY a)
+      |SELECT w.vec_id, CAST(w.cid AS BIGINT) AS cluster_id, g.grp,
+      |  w.cdist,
+      |  w.vec_id = FIRST_VALUE(w.vec_id) OVER (PARTITION BY g.grp
+      |    ORDER BY w.cdist DESC, w.vec_id ASC) AS keep
+      |FROM wd w JOIN g ON w.vec_id = g.vec_id""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03, emb04, emb05, emb06)
 }

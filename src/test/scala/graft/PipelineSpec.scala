@@ -744,6 +744,33 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("emb06 semdedup: groups are intra-cluster, keeper is farthest from centroid") {
+    val df = SparkEntry.queries("emb06_semdedup")(spark, sf).persist()
+    try {
+      val n = Tables.load(spark, sf, "embeddings").count()
+      assert(df.count() == n)
+      // exactly one keeper per group
+      val per = df.groupBy("grp").agg(
+        sum(col("keep").cast("long")).as("n_keep"),
+        countDistinct("cluster_id").as("n_cl"))
+      assert(per.filter(col("n_keep") =!= 1).count() == 0)
+      // pairs are found within clusters only, so a group never spans
+      // two clusters
+      assert(per.filter(col("n_cl") =!= 1).count() == 0)
+      // no group member strictly beats its keeper under
+      // (cdist desc, vec_id asc)
+      val keepers = df.filter(col("keep")).select(col("grp"),
+        col("cdist").as("k_dist"), col("vec_id").as("k_id"))
+      val beats = df.join(keepers, "grp").filter(
+        col("cdist") > col("k_dist") ||
+        (col("cdist") === col("k_dist") && col("vec_id") < col("k_id")))
+      assert(beats.count() == 0)
+      // the corpus must actually contain semantic dups at the
+      // threshold, or the op is untested
+      assert(df.filter(!col("keep")).count() > 0)
+    } finally df.unpersist()
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(

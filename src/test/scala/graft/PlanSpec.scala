@@ -178,6 +178,15 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange") <= 3, s"too many exchanges:\n$p")
   }
 
+  test("emb06 final pass: native assignment, broadcast centroids, no cartesian") {
+    val p = plan("emb06_semdedup")
+    assert(p.toLowerCase.contains("nearestcentroid"),
+      s"native assignment expression missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"K-row centroid join must broadcast:\n$p")
+    assert(!p.contains("Cartesian"), s"unexpected cartesian:\n$p")
+  }
+
   test("ann05's SQ8 rank fold rewrites to the native dot product") {
     // the mixed double·long fold must hit RewriteZipWithDot — an
     // interpreted per-pair lambda here is the exact hot-loop regression
