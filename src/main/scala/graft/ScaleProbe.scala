@@ -71,8 +71,12 @@ object ScaleProbe {
     val linearOps = Seq("dd01_dedup_exact", "dd02_minhash_lsh", "dd03_simhash",
       "tx05_keyterms", "tx09_unigram_lm", "emb01_int8_quant",
       "emb02_label_centroid", "pk01_seq_pack", "dd07_decontaminate",
-      "dd09_passage_overlap", "dd10_temperature_mix", "pk02_chunk_split")
-    val quadOps = Seq("dd05_embed_dup")
+      "dd09_passage_overlap", "dd10_temperature_mix", "pk02_chunk_split",
+      "tx10_filter_funnel", "emb05_kmeans")
+    // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
+    // intra-cluster blocks grow k× and pairwise work k² — the probe
+    // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap
+    val quadOps = Seq("dd05_embed_dup", "emb06_semdedup")
     def time(name: String, dir: String): (Double, Long) = {
       SparkEntry.queries(name)(spark, dir).count() // warm
       sweep()
