@@ -22,14 +22,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries nanosecond parquet timestamps, which Spark's
-    * vectorized reader rejects; read them as raw nanos and rebuild a
-    * microsecond TimestampType column (values are µs-aligned).
+  /** `events.ts` normalized to a session-zoned TimestampType column,
+    * whatever physical shape the parquet carries. Generators have
+    * shipped it three ways: nanosecond INT64 timestamps (rejected by
+    * Spark's vectorized reader → read as raw nanos and rebuild),
+    * microsecond timestamps without UTC adjustment (read as
+    * TIMESTAMP_NTZ → reinterpreted in the session zone, UTC here, so
+    * epoch math agrees with DuckDB's naive `epoch_us(ts)`), and plain
+    * UTC-adjusted timestamps (used as-is). Downstream queries only
+    * ever see TimestampType, so none of them care which one arrived.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          to_timestamp(col("ts"))) // NTZ wall-clock read in session tz (UTC)
+      case _ => raw
+    }
   }
 
   /** Persist `df` as a bucketed, per-bucket-sorted MANAGED table —
