@@ -17,8 +17,9 @@ object ScaleProbe {
 
   /** Scaled `events` table: replicas shift event ids and user ids so
     * the changelog has k× records over k× keys (realistic growth, not
-    * k× duplicates of one history). `ts` stays a raw nanosecond long —
-    * the shape [[Tables.events]] expects from the driver's parquet. */
+    * k× duplicates of one history). `ts` passes through in whatever
+    * physical shape the source parquet carries — [[Tables.events]]
+    * normalizes all of them (ns INT64, µs NTZ, UTC-adjusted). */
   private def scaledEvents(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = Tables.load(spark, srcDir, "events")

@@ -170,11 +170,17 @@ object Values {
         val wkt = readGeometry(buf, 0)
         if (buf.hasRemaining) None else Some(wkt)
       } catch { case _: Exception => None }
-    // standard WKB first (first byte must be a byte-order marker);
-    // otherwise MySQL's internal form = 4-byte SRID, then WKB
-    val direct =
+    // Both layouts can fully consume the same buffer: a 4-byte SRID
+    // whose bytes happen to read as a valid marker + type word (e.g.
+    // SRID 0 + 21-byte empty-ring polygon collides with a standard
+    // 21-byte POINT). When BOTH parses consume everything, prefer the
+    // MySQL (offset-4) form: a genuine SRID prefix misread at offset 0
+    // yields garbage coordinates, whereas a genuine standard WKB body
+    // almost never re-parses from its 5th byte to exact consumption.
+    val std =
       if (bytes(0) == 0 || bytes(0) == 1) parseAt(0) else None
-    direct.orElse(if (bytes.length >= 9) parseAt(4) else None)
+    val mysql = if (bytes.length >= 9) parseAt(4) else None
+    mysql.orElse(std)
   }
 
   private val WktNames = Map(

@@ -39,9 +39,19 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall clock reinterpreted in the session zone (UTC). An
+        // explicit cast, NOT to_timestamp: to_timestamp's result type
+        // follows spark.sql.timestampType, so a caller session set to
+        // TIMESTAMP_NTZ would get an identity here and break the
+        // TimestampType promise downstream.
         raw.withColumn("ts",
-          to_timestamp(col("ts"))) // NTZ wall-clock read in session tz (UTC)
-      case _ => raw
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as ${other.catalogString}; supported physical " +
+          "shapes are ns INT64, TIMESTAMP_NTZ (µs, no UTC adjustment) and " +
+          "UTC-adjusted TIMESTAMP — a new generator shape needs an " +
+          "explicit branch here, not a silent pass-through")
     }
   }
 

@@ -99,6 +99,76 @@ object EmbedDup {
       .toDF("v1", "v2", "cos")
   }
 
+  /** Intra-cluster strict-threshold pairs (emb06's SemDeDup pairwise
+    * stage): the same primitive-panel engine, but the block grid lives
+    * WITHIN each cluster — rows are gridded per-cluster at `blockRows`,
+    * so per-task work is bounded by blockRows² pairs regardless of
+    * cluster skew and task count grows as Σ_c B_c(B_c+1)/2 with corpus
+    * size instead of being capped at K (the r6 emb06 plan shuffled on
+    * `cid` with K=8 distinct keys: at most 8 tasks ever ran, and one
+    * skewed cluster landed O(c²) Catalyst row-join cosines on a single
+    * task). Per-cluster block counts ride a broadcast of the K-row
+    * size aggregate — no driver collect, no extra corpus pass.
+    *
+    * `rows` = (cluster id, vec id, vector). Output columns (v1, v2,
+    * cos), v1 < v2, cosine STRICTLY above `threshold` — emb06's
+    * `cos > τ` contract (the dd05 entry point uses ≥). Cosine parity
+    * with the Catalyst/DuckDB form is bit-exact: same index-order dot
+    * fold, same `dot / (sqrt(q1) * sqrt(q2))` op order.
+    *
+    * Key packing puts the (i, j) block pair in 16 bits each →
+    * ≤ 65,536 blocks per cluster (2²⁸ rows at the default blockRows);
+    * SemDeDup's K ∝ n/B recipe keeps real clusters far below that. */
+  def clusteredPairs(s: SparkSession,
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Array[Double])],
+      threshold: Double, blockRows: Long = BlockRows): DataFrame = {
+    import s.implicits._
+    val thr = threshold
+    val sizes = rows.toDF("cid0", "id0", "v0")
+      .groupBy(col("cid0")).agg(count(lit(1)).as("cn"))
+    val withB = rows.toDF("cid", "id", "v")
+      .join(broadcast(sizes), col("cid") === col("cid0"))
+      .select(col("cid"), col("id"), col("v"),
+        floor((col("cn") + lit(blockRows - 1)) / lit(blockRows))
+          .cast("int").as("bc"))
+      .as[(Long, Long, Array[Double], Int)]
+    // replicate each row to its cluster's block-pair tasks; the tuple
+    // carries the row's own block so the reducer can split sides
+    // without knowing the cluster's block count
+    val replicated = withB.flatMap { case (cid, id, v, bc0) =>
+      val bc = math.min(bc0, 0x10000)
+      val b = math.floorMod(id, bc.toLong).toInt
+      val out = new Array[(Long, Int, Long, Array[Double])](bc)
+      val base = cid << 32
+      var j = b
+      var t = 0
+      while (j < bc) { out(t) = (base | (b.toLong << 16) | j, b, id, v); t += 1; j += 1 }
+      var i = 0
+      while (i < b) { out(t) = (base | (i.toLong << 16) | b, b, id, v); t += 1; i += 1 }
+      out.toSeq
+    }
+    replicated
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val lo = ((key >> 16) & 0xffffL).toInt
+        val hi = (key & 0xffffL).toInt
+        val all = it.toArray.sortBy(_._3)
+        val shaped = all.map(t => (t._2, t._3, t._4))
+        if (lo == hi) emitWithin(shaped, thr, strict = true)
+        else {
+          val (ls, rs) = shaped.partition(_._1 == lo)
+          emitAcross(ls, rs, thr, strict = true)
+        }
+      }
+      .toDF("v1", "v2", "cos")
+  }
+
+  /** Threshold hit with Spark/DuckDB comparison semantics: NaN compares
+    * greater than any number in both engines (a zero vector's cosine is
+    * NaN and WOULD pass their `>`), unlike Java's primitive compare. */
+  private def hit(cos: Double, thr: Double, strict: Boolean): Boolean =
+    java.lang.Double.isNaN(cos) || (if (strict) cos > thr else cos >= thr)
+
   /** Pack (id, vec) rows into row-major primitive panels + per-row
     * sqrt(self-dot), self-dot folded in index order (VecDot parity). */
   private def pack(rowsArr: Array[(Int, Long, Array[Double])])
@@ -124,7 +194,7 @@ object EmbedDup {
 
   private def emitWithin(
       rowsArr: Array[(Int, Long, Array[Double])],
-      thr: Double): Iterator[CosPair] = {
+      thr: Double, strict: Boolean = false): Iterator[CosPair] = {
     val (ids, flat, sn, d) = pack(rowsArr)
     val m = ids.length
     val out = new ArrayBuffer[CosPair]
@@ -138,7 +208,7 @@ object EmbedDup {
         val oj = j * d
         while (k < d) { acc += flat(oi + k) * flat(oj + k); k += 1 }
         val cos = acc / (sn(i) * sn(j))
-        if (cos >= thr) {
+        if (hit(cos, thr, strict)) {
           if (ids(i) < ids(j)) out += CosPair(ids(i), ids(j), cos)
           else out += CosPair(ids(j), ids(i), cos)
         }
@@ -152,7 +222,7 @@ object EmbedDup {
   private def emitAcross(
       ls: Array[(Int, Long, Array[Double])],
       rs: Array[(Int, Long, Array[Double])],
-      thr: Double): Iterator[CosPair] = {
+      thr: Double, strict: Boolean = false): Iterator[CosPair] = {
     val (lid, lf, lsn, d) = pack(ls)
     val (rid, rf, rsn, _) = pack(rs)
     val out = new ArrayBuffer[CosPair]
@@ -166,7 +236,7 @@ object EmbedDup {
         val oj = j * d
         while (k < d) { acc += lf(oi + k) * rf(oj + k); k += 1 }
         val cos = acc / (lsn(i) * rsn(j))
-        if (cos >= thr) {
+        if (hit(cos, thr, strict)) {
           if (lid(i) < rid(j)) out += CosPair(lid(i), rid(j), cos)
           else out += CosPair(rid(j), lid(i), cos)
         }

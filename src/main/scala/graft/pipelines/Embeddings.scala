@@ -493,14 +493,17 @@ object Embeddings {
         .select(col("vec_id"), col("v"), col("cid"), col("qq"),
           (col("qq") - lit(2) * VectorOps.dot("v", "m") +
             VectorOps.dot("m", "m")).as("cdist"))
-      val left = wd.select(col("cid"), col("vec_id").as("id1"),
-        col("v").as("v1"), col("qq").as("q1"))
-      val right = wd.select(col("cid"), col("vec_id").as("id2"),
-        col("v").as("v2"), col("qq").as("q2"))
-      val pairs = left.join(right, Seq("cid"))
-        .filter(col("id1") < col("id2"))
-        .filter(VectorOps.cosine("v1", "v2", "q1", "q2") > Emb06Tau)
-        .select(col("id1").as("d1"), col("id2").as("d2"))
+      // intra-cluster pairwise stage on EmbedDup's per-cluster blocked
+      // panels: per-task work bounded by blockRows², task count grows
+      // with Σ_c B_c(B_c+1)/2 instead of capping at K (the r6 plan's
+      // K=8-key shuffle join put a skewed cluster's c² Catalyst-row
+      // cosines on one task); cosine op order is VecDot-identical, so
+      // the oracle hash is unchanged
+      val pairs = EmbedDup.clusteredPairs(s,
+          wd.select(col("cid"), col("vec_id"), col("v"))
+            .as[(Long, Long, Array[Double])],
+          Emb06Tau)
+        .select(col("v1").as("d1"), col("v2").as("d2"))
       val grp = Dedup.connectedComponents(
           wd.select(col("vec_id").as("doc_id")), pairs)
         .select(col("doc_id").as("vec_id"), col("cluster").as("grp"))

@@ -143,6 +143,31 @@ class ValuesSpec extends AnyFunSuite {
     assert(Values.parsePointWkt(Values.pointToWkt(3.0, 4.0)) == Some((3.0, 4.0)))
     assert(Values.parsePointWkt("LINESTRING (0 0, 1 1)") == None)
   }
+
+  test("wkbToWkt: srid/length collision prefers the mysql form (pinned)") {
+    // 21-byte MySQL internal form: SRID 0 + LE POLYGON with two empty
+    // rings — the SAME total length as a standard WKB POINT, and the
+    // zero SRID bytes misread as a big-endian POINT header at offset 0.
+    // Both offsets fully consume; the mysql (offset-4) parse must win.
+    // Pinned from the r6 falsifying seed
+    // K3TrjetB9x2-cRJzDG7bCWy280wjBIS8_cVvREF9EEO=
+    val collide = Array[Byte](0, 0, 0, 0, 1, 3, 0, 0, 0, 2, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0)
+    assert(Values.wkbToWkt(collide) == Some("POLYGON (EMPTY, EMPTY)"))
+    // same collision with SRID 1 (LE prefix 01 00 00 00)
+    val collide1 = Array[Byte](1, 0, 0, 0, 1, 3, 0, 0, 0, 2, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0)
+    assert(Values.wkbToWkt(collide1) == Some("POLYGON (EMPTY, EMPTY)"))
+    // a genuine standard 21-byte POINT still decodes as itself
+    assert(Values.wkbToWkt(Values.pointToWkb(1.5, -2.25))
+      == Some("POINT (1.5 -2.25)"))
+    // and a genuine big-endian standard POINT too (first byte 0, like
+    // an SRID prefix's low byte — offset-4 must NOT steal this one)
+    val be = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put(0.toByte).putInt(1).putDouble(3.0).putDouble(4.0)
+    assert(Values.wkbToWkt(be.array()) == Some("POINT (3.0 4.0)"))
+  }
 }
 
 class CdcSourceSpec extends AnyFunSuite {

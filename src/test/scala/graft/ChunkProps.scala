@@ -17,6 +17,12 @@ import org.scalacheck.Prop.forAll
   */
 object ChunkProps extends Properties("CdcChunkFile") {
 
+  // 500 cases/property (default 100 let a seed-dependent WKB edge hide
+  // for rounds in the sibling ValueProps suite)
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(500)
+
   private val tmp = Files.createTempDirectory("graft_chunk_props").toString
   private val seq = new java.util.concurrent.atomic.AtomicInteger()
 

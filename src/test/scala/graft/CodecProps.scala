@@ -13,6 +13,12 @@ import org.scalacheck.Prop.forAll
   */
 object CodecProps extends Properties("RecordCodec") {
 
+  // 500 cases/property (default 100 let a seed-dependent WKB edge hide
+  // for rounds in the sibling ValueProps suite)
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(500)
+
   /** Valid-unicode strings only: arbitrary UTF-16 chars include
     * unpaired surrogates, which NO UTF-8 transport can carry (the JDK
     * substitutes U+FFFD) -- a property of Unicode, not a codec bug.
