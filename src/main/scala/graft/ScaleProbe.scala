@@ -63,6 +63,11 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg: comma-separated op filter (dev iteration —
+    // probe one family without paying the whole sweep)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
+    def wanted(op: String): Boolean = only.forall(_.contains(op))
     val spark = GraftSession.fromEnv(appName = "scale-probe")
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
     // "linear" = linear in corpus SCAN cost; dd02 and dd09 are
@@ -94,7 +99,7 @@ object ScaleProbe {
       scaled(spark, srcDir, d, k)
       k -> d
     }.toMap
-    for (op <- linearOps) {
+    for (op <- linearOps if wanted(op)) {
       val ts = mults.map(k => k -> time(op, dirs(k)))
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
         .mkString(" ")
@@ -102,7 +107,7 @@ object ScaleProbe {
       val rr = ts.last._2._2.toDouble / math.max(1L, ts.head._2._2)
       println(f"SCALE $op%-22s $line time(x16/x1)=$r%.1f rows(x16/x1)=$rr%.1f")
     }
-    for (op <- quadOps; k <- Seq(1, 2, 4)) {
+    for (op <- quadOps if wanted(op); k <- Seq(1, 2, 4)) {
       if (!dirs.contains(k)) scaled(spark, srcDir, s"$base/x$k", k)
       val (t, rows) = time(op, dirs.getOrElse(k, s"$base/x$k"))
       println(f"SCALE $op%-22s x$k=$t%.2fs/${rows}r (quadratic by design)")
@@ -111,7 +116,7 @@ object ScaleProbe {
     // should scale ~linearly in corpus size (brute = full scan, the
     // others by their scan fraction), output constant at 50 rows
     for (op <- Seq("ann01_knn_brute", "ann02_knn_bucket", "ann03_knn_ivf",
-        "ann04_knn_ivfpq", "ann05_knn_sq8")) {
+        "ann04_knn_ivfpq", "ann05_knn_sq8") if wanted(op)) {
       val ts = mults.map(k => k -> time(op, dirs(k)))
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
         .mkString(" ")
@@ -124,7 +129,7 @@ object ScaleProbe {
     // the fingerprint window), so genuine near-dup groups grow k² —
     // candidate growth should track that output bound, not an
     // n²/buckets structural floor
-    for (k <- mults) {
+    for (k <- mults if wanted("mm03_phash_dedup")) {
       val cands = graft.pipelines.Multimodal.Phash.collided(spark, dirs(k)).count()
       val (t, out) = time("mm03_phash_dedup", dirs(k))
       println(f"SCALE mm03 candidates      x$k=$t%.2fs cand=${cands} out=${out}")
@@ -132,7 +137,7 @@ object ScaleProbe {
     // the SINK write path: cdc10 pushes k× changelog records over k×
     // keys through applyBatch (delta appends + mid-run folds) and the
     // chain-merge read — write I/O should scale with the BATCH
-    for (k <- mults) {
+    for (k <- mults if wanted("cdc10_sink_materialize")) {
       scaledEvents(spark, srcDir, s"$base/ev$k", k)
       val ts = time("cdc10_sink_materialize", s"$base/ev$k")
       println(f"SCALE sink(cdc10)          x$k=${ts._1}%.2fs/${ts._2}r")

@@ -243,6 +243,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi.filter(col("v1") >= col("v2")).count() == 0)
   }
 
+  test("clusteredPairs: per-cluster sub-blocking equals the one-block result") {
+    // emb06's pairwise engine: at the default 4096-row grid every
+    // sf0.001/sf0.01 cluster fits ONE block, so the cross-block path
+    // inside a cluster never runs in the oracle gate — force 16-row
+    // panels and require the identical pair set (ids AND bit-identical
+    // cosines), plus the strict-threshold contract
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble("embedding").as("v"))
+      .withColumn("cid", expr("vec_id % 5"))
+      .select(col("cid"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+    val one = graft.pipelines.EmbedDup
+      .clusteredPairs(spark, rows, 0.2, blockRows = 1L << 20)
+    val sub = graft.pipelines.EmbedDup
+      .clusteredPairs(spark, rows, 0.2, blockRows = 16L)
+    assert(one.count() > 0, "fixture produced no pairs — threshold too high")
+    assert(sub.except(one).count() == 0)
+    assert(one.except(sub).count() == 0)
+    assert(sub.filter(col("v1") >= col("v2")).count() == 0)
+    // strictness: no emitted cosine may equal the threshold's ≤ side —
+    // every pair must be STRICTLY above it (emb06's cos > τ contract)
+    assert(sub.filter(col("cos") <= 0.2).count() == 0)
+    // intra-cluster only: every pair's endpoints share a cid
+    val bad = sub.join(rows.toDF("c1", "v1", "x1"), "v1")
+      .join(rows.toDF("c2", "v2", "x2"), "v2")
+      .filter(col("c1") =!= col("c2")).count()
+    assert(bad == 0, s"$bad cross-cluster pairs emitted")
+  }
+
   test("ann03 IVF returns k per query with measured recall over truth") {
     val df = SparkEntry.queries("ann03_knn_ivf")(spark, sf)
     val perQ = df.groupBy("q_id").count().collect()
