@@ -150,4 +150,14 @@ object OracleSafe {
   /** Deterministic mean: exact-decimal sum divided by count. */
   def davg(c: Column): Column = dsum(c) / count(c)
   def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
+
+  /** 60-bit key hash, identical in both engines: first 15 hex digits
+    * of md5 as a BIGINT (the same construction Dedup uses for shingle
+    * hashes). The standard input for the sketch aggregates (q20 HLL):
+    * both engines md5 the same string rendering, so sketch contents
+    * match bit-for-bit. */
+  def hash60(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  def hash60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 }

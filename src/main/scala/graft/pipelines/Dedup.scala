@@ -752,6 +752,80 @@ object Dedup {
       |FROM cl c JOIN documents d ON c.doc_id = d.doc_id
       |""".stripMargin))
 
+  // -------------------------------------------------------------- dd12
+  /** Bloom-filter SEEN-SET dedup — the membership sketch an ingest
+    * pipeline checks new documents against (is this content already in
+    * the corpus?) when the exact seen-set no longer fits a broadcast:
+    * dd07 ships the benchmark's exact hash list (fine for MBs); a
+    * 10¹⁰-key seen-set is ~80 GB exact but a FIXED-size bitmap at
+    * whatever false-positive budget you size it to. Docs with even
+    * doc_id stand in for the previously-ingested half; every doc
+    * probes its content fingerprint against the sketch.
+    *
+    * Shape: one corpus pass builds the bitmap via the native OR-merge
+    * aggregate ([[graft.functions.BloomBitsAgg]], 8 KB of state per
+    * task, merge-order-invariant); the probe side crossJoin-broadcasts
+    * that single 8 KB row and tests k bits with codegen'd integer ops
+    * — zero shuffles on the corpus, the dd07 plan shape with
+    * corpus-size-independent state. The exact_seen column re-derives
+    * ground truth (broadcast of the exact fingerprint set) purely to
+    * AUDIT the sketch in the gate: false_pos must be the ONLY way the
+    * two disagree (Bloom filters never false-negative — pinned in
+    * PipelineSpec).
+    *
+    * Oracle parity: probe positions are pure integer math (Kirsch-
+    * Mitzenmacher double hashing over the 60-bit md5 fingerprint), so
+    * DuckDB replays bitmap semantics as set-membership over the same
+    * positions — bit-for-bit the same booleans. */
+  private val dd12 = {
+    val B = graft.functions.BloomBitsAgg.Bits // 65536
+    def posSpark(i: Int) =
+      s"(h % $B + $i * (1L + (h div $B) % ${B - 1})) % $B"
+    def posSql(i: Int) =
+      s"(h % $B + $i * (1 + (h // $B) % ${B - 1})) % $B"
+    val hitSpark = (0 until graft.functions.BloomBitsAgg.K).map { i =>
+      s"(element_at(bloom, CAST(${posSpark(i)} div 64 AS INT) + 1) & " +
+        s"shiftleft(1L, CAST(${posSpark(i)} % 64 AS INT))) != 0L"
+    }.mkString("(", ") AND (", ")")
+    QueryDef(
+      "dd12_bloom_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(graft.OracleSafe.hash60("text")).as("h"))
+        val bloom = d.filter(col("doc_id") % 2 === 0)
+          .agg(column(graft.functions.BloomBitsAgg(expression(col("h")))
+            .toAggregateExpression()).as("bloom"))
+        val seen = d.filter(col("doc_id") % 2 === 0)
+          .select(col("h")).distinct()
+          .agg(sort_array(collect_list(col("h"))).as("seen"))
+        d.crossJoin(broadcast(bloom)).crossJoin(broadcast(seen))
+          .select(col("doc_id"),
+            expr(hitSpark).as("bloom_hit"),
+            array_contains(col("seen"), col("h")).as("exact_seen"))
+          .withColumn("false_pos", col("bloom_hit") && !col("exact_seen"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+        |    ${graft.OracleSafe.hash60Sql("text")} AS h FROM documents),
+        |sd AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+        |ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |spos AS (SELECT DISTINCT
+        |    (h % $B + i * (1 + (h // $B) % ${B - 1})) % $B AS p
+        |  FROM sd CROSS JOIN ii),
+        |dp AS (SELECT doc_id, h,
+        |    (h % $B + i * (1 + (h // $B) % ${B - 1})) % $B AS p
+        |  FROM d CROSS JOIN ii),
+        |hit AS (SELECT doc_id, BOOL_AND(p IN (SELECT p FROM spos))
+        |    AS bloom_hit
+        |  FROM dp GROUP BY doc_id)
+        |SELECT d.doc_id, hit.bloom_hit,
+        |  d.h IN (SELECT h FROM sd) AS exact_seen,
+        |  hit.bloom_hit AND NOT (d.h IN (SELECT h FROM sd)) AS false_pos
+        |FROM d JOIN hit ON d.doc_id = hit.doc_id""".stripMargin))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11)
+    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
+      dd12)
 }

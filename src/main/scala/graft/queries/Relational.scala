@@ -484,17 +484,59 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
   // ---------------------------------------------------------------- q20
-  /** HLL sketch aggregation — no exact oracle (rows-only check). */
-  private val q20 = QueryDef(
-    "q20_approx_distinct",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-    },
-    None)
+  /** Approximate distinct counts via the native deterministic HLL
+    * sketch ([[graft.functions.HllEstimateAgg]]) — rebuilt in round 7
+    * so the oracle can replay it exactly. The r1-r6 form wrapped
+    * Spark's approx_count_distinct, whose sketch state is
+    * engine-private (rows-only forever); the custom aggregate's state
+    * is 256 max-rho registers over 60-bit md5 hashes — merge is
+    * elementwise max (order-invariant), the estimate's only float ops
+    * are a shared constant chain and one division, so Spark and
+    * DuckDB produce the IDENTICAL integer. One corpus pass, 256 bytes
+    * of state per group per task (map-side partial agg) — the 100 TB
+    * distinct-count recipe. */
+  private val q20 = {
+    val num = graft.functions.HllEstimateAgg.NumeratorSql
+    val mask = graft.functions.HllEstimateAgg.WindowMask
+    def regs(h: String) =
+      s"""SELECT f, ($h) >> 52 AS b,
+         |    MAX(CASE WHEN (($h) & $mask) = 0 THEN 53
+         |        ELSE 53 - length(bin(($h) & $mask)) END) AS m
+         |  FROM h GROUP BY 1, 2""".stripMargin
+    val zs =
+      s"""SELECT f, CAST(SUM(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT)
+         |    + (256 - COUNT(*)) * 9007199254740992 AS zs
+         |  FROM RR GROUP BY f""".stripMargin
+    QueryDef(
+      "q20_approx_distinct",
+      (s, dir) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            expr(hash60("CAST(l_partkey AS STRING)")).as("hp"),
+            expr(hash60("CAST(l_orderkey AS STRING)")).as("ho"))
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            column(graft.functions.HllEstimateAgg(expression(col("hp")))
+              .toAggregateExpression()).as("approx_parts"),
+            column(graft.functions.HllEstimateAgg(expression(col("ho")))
+              .toAggregateExpression()).as("approx_orders"))
+      },
+      Some(s"""WITH h AS (SELECT l_returnflag AS f,
+        |    ${hash60Sql("CAST(l_partkey AS VARCHAR)")} AS hp,
+        |    ${hash60Sql("CAST(l_orderkey AS VARCHAR)")} AS ho
+        |  FROM lineitem),
+        |rp AS (${regs("hp")}),
+        |ro AS (${regs("ho")}),
+        |zp AS (${zs.replace("RR", "rp")}),
+        |zo AS (${zs.replace("RR", "ro")})
+        |SELECT zp.f AS l_returnflag,
+        |  CAST(FLOOR($num / CAST(zp.zs AS DOUBLE) + 0.5) AS BIGINT)
+        |    AS approx_parts,
+        |  CAST(FLOOR($num / CAST(zo.zs AS DOUBLE) + 0.5) AS BIGINT)
+        |    AS approx_orders
+        |FROM zp JOIN zo ON zp.f = zo.f""".stripMargin))
+  }
 
   // ---------------------------------------------------------------- q21
   /** Temporal as-of join: for each purchase, the latest click by the

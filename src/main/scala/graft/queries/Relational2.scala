@@ -269,32 +269,83 @@ object Relational2 {
       |WHERE rn = 1""".stripMargin))
 
   // ---------------------------------------------------------------- q35
-  /** Approximate quantiles via the GK sketch (percentile_approx) —
-    * the mergeable-sketch quantile family beside q20's HLL: one
-    * map-side sketch per partition, merged at the exchange, error
-    * bounded by the accuracy parameter regardless of data size (the
-    * 100 TB quantile recipe; exact percentiles q25 need a full sort
-    * per group). Sketch internals differ per engine → rows-only, with
-    * the sanity bound asserted in RelationalSpec: approx p50 within
-    * the exact p25..p75 envelope. One sketch per group (a single
-    * percentile_approx over the 3-quantile array), unpacked into
-    * scalar columns — the external harness hashes rows-only results
-    * too, and an array cell is unhashable there (ADVICE r3). */
-  private val q35 = QueryDef(
-    "q35_approx_quantile",
-    (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
-            .as("pcts"),
-          count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          col("pcts").getItem(0).as("p25"),
-          col("pcts").getItem(1).as("p50"),
-          col("pcts").getItem(2).as("p75"),
-          col("n")),
-    None) // rows-only: GK sketch state is engine-specific
+  /** Approximate quantiles via a DETERMINISTIC log-linear histogram
+    * sketch (DDSketch-style buckets: IEEE exponent × 16 linear
+    * sub-buckets ⇒ relative error ≤ 1/16) — the mergeable-sketch
+    * quantile family beside q20's HLL, rebuilt in round 7 so the
+    * oracle can replay it EXACTLY. The r1-r6 form wrapped
+    * percentile_approx (GK sketch); GK state is merge-order-sensitive
+    * and engine-specific, so the query was stuck rows-only. This
+    * sketch's state is (bucket → count): merges are integer adds —
+    * commutative and associative, so 1000 executors produce the SAME
+    * sketch as one, which is precisely the property a distributed
+    * quantile needs — and every bucket boundary is computed with
+    * EXACT math in both engines (exponent = bitlength(floor(x)) via
+    * bin(), never libm log2; sub-bucket = floor(x·16/2^e), scaling by
+    * powers of two is lossless). Quantile answer = lower bound of the
+    * first bucket whose cumulative count reaches ceil(q·n).
+    *
+    * Scale shape: one narrow pass computes (group, bucket) — the
+    * groupBy state is ≤ groups × ~16·11 rows for doubles up to 2^11 —
+    * then a window cumsum over that tiny table; the corpus is
+    * scanned once and never re-shuffled. Exact percentiles (q25) need
+    * a full sort per group; this is the 100 TB recipe. */
+  private val q35 = {
+    // e = bitlength(floor(x)) - 1 (= floor(log2 x) for x ≥ 1, exact);
+    // sub-bucket = floor(x·16 / 2^e) - 16 ∈ [0,15]; id = e·16 + sub.
+    // x < 1 degrades to a width-1/16 linear histogram (sub < 0,
+    // ordering preserved). Domain: x ≥ 0.
+    val eS = "length(bin(CAST(floor(x) AS BIGINT))) - 1"
+    val bidSpark = s"CAST(($eS) * 16 + " +
+      s"floor(x * 16.0D / CAST(shiftleft(1L, $eS) AS DOUBLE)) - 16 AS BIGINT)"
+    val bidSql = s"CAST(($eS) * 16 + " +
+      s"FLOOR(x * 16.0 / CAST((CAST(1 AS BIGINT) << ($eS)) AS DOUBLE)) - 16 AS BIGINT)"
+    // bucket lower bound, exact: ((16+sub)·2^e)/16
+    val repSpark = s"CAST((16 + ($bidSpark) - ($eS) * 16) * " +
+      s"shiftleft(1L, $eS) AS DOUBLE) / 16.0D"
+    val repSql = s"CAST((16 + ($bidSql) - ($eS) * 16) * " +
+      s"(CAST(1 AS BIGINT) << ($eS)) AS DOUBLE) / 16.0"
+    QueryDef(
+      "q35_approx_quantile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+          .select(col("l_returnflag"), expr(bidSpark).as("bid"),
+            expr(repSpark).as("rep"))
+          .groupBy(col("l_returnflag"), col("bid"), col("rep"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bid"))
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        b.withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            min(when(col("cum") >= ceil(lit(0.25) * col("n")), col("rep")))
+              .as("p25"),
+            min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("rep")))
+              .as("p50"),
+            min(when(col("cum") >= ceil(lit(0.75) * col("n")), col("rep")))
+              .as("p75"),
+            max(col("n")).as("n"))
+      },
+      Some(s"""WITH v AS (SELECT l_returnflag, l_extendedprice AS x
+        |  FROM lineitem),
+        |b AS (SELECT l_returnflag, $bidSql AS bid, $repSql AS rep,
+        |    COUNT(*) AS c
+        |  FROM v GROUP BY 1, 2, 3),
+        |cw AS (SELECT l_returnflag, bid, rep, c,
+        |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bid) AS cum,
+        |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM b)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum >= CEIL(0.25 * n) THEN rep END) AS p25,
+        |  MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN rep END) AS p50,
+        |  MIN(CASE WHEN cum >= CEIL(0.75 * n) THEN rep END) AS p75,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM cw GROUP BY l_returnflag""".stripMargin))
+  }
+  // (oracle casts n to BIGINT: DuckDB's SUM over integers is DECIMAL)
 
   // ---------------------------------------------------------------- q36
   /** FULL OUTER JOIN — the one join flavor the inventory lacked:

@@ -275,6 +275,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad cross-cluster pairs emitted")
   }
 
+  test("dd12 bloom: no false negatives, bounded fp, order-invariant bitmap") {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val df = SparkEntry.queries("dd12_bloom_dedup")(spark, sf).persist()
+    try {
+      // THE Bloom property: a key that is in the set always hits
+      assert(df.filter(col("exact_seen") && !col("bloom_hit")).count() == 0)
+      assert(df.filter(col("bloom_hit")).count() > 0)
+      // kn/B ≈ 0.015 at sf0.001 ⇒ fp rate ~(1−e^−0.015)⁴ ≈ 0 — allow 5%
+      val n = df.count()
+      assert(df.filter(col("false_pos")).count() <= n / 20)
+      // false_pos must be exactly bloom_hit ∧ ¬exact_seen
+      assert(df.filter(col("false_pos") =!=
+        (col("bloom_hit") && !col("exact_seen"))).count() == 0)
+    } finally df.unpersist()
+    // OR-merge invariance: any partitioning builds the identical bitmap
+    def bitmap(parts: Int): Seq[Long] = {
+      val d = Tables.load(spark, sf, "documents")
+        .select(expr(graft.OracleSafe.hash60("text")).as("h"))
+        .repartition(parts)
+      d.agg(column(graft.functions.BloomBitsAgg(expression(col("h")))
+        .toAggregateExpression()).as("b"))
+        .collect()(0).getSeq[Long](0)
+    }
+    assert(bitmap(1) == bitmap(7))
+  }
+
   test("ann03 IVF returns k per query with measured recall over truth") {
     val df = SparkEntry.queries("ann03_knn_ivf")(spark, sf)
     val perQ = df.groupBy("q_id").count().collect()
