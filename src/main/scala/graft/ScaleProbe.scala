@@ -78,7 +78,12 @@ object ScaleProbe {
       "tx05_keyterms", "tx09_unigram_lm", "emb01_int8_quant",
       "emb02_label_centroid", "pk01_seq_pack", "dd07_decontaminate",
       "dd09_passage_overlap", "dd10_temperature_mix", "pk02_chunk_split",
-      "tx10_filter_funnel", "emb05_kmeans")
+      "tx10_filter_funnel", "emb05_kmeans",
+      // dd12: bitmap build + probe both ride the scan (8 KB state);
+      // dd13: the position explode is k× rows and the replica fixture
+      // makes nearly every position duplicated — time should track the
+      // exploded row count, the op's honest linear cost
+      "dd12_bloom_dedup", "dd13_exact_substring")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap

@@ -170,6 +170,25 @@ object ShingleHashRuntime {
     new GenericArrayData(out)
   }
 
+  /** ALL k-shingle hash64s in position order (index = 0-based token
+    * position of the shingle's first word) — the exact-substring-dedup
+    * signal: unlike [[shingleHashSet]] duplicates at different
+    * positions are kept, and unlike [[winnowFingerprints]] nothing is
+    * sampled, because dd13 needs every duplicated position to merge
+    * into spans. Empty array when the doc has < k tokens. */
+  def shingleHashSeq(ws: ArrayData, k: Int): GenericArrayData = {
+    val words = wordBytes(ws)
+    val nSh = words.length - k + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](nSh)
+    var s = 0
+    while (s < nSh) {
+      out(s) = hash64(shingleBytes(words, s, k, emptySalt))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 64-bit shingle hashes (order irrelevant downstream —
     * consumers take sizes and intersections). */
   def shingleHashSet(ws: ArrayData, k: Int): GenericArrayData = {
@@ -255,4 +274,20 @@ case class ShingleHashSet(child: Expression, k: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ShingleHashRuntime.shingleHashSet($c, $k)")
   override protected def withNewChildInternal(c: Expression): ShingleHashSet = copy(c)
+}
+
+/** hs = shingle_hashes(ws, k): ALL k-shingle hash64s in position order
+  * (index = 0-based start-token position) — dd13's exact-substring
+  * signal. */
+case class ShingleHashSeq(child: Expression, k: Int)
+  extends UnaryExpression {
+  require(k >= 1, s"shingle_hashes needs k >= 1, got k=$k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashRuntime.shingleHashSeq(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashRuntime.shingleHashSeq($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashSeq = copy(c)
 }

@@ -825,7 +825,137 @@ object Dedup {
         |FROM d JOIN hit ON d.doc_id = hit.doc_id""".stripMargin))
   }
 
+  // -------------------------------------------------------------- dd13
+  /** EXACT duplicated-substring detection (Lee et al. 2021,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr pass): for every document, find
+    * every token position whose L-gram (L = [[SubstrL]] tokens) occurs
+    * at least twice in the whole corpus, merge consecutive duplicated
+    * positions into runs and overlapping runs into covered-token
+    * islands, and report per-doc span statistics — n_dup_ngrams,
+    * n_islands, max_island (longest contiguous duplicated-coverage
+    * stretch), dup_tokens (exact union of covered tokens) and
+    * dup_frac. The training pipeline drops or trims islands.
+    *
+    * dd09 is the sub-linear APPROXIMATION of this (winnowed
+    * fingerprints, ~2/w of shingles); dd13 is the exact ground truth.
+    * Exactness costs the position explode — one row per (doc, pos),
+    * the same O(total tokens) working set as the paper's suffix
+    * array, and inherent to any exact method — but nothing else
+    * row-multiplies: duplicate detection is one count-window over the
+    * 20-gram hash partition (uniform md5 keys ⇒ no skew), span/island
+    * merging is two narrow windows per doc, and the corpus text never
+    * shuffles (only 16-byte (doc, pos, hash) rows do). Fixed-L
+    * equi-hashing replaces the suffix array entirely: a duplicated
+    * span of ≥ L tokens exists iff some L-gram collides, so for a
+    * FIXED threshold the sort the paper needs is just a hash
+    * partition.
+    *
+    * Oracle parity: md5 shingle hashes, integer windows and one final
+    * division — DuckDB replays every step hash-exact. */
+  private val SubstrL = 20
+
+  private val dd13 = {
+    val L = SubstrL
+    QueryDef(
+      "dd13_exact_substring",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+        val base = TextShingles.words(s, dir)
+          .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+            column(graft.functions.ShingleHashSeq(
+              expression(col("ws")), L)).as("hs"))
+        val pos = base
+          .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+        val dup = pos
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("cnt") >= 2)
+        val runs = dup
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+          .withColumn("g", col("pos") - col("rn"))
+        val iv = runs.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"), min(col("pos")).as("s"),
+            (max(col("pos")) + lit(L - 1).cast("long")).as("e"))
+        val isl = iv
+          .withColumn("pmax", max(col("e")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("s"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk",
+            when(col("s") > col("pmax") + 1, 1L).otherwise(0L))
+          .withColumn("iid", sum(col("brk")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("s"))))
+        val islands = isl.groupBy(col("doc_id"), col("iid"))
+          .agg(sum(col("c")).as("ic"),
+            (max(col("e")) - min(col("s")) + 1).as("ilen"))
+        val stats = islands.groupBy(col("doc_id"))
+          .agg(sum(col("ic")).as("n_dup_ngrams"),
+            count(lit(1)).as("n_islands"),
+            max(col("ilen")).as("max_island"),
+            sum(col("ilen")).as("dup_tokens"))
+        base.select(col("doc_id"), col("n_tokens"))
+          .join(stats, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dup_ngrams"), lit(0L)).as("n_dup_ngrams"),
+            coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+            coalesce(col("max_island"), lit(0L)).as("max_island"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            col("n_tokens"),
+            when(col("n_tokens") > 0,
+              coalesce(col("dup_tokens"), lit(0L)).cast("double")
+                / col("n_tokens"))
+              .otherwise(lit(0.0)).as("dup_frac"))
+      },
+      Some({
+        val cols = (0 until L).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+        s"""WITH w AS (SELECT doc_id,
+          |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |base AS (SELECT doc_id, len(ws) AS n_tokens FROM w),
+          |shp AS (SELECT doc_id, i AS pos,
+          |    ${graft.OracleSafe.hash60Sql(s"($cols)")} AS h
+          |  FROM w CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(1, len(ws) - ${L - 1})) AS i) t),
+          |dup AS (SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt
+          |    FROM shp) WHERE cnt >= 2),
+          |runs AS (SELECT doc_id, pos,
+          |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          |  FROM dup),
+          |iv AS (SELECT doc_id, g, COUNT(*) AS c, MIN(pos) AS s,
+          |    MAX(pos) + ${L - 1} AS e
+          |  FROM runs GROUP BY 1, 2),
+          |isl AS (SELECT doc_id, c, s, e,
+          |    CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+          |      THEN 1 ELSE 0 END AS brk
+          |  FROM iv),
+          |isl2 AS (SELECT doc_id, c, s, e,
+          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS iid
+          |  FROM isl),
+          |islands AS (SELECT doc_id, iid, SUM(c) AS ic,
+          |    MAX(e) - MIN(s) + 1 AS ilen
+          |  FROM isl2 GROUP BY 1, 2),
+          |stats AS (SELECT doc_id, CAST(SUM(ic) AS BIGINT) AS n_dup_ngrams,
+          |    COUNT(*) AS n_islands, CAST(MAX(ilen) AS BIGINT) AS max_island,
+          |    CAST(SUM(ilen) AS BIGINT) AS dup_tokens
+          |  FROM islands GROUP BY 1)
+          |SELECT b.doc_id,
+          |  COALESCE(s.n_dup_ngrams, 0) AS n_dup_ngrams,
+          |  COALESCE(s.n_islands, 0) AS n_islands,
+          |  COALESCE(s.max_island, 0) AS max_island,
+          |  COALESCE(s.dup_tokens, 0) AS dup_tokens,
+          |  b.n_tokens,
+          |  CASE WHEN b.n_tokens > 0 THEN
+          |    CAST(COALESCE(s.dup_tokens, 0) AS DOUBLE) / b.n_tokens
+          |  ELSE 0.0 END AS dup_frac
+          |FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id""".stripMargin
+      }))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
-      dd12)
+      dd12, dd13)
 }

@@ -302,6 +302,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(bitmap(1) == bitmap(7))
   }
 
+  test("dd13 exact substring: crafted shared passage measured exactly") {
+    // doc1 and doc2 share a verbatim 25-token passage; doc3 is unique.
+    // With L=20, doc1's duplicated 20-gram positions are exactly the 6
+    // offsets inside the passage → one run, one island, 25 covered
+    // tokens — every output number is hand-checkable
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd13").toString
+    try {
+      import spark.implicits._
+      val passage = (1 to 25).map(i => s"p$i").mkString(" ")
+      val doc1 = (1 to 10).map(i => s"a$i").mkString(" ") + " " + passage +
+        " " + (1 to 10).map(i => s"b$i").mkString(" ")
+      val doc2 = passage + " " + (1 to 30).map(i => s"c$i").mkString(" ")
+      val doc3 = (1 to 40).map(i => s"u$i").mkString(" ")
+      Seq((1L, doc1, "en", "s1", doc1.length.toLong),
+        (2L, doc2, "en", "s1", doc2.length.toLong),
+        (3L, doc3, "en", "s2", doc3.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("dd13_exact_substring")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+      // doc1: 45 tokens, 6 dup 20-grams (positions 10..15), 1 island of
+      // 6+19=25 tokens
+      assert(out(1L) == ((6L, 1L, 25L, 25L, 45L)), s"doc1: ${out(1L)}")
+      // doc2: 55 tokens, passage at position 0 → same 6/1/25
+      assert(out(2L) == ((6L, 1L, 25L, 25L, 55L)), s"doc2: ${out(2L)}")
+      // doc3: clean
+      assert(out(3L) == ((0L, 0L, 0L, 0L, 40L)), s"doc3: ${out(3L)}")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("dd13 invariants hold on the real corpus") {
+    val df = SparkEntry.queries("dd13_exact_substring")(spark, sf).persist()
+    try {
+      assert(df.count() == Tables.load(spark, sf, "documents").count())
+      assert(df.filter(col("dup_tokens") > col("n_tokens")).count() == 0)
+      assert(df.filter(col("max_island") > col("dup_tokens")).count() == 0)
+      assert(df.filter(col("n_dup_ngrams") < col("n_islands")).count() == 0)
+      assert(df.filter(col("dup_frac") < 0 || col("dup_frac") > 1)
+        .count() == 0)
+      // the fixture corpus carries planted verbatim passages (dd09
+      // finds them) — the exact pass must see them too
+      assert(df.filter(col("n_dup_ngrams") > 0).count() > 0)
+    } finally df.unpersist()
+  }
+
   test("ann03 IVF returns k per query with measured recall over truth") {
     val df = SparkEntry.queries("ann03_knn_ivf")(spark, sf)
     val perQ = df.groupBy("q_id").count().collect()
