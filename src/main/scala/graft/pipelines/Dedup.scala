@@ -794,13 +794,15 @@ object Dedup {
         val d = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             expr(graft.OracleSafe.hash60("text")).as("h"))
-        val bloom = d.filter(col("doc_id") % 2 === 0)
+        // bitmap + exact audit set in ONE aggregate over one scan (a
+        // single broadcast row; collect_set is the audit-only exact
+        // list — the thing the bloom replaces at scale — and rides
+        // along free here)
+        val aux = d.filter(col("doc_id") % 2 === 0)
           .agg(column(graft.functions.BloomBitsAgg(expression(col("h")))
-            .toAggregateExpression()).as("bloom"))
-        val seen = d.filter(col("doc_id") % 2 === 0)
-          .select(col("h")).distinct()
-          .agg(sort_array(collect_list(col("h"))).as("seen"))
-        d.crossJoin(broadcast(bloom)).crossJoin(broadcast(seen))
+            .toAggregateExpression()).as("bloom"),
+            sort_array(collect_set(col("h"))).as("seen"))
+        d.crossJoin(broadcast(aux))
           .select(col("doc_id"),
             expr(hitSpark).as("bloom_hit"),
             array_contains(col("seen"), col("h")).as("exact_seen"))

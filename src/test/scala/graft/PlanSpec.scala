@@ -56,6 +56,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q20 HLL: sketches merge map-side, one exchange of 256-byte state") {
+    val p = plan("q20_approx_distinct")
+    // the whole point of the register sketch: partial_hll_estimate
+    // BEFORE the exchange means each task ships two 256-byte register
+    // arrays per group, never rows
+    assert(p.contains("partial_hll_estimate"),
+      s"HLL must partial-aggregate map-side:\n$p")
+    assert(count(p, "Exchange") == 1, s"q20 wants exactly one exchange:\n$p")
+  }
+
+  test("dd12 bloom: one corpus scan for build+audit, broadcast probe") {
+    val p = plan("dd12_bloom_dedup")
+    // bitmap + exact audit list come from ONE aggregate over one scan;
+    // the probe side is the second scan; the single-row aux broadcasts
+    assert(count(p, "Scan parquet") <= 2, s"extra corpus scans:\n$p")
+    assert(p.contains("partial_bloom_bits"),
+      s"bloom bitmap must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange"), s"aux row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"probe must not shuffle the corpus:\n$p")
+  }
+
+  test("dd13 exact substring: two exchanges, windows reuse the doc partitioning") {
+    val p = plan("dd13_exact_substring")
+    // exploded (doc, pos, hash) rows shuffle exactly twice — once by
+    // hash for the duplicate-count window, once by doc_id — and every
+    // run/island window + aggregate downstream reuses the doc_id
+    // partitioning; the final stats join broadcasts the small side at
+    // this scale (Catalyst's choice, SMJ at real scale)
+    val shuffles = count(p, "Exchange") - count(p, "BroadcastExchange")
+    assert(shuffles == 2, s"dd13 wants exactly 2 shuffles, got $shuffles:\n$p")
+    assert(count(p, "Scan parquet") <= 2, s"extra corpus scans:\n$p")
+  }
+
   test("q08 star join: dims broadcast, no nested loop, facts shuffle once") {
     val p = plan("q08_join_star")
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
