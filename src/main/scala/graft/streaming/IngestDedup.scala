@@ -67,6 +67,41 @@ object IngestDedup {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
 
+  /** Corpus → the dd12 Bloom seen-set bitmap, collected to the driver
+    * (one row of [[graft.functions.BloomBitsAgg.Words]] longs — 8 KB,
+    * corpus-size-independent, the whole point). Build once beside
+    * [[corpusIndex]]; at scale, rebuild on corpus compaction. */
+  def corpusBloom(corpus: DataFrame): Array[Long] =
+    corpus
+      .select(expr(graft.OracleSafe.hash60("text")).as("h"))
+      .agg(column(graft.functions.BloomBitsAgg(expression(col("h")))
+        .toAggregateExpression()).as("bloom"))
+      .collect()(0).getSeq[Long](0).toArray
+
+  /** EXACT-duplicate admission gate — the cheap filter in FRONT of the
+    * LSH probe: each arriving doc tests its content fingerprint's k
+    * bits against the broadcast bitmap with codegen'd integer ops — a
+    * narrow per-batch projection, no join, no state, no watermark.
+    * `maybe_seen = false` is DEFINITIVE (Bloom filters never false-
+    * negative): those docs are certainly novel content and can skip
+    * the exact-hash lookup a pipeline would otherwise pay per doc;
+    * `maybe_seen = true` routes to exact verification (and near-dup
+    * flagging catches the rest). Works identically on batch and
+    * streaming frames. */
+  def withAdmissionFlag(docs: DataFrame, bloom: Array[Long]): DataFrame = {
+    val B = graft.functions.BloomBitsAgg.Bits
+    def pos(i: Int) = s"(h % $B + $i * (1L + (h div $B) % ${B - 1})) % $B"
+    val hit = (0 until graft.functions.BloomBitsAgg.K).map { i =>
+      s"(element_at(bloomw, CAST(${pos(i)} div 64 AS INT) + 1) & " +
+        s"shiftleft(1L, CAST(${pos(i)} % 64 AS INT))) != 0L"
+    }.mkString("(", ") AND (", ")")
+    docs
+      .withColumn("h", expr(graft.OracleSafe.hash60("text")))
+      .withColumn("bloomw", typedlit(bloom.toSeq))
+      .withColumn("maybe_seen", expr(hit))
+      .drop("h", "bloomw")
+  }
+
   /** The §2.2 ↔ §2.3 integration: a `graft-cdc` SUBSCRIPTION of a
     * documents table, checked for near-dups as records arrive. The
     * reference's domain (CDC transport of table changes) feeds the

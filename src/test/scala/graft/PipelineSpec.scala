@@ -914,6 +914,39 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("bloom admission flag: corpus docs all maybe_seen, novel docs pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val bloom = graft.streaming.IngestDedup.corpusBloom(corpus)
+    assert(bloom.length == graft.functions.BloomBitsAgg.Words)
+    // batch frame: every corpus doc must flag (no false negatives)
+    val flagged = graft.streaming.IngestDedup.withAdmissionFlag(corpus, bloom)
+    assert(flagged.filter(!col("maybe_seen")).count() == 0)
+    // agreement with dd12's in-query probe on the same corpus
+    val dd12 = SparkEntry.queries("dd12_bloom_dedup")(spark, sf)
+      .filter(col("doc_id") % 2 === 0).filter(!col("bloom_hit")).count()
+    assert(dd12 == 0)
+    // streaming frame: the flag is a pure projection — runs per batch
+    // with no state; corpus copy flags, novel doc does not (fp odds
+    // ~1e-9 at this fill)
+    val dupText = corpus.orderBy("doc_id").limit(1).head().getString(1)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestDedup
+      .withAdmissionFlag(mem.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("bloom_admission_t")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, dupText), (2L, "entirely novel content qqq zzz"))
+      q.processAllAvailable()
+      val got = spark.table("bloom_admission_t")
+        .select("doc_id", "maybe_seen")
+        .as[(Long, Boolean)].collect().toMap
+      assert(got(1L) && !got(2L), got.toString)
+    } finally q.stop()
+  }
+
   test("ingest dedup flags streamed near-dups against the corpus index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
