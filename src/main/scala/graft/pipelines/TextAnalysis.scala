@@ -480,6 +480,73 @@ object TextAnalysis {
         |FROM m""".stripMargin))
   }
 
+  // -------------------------------------------------------------- tx11
+  /** Shannon-surprise fluency score in INTEGER BITS — the log-scale
+    * signal tx09 deliberately avoids (a CCNet-style perplexity filter
+    * ranks docs by mean −log₂ p(token); tx09 stays in count space
+    * because libm log differs across engines in the last ulp). The
+    * exact bridge: quantize surprise to whole bits —
+    * ⌊log₂(N/ctf)⌋ = bitlength(⌊N/ctf⌋) − 1, computed via bin() on
+    * the exact integer quotient in BOTH engines, no libm anywhere.
+    * A doc's mean bits ranks it on the same scale a real perplexity
+    * filter uses (a token seen once in a 2^20-token corpus scores 20
+    * bits; 'the' scores ~3), quantization costs < 1 bit of
+    * resolution, and every number is hash-exact.
+    *
+    * Shape: identical to tx09 — one vocabulary aggregate (map-side
+    * combined), one skew-safe hash join back, per-doc integer sums;
+    * the corpus text never travels twice. `high_surprise` flags the
+    * gibberish tail (mean ≥ 12 bits — on this corpus the ceiling is
+    * ~bitlength(N) ≈ 15). */
+  private val tx11 = {
+    val Threshold = 12L
+    QueryDef(
+      "tx11_surprise",
+      (s, dir) => {
+        val tok = TextShingles.words(s, dir)
+          .select(col("doc_id"), explode(col("ws")).as("term"))
+        val ctf = tok.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+        val n = tok.agg(count(lit(1)).as("n_total"))
+        val scored = tok.join(ctf, "term").crossJoin(broadcast(n))
+          .select(col("doc_id"),
+            (length(expr("bin(n_total div ctf)")) - 1).cast("long")
+              .as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+        Tables.load(s, dir, "documents").select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+            when(coalesce(col("n_tokens"), lit(0L)) > 0,
+              col("sum_bits").cast("double") / col("n_tokens"))
+              .otherwise(lit(0.0)).as("mean_bits"))
+          .withColumn("high_surprise",
+            col("n_tokens") > 0 &&
+              col("sum_bits") >= lit(Threshold) * col("n_tokens"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |ctf AS (SELECT term, COUNT(*) AS ctf FROM tok GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_total FROM tok),
+        |sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |    SUM(length(bin(n.n_total // c.ctf)) - 1) AS sum_bits
+        |  FROM tok t JOIN ctf c USING (term) CROSS JOIN n
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(sc.sum_bits, 0) AS BIGINT) AS sum_bits,
+        |  CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+        |    THEN CAST(sc.sum_bits AS DOUBLE) / sc.n_tokens ELSE 0.0 END
+        |    AS mean_bits,
+        |  COALESCE(sc.n_tokens, 0) > 0 AND
+        |    COALESCE(sc.sum_bits, 0) >= $Threshold * COALESCE(sc.n_tokens, 0)
+        |    AS high_surprise
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10)
+    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11)
 }

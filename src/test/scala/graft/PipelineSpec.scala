@@ -914,6 +914,25 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("tx11 surprise bits: hand-computed on a crafted corpus") {
+    // N = 10 tokens; 'x' has ctf 8 → ⌊10/8⌋=1 → 0 bits; 'y'/'z' are
+    // singletons → ⌊10/1⌋=10 → bitlength 4 → 3 bits each
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx11").toString
+    try {
+      import spark.implicits._
+      Seq((1L, "x x x x x x x x", "en", "s", 15L),
+        (2L, "y z", "en", "s", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("tx11_surprise")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toMap
+      assert(out(1L) == ((8L, 0L, 0.0, false)), s"doc1: ${out(1L)}")
+      assert(out(2L) == ((2L, 6L, 3.0, false)), s"doc2: ${out(2L)}")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("bloom admission flag: corpus docs all maybe_seen, novel docs pass") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
