@@ -95,6 +95,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("vec_lsum", "arr", exprs, 1)
         graft.functions.VecLongSumAgg(exprs.head)
       }))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "_FUNC_(words, k) - ALL k-shingle hash64s in position order " +
+          "(exact-substring-dedup signal)"),
+      (exprs: Seq[Expression]) => {
+        arity("shingle_hashes", "words, k", exprs, 2)
+        graft.functions.ShingleHashSeq(exprs.head,
+          intLit(exprs(1), "shingle_hashes k"))
+      }))
+    e.injectFunction((FunctionIdentifier("hll_estimate"),
+      info("hll_estimate",
+        "_FUNC_(hash) - deterministic HLL approximate-distinct aggregate " +
+          "over 60-bit key hashes (256 registers, order-invariant merge)"),
+      (exprs: Seq[Expression]) => {
+        arity("hll_estimate", "hash", exprs, 1)
+        graft.functions.HllEstimateAgg(exprs.head)
+      }))
+    e.injectFunction((FunctionIdentifier("bloom_bits"),
+      info("bloom_bits",
+        "_FUNC_(hash) - Bloom-filter bitmap aggregate over 60-bit key " +
+          "hashes (fixed 8 KB state, OR-merge)"),
+      (exprs: Seq[Expression]) => {
+        arity("bloom_bits", "hash", exprs, 1)
+        graft.functions.BloomBitsAgg(exprs.head)
+      }))
 
     e.injectOptimizerRule(_ => RewriteZipWithDot)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

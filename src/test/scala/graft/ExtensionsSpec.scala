@@ -152,6 +152,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ok == Seq(4L, 6L))
   }
 
+  test("sketch-family SQL functions resolve and match the native paths") {
+    // hll_estimate: SQL aggregate equals the programmatic aggregate
+    val est = spark.sql(
+      """SELECT hll_estimate(CAST(conv(substring(md5(CAST(id AS STRING)),
+        |  1, 15), 16, 10) AS BIGINT)) AS e
+        |FROM range(3000)""".stripMargin).head().getLong(0)
+    // raw HLL at m=256 over n=3000 (in-domain): within 4σ ≈ 26%
+    assert(math.abs(est - 3000L) <= 780, s"hll estimate $est")
+    // shingle_hashes: position-ordered, prefix of set semantics
+    val hs = spark.sql(
+      "SELECT shingle_hashes(array('a', 'b', 'c', 'd'), 3) AS h")
+      .head().getAs[scala.collection.Seq[Long]]("h")
+    assert(hs.length == 2) // positions 0 and 1
+    // bloom_bits: bitmap word count fixed, every inserted key hits
+    val words = spark.sql(
+      """SELECT bloom_bits(CAST(conv(substring(md5(CAST(id AS STRING)),
+        |  1, 15), 16, 10) AS BIGINT)) AS b
+        |FROM range(100)""".stripMargin)
+      .head().getAs[scala.collection.Seq[Long]]("b")
+    assert(words.length == graft.functions.BloomBitsAgg.Words)
+    assert(words.exists(_ != 0L))
+  }
+
   test("rewrite refuses lambdas that capture an OUTER variable") {
     // zip_with(a, b, (x, y) -> x * s) under transform(scales, s -> ...)
     // must NOT become vec_dot(a, b): s is a NamedLambdaVariable too,
