@@ -99,13 +99,17 @@ object ScaleProbe {
     }
     def sweep(): Unit = GraftSession.sweep(spark)
     val mults = Seq(1, 4, 16)
-    val dirs = mults.map { k =>
+    // fixtures build LAZILY per multiplier: with an op filter, corpora
+    // no probed op touches are never written (the dominant cost of a
+    // filtered run), and the quad loop's x2 builds exactly once
+    val built = scala.collection.mutable.Map.empty[Int, String]
+    def dirFor(k: Int): String = built.getOrElseUpdate(k, {
       val d = s"$base/x$k"
       scaled(spark, srcDir, d, k)
-      k -> d
-    }.toMap
+      d
+    })
     for (op <- linearOps if wanted(op)) {
-      val ts = mults.map(k => k -> time(op, dirs(k)))
+      val ts = mults.map(k => k -> time(op, dirFor(k)))
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
         .mkString(" ")
       val r = ts.last._2._1 / ts.head._2._1
@@ -113,8 +117,7 @@ object ScaleProbe {
       println(f"SCALE $op%-22s $line time(x16/x1)=$r%.1f rows(x16/x1)=$rr%.1f")
     }
     for (op <- quadOps if wanted(op); k <- Seq(1, 2, 4)) {
-      if (!dirs.contains(k)) scaled(spark, srcDir, s"$base/x$k", k)
-      val (t, rows) = time(op, dirs.getOrElse(k, s"$base/x$k"))
+      val (t, rows) = time(op, dirFor(k))
       println(f"SCALE $op%-22s x$k=$t%.2fs/${rows}r (quadratic by design)")
     }
     // the ANN ladder at a FIXED query set over a k× corpus: every rung
@@ -122,7 +125,7 @@ object ScaleProbe {
     // others by their scan fraction), output constant at 50 rows
     for (op <- Seq("ann01_knn_brute", "ann02_knn_bucket", "ann03_knn_ivf",
         "ann04_knn_ivfpq", "ann05_knn_sq8") if wanted(op)) {
-      val ts = mults.map(k => k -> time(op, dirs(k)))
+      val ts = mults.map(k => k -> time(op, dirFor(k)))
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
         .mkString(" ")
       val r = ts.last._2._1 / ts.head._2._1
@@ -135,8 +138,8 @@ object ScaleProbe {
     // candidate growth should track that output bound, not an
     // n²/buckets structural floor
     for (k <- mults if wanted("mm03_phash_dedup")) {
-      val cands = graft.pipelines.Multimodal.Phash.collided(spark, dirs(k)).count()
-      val (t, out) = time("mm03_phash_dedup", dirs(k))
+      val cands = graft.pipelines.Multimodal.Phash.collided(spark, dirFor(k)).count()
+      val (t, out) = time("mm03_phash_dedup", dirFor(k))
       println(f"SCALE mm03 candidates      x$k=$t%.2fs cand=${cands} out=${out}")
     }
     // the SINK write path: cdc10 pushes k× changelog records over k×

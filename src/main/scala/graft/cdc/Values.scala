@@ -170,13 +170,20 @@ object Values {
         val wkt = readGeometry(buf, 0)
         if (buf.hasRemaining) None else Some(wkt)
       } catch { case _: Exception => None }
-    // Both layouts can fully consume the same buffer: a 4-byte SRID
-    // whose bytes happen to read as a valid marker + type word (e.g.
-    // SRID 0 + 21-byte empty-ring polygon collides with a standard
-    // 21-byte POINT). When BOTH parses consume everything, prefer the
-    // MySQL (offset-4) form: a genuine SRID prefix misread at offset 0
-    // yields garbage coordinates, whereas a genuine standard WKB body
-    // almost never re-parses from its 5th byte to exact consumption.
+    // Both layouts can fully consume the same buffer, and the
+    // ambiguity is REAL in both directions: SRID 0 + LE empty-ring
+    // polygon reads at offset 0 as a standard POINT with denormal
+    // ~1e-294 coordinates, and the INVERSE bytes exist too (a
+    // standard LE POINT whose x mantissa encodes a type word and
+    // whose y = 0.0 supplies zero ring counts re-parses at offset 4
+    // as SRID + BE polygon). No byte-level rule can tell them apart —
+    // the tie-break is a DOMAIN PRIOR, chosen here for the CDC
+    // context this decoder serves (the reference's GeometryUtil reads
+    // MySQL wire bytes, which ALWAYS carry the SRID prefix): when
+    // both parses fully consume, the MySQL (offset-4) form wins.
+    // The cost is the constructible-but-degenerate standard shape
+    // above (a point at 1e-294 with y exactly +0.0) — pinned in
+    // ValuesSpec as chosen behavior, not an accident.
     val std =
       if (bytes(0) == 0 || bytes(0) == 1) parseAt(0) else None
     val mysql = if (bytes.length >= 9) parseAt(4) else None

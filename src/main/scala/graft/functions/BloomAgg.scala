@@ -53,7 +53,12 @@ case class BloomBitsAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // mask to the declared 60-bit domain: hash60 inputs are already
+      // non-negative, but the injected bloom_bits SQL function accepts
+      // any BIGINT (e.g. Spark's hash(), which goes negative) — an
+      // unmasked negative h makes h % Bits negative and indexes out of
+      // bounds. The probe expressions apply the same mask.
+      val h = v.asInstanceOf[Long] & Mask60
       val h1 = h % Bits
       val h2 = 1L + (h / Bits) % (Bits - 1)
       var i = 0
@@ -104,4 +109,24 @@ object BloomBitsAgg {
   val Bits = 65536L
   val Words: Int = (Bits / 64).toInt
   val K = 4
+  /** Declared input domain (60-bit hash60 values); update() and the
+    * probe expression both mask with this so garbage inputs degrade
+    * to wrong-bucket lookups instead of crashes. */
+  val Mask60: Long = (1L << 60) - 1
+
+  /** The probe-side SQL expression over hash column `h` and bitmap
+    * array column `bitmapCol` — THE single definition of the
+    * Kirsch-Mitzenmacher position math, kept in lock-step with
+    * [[BloomBitsAgg.update]] (dd12's query and the streaming
+    * admission gate both build from here; a drift between build and
+    * probe would silently break the no-false-negative guarantee). */
+  def probeHitExpr(bitmapCol: String, h: String = "h"): String = {
+    val m = s"($h & $Mask60)"
+    def pos(i: Int) =
+      s"($m % $Bits + $i * (1L + ($m div $Bits) % ${Bits - 1})) % $Bits"
+    (0 until K).map { i =>
+      s"(element_at($bitmapCol, CAST(${pos(i)} div 64 AS INT) + 1) & " +
+        s"shiftleft(1L, CAST(${pos(i)} % 64 AS INT))) != 0L"
+    }.mkString("(", ") AND (", ")")
+  }
 }

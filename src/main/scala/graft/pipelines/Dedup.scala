@@ -16,15 +16,13 @@ object Dedup {
 
   private val Bands = 4
 
-  /** 64-bit shingle hash: first 15 hex digits of md5 as a BIGINT —
-    * computable identically in DuckDB ([[hash64Sql]]). Long-valued
-    * MinHash keeps every aggregate fixed-width (HashAggregate, never
-    * the SortAggregate fallback that string mins force) and every
-    * join key 8 bytes. */
-  private def hash64(e: String): String =
-    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
-  private def hash64Sql(e: String): String =
-    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  /** 60-bit shingle hash (first 15 hex digits of md5 as a BIGINT) —
+    * the shared [[graft.OracleSafe.hash60]] twins, aliased to the
+    * historical local names. Long-valued MinHash keeps every
+    * aggregate fixed-width (HashAggregate, never the SortAggregate
+    * fallback that string mins force) and every join key 8 bytes. */
+  private def hash64(e: String): String = graft.OracleSafe.hash60(e)
+  private def hash64Sql(e: String): String = graft.OracleSafe.hash60Sql(e)
 
   /** Per-doc shingle state WITHOUT exploding: per-band MinHash
     * signatures and the distinct 64-bit shingle-hash set, via ONE
@@ -688,8 +686,32 @@ object Dedup {
   private val clusterTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cache key = dir + a cheap content fingerprint (file count, total
+    * length, max mtime of the documents parquet) so rewriting the
+    * corpus at the SAME path within one process invalidates the
+    * cached propagation instead of serving stale clusters. */
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(s"$dir/documents.parquet")
+    val fs = root.getFileSystem(conf)
+    val stats =
+      if (fs.getFileStatus(root).isDirectory) {
+        val it = fs.listFiles(root, true)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) out += it.next()
+        out.toSeq
+      } else Seq(fs.getFileStatus(root))
+    val n = stats.size
+    val len = stats.map(_.getLen).sum
+    val mt = if (stats.isEmpty) 0L else stats.map(_.getModificationTime).max
+    s"$dir|$n|$len|$mt"
+  }
+
   private def clusterTable(s: SparkSession, dir: String): DataFrame = {
-    val path = clusterTableCache.computeIfAbsent(dir, _ => {
+    val path = clusterTableCache.computeIfAbsent(
+      corpusFingerprint(s, dir), _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft_dd06_clusters").toString
       sys.addShutdownHook {
@@ -779,14 +801,10 @@ object Dedup {
     * positions — bit-for-bit the same booleans. */
   private val dd12 = {
     val B = graft.functions.BloomBitsAgg.Bits // 65536
-    def posSpark(i: Int) =
-      s"(h % $B + $i * (1L + (h div $B) % ${B - 1})) % $B"
-    def posSql(i: Int) =
-      s"(h % $B + $i * (1 + (h // $B) % ${B - 1})) % $B"
-    val hitSpark = (0 until graft.functions.BloomBitsAgg.K).map { i =>
-      s"(element_at(bloom, CAST(${posSpark(i)} div 64 AS INT) + 1) & " +
-        s"shiftleft(1L, CAST(${posSpark(i)} % 64 AS INT))) != 0L"
-    }.mkString("(", ") AND (", ")")
+    // probe math has ONE definition beside the aggregate it must
+    // mirror (BloomBitsAgg.probeHitExpr); hash60 inputs are ≥ 0, so
+    // the oracle's unmasked positions are the identical function
+    val hitSpark = graft.functions.BloomBitsAgg.probeHitExpr("bloom")
     QueryDef(
       "dd12_bloom_dedup",
       (s, dir) => {
@@ -852,6 +870,16 @@ object Dedup {
     * span of ≥ L tokens exists iff some L-gram collides, so for a
     * FIXED threshold the sort the paper needs is just a hash
     * partition.
+    *
+    * Exactness caveat, stated honestly: "duplicated" is detected by
+    * 60-bit md5 hash equality, not byte comparison — two DISTINCT
+    * 20-grams colliding in the hash would count as duplicates. The
+    * expected collision mass is n²/2^61 positions: ~zero at the gate
+    * corpora and a few dozen positions (a 10⁻⁹ fraction) at 10¹⁰
+    * tokens — far below any filtering threshold's sensitivity, so
+    * span STATISTICS are exact-for-purpose; a pipeline requiring
+    * byte-exact spans adds dd09's candidate-bounded string verify on
+    * the flagged islands (bounded work: islands, not corpus).
     *
     * Oracle parity: md5 shingle hashes, integer windows and one final
     * division — DuckDB replays every step hash-exact. */

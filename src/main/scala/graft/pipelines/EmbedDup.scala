@@ -136,6 +136,12 @@ object EmbedDup {
     // carries the row's own block so the reducer can split sides
     // without knowing the cluster's block count
     val replicated = withB.flatMap { case (cid, id, v, bc0) =>
+      // the key packs cid in the high 32 bits — an out-of-range cid
+      // would silently merge two clusters' groups (missing + spurious
+      // pairs); fail loudly instead
+      require(cid >= 0 && cid < (1L << 31),
+        s"clusteredPairs cluster id $cid outside [0, 2^31) — key packing" +
+          " would collide across clusters")
       val bc = math.min(bc0, 0x10000)
       val b = math.floorMod(id, bc.toLong).toInt
       val out = new Array[(Long, Int, Long, Array[Double])](bc)

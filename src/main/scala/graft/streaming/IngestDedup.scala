@@ -89,12 +89,9 @@ object IngestDedup {
     * flagging catches the rest). Works identically on batch and
     * streaming frames. */
   def withAdmissionFlag(docs: DataFrame, bloom: Array[Long]): DataFrame = {
-    val B = graft.functions.BloomBitsAgg.Bits
-    def pos(i: Int) = s"(h % $B + $i * (1L + (h div $B) % ${B - 1})) % $B"
-    val hit = (0 until graft.functions.BloomBitsAgg.K).map { i =>
-      s"(element_at(bloomw, CAST(${pos(i)} div 64 AS INT) + 1) & " +
-        s"shiftleft(1L, CAST(${pos(i)} % 64 AS INT))) != 0L"
-    }.mkString("(", ") AND (", ")")
+    // probe math comes from the single definition beside the build
+    // aggregate — see BloomBitsAgg.probeHitExpr
+    val hit = graft.functions.BloomBitsAgg.probeHitExpr("bloomw")
     docs
       .withColumn("h", expr(graft.OracleSafe.hash60("text")))
       .withColumn("bloomw", typedlit(bloom.toSeq))

@@ -167,6 +167,18 @@ class ValuesSpec extends AnyFunSuite {
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     be.put(0.toByte).putInt(1).putDouble(3.0).putDouble(4.0)
     assert(Values.wkbToWkt(be.array()) == Some("POINT (3.0 4.0)"))
+    // the CHOSEN side of the inherent ambiguity (see wkbToWkt's
+    // comment): a standard LE POINT whose x mantissa spells a polygon
+    // type word and whose y = +0.0 supplies zero ring counts is
+    // byte-identical to a MySQL SRID + BE empty-ring polygon; the
+    // domain prior (MySQL wire bytes always carry the prefix) decodes
+    // it as the polygon BY DESIGN
+    val amb = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    amb.put(1.toByte).putInt(1)
+      .putDouble(java.lang.Double.longBitsToDouble(0x0200000003000000L))
+      .putDouble(0.0)
+    assert(Values.wkbToWkt(amb.array()) == Some("POLYGON (EMPTY, EMPTY)"))
   }
 }
 

@@ -173,6 +173,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getAs[scala.collection.Seq[Long]]("b")
     assert(words.length == graft.functions.BloomBitsAgg.Words)
     assert(words.exists(_ != 0L))
+    // negative hashes (e.g. Spark's hash()) must mask into the 60-bit
+    // domain, not crash with a negative array index (r7 review)
+    val neg = spark.sql(
+      "SELECT bloom_bits(h) AS b FROM VALUES (-1L), (CAST(-9e18 AS BIGINT))," +
+        " (42L) t(h)")
+      .head().getAs[scala.collection.Seq[Long]]("b")
+    assert(neg.length == graft.functions.BloomBitsAgg.Words)
   }
 
   test("rewrite refuses lambdas that capture an OUTER variable") {
