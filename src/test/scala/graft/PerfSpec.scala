@@ -41,7 +41,16 @@ class PerfSpec extends AnyFunSuite {
       // doc — its first declarative draft ran 100s+ at sf0.01 when the
       // optimizer inlined the nested lambdas into a Generate, exactly
       // the regression this bound would catch
-      "dd09_passage_overlap" -> 15.0)
+      "dd09_passage_overlap" -> 15.0,
+      // round-7 additions: emb06's pairwise stage must stay on the
+      // sub-blocked primitive panels (the Catalyst row-join form it
+      // replaced was 5x); dd13's explode+windows and the sketch
+      // queries are declarative/native and must stay flat after
+      // profile pollution
+      "emb06_semdedup"      -> 25.0,
+      "dd13_exact_substring" -> 15.0,
+      "dd12_bloom_dedup"    -> 15.0,
+      "q20_approx_distinct" -> 15.0)
     bounds.foreach { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       fn(spark, "/root/testdata/sf0.01").count() // warm listing/codegen
