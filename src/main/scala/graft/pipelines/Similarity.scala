@@ -140,6 +140,20 @@ object Similarity {
       * vec_id % 4, was proportional: 25% of the corpus to the driver.)
       */
     val TrainCap = 256 * C
+    /** Fixed-point scale for centroid-sum accumulation (2^40): sample
+      * vectors are unit-norm (|u_i| ≤ 1) so codes fit 41 bits and
+      * TrainCap=4096 partial sums stay under 2^52 — exact in a long
+      * AND in the double the mean division reads. Integer sums make
+      * the per-round centroid update ORDER-INVARIANT, which is (a) what
+      * a distributed trainer needs anyway and (b) what lets DuckDB
+      * replay the trajectory with a plain SUM — the same trick
+      * emb05's distributed Lloyd uses (Embeddings.scala). The ~2^-40
+      * quantization is far below any recall-visible scale. */
+    val Fix = 1L << 40
+
+    /** floor(x·2^40 + 0.5) — the one rounding both engines share. */
+    def quantize(u: Array[Double]): Array[Long] =
+      u.map(x => math.floor(x * Fix.toDouble + 0.5).toLong)
 
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -176,9 +190,13 @@ object Similarity {
 
     /** Deterministic Lloyd k-means on unit vectors: init = first `c`
       * sample vectors (sample pre-sorted by vec_id) unless an explicit
-      * seed set is given, fixed iteration count, means accumulated in
-      * sample order — every step is a fixed-order float fold, so
-      * centroids are bit-stable across runs and partitionings. The
+      * seed set is given, fixed iteration count. Assignment dots fold
+      * in element order (replayable); centroid sums accumulate the
+      * [[Fix]] fixed-point codes as LONGS, so the update is exact and
+      * order-invariant, then mean_i = sum_i/count/2^40 (one shared op
+      * order) and the mean is normalized. Every step is therefore
+      * bit-replayable by the DuckDB oracle (round 8 — this is what
+      * graduated ann03/ann04 from rows-only to hash-oracled). The
       * `init` hook exists so diagnostics (RecallProbe's seeding study)
       * measure THIS trainer, not a reimplementation that could drift. */
     def train(
@@ -186,27 +204,27 @@ object Similarity {
         c: Int = C,
         init: Array[Array[Double]] = null): Array[Array[Double]] = {
       val d = sampleSorted.head.length
+      val codes = sampleSorted.map(quantize)
       var cents =
         if (init != null) init.map(_.clone) else sampleSorted.take(c).map(_.clone)
       val k = cents.length
       var it = 0
       while (it < Iters) {
-        val sums = Array.fill(k)(new Array[Double](d))
+        val sums = Array.fill(k)(new Array[Long](d))
         val counts = new Array[Int](k)
-        sampleSorted.foreach { u =>
-          val a = assign(u, cents)
+        var si = 0
+        while (si < sampleSorted.length) {
+          val a = assign(sampleSorted(si), cents)
           counts(a) += 1
+          val cd = codes(si)
           var i = 0
-          while (i < d) { sums(a)(i) += u(i); i += 1 }
+          while (i < d) { sums(a)(i) += cd(i); i += 1 }
+          si += 1
         }
         cents = Array.tabulate(k) { j =>
           if (counts(j) == 0) cents(j)
-          else {
-            val m = sums(j)
-            var i = 0
-            while (i < d) { m(i) /= counts(j); i += 1 }
-            normalize(m)
-          }
+          else normalize(Array.tabulate(d)(i =>
+            sums(j)(i).toDouble / counts(j) / Fix.toDouble))
         }
         it += 1
       }
@@ -226,18 +244,188 @@ object Similarity {
     * `df` needs columns (vec_id, v: array&lt;double&gt;). */
   private[graft] def trainingSample(df: DataFrame): Array[Array[Double]] = {
     import df.sparkSession.implicits._
+    // md5 of a salted id string, not xxhash64: same pseudo-random
+    // permutation quality, but DuckDB computes the identical hex string
+    // so the oracle selects the identical sample (the dd08 trick)
     df.select(col("vec_id"), col("v"))
-      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .orderBy(md5(concat(lit("ivf:"), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
       .limit(Ivf.TrainCap)
       .as[(Long, Array[Double])]
       .collect().sortBy(_._1).map(t => Ivf.normalize(t._2))
   }
 
+  /** DuckDB replay of the full IVF / IVF-PQ pipelines (round 8 — the
+    * emb05 technique, extended through coarse training, PQ codebook
+    * training, ADC scoring and re-rank): every float op in the Scala
+    * path either folds in a pinned element order (assignment dots,
+    * LUT dots, ADC accumulation, cosines) or is an order-invariant
+    * integer sum ([[Ivf.Fix]] fixed-point centroid/codebook updates),
+    * so the oracle rebuilds the identical model and the result tables
+    * hash-match. Sample selection is the dd08 salted-md5 order —
+    * computable in both engines — cut at TrainCap. */
+  private object IvfSql {
+    import VectorOps.{castSql, cosineSql, dotSql}
+    private val Q = Ivf.Fix // 2^40; ".0"-suffixed where a double is meant
+
+    private def l2Sql(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+
+    /** Base CTEs: corpus (iu: v, nn, unit uv), md5-ordered sample with
+      * fixed-point codes, init centroids ic0, and [[Ivf.Iters]] Lloyd
+      * rounds ending at ic&lt;Iters&gt; (j, cvec). */
+    private def trainCtes: String = {
+      def iter(r: Int): String =
+        s"""iasn$r AS MATERIALIZED (SELECT vec_id, codes, j FROM (
+           |  SELECT vec_id, codes, j,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, j ASC) AS rn
+           |  FROM (SELECT s.vec_id, s.codes, c.j, ${dotSql("s.uv", "c.cvec")} AS d
+           |        FROM samp s CROSS JOIN ic${r - 1} c)) WHERE rn = 1),
+           |isum$r AS MATERIALIZED (SELECT a.j, t.i - 1 AS idx, COUNT(*) AS cnt,
+           |    CAST(SUM(a.codes[t.i]) AS DOUBLE) AS sv
+           |  FROM iasn$r a CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, len(a.codes))) AS i) t
+           |  GROUP BY a.j, t.i),
+           |imu$r AS MATERIALIZED (SELECT j, list(sv / cnt / $Q ORDER BY idx) AS mv
+           |  FROM isum$r GROUP BY j),
+           |ic$r AS MATERIALIZED (SELECT p.j,
+           |    COALESCE(list_transform(mn.mv, x -> x / mn.nrm), p.cvec) AS cvec
+           |  FROM ic${r - 1} p LEFT JOIN (SELECT j, mv,
+           |      sqrt(${dotSql("mv", "mv")}) AS nrm FROM imu$r) mn USING (j))"""
+      s"""ie AS MATERIALIZED (SELECT vec_id, ${castSql("embedding")} AS v FROM embeddings),
+         |inrm AS MATERIALIZED (SELECT vec_id, v, ${dotSql("v", "v")} AS nn FROM ie),
+         |iu AS MATERIALIZED (SELECT vec_id, v, nn,
+         |  list_transform(v, x -> x / sqrt(nn)) AS uv FROM inrm),
+         |isel AS MATERIALIZED (SELECT vec_id FROM ie
+         |  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |  LIMIT ${Ivf.TrainCap}),
+         |samp AS MATERIALIZED (SELECT u.vec_id, u.uv,
+         |  list_transform(u.uv, x -> CAST(floor(x * $Q.0 + 0.5) AS BIGINT)) AS codes
+         |  FROM iu u JOIN isel USING (vec_id)),
+         |ic0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, uv AS cvec
+         |  FROM (SELECT vec_id, uv FROM samp ORDER BY vec_id LIMIT ${Ivf.C})),
+         |${(1 to Ivf.Iters).map(iter).mkString(",\n")}""".stripMargin
+    }
+
+    /** Corpus list assignment + per-query NProbe probe sets against
+      * the final centroids. */
+    private def assignCtes: String = {
+      val cf = s"ic${Ivf.Iters}"
+      s"""iasg AS MATERIALIZED (SELECT vec_id, j FROM (
+         |  SELECT vec_id, j,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, j ASC) AS rn
+         |  FROM (SELECT u.vec_id, c.j, ${dotSql("u.uv", "c.cvec")} AS d
+         |        FROM iu u CROSS JOIN $cf c)) WHERE rn = 1),
+         |iprb AS MATERIALIZED (SELECT vec_id AS q_id, j FROM (
+         |  SELECT vec_id, j,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, j ASC) AS rn
+         |  FROM (SELECT u.vec_id, c.j, ${dotSql("u.uv", "c.cvec")} AS d
+         |        FROM iu u CROSS JOIN $cf c WHERE u.vec_id < $NQueries))
+         |  WHERE rn <= ${Ivf.NProbe})""".stripMargin
+    }
+
+    /** ann03: probe the NProbe lists, exact cosine, top-K. */
+    def ann03Sql: String =
+      s"""WITH $trainCtes,
+         |$assignCtes,
+         |iscr AS MATERIALIZED (SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+         |    ${cosineSql("q.v", "x.v", "q.nn", "x.nn")} AS cos
+         |  FROM iprb p JOIN iu q ON q.vec_id = p.q_id
+         |  JOIN iasg a ON a.j = p.j JOIN iu x ON x.vec_id = a.vec_id
+         |  WHERE x.vec_id <> q.vec_id)
+         |SELECT q_id, n_id, cos, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rn FROM iscr)
+         |WHERE rn <= $K""".stripMargin
+
+    /** ann04: + per-subspace PQ codebook training on sample residuals
+      * (long-form keyed by subspace m), corpus encode restricted to
+      * probed lists, per-(query,m,cell) LUTs, ADC = coarse + Σ_m LUT
+      * folded in m order, re-rank depth cut, exact cosine top-K. */
+    def ann04Sql: String = {
+      val cf = s"ic${Ivf.Iters}"
+      val qf = s"pq${Pq.Iters}"
+      def slice(l: String, m: String): String =
+        s"list_slice($l, $m * (len($l) // ${Pq.M}) + 1, ($m + 1) * (len($l) // ${Pq.M}))"
+      def pqIter(r: Int): String =
+        s"""pa$r AS MATERIALIZED (SELECT m, vec_id, scodes, j FROM (
+           |  SELECT m, vec_id, scodes, j,
+           |    ROW_NUMBER() OVER (PARTITION BY m, vec_id ORDER BY dd ASC, j ASC) AS rn
+           |  FROM (SELECT p.m, p.vec_id, p.scodes, c.j, ${l2Sql("p.sv", "c.cb")} AS dd
+           |        FROM psub p JOIN pq${r - 1} c ON c.m = p.m)) WHERE rn = 1),
+           |ps$r AS MATERIALIZED (SELECT a.m, a.j, t.i - 1 AS idx, COUNT(*) AS cnt,
+           |    CAST(SUM(a.scodes[t.i]) AS DOUBLE) AS sv
+           |  FROM pa$r a CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, len(a.scodes))) AS i) t
+           |  GROUP BY a.m, a.j, t.i),
+           |pmu$r AS MATERIALIZED (SELECT m, j, list(sv / cnt / $Q ORDER BY idx) AS mv
+           |  FROM ps$r GROUP BY m, j),
+           |pq$r AS MATERIALIZED (SELECT p.m, p.j, COALESCE(mn.mv, p.cb) AS cb
+           |  FROM pq${r - 1} p LEFT JOIN pmu$r mn ON mn.m = p.m AND mn.j = p.j)"""
+      s"""WITH $trainCtes,
+         |$assignCtes,
+         |sasg AS MATERIALIZED (SELECT vec_id, j FROM (
+         |  SELECT vec_id, j,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, j ASC) AS rn
+         |  FROM (SELECT s.vec_id, c.j, ${dotSql("s.uv", "c.cvec")} AS d
+         |        FROM samp s CROSS JOIN $cf c)) WHERE rn = 1),
+         |sres AS MATERIALIZED (SELECT s.vec_id,
+         |    list_transform(list_zip(s.uv, c.cvec), p -> p[1] - p[2]) AS rv
+         |  FROM samp s JOIN sasg a USING (vec_id) JOIN $cf c ON c.j = a.j),
+         |mtab AS MATERIALIZED (SELECT unnest(generate_series(0, ${Pq.M - 1})) AS m),
+         |psub AS MATERIALIZED (SELECT vec_id, m, sv,
+         |    list_transform(sv, x -> CAST(floor(x * $Q.0 + 0.5) AS BIGINT)) AS scodes
+         |  FROM (SELECT r.vec_id, m.m AS m, ${slice("r.rv", "m.m")} AS sv
+         |        FROM sres r CROSS JOIN mtab m)),
+         |pq0 AS MATERIALIZED (SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS j,
+         |    sv AS cb FROM psub
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) <= ${Pq.Ks}),
+         |${(1 to Pq.Iters).map(pqIter).mkString(",\n")},
+         |pcl AS MATERIALIZED (SELECT DISTINCT j FROM iprb),
+         |cres AS MATERIALIZED (SELECT u.vec_id, a.j AS cl,
+         |    list_transform(list_zip(u.uv, c.cvec), p -> p[1] - p[2]) AS rv
+         |  FROM iu u JOIN iasg a ON a.vec_id = u.vec_id
+         |  JOIN $cf c ON c.j = a.j JOIN pcl ON pcl.j = a.j),
+         |csub AS MATERIALIZED (SELECT r.vec_id, r.cl, m.m AS m, ${slice("r.rv", "m.m")} AS sv
+         |  FROM cres r CROSS JOIN mtab m),
+         |cenc AS MATERIALIZED (SELECT vec_id, cl, m, j AS code FROM (
+         |  SELECT vec_id, cl, m, j,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, j ASC) AS rn
+         |  FROM (SELECT s.vec_id, s.cl, s.m, c.j, ${l2Sql("s.sv", "c.cb")} AS dd
+         |        FROM csub s JOIN $qf c ON c.m = s.m)) WHERE rn = 1),
+         |qsub AS MATERIALIZED (SELECT u.vec_id AS q_id, m.m AS m, ${slice("u.uv", "m.m")} AS sv
+         |  FROM iu u CROSS JOIN mtab m WHERE u.vec_id < $NQueries),
+         |plut AS MATERIALIZED (SELECT q.q_id, q.m, c.j, ${dotSql("q.sv", "c.cb")} AS l
+         |  FROM qsub q JOIN $qf c ON c.m = q.m),
+         |pcrs AS MATERIALIZED (SELECT p.q_id, p.j AS cl, ${dotSql("u.uv", "c.cvec")} AS coarse
+         |  FROM iprb p JOIN iu u ON u.vec_id = p.q_id JOIN $cf c ON c.j = p.j),
+         |padc AS MATERIALIZED (SELECT q_id, n_id,
+         |    list_reduce(list_prepend(coarse, list(l ORDER BY m)), (x, y) -> x + y) AS adc
+         |  FROM (SELECT pc.q_id, en.vec_id AS n_id, pc.coarse, en.m, lu.l
+         |        FROM pcrs pc JOIN cenc en ON en.cl = pc.cl AND en.vec_id <> pc.q_id
+         |        JOIN plut lu ON lu.q_id = pc.q_id AND lu.m = en.m AND lu.j = en.code)
+         |  GROUP BY q_id, n_id, coarse),
+         |pcand AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id ASC) AS rn
+         |  FROM padc) WHERE rn <= ${Pq.RerankDepth}),
+         |pex AS MATERIALIZED (SELECT c.q_id, c.n_id,
+         |    ${cosineSql("q.v", "x.v", "q.nn", "x.nn")} AS cos
+         |  FROM pcand c JOIN iu q ON q.vec_id = c.q_id
+         |  JOIN iu x ON x.vec_id = c.n_id)
+         |SELECT q_id, n_id, cos, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rn FROM pex)
+         |WHERE rn <= $K""".stripMargin
+    }
+  }
+
   /** IVF top-k: train centroids on the sample, assign every corpus
     * vector to one inverted list, probe the query's NProbe nearest
-    * lists and score only there. Approximate (recall measured against
-    * [[ann01]]'s truth — reported by Bench and asserted in
-    * PipelineSpec), so rows-only: k-means has no DuckDB twin. */
+    * lists and score only there. Hash-oracled since round 8: the
+    * trainer's integer-sum updates + pinned fold orders let
+    * [[IvfSql.ann03Sql]] replay the whole pipeline (recall vs
+    * [[ann01]]'s truth is still measured by Bench / PipelineSpec). */
   private val ann03 = QueryDef(
     "ann03_knn_ivf",
     (s, dir) => {
@@ -270,7 +458,7 @@ object Similarity {
       scored.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= K)
     },
-    None) // rows-only: deterministic, but k-means is not SQL-expressible
+    Some(IvfSql.ann03Sql))
 
   /** Product-quantization parameters (IVF-PQ, ann04): residuals
     * against the coarse IVF centroids are sliced into [[M]] subvectors,
@@ -320,30 +508,35 @@ object Similarity {
     }
 
     /** Deterministic per-subspace Lloyd k-means on residual
-      * subvectors: init = first Ks in sample order, means folded in
-      * sample order, empty cells keep their previous entry. */
+      * subvectors: init = first Ks in sample order, empty cells keep
+      * their previous entry. Like [[Ivf.train]] (round 8), cell sums
+      * accumulate [[Ivf.Fix]] fixed-point codes as longs — residual
+      * elements of unit vectors are ≤ 2 in magnitude, so codes fit 41
+      * bits and 4096 partial sums stay ≤ 2^53, exact both in the long
+      * and in the double the mean division reads — making the update
+      * order-invariant and bit-replayable by the oracle. */
     def trainSub(samples: Array[Array[Double]]): Array[Array[Double]] = {
       val k = math.min(Ks, samples.length)
       val d = samples.head.length
+      val codes = samples.map(Ivf.quantize)
       var cb = samples.take(k).map(_.clone)
       var it = 0
       while (it < Iters) {
-        val sums = Array.fill(k)(new Array[Double](d))
+        val sums = Array.fill(k)(new Array[Long](d))
         val counts = new Array[Int](k)
-        samples.foreach { s =>
-          val a = encode1(s, cb)
+        var si = 0
+        while (si < samples.length) {
+          val a = encode1(samples(si), cb)
           counts(a) += 1
+          val cd = codes(si)
           var i = 0
-          while (i < d) { sums(a)(i) += s(i); i += 1 }
+          while (i < d) { sums(a)(i) += cd(i); i += 1 }
+          si += 1
         }
         cb = Array.tabulate(k) { j =>
           if (counts(j) == 0) cb(j)
-          else {
-            val m = sums(j)
-            var i = 0
-            while (i < d) { m(i) /= counts(j); i += 1 }
-            m
-          }
+          else Array.tabulate(d)(i =>
+            sums(j)(i).toDouble / counts(j) / Ivf.Fix.toDouble)
         }
         it += 1
       }
@@ -397,8 +590,10 @@ object Similarity {
     * candidates per query are re-ranked EXACTLY by joining the full
     * vectors back — the FAISS IVFPQ + refine recipe. Only the re-rank
     * touches full vectors, and only for k' candidates per query;
-    * everything else moves bytes. Approximate → rows-only; recall@5
-    * vs [[ann01]] truth is measured in Bench and PipelineSpec. */
+    * everything else moves bytes. Hash-oracled since round 8
+    * ([[IvfSql.ann04Sql]] replays coarse + PQ training, encode, ADC
+    * and re-rank); recall@5 vs [[ann01]] truth is still measured in
+    * Bench and PipelineSpec. */
   private val ann04 = QueryDef(
     "ann04_knn_ivfpq",
     (s, dir) => {
@@ -462,7 +657,7 @@ object Similarity {
       exact.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= K)
     },
-    None) // rows-only: k-means/PQ training is not SQL-expressible
+    Some(IvfSql.ann04Sql))
 
   // -------------------------------------------------------------- ann05
   /** Scalar-quantization ANN (the FAISS SQ8 rung of the ladder):
