@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }
+    // sizes past Int range (e.g. bloom_bits 2^31) arrive as BIGINT literals
+    def longLit(ex: Expression, what: String): Long = ex match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     // wrong arity must name the function and its signature, not throw
     // an opaque IndexOutOfBoundsException from exprs(i)
     def arity(fn: String, sig: String, exprs: Seq[Expression], n: Int): Unit =
@@ -114,11 +121,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectFunction((FunctionIdentifier("bloom_bits"),
       info("bloom_bits",
-        "_FUNC_(hash) - Bloom-filter bitmap aggregate over 60-bit key " +
-          "hashes (fixed 8 KB state, OR-merge)"),
+        "_FUNC_(hash[, bits]) - Bloom-filter bitmap aggregate over " +
+          "60-bit key hashes (bits/8 bytes of OR-merge state, default " +
+          "65536 bits; size to your fp budget — see BloomBitsAgg)"),
       (exprs: Seq[Expression]) => {
-        arity("bloom_bits", "hash", exprs, 1)
-        graft.functions.BloomBitsAgg(exprs.head)
+        if (exprs.size < 1 || exprs.size > 2)
+          throw new IllegalArgumentException(
+            s"bloom_bits(hash[, bits]) takes 1 or 2 args, got ${exprs.size}")
+        if (exprs.size == 1) graft.functions.BloomBitsAgg(exprs.head)
+        else graft.functions.BloomBitsAgg(exprs.head,
+          longLit(exprs(1), "bloom_bits bits"))
       }))
 
     e.injectOptimizerRule(_ => RewriteZipWithDot)

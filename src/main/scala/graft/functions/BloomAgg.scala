@@ -12,15 +12,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Bloom-filter BUILD as a one-pass native aggregate: folds a column
   * of 60-bit key hashes ([[graft.OracleSafe.hash60]]) into a
-  * fixed-size bitmap (`ARRAY<BIGINT>` words). The membership sketch a
+  * `bits`-sized bitmap (`ARRAY<BIGINT>` words). The membership sketch a
   * streaming-ingest pipeline holds its seen-set in: the state is
-  * [[BloomBitsAgg.Bits]] BITS regardless of how many keys went in
-  * (an exact seen-set of 10¹⁰ URLs is ~80 GB of hashes; the sketch is
-  * whatever false-positive budget you size it to), updates are
+  * `bits` BITS regardless of how many keys went in (an exact seen-set
+  * of 10¹⁰ URLs is ~80 GB of hashes; the sketch is whatever
+  * false-positive budget you size it to), updates are
   * k = [[BloomBitsAgg.K]] bit-sets, and merge is elementwise OR —
   * commutative/associative/idempotent, so map-side partial
-  * aggregation ships one 8 KB bitmap per task and ANY merge order
-  * yields the identical sketch (what lets dd12's oracle replay it).
+  * aggregation ships one bits/8-byte bitmap per task and ANY merge
+  * order yields the identical sketch (what lets dd12's oracle replay
+  * it).
+  *
+  * SIZING (round 8 — `bits` is a real parameter, not a constant): with
+  * n keys and K=4 probes, fp ≈ (1 − e^(−Kn/bits))^K; solving for a
+  * budget, bits ≈ −Kn / ln(1 − fp^(1/K)). Rules of thumb at K=4:
+  * bits = 8n  → fp ≈ 2.4%; bits = 16n → fp ≈ 0.24%; bits = 32n →
+  * fp ≈ 0.02%. A 10¹⁰-key seen-set at a 1% budget is therefore
+  * ~10·10¹⁰ bits ≈ 12.5 GB — too big for ONE aggregation row (Spark
+  * caps a single array well below that, and an all-reduce of one
+  * 12.5 GB buffer is the wrong topology anyway). The scale-out design
+  * is KEY-RANGE SHARDING, not a bigger row: partition the key space by
+  * `h div (2^60/S)` into S shards, build one `bits/S` bitmap per shard
+  * (`groupBy(shard).agg(bloom_bits(h, bits/S))` — an ordinary
+  * hash-partitioned aggregate whose per-task state is one small bitmap
+  * per shard), and probe by routing each key to its shard's bitmap
+  * with the same division — the probe join key is the shard id, so the
+  * bitmap table broadcasts at S rows × bits/S = the same total budget
+  * spread over rows that each fit comfortably. Nothing in the position
+  * math changes: each shard is an independent filter over its key
+  * range. This instance keeps the single-row form for bitmaps ≤ 2^31
+  * bits; the sharding recipe is the documented path past it.
   *
   * Probe positions use Kirsch-Mitzenmacher double hashing —
   * pos_i = (h mod B + i · (1 + (h div B) mod (B−1))) mod B — pure
@@ -30,25 +51,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class BloomBitsAgg(
     child: Expression,
+    bits: Long = BloomBitsAgg.DefaultBits,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   import BloomBitsAgg._
 
+  private val words: Int = (bits / 64).toInt
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "bloom_bits"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
+    case LongType =>
+      if (bits < 128 || bits > MaxBits || bits % 64 != 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"bloom_bits size must be a multiple of 64 in [128, $MaxBits], " +
+            s"got $bits")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"bloom_bits takes a BIGINT hash column (OracleSafe.hash60), " +
         s"got ${other.catalogString}")
   }
 
   override def createAggregationBuffer(): Array[Long] =
-    new Array[Long](Words)
+    new Array[Long](words)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -59,11 +88,11 @@ case class BloomBitsAgg(
       // unmasked negative h makes h % Bits negative and indexes out of
       // bounds. The probe expressions apply the same mask.
       val h = v.asInstanceOf[Long] & Mask60
-      val h1 = h % Bits
-      val h2 = 1L + (h / Bits) % (Bits - 1)
+      val h1 = h % bits
+      val h2 = 1L + (h / bits) % (bits - 1)
       var i = 0
       while (i < K) {
-        val pos = ((h1 + i * h2) % Bits).toInt
+        val pos = ((h1 + i * h2) % bits).toInt
         buf(pos >> 6) |= 1L << (pos & 63)
         i += 1
       }
@@ -73,24 +102,24 @@ case class BloomBitsAgg(
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < Words) { buf(i) |= other(i); i += 1 }
+    while (i < words) { buf(i) |= other(i); i += 1 }
     buf
   }
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * Words)
+    val bb = ByteBuffer.allocate(8 * words)
     var i = 0
-    while (i < Words) { bb.putLong(buf(i)); i += 1 }
+    while (i < words) { bb.putLong(buf(i)); i += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    val out = new Array[Long](Words)
+    val out = new Array[Long](words)
     var i = 0
-    while (i < Words) { out(i) = bb.getLong; i += 1 }
+    while (i < words) { out(i) = bb.getLong; i += 1 }
     out
   }
 
@@ -103,11 +132,16 @@ case class BloomBitsAgg(
 }
 
 object BloomBitsAgg {
-  /** 2^16 bits = 8 KB. Sized for the gate corpora (n_seen ≤ ~25k at
-    * sf0.1 ⇒ kn/B ≤ 1.5, fp ≤ ~3%); a production seen-set scales B to
-    * its fp budget — the state is the knob, not the algorithm. */
-  val Bits = 65536L
-  val Words: Int = (Bits / 64).toInt
+  /** Default 2^16 bits = 8 KB. Sized for the gate corpora (n_seen ≤
+    * ~25k at sf0.1 ⇒ kn/B ≤ 1.5, fp ≤ ~3%); a production seen-set
+    * passes its own `bits` — see the sizing math in the class doc. */
+  val DefaultBits = 65536L
+  /** Word count of a default-size bitmap (convenience for specs). */
+  val Words: Int = (DefaultBits / 64).toInt
+  /** Single-row ceiling: positions are Int-indexed into one array, so
+    * one filter row holds at most 2^31 bits (256 MB); bigger budgets
+    * key-range-shard (class doc). */
+  val MaxBits: Long = 1L << 31
   val K = 4
   /** Declared input domain (60-bit hash60 values); update() and the
     * probe expression both mask with this so garbage inputs degrade
@@ -119,11 +153,13 @@ object BloomBitsAgg {
     * Kirsch-Mitzenmacher position math, kept in lock-step with
     * [[BloomBitsAgg.update]] (dd12's query and the streaming
     * admission gate both build from here; a drift between build and
-    * probe would silently break the no-false-negative guarantee). */
-  def probeHitExpr(bitmapCol: String, h: String = "h"): String = {
+    * probe would silently break the no-false-negative guarantee).
+    * `bits` must match the build side's. */
+  def probeHitExpr(bitmapCol: String, h: String = "h",
+      bits: Long = DefaultBits): String = {
     val m = s"($h & $Mask60)"
     def pos(i: Int) =
-      s"($m % $Bits + $i * (1L + ($m div $Bits) % ${Bits - 1})) % $Bits"
+      s"($m % $bits + $i * (1L + ($m div $bits) % ${bits - 1})) % $bits"
     (0 until K).map { i =>
       s"(element_at($bitmapCol, CAST(${pos(i)} div 64 AS INT) + 1) & " +
         s"shiftleft(1L, CAST(${pos(i)} % 64 AS INT))) != 0L"

@@ -58,7 +58,14 @@ case class HllEstimateAgg(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // mask to the declared 60-bit domain, like BloomBitsAgg.update:
+      // hash60 inputs are already in range, but the injected
+      // hll_estimate SQL function accepts any BIGINT (e.g. Spark's
+      // hash(), which goes negative) — unmasked, a negative h would
+      // silently skew bucket selection; masked, out-of-domain inputs
+      // degrade to a well-defined re-hash of their low 60 bits
+      // (ADVICE r7)
+      val h = v.asInstanceOf[Long] & BloomBitsAgg.Mask60
       val bucket = (h >>> (60 - P)).toInt & (M - 1)
       val w = h & WindowMask
       val rho =

@@ -68,13 +68,16 @@ object IngestDedup {
       .select(col("doc_id"), col("ts"))
 
   /** Corpus → the dd12 Bloom seen-set bitmap, collected to the driver
-    * (one row of [[graft.functions.BloomBitsAgg.Words]] longs — 8 KB,
-    * corpus-size-independent, the whole point). Build once beside
-    * [[corpusIndex]]; at scale, rebuild on corpus compaction. */
-  def corpusBloom(corpus: DataFrame): Array[Long] =
+    * (one row of bits/64 longs — 8 KB at the default size,
+    * corpus-size-independent, the whole point; size `bits` to the
+    * corpus fp budget per [[graft.functions.BloomBitsAgg]]'s sizing
+    * math). Build once beside [[corpusIndex]]; at scale, rebuild on
+    * corpus compaction. */
+  def corpusBloom(corpus: DataFrame,
+      bits: Long = graft.functions.BloomBitsAgg.DefaultBits): Array[Long] =
     corpus
       .select(expr(graft.OracleSafe.hash60("text")).as("h"))
-      .agg(column(graft.functions.BloomBitsAgg(expression(col("h")))
+      .agg(column(graft.functions.BloomBitsAgg(expression(col("h")), bits)
         .toAggregateExpression()).as("bloom"))
       .collect()(0).getSeq[Long](0).toArray
 
@@ -90,8 +93,10 @@ object IngestDedup {
     * streaming frames. */
   def withAdmissionFlag(docs: DataFrame, bloom: Array[Long]): DataFrame = {
     // probe math comes from the single definition beside the build
-    // aggregate — see BloomBitsAgg.probeHitExpr
-    val hit = graft.functions.BloomBitsAgg.probeHitExpr("bloomw")
+    // aggregate — see BloomBitsAgg.probeHitExpr; the bitmap row itself
+    // carries its size (64 bits per word)
+    val hit = graft.functions.BloomBitsAgg.probeHitExpr(
+      "bloomw", bits = bloom.length * 64L)
     docs
       .withColumn("h", expr(graft.OracleSafe.hash60("text")))
       .withColumn("bloomw", typedlit(bloom.toSeq))

@@ -180,6 +180,26 @@ class ExtensionsSpec extends AnyFunSuite {
         " (42L) t(h)")
       .head().getAs[scala.collection.Seq[Long]]("b")
     assert(neg.length == graft.functions.BloomBitsAgg.Words)
+    // the size is a REAL parameter (round 8): bloom_bits(h, bits)
+    // changes the bitmap width, and an out-of-range size fails loudly
+    val sized = spark.sql(
+      """SELECT bloom_bits(CAST(conv(substring(md5(CAST(id AS STRING)),
+        |  1, 15), 16, 10) AS BIGINT), 4096) AS b
+        |FROM range(100)""".stripMargin)
+      .head().getAs[scala.collection.Seq[Long]]("b")
+    assert(sized.length == 4096 / 64)
+    assert(sized.exists(_ != 0L))
+    val badSize = intercept[Exception](
+      spark.sql("SELECT bloom_bits(h, 100) AS b FROM VALUES (42L) t(h)")
+        .head())
+    assert(badSize.getMessage.contains("multiple of 64"))
+    // hll_estimate masks out-of-domain inputs the same way (ADVICE r7):
+    // negative hashes degrade to a defined 60-bit re-hash, never a
+    // skewed silent estimate from sign-extended bits
+    val hneg = spark.sql(
+      "SELECT hll_estimate(h) AS e FROM VALUES (-1L)," +
+        " (CAST(-9e18 AS BIGINT)), (42L) t(h)").head().getLong(0)
+    assert(hneg >= 0L)
   }
 
   test("rewrite refuses lambdas that capture an OUTER variable") {

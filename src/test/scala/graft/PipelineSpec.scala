@@ -302,6 +302,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(bitmap(1) == bitmap(7))
   }
 
+  test("dd12 bitmap size is a real parameter: green at a second size, " +
+      "fp tracks the sizing math") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    // the dd12 pipeline shape at an explicit size (build + probe must
+    // agree on bits — the single-definition probe expr takes it)
+    def pipeline(bits: Long) = {
+      val d = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), expr(graft.OracleSafe.hash60("text")).as("h"))
+      val aux = d.filter(col("doc_id") % 2 === 0)
+        .agg(column(graft.functions.BloomBitsAgg(expression(col("h")), bits)
+          .toAggregateExpression()).as("bloom"),
+          sort_array(collect_set(col("h"))).as("seen"))
+      d.crossJoin(broadcast(aux))
+        .select(col("doc_id"),
+          expr(graft.functions.BloomBitsAgg.probeHitExpr("bloom", bits = bits))
+            .as("bloom_hit"),
+          array_contains(col("seen"), col("h")).as("exact_seen"))
+    }
+    // kn/B ≈ 1 at 1024 bits (n_seen=250, K=4) ⇒ fp ≈ (1−e^−1)⁴ ≈ 16%;
+    // at 2^20 bits kn/B ≈ 0.001 ⇒ fp ≈ 0. Both sizes must hold the
+    // no-false-negative contract; the counts must order by size.
+    val small = pipeline(1024).persist()
+    val large = pipeline(1L << 20).persist()
+    try {
+      for (df <- Seq(small, large))
+        assert(df.filter(col("exact_seen") && !col("bloom_hit")).count() == 0,
+          "false negative — build/probe size disagreement")
+      val fpSmall = small.filter(col("bloom_hit") && !col("exact_seen")).count()
+      val fpLarge = large.filter(col("bloom_hit") && !col("exact_seen")).count()
+      assert(fpSmall > fpLarge,
+        s"saturated 1 Kbit filter ($fpSmall fp) should false-positive " +
+          s"more than the 1 Mbit one ($fpLarge fp)")
+      assert(fpLarge == 0, s"kn/B ≈ 0.001 should yield zero fp, got $fpLarge")
+    } finally { small.unpersist(); large.unpersist() }
+    // (the injected SQL function's size arg is covered in
+    // ExtensionsSpec, which runs the extension-enabled session)
+  }
+
   test("dd13 exact substring: crafted shared passage measured exactly") {
     // doc1 and doc2 share a verbatim 25-token passage; doc3 is unique.
     // With L=20, doc1's duplicated 20-gram positions are exactly the 6
@@ -323,15 +361,25 @@ class PipelineSpec extends AnyFunSuite {
       val out = SparkEntry.queries("dd13_exact_substring")(spark, dir)
         .collect().map(r => r.getLong(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-            r.getLong(5))).toMap
-      // doc1: 45 tokens, 6 dup 20-grams (positions 10..15), 1 island of
-      // 6+19=25 tokens
-      assert(out(1L) == ((6L, 1L, 25L, 25L, 45L)), s"doc1: ${out(1L)}")
-      // doc2: 55 tokens, passage at position 0 → same 6/1/25
-      assert(out(2L) == ((6L, 1L, 25L, 25L, 55L)), s"doc2: ${out(2L)}")
+            r.getLong(5), r.getLong(6))).toMap
+      // doc1: 45 tokens, 6 dup 20-grams (positions 10..15), all 6
+      // byte-verified, 1 island of 6+19=25 tokens
+      assert(out(1L) == ((6L, 6L, 1L, 25L, 25L, 45L)), s"doc1: ${out(1L)}")
+      // doc2: 55 tokens, passage at position 0 → same 6/6/1/25
+      assert(out(2L) == ((6L, 6L, 1L, 25L, 25L, 55L)), s"doc2: ${out(2L)}")
       // doc3: clean
-      assert(out(3L) == ((0L, 0L, 0L, 0L, 40L)), s"doc3: ${out(3L)}")
+      assert(out(3L) == ((0L, 0L, 0L, 0L, 0L, 40L)), s"doc3: ${out(3L)}")
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("dd13 byte-exact verify equals the hash count at the gate SF " +
+      "(no collisions) — Lee et al.'s byte-exact contract") {
+    val df = SparkEntry.queries("dd13_exact_substring")(spark, sf)
+    assert(df.filter(col("n_verified_ngrams") =!= col("n_dup_ngrams"))
+      .count() == 0,
+      "hash-flagged vs byte-verified n-gram counts diverged — " +
+        "either a real 60-bit collision (astronomical at this scale) " +
+        "or a verify-path bug")
   }
 
   test("dd13 invariants hold on the real corpus") {

@@ -70,7 +70,7 @@ object SketchProps extends Properties("Sketches") {
 
   // ----------------------------------------------------------- Bloom
   private def positions(h: Long): Seq[Int] = {
-    val b = BloomBitsAgg.Bits
+    val b = BloomBitsAgg.DefaultBits
     val h1 = h % b
     val h2 = 1L + (h / b) % (b - 1)
     (0 until BloomBitsAgg.K).map(i => ((h1 + i * h2) % b).toInt)
@@ -101,7 +101,7 @@ object SketchProps extends Properties("Sketches") {
     forAll(genHash) { h =>
       val ps = positions(h)
       ps.length == BloomBitsAgg.K &&
-        ps.forall(p => p >= 0 && p < BloomBitsAgg.Bits) &&
+        ps.forall(p => p >= 0 && p < BloomBitsAgg.DefaultBits) &&
         ps == positions(h)
     }
 
