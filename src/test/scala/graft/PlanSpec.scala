@@ -78,16 +78,20 @@ class PlanSpec extends AnyFunSuite {
       s"probe must not shuffle the corpus:\n$p")
   }
 
-  test("dd13 exact substring: two exchanges, windows reuse the doc partitioning") {
+  test("dd13 exact substring: bounded exchanges, windows reuse the doc partitioning") {
     val p = plan("dd13_exact_substring")
-    // exploded (doc, pos, hash) rows shuffle exactly twice — once by
-    // hash for the duplicate-count window, once by doc_id — and every
-    // run/island window + aggregate downstream reuses the doc_id
-    // partitioning; the final stats join broadcasts the small side at
-    // this scale (Catalyst's choice, SMJ at real scale)
+    // the HASH path's exploded (doc, pos, hash) rows shuffle exactly
+    // twice — once by hash for the duplicate-count window, once by
+    // doc_id, with every run/island window + aggregate downstream
+    // reusing the doc_id partitioning. The round-8 byte-exact VERIFY
+    // adds dup-mass-bounded exchanges (gram-equality window + per-doc
+    // recount), and its flagged-position set joins the token arrays as
+    // a BROADCAST at this scale — the corpus must never shuffle for
+    // the verify, so the non-broadcast exchange count stays ≤ 4 and
+    // corpus scans stay ≤ 3 (hash pass, verify token pass, base)
     val shuffles = count(p, "Exchange") - count(p, "BroadcastExchange")
-    assert(shuffles == 2, s"dd13 wants exactly 2 shuffles, got $shuffles:\n$p")
-    assert(count(p, "Scan parquet") <= 2, s"extra corpus scans:\n$p")
+    assert(shuffles <= 4, s"dd13 wants <= 4 shuffles, got $shuffles:\n$p")
+    assert(count(p, "Scan parquet") <= 3, s"extra corpus scans:\n$p")
   }
 
   test("q08 star join: dims broadcast, no nested loop, facts shuffle once") {
