@@ -436,6 +436,103 @@ object CdcQueries {
       |  FROM changelog WHERE op <> 'HEARTBEAT')
       |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
 
+  // -------------------------------------------------------------- cdc11
+  /** The STREAMING machinery under the oracle gate (round 8, VERDICT
+    * r7 #5 — what cdc10 did for the sink, done for the retract
+    * topology): the derived changelog is dealt into three
+    * out-of-timestamp-order batches, each written through the DSv2
+    * `graft-cdc` BATCH WRITE (codec → atomic chunk segments), then ONE
+    * Structured Streaming query consumes the chunk dir micro-batch by
+    * micro-batch (maxChunksPerTrigger=1) and runs the REAL retract
+    * pipeline: flatMapGroupsWithState emits −1(old value)/+1(new
+    * value) transitions per key, a second stateful operator sign-sums
+    * them per value — the Flink `toRetractStream → GROUP BY` topology
+    * (ref DtsTableISelectTCaseTest.java:91) in one plan. The final
+    * per-value live counts must hash-match the declarative
+    * last-DML-wins materialization grouped by value — exactness under
+    * out-of-order arrival, UPDATE value changes and DELETE retraction,
+    * proven against DuckDB instead of example specs. Values whose adds
+    * were all retracted sum to 0 and are dropped (the declarative side
+    * has no such groups). */
+  private val cdc11Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc11 = QueryDef(
+    "cdc11_stream_retract_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.pmod
+      // full graft-cdc transport schema (CdcScan.schema) — the batch
+      // WRITE validates against it
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      // two-slot dir ring per input dir, the cdc10 contract: bounded
+      // /tmp growth, and the PREVIOUS invocation's lazy frame stays
+      // readable (the result below is checkpointed anyway)
+      val n = cdc11Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc11_k9w2r7_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      // coalesce(2): two chunk segments per batch write -> six
+      // micro-batches at maxChunksPerTrigger=1, independent of the
+      // input's partition count (unbounded task-chunks would turn
+      // into one micro-batch each — pure per-batch overhead)
+      (0L until 3L).foreach { b =>
+        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      implicit val sp: SparkSession = s
+      val stream = graft.streaming.CdcStreaming
+        .readStream(s, chunkDir, maxChunksPerTrigger = Some(1))
+      val counts = graft.streaming.CdcStreaming
+        .liveCountByValue(stream, expr("element_at(after, 'k')"))
+      val view = s"graft_cdc11_out_$n"
+      val q = counts.writeStream.format("memory").queryName(view)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      // tiny result (distinct k values): checkpoint it so the memory
+      // view can be dropped immediately instead of accumulating one
+      // per invocation
+      val out = s.table(view)
+        .filter(col("live_rows") =!= 0L)
+        .select(col("value").cast("int").as("k"), col("live_rows"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(view)
+      out
+    },
+    Some(s"""$changelogSql
+      |SELECT k, COUNT(*) AS live_rows FROM (
+      |  SELECT k FROM (
+      |    SELECT k, op, ROW_NUMBER() OVER (PARTITION BY pk
+      |      ORDER BY ts_us DESC, record_id DESC) AS rn
+      |    FROM changelog WHERE op <> 'HEARTBEAT')
+      |  WHERE rn = 1 AND op <> 'DELETE')
+      |GROUP BY k""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10)
+    cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
+    cdc11)
 }
