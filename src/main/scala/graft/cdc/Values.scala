@@ -177,10 +177,15 @@ object Values {
     // standard LE POINT whose x mantissa encodes a type word and
     // whose y = 0.0 supplies zero ring counts re-parses at offset 4
     // as SRID + BE polygon). No byte-level rule can tell them apart —
-    // the tie-break is a DOMAIN PRIOR, chosen here for the CDC
-    // context this decoder serves (the reference's GeometryUtil reads
-    // MySQL wire bytes, which ALWAYS carry the SRID prefix): when
-    // both parses fully consume, the MySQL (offset-4) form wins.
+    // the tie-break is a DOMAIN PRIOR OF THIS DECODER, not reference
+    // behavior (ref GeometryUtil.java:18 hands the buffer to JTS
+    // WKBReader at offset 0 — standard WKB only, no SRID handling —
+    // ADVICE r7 corrected the earlier misattribution): this decoder
+    // ALSO accepts the MySQL internal form (4-byte SRID + WKB) that
+    // MySQL binlog geometry columns actually carry, and when both
+    // parses fully consume, the MySQL (offset-4) form wins — sources
+    // that emit that layout outnumber degenerate standard shapes in
+    // the CDC context this decoder serves.
     // The cost is the constructible-but-degenerate standard shape
     // above (a point at 1e-294 with y exactly +0.0) — pinned in
     // ValuesSpec as chosen behavior, not an accident.
