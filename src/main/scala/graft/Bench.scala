@@ -25,8 +25,21 @@ object Bench {
 
     val names = SparkEntry.all.map(_.name)
 
+    // FULL-PLAN execution (round 8 — a measurement bug fix, the
+    // biggest honesty item of the round): df.count() hands Catalyst a
+    // count aggregate to optimize, and it DOES — a narrow projection
+    // query collapses to a parquet-footer metadata count (zero
+    // compute), and a left join whose right side is an aggregate on
+    // the join key is eliminated outright, pruning the whole subtree
+    // (tx09 at a 512x corpus "ran" in 0.35 s via count() vs 125 s for
+    // the real pipeline). queryExecution.toRdd.count() executes the
+    // exact plan the query defines — every column materializes into
+    // its UnsafeRow — and only then counts, so the timed number is
+    // the work a consumer of the result actually pays. BENCH_r01-r07
+    // per-query values under-measured the prunable shapes; the JSON
+    // line carries "exec":"full" so cross-round comparisons know.
     def run(name: String): Long =
-      SparkEntry.queries(name)(spark, sfDir).count()
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
 
     // Deterministic block sweep between runs (see GraftSession.sweep:
     // pinned localCheckpoint blocks caused the BENCH_r03 cliff; the
@@ -158,7 +171,7 @@ object Bench {
     // min-of-2.
     def lineWith(q: String, dropped: Int) = {
       val dj = if (dropped == 0) "" else s""","q_dropped":$dropped"""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":2,"stat":"min","q_unit":"ms","queries":$q$dj,"recalls":${recalls.map(f2).mkString("[", ",", "]")}$errJson,"n_failed":${errors.size},"stream_rps":${streamRps.round},"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":2,"stat":"min","exec":"full","q_unit":"ms","queries":$q$dj,"recalls":${recalls.map(f2).mkString("[", ",", "]")}$errJson,"n_failed":${errors.size},"stream_rps":${streamRps.round},"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // headroom for 100+ queries (VERDICT r7 #7): bench.json always
     // carries the FULL per-query map; if the stdout line would overrun

@@ -83,22 +83,36 @@ object ScaleProbe {
       // dd13: the position explode is k× rows and the replica fixture
       // makes nearly every position duplicated — time should track the
       // exploded row count, the op's honest linear cost
-      "dd12_bloom_dedup", "dd13_exact_substring")
+      "dd12_bloom_dedup", "dd13_exact_substring",
+      // round 8: tx12's bigram explode + hash-keyed count joins and
+      // pk03's scan-riding bucket table are both corpus-linear
+      "tx12_bigram_surprise", "pk03_length_bucket")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap
     val quadOps = Seq("dd05_embed_dup", "emb06_semdedup")
+    // full-plan execution, not df.count() — count() lets Catalyst
+    // prune the pipeline (footer-metadata counts for narrow shapes,
+    // left-join elimination on aggregated keys), which is exactly how
+    // the r7 probe recorded "flat at 16x" rows for ops that were
+    // never executing (see Bench.run)
     def time(name: String, dir: String): (Double, Long) = {
-      SparkEntry.queries(name)(spark, dir).count() // warm
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count() // warm
       sweep()
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val rows = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       sweep()
       (dt, rows)
     }
     def sweep(): Unit = GraftSession.sweep(spark)
-    val mults = Seq(1, 4, 16)
+    // optional 3rd arg: comma-separated multipliers (round 8: the
+    // 64x/128x runs that pull cheap linear ops out of the per-query
+    // overhead floor — at 16x several sat under job overhead, which is
+    // consistent with linear but proves nothing)
+    val mults: Seq[Int] =
+      if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
+      else Seq(1, 4, 16)
     // fixtures build LAZILY per multiplier: with an op filter, corpora
     // no probed op touches are never written (the dominant cost of a
     // filtered run), and the quad loop's x2 builds exactly once
@@ -114,9 +128,11 @@ object ScaleProbe {
         .mkString(" ")
       val r = ts.last._2._1 / ts.head._2._1
       val rr = ts.last._2._2.toDouble / math.max(1L, ts.head._2._2)
-      println(f"SCALE $op%-22s $line time(x16/x1)=$r%.1f rows(x16/x1)=$rr%.1f")
+      val lbl = s"x${ts.last._1}/x${ts.head._1}"
+      println(f"SCALE $op%-22s $line time($lbl)=$r%.1f rows($lbl)=$rr%.1f")
     }
-    for (op <- quadOps if wanted(op); k <- Seq(1, 2, 4)) {
+    val quadMults = if (args.length > 2) mults else Seq(1, 2, 4)
+    for (op <- quadOps if wanted(op); k <- quadMults) {
       val (t, rows) = time(op, dirFor(k))
       println(f"SCALE $op%-22s x$k=$t%.2fs/${rows}r (quadratic by design)")
     }
@@ -129,7 +145,8 @@ object ScaleProbe {
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
         .mkString(" ")
       val r = ts.last._2._1 / ts.head._2._1
-      println(f"SCALE $op%-22s $line time(x16/x1)=$r%.1f (queries fixed)")
+      val lbl = s"x${ts.last._1}/x${ts.head._1}"
+      println(f"SCALE $op%-22s $line time($lbl)=$r%.1f (queries fixed)")
     }
     // mm03's banded-join candidate volume (VERDICT r4 #2): collided
     // pairs BEFORE the Hamming radius filter — the join's true work.

@@ -50,12 +50,21 @@ class PerfSpec extends AnyFunSuite {
       "emb06_semdedup"      -> 25.0,
       "dd13_exact_substring" -> 15.0,
       "dd12_bloom_dedup"    -> 15.0,
-      "q20_approx_distinct" -> 15.0)
+      "q20_approx_distinct" -> 15.0,
+      // round-8 additions: ann03's oracle graduation moved its trainer
+      // to integer-sum updates — the driver-side loop and the assign
+      // Dataset.map must both stay monomorphic; cdc11 drives the full
+      // streaming retract topology (3 DSv2 writes + 6 micro-batches +
+      // two stateful operators), guarded like cdc10's real I/O
+      "ann03_knn_ivf"       -> 15.0,
+      "cdc11_stream_retract_agg" -> 30.0)
     bounds.foreach { case (name, bound) =>
       val fn = SparkEntry.queries(name)
-      fn(spark, "/root/testdata/sf0.01").count() // warm listing/codegen
+      // full-plan execution, not count() — count() lets Catalyst prune
+      // the very loops this spec guards (see Bench.run)
+      fn(spark, "/root/testdata/sf0.01").queryExecution.toRdd.count() // warm
       val t0 = System.nanoTime()
-      fn(spark, "/root/testdata/sf0.01").count()
+      fn(spark, "/root/testdata/sf0.01").queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       withClue(name) {
         assert(sec < bound,
