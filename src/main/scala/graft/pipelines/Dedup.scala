@@ -796,12 +796,16 @@ object Dedup {
     * aggregate ([[graft.functions.BloomBitsAgg]], 8 KB of state per
     * task, merge-order-invariant); the probe side crossJoin-broadcasts
     * that single 8 KB row and tests k bits with codegen'd integer ops
-    * — zero shuffles on the corpus, the dd07 plan shape with
-    * corpus-size-independent state. The exact_seen column re-derives
-    * ground truth (broadcast of the exact fingerprint set) purely to
-    * AUDIT the sketch in the gate: false_pos must be the ONLY way the
-    * two disagree (Bloom filters never false-negative — pinned in
-    * PipelineSpec).
+    * — zero shuffles on the corpus FOR THE SKETCH PATH, the dd07 plan
+    * shape with corpus-size-independent state. The exact_seen column
+    * re-derives ground truth purely to AUDIT the sketch in the gate:
+    * false_pos must be the ONLY way the two disagree (Bloom filters
+    * never false-negative — pinned in PipelineSpec). The audit is an
+    * ordinary hash join on the distinct seen keys (round 8 — the r7
+    * broadcast-array array_contains form was O(n·m): 432× time at 64×
+    * corpus once the count()-pruned probe was fixed; a production
+    * pipeline would drop the audit column entirely, it exists for the
+    * oracle gate).
     *
     * Oracle parity: probe positions are pure integer math (Kirsch-
     * Mitzenmacher double hashing over the 60-bit md5 fingerprint), so
@@ -823,18 +827,25 @@ object Dedup {
         val d = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             expr(graft.OracleSafe.hash60("text")).as("h"))
-        // bitmap + exact audit set in ONE aggregate over one scan (a
-        // single broadcast row; collect_set is the audit-only exact
-        // list — the thing the bloom replaces at scale — and rides
-        // along free here)
+        // the Bloom bitmap is ONE aggregate over one scan — a single
+        // broadcast row of bits/64 longs
         val aux = d.filter(col("doc_id") % 2 === 0)
           .agg(column(graft.functions.BloomBitsAgg(expression(col("h")))
-            .toAggregateExpression()).as("bloom"),
-            sort_array(collect_set(col("h"))).as("seen"))
+            .toAggregateExpression()).as("bloom"))
+        // the exact audit is a HASH JOIN on h against the distinct
+        // seen keys — O(n) and shuffle- or broadcast-joined by size.
+        // Round 8: the r7 form collected the seen set into one sorted
+        // array and ran array_contains per row, an O(n·m) scan that
+        // the count()-pruned probe never executed — the corrected
+        // ScaleProbe caught it at 432× time for 64× input; the join
+        // form is 64× -> ~linear
+        val seen = d.filter(col("doc_id") % 2 === 0)
+          .select(col("h")).distinct().withColumn("exact_seen", lit(true))
         d.crossJoin(broadcast(aux))
+          .join(seen, Seq("h"), "left")
           .select(col("doc_id"),
             expr(hitSpark).as("bloom_hit"),
-            array_contains(col("seen"), col("h")).as("exact_seen"))
+            coalesce(col("exact_seen"), lit(false)).as("exact_seen"))
           .withColumn("false_pos", col("bloom_hit") && !col("exact_seen"))
       },
       Some(s"""WITH d AS (SELECT doc_id,

@@ -66,16 +66,20 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 1, s"q20 wants exactly one exchange:\n$p")
   }
 
-  test("dd12 bloom: one corpus scan for build+audit, broadcast probe") {
+  test("dd12 bloom: bounded scans, broadcast bitmap, sketch path never shuffles") {
     val p = plan("dd12_bloom_dedup")
-    // bitmap + exact audit list come from ONE aggregate over one scan;
-    // the probe side is the second scan; the single-row aux broadcasts
-    assert(count(p, "Scan parquet") <= 2, s"extra corpus scans:\n$p")
+    // three scans since round 8: bitmap aggregate, distinct-seen-keys
+    // build for the exact-audit hash join (the r7 single-agg
+    // collect_set form was an O(n·m) broadcast-array scan — see the
+    // dd12 scaladoc), probe side; the single-row bitmap broadcasts
+    assert(count(p, "Scan parquet") <= 3, s"extra corpus scans:\n$p")
     assert(p.contains("partial_bloom_bits"),
       s"bloom bitmap must partial-aggregate map-side:\n$p")
     assert(p.contains("BroadcastExchange"), s"aux row must broadcast:\n$p")
+    // the SKETCH path must not shuffle the corpus; the audit join may
+    // (hash join at scale) but broadcasts at this size
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"probe must not shuffle the corpus:\n$p")
+      s"probe must not shuffle the corpus at this scale:\n$p")
   }
 
   test("dd13 exact substring: bounded exchanges, windows reuse the doc partitioning") {
