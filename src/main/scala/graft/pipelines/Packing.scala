@@ -124,5 +124,63 @@ object Packing {
       |  (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) t
       |""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(pk01, pk02)
+  // -------------------------------------------------------------- pk03
+  /** Sequence-LENGTH BUCKETING (round 8) — the padding-waste
+    * minimizer between chunking (pk02) and packing (pk01): batch
+    * construction pads every sequence in a batch to the longest
+    * member, so a writer first deals docs into a fixed ladder of
+    * length buckets (each padded to its cap) and only then batches
+    * within a bucket — the standard dynamic-batching recipe. Docs
+    * longer than the top cap are TRUNCATED to it (the writer's max
+    * context). Output is the decision table a pipeline owner reads:
+    * per bucket, doc count, truncation count, kept tokens, padding
+    * tokens, and the padding fraction of the padded volume.
+    *
+    * All integer math (cap CASE ladder, least(), differences) plus
+    * one final double division per bucket row — hash-exact. One
+    * narrow scan, one map-side-combined aggregate over ≤ |ladder|
+    * keys; at 100 TB this rides the corpus scan like tx03. The
+    * fixture ladder tops at 64 so the 10-99-token corpus exercises
+    * both the bucketing AND the truncation path; production would use
+    * e.g. 256..4096 — the math is ladder-agnostic. */
+  private val Ladder = Seq(16L, 24L, 32L, 48L, 64L)
+  private val pk03 = {
+    val top = Ladder.last
+    val capCase = Ladder.init.map(c => s"WHEN n_tok <= $c THEN ${c}L")
+      .mkString("CASE ", " ", s" ELSE ${top}L END")
+    val capCaseSql = Ladder.init.map(c => s"WHEN n_tok <= $c THEN $c")
+      .mkString("CASE ", " ", s" ELSE $top END")
+    QueryDef(
+      "pk03_length_bucket",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("CAST(size(filter(split(text, '\\\\s+'), x -> x <> '')) AS BIGINT)")
+              .as("n_tok"))
+          .withColumn("cap", expr(capCase))
+          .withColumn("kept", least(col("n_tok"), col("cap")))
+          .groupBy(col("cap"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_tok") > col("cap"), 1L).otherwise(0L))
+              .as("n_truncated"),
+            sum(col("kept")).as("tok_kept"),
+            sum(col("cap") - col("kept")).as("tok_padding"))
+          .withColumn("pad_frac",
+            col("tok_padding").cast("double") / (col("n_docs") * col("cap"))),
+      Some(s"""WITH d AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok, $capCaseSql AS cap,
+        |  least(n_tok, $capCaseSql) AS kept FROM d)
+        |SELECT CAST(cap AS BIGINT) AS cap, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_tok > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(SUM(kept) AS BIGINT) AS tok_kept,
+        |  CAST(SUM(cap - kept) AS BIGINT) AS tok_padding,
+        |  CAST(SUM(cap - kept) AS DOUBLE) / (COUNT(*) * cap) AS pad_frac
+        |FROM b GROUP BY cap""".stripMargin))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03)
 }

@@ -547,6 +547,95 @@ object TextAnalysis {
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin))
   }
 
+  // -------------------------------------------------------------- tx12
+  /** BIGRAM-conditional surprise in integer bits (round 8) — the next
+    * rung above tx11's unigram form, and the signal that separates
+    * "rare words" from "words in the wrong order": per bigram position
+    * the surprise is −log₂ P(w₂|w₁) ≈ ⌊log₂(c(w₁·)/c(w₁w₂))⌋, where
+    * c(w₁·) counts bigram positions starting with w₁ (so the
+    * conditional normalizes exactly) and both counts come from the
+    * same one-pass aggregate family. Shuffled-word gibberish scores
+    * high here even when every token is common — the fluency check a
+    * perplexity filter actually wants. Bits via bin() bitlength on the
+    * exact integer quotient (c₁ ≥ c₁₂ always ⇒ quotient ≥ 1), zero
+    * libm, < 1 bit quantization — the tx11 bridge.
+    *
+    * Scale shape: the corpus explodes once to (doc, h₁, h₁₂) bigram
+    * rows (16-byte keys — 60-bit hashes of the prefix token and the
+    * joined pair, the dd02 long-key lesson: fixed-width HashAggregate,
+    * never string SortAggregate); prefix and pair counts are two
+    * map-side-combined aggregates on those keys; scoring is two hash
+    * joins back on the same keys. At 100 TB the bigram vocabulary is
+    * itself huge — which is exactly why it must stay a hash-partitioned
+    * table and never a broadcast. Hash-collision caveat as dd13:
+    * distinct bigrams colliding in 60 bits merge counts; expected mass
+    * n²/2^61, identical in both engines, so the oracle stays
+    * hash-exact regardless. `high_surprise` flags mean ≥ 4.5 bits via
+    * the cross-multiplied integer comparison 8·sum ≥ 36·n (eighths of
+    * a bit — the corpus' conditional band is tight, 4.1-4.7, so a
+    * whole-bit threshold flags everything or nothing; the fractional
+    * threshold stays exact integer math). */
+  private val tx12 = {
+    val Threshold8 = 36L // 36/8 = 4.5 bits
+    QueryDef(
+      "tx12_bigram_surprise",
+      (s, dir) => {
+        val bg = TextShingles.words(s, dir)
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+              |  (a, b) -> named_struct('w1', a, 'pr', concat(a, '|', b)))"""
+              .stripMargin)).as("g"))
+          .select(col("doc_id"),
+            expr(graft.OracleSafe.hash60("g.w1")).as("h1"),
+            expr(graft.OracleSafe.hash60("g.pr")).as("h12"))
+        val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+        val c12 = bg.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
+        val scored = bg.join(c12, "h12").join(c1, "h1")
+          .select(col("doc_id"),
+            (length(expr("bin(c1 div c12)")) - 1).cast("long").as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+        Tables.load(s, dir, "documents").select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+            when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+              col("sum_bits").cast("double") / col("n_bigrams"))
+              .otherwise(lit(0.0)).as("mean_bits"))
+          .withColumn("high_surprise",
+            col("n_bigrams") > 0 &&
+              lit(8L) * col("sum_bits") >= lit(Threshold8) * col("n_bigrams"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    ${graft.OracleSafe.hash60Sql("p[1]")} AS h1,
+        |    ${graft.OracleSafe.hash60Sql("(p[1] || '|' || p[2])")} AS h12
+        |  FROM w CROSS JOIN LATERAL (SELECT
+        |    unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS p) t
+        |  WHERE len(ws) >= 2),
+        |c1 AS (SELECT h1, COUNT(*) AS c1 FROM bg GROUP BY h1),
+        |c12 AS (SELECT h12, COUNT(*) AS c12 FROM bg GROUP BY h12),
+        |sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(length(bin(c1.c1 // c12.c12)) - 1) AS sum_bits
+        |  FROM bg b JOIN c12 USING (h12) JOIN c1 USING (h1)
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(sc.sum_bits, 0) AS BIGINT) AS sum_bits,
+        |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+        |    THEN CAST(sc.sum_bits AS DOUBLE) / sc.n_bigrams ELSE 0.0 END
+        |    AS mean_bits,
+        |  COALESCE(sc.n_bigrams, 0) > 0 AND
+        |    8 * COALESCE(sc.sum_bits, 0) >= $Threshold8 * COALESCE(sc.n_bigrams, 0)
+        |    AS high_surprise
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11)
+    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
+      tx12)
 }
