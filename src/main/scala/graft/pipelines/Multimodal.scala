@@ -238,5 +238,56 @@ object Multimodal {
         |""".stripMargin))
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03)
+  // -------------------------------------------------------------- mm04
+  /** Media dedup END-TO-END (round 8): mm03's banded perceptual-hash
+    * pairs closed into duplicate GROUPS via [[Dedup.connectedComponents]]
+    * — the same distributed min-label propagation dd06 runs for text —
+    * with the min-id keeper per group. This is the media mirror of the
+    * text pipeline's dd02 → dd06 composition: a crawl's image corpus
+    * dedups by pHash clusters, not by pairs (transitively-linked
+    * near-dups must collapse to ONE kept asset even when the endpoints'
+    * Hamming distance exceeds the pair radius). Same scale posture as
+    * both parents: the pair join is banded (pigeonhole-complete for
+    * Hamming ≤ 3), propagation is one keyed join + min-agg per round
+    * with rounds = component diameter. Oracle: DuckDB recursive
+    * transitive closure over the identical pair CTEs. */
+  private val mm04 = {
+    import Phash._
+    val bandSqlCols = (1 to NBands)
+      .map(k => s"CAST(${bandExpr(k)} AS BIGINT) AS b$k").mkString(", ")
+    val hammingSql = (1 to NBands)
+      .map(k => s"bit_count(xor(l.b$k, r.b$k))").mkString(" + ")
+    QueryDef(
+      "mm04_media_dup_groups",
+      (s, dir) => {
+        val pairs = collided(s, dir)
+          .filter(col("hamming") <= MaxHamming)
+          .select(col("m1").as("d1"), col("m2").as("d2"))
+          .distinct()
+        Dedup.connectedComponents(
+          Tables.load(s, dir, "documents").select(col("doc_id")), pairs)
+      },
+      Some(s"""WITH RECURSIVE h AS (SELECT doc_id, $bandSqlCols FROM
+        |  (SELECT doc_id, text, $sumPx AS px_sum FROM documents)),
+        |b AS (SELECT doc_id, b1, b2, b3, b4, band,
+        |  CASE band WHEN 1 THEN b1 WHEN 2 THEN b2
+        |            WHEN 3 THEN b3 ELSE b4 END AS bsig
+        |  FROM h CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, $NBands)) AS band) t),
+        |mp AS (SELECT DISTINCT l.doc_id AS m1, r.doc_id AS m2
+        |  FROM b l JOIN b r ON l.band = r.band AND l.bsig = r.bsig
+        |    AND l.doc_id < r.doc_id
+        |  WHERE $hammingSql <= $MaxHamming),
+        |edges AS (SELECT m1 AS a, m2 AS b FROM mp
+        |  UNION ALL SELECT m2, m1 FROM mp),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, MIN(b) AS cluster, MIN(b) = a AS is_keeper
+        |FROM reach GROUP BY a
+        |""".stripMargin))
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04)
 }

@@ -591,6 +591,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("mm04 media groups are consistent with mm03 pairs and keep min-id") {
+    val pairs = SparkEntry.queries("mm03_phash_dedup")(spark, sf)
+      .select(col("m1"), col("m2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val groups = SparkEntry.queries("mm04_media_dup_groups")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // every pHash pair lands in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(groups(a)._1 == groups(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // keeper = the cluster's min id, exactly one per cluster
+    val byCluster = groups.groupBy(_._2._1)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.keys.min == c, s"cluster $c labeled off its min id")
+      assert(ms.count(_._2._2) == 1 && ms(c)._2, s"cluster $c keeper wrong")
+    }
+    // clusters exist beyond singletons (the fixture has media dups)
+    assert(byCluster.exists(_._2.size > 1))
+  }
+
   test("mm03 native AHashBands is bit-equal with the declarative CASE chain") {
     // corpus rows: native path == the SQL form the oracle still runs
     val native = graft.pipelines.Multimodal.Phash.hashed(spark, sf)
