@@ -532,7 +532,110 @@ object CdcQueries {
       |  WHERE rn = 1 AND op <> 'DELETE')
       |GROUP BY k""".stripMargin))
 
+  // -------------------------------------------------------------- cdc12
+  /** EVENT-TIME windowed live counts through the streaming machinery
+    * (round 8, the second oracle-gated streaming topology after
+    * cdc11): the changelog is dealt into three TIME-CONTIGUOUS batches
+    * (fixed calendar cuts — batches arrive in event-time order, so
+    * per-key sequences are never stale-dropped and the declarative
+    * twin is exact), written through the DSv2 chunk transport, and one
+    * streaming query runs retract-materialize → tumbling-window
+    * sign-sums per value (`windowedLiveCounts`: watermarked event
+    * time, two stateful operators). A (window, value) cell's result is
+    * the NET live-row delta from the transitions INSIDE that window —
+    * both the −1(old value) and +1(new value) of a transition land in
+    * the window of the record that caused it — which DuckDB replays
+    * with a per-key LAG over the ordered changelog. Cells whose adds
+    * and retracts cancel (sum 0) are dropped on both sides. */
+  private val cdc12Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc12 = QueryDef(
+    "cdc12_stream_windowed_live",
+    (s, dir) => {
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      val n = cdc12Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc12_t5p8q1_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      // TIME-ordered thirds (fixed calendar cuts; the events fixture
+      // spans Jan 2024) — arrival order preserves per-key event order,
+      // the contract that makes the windowed sums declarative
+      val cut1 = unix_micros(lit("2024-01-11 00:00:00").cast("timestamp"))
+      val cut2 = unix_micros(lit("2024-01-21 00:00:00").cast("timestamp"))
+      val batches = Seq(
+        col("tsUs") < cut1,
+        col("tsUs") >= cut1 && col("tsUs") < cut2,
+        col("tsUs") >= cut2)
+      // chunk names embed the write-time millis and the source lists
+      // name-sorted, so three sequential writes into ONE dir arrive in
+      // write (= event-time) order. ONE chunk per batch: with several
+      // task-chunks per write, a batch's chunks become separate
+      // micro-batches whose relative order (task finish millis) is a
+      // race — a key's later record could precede its earlier one and
+      // stale-drop a transition. cdc11 keeps the multi-chunk
+      // out-of-order stress; THIS query's contract is ordered arrival.
+      batches.foreach { pred =>
+        asRecords.filter(pred).coalesce(1)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      implicit val sp: SparkSession = s
+      val stream = graft.streaming.CdcStreaming
+        .readStream(s, chunkDir, maxChunksPerTrigger = Some(1))
+      val counts = graft.streaming.CdcStreaming
+        .windowedLiveCounts(stream, expr("element_at(after, 'k')"))
+      val view = s"graft_cdc12_out_$n"
+      val q = counts.writeStream.format("memory").queryName(view)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(view)
+        .filter(col("live_rows") =!= 0L)
+        .select(col("win_us"), col("value").cast("int").as("k"),
+          col("live_rows"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(view)
+      out
+    },
+    Some(s"""$changelogSql,
+      |d AS (SELECT * FROM changelog WHERE op <> 'HEARTBEAT'),
+      |tr AS (SELECT pk, record_id, ts_us, op, k,
+      |    LAG(op) OVER w AS prev_op, LAG(k) OVER w AS prev_k
+      |  FROM d WINDOW w AS (PARTITION BY pk ORDER BY ts_us, record_id)),
+      |ev AS (
+      |  SELECT ts_us, prev_k AS k, -1 AS chg FROM tr
+      |  WHERE prev_op IS NOT NULL AND prev_op <> 'DELETE'
+      |  UNION ALL
+      |  SELECT ts_us, k, 1 FROM tr WHERE op <> 'DELETE')
+      |SELECT (ts_us // 10000000) * 10000000 AS win_us, k,
+      |  CAST(SUM(chg) AS BIGINT) AS live_rows
+      |FROM ev GROUP BY 1, 2 HAVING SUM(chg) <> 0""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
-    cdc11)
+    cdc11, cdc12)
 }

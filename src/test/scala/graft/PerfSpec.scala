@@ -57,7 +57,10 @@ class PerfSpec extends AnyFunSuite {
       // streaming retract topology (3 DSv2 writes + 6 micro-batches +
       // two stateful operators), guarded like cdc10's real I/O
       "ann03_knn_ivf"       -> 15.0,
-      "cdc11_stream_retract_agg" -> 30.0)
+      "cdc11_stream_retract_agg" -> 30.0,
+      "cdc12_stream_windowed_live" -> 30.0,
+      "tx12_bigram_surprise" -> 15.0,
+      "mm04_media_dup_groups" -> 20.0)
     bounds.foreach { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // full-plan execution, not count() — count() lets Catalyst prune
