@@ -510,9 +510,20 @@ object CdcQueries {
       val counts = graft.streaming.CdcStreaming
         .liveCountByValue(stream, expr("element_at(after, 'k')"))
       val view = s"graft_cdc11_out_$n"
-      val q = counts.writeStream.format("memory").queryName(view)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // 8 state partitions for the run: both stateful operators spawn
+      // shuffle-partitions state tasks per micro-batch, and at this
+      // volume 32 of them are pure scheduler overhead (results are
+      // partitioning-invariant — integer sign-sums, per-key state; a
+      // real deployment sizes this to its key volume). Restored after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        // held through the run: the stream thread snapshots the conf
+        // when it plans the first micro-batch, not at start()
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = counts.writeStream.format("memory").queryName(view)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // tiny result (distinct k values): checkpoint it so the memory
       // view can be dropped immediately instead of accumulating one
       // per invocation
@@ -610,9 +621,16 @@ object CdcQueries {
       val counts = graft.streaming.CdcStreaming
         .windowedLiveCounts(stream, expr("element_at(after, 'k')"))
       val view = s"graft_cdc12_out_$n"
-      val q = counts.writeStream.format("memory").queryName(view)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // 8 state partitions, as cdc11 — see the note there
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        // held through the run: the stream thread snapshots the conf
+        // when it plans the first micro-batch, not at start()
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = counts.writeStream.format("memory").queryName(view)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val out = s.table(view)
         .filter(col("live_rows") =!= 0L)
         .select(col("win_us"), col("value").cast("int").as("k"),

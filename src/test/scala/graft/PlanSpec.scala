@@ -98,6 +98,15 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Scan parquet") <= 3, s"extra corpus scans:\n$p")
   }
 
+  test("ann03 IVF probe: broadcast hash join on the list id, no cartesian") {
+    val p = plan("ann03_knn_ivf")
+    // the probe set (queries x NProbe lists) broadcasts; corpus rows
+    // join it on the cluster key — never a nested loop over vectors
+    assert(p.contains("BroadcastHashJoin"), s"probe must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"ann03 must not plan an all-pairs join:\n$p")
+  }
+
   test("q08 star join: dims broadcast, no nested loop, facts shuffle once") {
     val p = plan("q08_join_star")
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
