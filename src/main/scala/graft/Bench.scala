@@ -19,6 +19,39 @@ import org.apache.spark.sql.SparkSession
   * masquerade as a 0-second success.
   */
 object Bench {
+
+  private[graft] def short(name: String): String = name.takeWhile(_ != '_')
+
+  private[graft] def fmtQueries(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) =>
+      "\"" + short(k) + "\":" + (if (v < 0) "-1" else Math.round(v * 1000).toString)
+    }.mkString("{", ",", "}")
+
+  /** Headroom for 100+ queries (VERDICT r7 #7): bench.json always
+    * carries the FULL per-query map; if the stdout line would overrun
+    * the driver's ~1925-byte tail window (`cap` with margin), the
+    * printed line keeps only the SLOWEST queries (the ones a perf
+    * judge reads first) and says how many cheap ones it dropped —
+    * "q_dropped" + bench.json hold the rest. Failed queries (-1)
+    * always stay on the line. Factored out of main so BenchSpec can
+    * drive the trim path, which the live suite only hits past ~150
+    * queries. */
+  private[graft] def pickLine(
+      results: Seq[(String, Double)],
+      lineWith: (String, Int) => String,
+      cap: Int = 1900): String = {
+    val full = lineWith(fmtQueries(results), 0)
+    if (full.length <= cap) full
+    else {
+      val keep = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+        .reverse // failures first, then slowest
+      def fit(n: Int): String =
+        lineWith(fmtQueries(keep.take(n)), results.size - n)
+      (results.size to 1 by -1).iterator.map(fit)
+        .find(_.length <= cap).getOrElse(fit(1))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv(appName = "graft-bench")
@@ -98,12 +131,9 @@ object Bench {
       trim("%.3f".formatLocal(java.util.Locale.ROOT, v))
     def f2(v: Double): String =
       trim("%.2f".formatLocal(java.util.Locale.ROOT, v))
-    def short(name: String): String = name.takeWhile(_ != '_')
     require(results.map(r => short(r._1)).distinct.size == results.size,
       "bench: short query keys collide — fix the new query's prefix")
-    val qs = results.map { case (k, v) =>
-      "\"" + short(k) + "\":" + (if (v < 0) "-1" else Math.round(v * 1000).toString)
-    }.mkString("{", ",", "}")
+    val qs = fmtQueries(results)
     val total = results.map(_._2).filter(_ >= 0).sum
     // end-to-end subscription throughput: records/s through the
     // graft-cdc micro-batch source (codec decode + row materialization
@@ -173,24 +203,8 @@ object Bench {
       val dj = if (dropped == 0) "" else s""","q_dropped":$dropped"""
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":2,"stat":"min","exec":"full","q_unit":"ms","queries":$q$dj,"recalls":${recalls.map(f2).mkString("[", ",", "]")}$errJson,"n_failed":${errors.size},"stream_rps":${streamRps.round},"sf":"${new java.io.File(sfDir).getName}"}"""
     }
-    // headroom for 100+ queries (VERDICT r7 #7): bench.json always
-    // carries the FULL per-query map; if the stdout line would overrun
-    // the driver's ~1925-byte tail window, the printed line keeps only
-    // the SLOWEST queries (the ones a perf judge reads first) and says
-    // how many cheap ones it dropped — "q_dropped" + bench.json hold
-    // the rest. Failed queries (-1) always stay on the line.
     val full = lineWith(qs, 0)
-    val line =
-      if (full.length <= 1900) full
-      else {
-        val keep = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
-          .reverse // failures first, then slowest
-        def fit(n: Int): String = lineWith(keep.take(n).map { case (k, v) =>
-          "\"" + short(k) + "\":" + (if (v < 0) "-1" else Math.round(v * 1000).toString)
-        }.mkString("{", ",", "}"), results.size - n)
-        (results.size to 1 by -1).iterator.map(fit)
-          .find(_.length <= 1900).getOrElse(fit(1))
-      }
+    val line = pickLine(results, lineWith)
     println(line)
     Files.write(Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
       (full + "\n").getBytes(StandardCharsets.UTF_8))

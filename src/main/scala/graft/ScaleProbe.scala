@@ -162,10 +162,24 @@ object ScaleProbe {
     // the SINK write path: cdc10 pushes k× changelog records over k×
     // keys through applyBatch (delta appends + mid-run folds) and the
     // chain-merge read — write I/O should scale with the BATCH
+    val evBuilt = scala.collection.mutable.Map.empty[Int, String]
+    def evDirFor(k: Int): String = evBuilt.getOrElseUpdate(k, {
+      val d = s"$base/ev$k"
+      scaledEvents(spark, srcDir, d, k)
+      d
+    })
     for (k <- mults if wanted("cdc10_sink_materialize")) {
-      scaledEvents(spark, srcDir, s"$base/ev$k", k)
-      val ts = time("cdc10_sink_materialize", s"$base/ev$k")
+      val ts = time("cdc10_sink_materialize", evDirFor(k))
       println(f"SCALE sink(cdc10)          x$k=${ts._1}%.2fs/${ts._2}r")
+    }
+    // the STREAMING topologies (round 8): k× changelog records over k×
+    // keys through the DSv2 write + micro-batched retract machinery —
+    // per-record state work is O(1), so time should scale with the
+    // record volume plus the fixed per-micro-batch floor
+    for (op <- Seq("cdc11_stream_retract_agg", "cdc12_stream_windowed_live")
+         if wanted(op); k <- mults) {
+      val ts = time(op, evDirFor(k))
+      println(f"SCALE $op%-22s x$k=${ts._1}%.2fs/${ts._2}r")
     }
     spark.stop()
   }
