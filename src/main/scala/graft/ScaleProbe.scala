@@ -84,9 +84,10 @@ object ScaleProbe {
       // makes nearly every position duplicated — time should track the
       // exploded row count, the op's honest linear cost
       "dd12_bloom_dedup", "dd13_exact_substring",
-      // round 8: tx12's bigram explode + hash-keyed count joins and
-      // pk03's scan-riding bucket table are both corpus-linear
-      "tx12_bigram_surprise", "pk03_length_bucket")
+      // round 8: tx12's bigram explode + hash-keyed count joins,
+      // pk03's scan-riding bucket table and dd14's df-join weighting
+      // are all corpus-linear
+      "tx12_bigram_surprise", "pk03_length_bucket", "dd14_soft_dedup")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap

@@ -340,6 +340,28 @@ class PipelineSpec extends AnyFunSuite {
     // ExtensionsSpec, which runs the extension-enabled session)
   }
 
+  test("dd14 soft dedup: crafted weights are exact (unique=1.0, clone=0.5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd14").toString
+    try {
+      import spark.implicits._
+      val a = (1 to 20).map(i => s"a$i").mkString(" ")
+      val u = (1 to 20).map(i => s"u$i").mkString(" ")
+      Seq((1L, a, "en", "s1", a.length.toLong),
+        (2L, a, "en", "s1", a.length.toLong), // byte-identical clone
+        (3L, u, "en", "s2", u.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("dd14_soft_dedup")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+      // clones: every shingle df=2 -> commonness 2.0, weight 0.5
+      assert(out(1L) == ((18L, 2.0, 0.5)), s"doc1: ${out(1L)}")
+      assert(out(2L) == ((18L, 2.0, 0.5)), s"doc2: ${out(2L)}")
+      // unique doc keeps full weight
+      assert(out(3L) == ((18L, 1.0, 1.0)), s"doc3: ${out(3L)}")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("dd13 exact substring: crafted shared passage measured exactly") {
     // doc1 and doc2 share a verbatim 25-token passage; doc3 is unique.
     // With L=20, doc1's duplicated 20-gram positions are exactly the 6
