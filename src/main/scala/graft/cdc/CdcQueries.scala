@@ -653,7 +653,104 @@ object CdcQueries {
       |  CAST(SUM(chg) AS BIGINT) AS live_rows
       |FROM ev GROUP BY 1, 2 HAVING SUM(chg) <> 0""".stripMargin))
 
+  // -------------------------------------------------------------- cdc13
+  /** STREAMING SESSION WINDOWS under the oracle gate (round 8, the
+    * third oracle-gated streaming topology): the changelog rides the
+    * cdc12 wire path (time-contiguous batches → DSv2 chunks →
+    * micro-batched stream) into `sessionizedActivity` — Spark's
+    * session_window aggregation with a 12-hour gap, per logical key.
+    * Complete output mode with a 30-day watermark: every session is
+    * still open for merging at stream end, so the final table is the
+    * full sessionization regardless of micro-batch boundaries (a
+    * session spanning a batch cut merges incrementally — the thing
+    * batch windowing can't do and the reason this is streaming
+    * machinery, not a re-run of q13). The declarative twin is the
+    * gaps-and-islands form: a session breaks where the per-key gap
+    * is ≥ 12 h (Spark merges on strict overlap: an event at exactly
+    * prev+gap starts a new session), start = first event, end = last
+    * event + gap, n_changes = events in the island. */
+  private val cdc13Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc13 = QueryDef(
+    "cdc13_stream_sessions",
+    (s, dir) => {
+      val gapUs = 12L * 3600 * 1000000
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      val n = cdc13Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc13_w7h3m9_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      // time-contiguous batches, one chunk each (cdc12's contract)
+      val cut1 = unix_micros(lit("2024-01-11 00:00:00").cast("timestamp"))
+      val cut2 = unix_micros(lit("2024-01-21 00:00:00").cast("timestamp"))
+      val batches = Seq(
+        col("tsUs") < cut1,
+        col("tsUs") >= cut1 && col("tsUs") < cut2,
+        col("tsUs") >= cut2)
+      batches.foreach { pred =>
+        asRecords.filter(pred).coalesce(1)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      implicit val sp: SparkSession = s
+      val stream = graft.streaming.CdcStreaming
+        .readStream(s, chunkDir, maxChunksPerTrigger = Some(1))
+      val sessions = graft.streaming.CdcStreaming
+        .sessionizedActivity(stream, gap = "12 hours", watermark = "30 days")
+      val view = s"graft_cdc13_out_$n"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = sessions.writeStream.format("memory").queryName(view)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val out = s.table(view).localCheckpoint(true)
+      s.catalog.dropTempView(view)
+      out
+    },
+    Some(s"""$changelogSql,
+      |d AS (SELECT pk, record_id, ts_us FROM changelog
+      |  WHERE op <> 'HEARTBEAT'),
+      |o AS (SELECT pk, ts_us,
+      |    CASE WHEN ts_us - LAG(ts_us) OVER w >= ${12L * 3600 * 1000000}
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM d WINDOW w AS (PARTITION BY pk ORDER BY ts_us, record_id)),
+      |i AS (SELECT pk, ts_us,
+      |    SUM(brk) OVER (PARTITION BY pk ORDER BY ts_us) AS sid
+      |  FROM o)
+      |SELECT 'app|users|' || CAST(pk AS VARCHAR) AS key,
+      |  MIN(ts_us) AS start_us,
+      |  MAX(ts_us) + ${12L * 3600 * 1000000} AS end_us,
+      |  COUNT(*) AS n_changes
+      |FROM i GROUP BY pk, sid""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
-    cdc11, cdc12)
+    cdc11, cdc12, cdc13)
 }
