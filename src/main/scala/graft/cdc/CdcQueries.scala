@@ -750,7 +750,89 @@ object CdcQueries {
       |  COUNT(*) AS n_changes
       |FROM i GROUP BY pk, sid""".stripMargin))
 
+  // -------------------------------------------------------------- cdc14
+  /** STREAM-STREAM INTERVAL JOIN under the oracle gate (round 8, the
+    * fourth oracle-gated streaming topology): each key's INSERT
+    * records join its UPDATE records within ±48 h of event time,
+    * through `intervalJoin` — two watermarked sides of ONE wire
+    * stream, state bounded by watermark + tolerance. The batches
+    * arrive deliberately OUT of timestamp order (the cdc11 id-mod-3
+    * dealing): an inner stream-stream join emits a match the moment
+    * both rows have arrived — the watermark bounds state EVICTION,
+    * not emission — so with a 30-day watermark over a one-month
+    * changelog no state is evicted early and the emitted set equals
+    * the declarative interval self-join exactly, whichever side of a
+    * pair arrived first. (A production deployment sets the watermark
+    * to its real disorder bound and accepts eviction; the oracle gate
+    * pins the no-eviction semantics.) */
+  private val cdc14Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc14 = QueryDef(
+    "cdc14_stream_interval_join",
+    (s, dir) => {
+      val tolUs = 48L * 3600 * 1000000
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      val n = cdc14Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc14_z2f6k4_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      (0L until 3L).foreach { b =>
+        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      implicit val sp: SparkSession = s
+      val stream = graft.streaming.CdcStreaming
+        .readStream(s, chunkDir, maxChunksPerTrigger = Some(1))
+      val joined = graft.streaming.CdcStreaming
+        .intervalJoin(stream, "INSERT", "UPDATE", tolUs, watermark = "30 days")
+      val view = s"graft_cdc14_out_$n"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = joined.writeStream.format("memory").queryName(view)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val out = s.table(view).localCheckpoint(true)
+      s.catalog.dropTempView(view)
+      out
+    },
+    Some(s"""$changelogSql
+      |SELECT i.record_id AS l_id, u.record_id AS r_id,
+      |  'app|users|' || CAST(i.pk AS VARCHAR) AS key,
+      |  u.ts_us - i.ts_us AS delta_us
+      |FROM changelog i JOIN changelog u ON u.pk = i.pk
+      |WHERE i.op = 'INSERT' AND u.op = 'UPDATE'
+      |  AND u.ts_us BETWEEN i.ts_us - ${48L * 3600 * 1000000}
+      |                  AND i.ts_us + ${48L * 3600 * 1000000}""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
-    cdc11, cdc12, cdc13)
+    cdc11, cdc12, cdc13, cdc14)
 }
