@@ -832,7 +832,100 @@ object CdcQueries {
       |  AND u.ts_us BETWEEN i.ts_us - ${48L * 3600 * 1000000}
       |                  AND i.ts_us + ${48L * 3600 * 1000000}""".stripMargin))
 
+  // -------------------------------------------------------------- cdc15
+  /** REDELIVERY DEDUP under the oracle gate (round 8, fifth
+    * oracle-gated streaming topology — the reference's failover
+    * story): after a Dstore cluster switch the consumer reseeks by
+    * timestamp and RE-READS records it already processed (ref
+    * ClusterSwitchListener.java searchOffsetByTimestamp,
+    * FlinkDtsRawConsumer.java checkpoint/retry). Simulated exactly:
+    * each later batch REPLAYS the last three days of the previous one
+    * (same record ids, same payloads — an at-least-once transport),
+    * and the streaming query runs `dedupRedelivered`
+    * (dropDuplicatesWithinWatermark on the record id) chained into a
+    * per-key count + last-timestamp aggregate. Exactly-once semantics
+    * are OBSERVABLE in the result: any leaked duplicate inflates its
+    * key's count and the hash comparison against the
+    * duplication-free declarative changelog fails. 30-day watermark
+    * keeps dedup state across the replay horizon (a production
+    * deployment sizes it to its reseek window). */
+  private val cdc15Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc15 = QueryDef(
+    "cdc15_stream_redelivery",
+    (s, dir) => {
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      val n = cdc15Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc15_r4n8s2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      val cut1 = unix_micros(lit("2024-01-11 00:00:00").cast("timestamp"))
+      val cut2 = unix_micros(lit("2024-01-21 00:00:00").cast("timestamp"))
+      val replayUs = 3L * 86400 * 1000000
+      // batch 1 and 2 each REPLAY the previous batch's tail — the
+      // post-reseek re-read
+      val batches = Seq(
+        col("tsUs") < cut1,
+        (col("tsUs") >= cut1 - replayUs) && col("tsUs") < cut2,
+        col("tsUs") >= cut2 - replayUs)
+      batches.foreach { pred =>
+        asRecords.filter(pred).coalesce(1)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      implicit val sp: SparkSession = s
+      val stream = graft.streaming.CdcStreaming
+        .readStream(s, chunkDir, maxChunksPerTrigger = Some(1))
+      val deduped = graft.streaming.CdcStreaming
+        .dedupRedelivered(stream, watermark = "30 days")
+      val counts = deduped
+        .withColumn("key", graft.streaming.CdcStreaming.keyExpr)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_records"), max(col("tsUs")).as("last_us"))
+      val view = s"graft_cdc15_out_$n"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = counts.writeStream.format("memory").queryName(view)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val out = s.table(view).localCheckpoint(true)
+      s.catalog.dropTempView(view)
+      out
+    },
+    Some(s"""$changelogSql
+      |SELECT 'app|users|' || CAST(pk AS VARCHAR) AS key,
+      |  COUNT(*) AS n_records, MAX(ts_us) AS last_us
+      |FROM changelog WHERE op <> 'HEARTBEAT'
+      |GROUP BY pk""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
-    cdc11, cdc12, cdc13, cdc14)
+    cdc11, cdc12, cdc13, cdc14, cdc15)
 }

@@ -61,6 +61,7 @@ class PerfSpec extends AnyFunSuite {
       "cdc12_stream_windowed_live" -> 30.0,
       "cdc13_stream_sessions" -> 30.0,
       "cdc14_stream_interval_join" -> 30.0,
+      "cdc15_stream_redelivery" -> 30.0,
       "tx12_bigram_surprise" -> 15.0,
       "mm04_media_dup_groups" -> 20.0)
     bounds.foreach { case (name, bound) =>
