@@ -177,7 +177,9 @@ object ScaleProbe {
     // keys through the DSv2 write + micro-batched retract machinery —
     // per-record state work is O(1), so time should scale with the
     // record volume plus the fixed per-micro-batch floor
-    for (op <- Seq("cdc11_stream_retract_agg", "cdc12_stream_windowed_live")
+    for (op <- Seq("cdc11_stream_retract_agg", "cdc12_stream_windowed_live",
+        "cdc13_stream_sessions", "cdc14_stream_interval_join",
+        "cdc15_stream_redelivery")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE $op%-22s x$k=${ts._1}%.2fs/${ts._2}r")
