@@ -187,10 +187,11 @@ object Bench {
       try graft.pipelines.Similarity.recallAtK(spark, sfDir, name)
       catch { case e: Throwable => errors(s"recall:$name") =
         Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }
-    // recall@5 vs brute truth, FIXED order [ann02, ann03, ann04, ann05]
-    // (an array, not per-key fields — byte budget, see above)
+    // recall@5 vs brute truth, FIXED order [ann02, ann03, ann04,
+    // ann05, ann06] (an array, not per-key fields — byte budget, see
+    // above; append-only, matching Similarity.defs order)
     val recalls = Seq("ann02_knn_bucket", "ann03_knn_ivf",
-      "ann04_knn_ivfpq", "ann05_knn_sq8").map(recallOf)
+      "ann04_knn_ivfpq", "ann05_knn_sq8", "ann06_knn_graph").map(recallOf)
     val errJson =
       if (errors.isEmpty) "" // empty map costs 12 bytes of the window
       else ""","errors":""" + errors.map { case (k, v) =>

@@ -15,7 +15,8 @@ object SparkEntry {
     graft.pipelines.TextAnalysis.defs ++
     graft.pipelines.Embeddings.defs ++
     graft.pipelines.Packing.defs ++
-    graft.pipelines.Multimodal.defs
+    graft.pipelines.Multimodal.defs ++
+    graft.pipelines.Ingest.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val Bands = 4
+  private[pipelines] val Bands = 4
 
   /** 60-bit shingle hash (first 15 hex digits of md5 as a BIGINT) —
     * the shared [[graft.OracleSafe.hash60]] twins, aliased to the
@@ -53,7 +53,7 @@ object Dedup {
       .filter(col("sig").isNotNull)
 
   /** DuckDB twin of [[signatures]] as a WITH-clause body (expects `sh`). */
-  private def signaturesSql: String =
+  private[pipelines] def signaturesSql: String =
     s"""sig AS (
        |  SELECT doc_id, b,
        |    MIN(${hash64Sql("CAST(b AS VARCHAR) || '|' || sg")}) AS sig

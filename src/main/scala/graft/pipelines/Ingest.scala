@@ -1,0 +1,161 @@
+package graft.pipelines
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** §2.3 ↔ §2.2 bridge under the ORACLE GATE (round 9): the streaming
+  * ingest-dedup path ([[graft.streaming.IngestDedup]]) — spec-only
+  * since round 5, Bloom-gated since round 7 — driven end-to-end
+  * through REAL Structured Streaming micro-batches and hash-matched
+  * against the declarative DuckDB twin, the cdc10/cdc11 pattern
+  * applied to the training-data ingest topology.
+  */
+object Ingest {
+
+  /** Corpus cut: every 4th doc is "already ingested"; the rest arrive
+    * as the stream, dealt into [[NBatches]] micro-batches by doc_id
+    * residue — deliberately NOT event-time-contiguous, because every
+    * per-doc decision here is stateless (the LSH probe is a
+    * stream-static join, the Bloom probe a projection) and the result
+    * must not depend on arrival order. */
+  private val CorpusMod = 4
+  private val NBatches = 3
+
+  /** Shingle-Bloom budget: the corpus' distinct 3-shingle set at the
+    * gate SFs is ~10⁴–10⁵ keys, so 2^20 bits keeps kn/B ≤ ~0.4 and
+    * fp under 1% (BloomBitsAgg sizing math) — and exercises the
+    * round-8 `bits` parameter at a non-default size on the streaming
+    * path. 128 KB rides the plan as one literal array. */
+  private val ShingleBloomBits = 1L << 20
+
+  private val ing01Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  // ------------------------------------------------------------- ing01
+  /** Streaming ingest dedup end-to-end: the static corpus collapses
+    * ONCE into (a) the LSH band index and (b) a shingle-level Bloom
+    * seen-set (dd07's approximate stand-in — the exact broadcast
+    * shingle list is the MB-scale tool; the bitmap is
+    * corpus-size-independent). The document stream then flows through
+    * TWO real streaming queries over the same parquet-file source
+    * (one file per micro-batch):
+    *
+    *  1. the stateless ADMISSION projection: per doc, distinct
+    *     3-shingle hashes ([[graft.functions.ShingleHashSet]], one
+    *     codegen'd call) probed against the broadcast bitmap —
+    *     n_maybe_seen of n_shingles with k-bit integer tests inside
+    *     a lambda, no join, no state. A doc with high overlap is
+    *     near-certainly contaminated content (Bloom never
+    *     false-negatives on a shingle; fp budget is sized above);
+    *  2. the stateful NEAR-DUP flag: [[graft.streaming.IngestDedup
+    *     .flagNearDuplicates]] — band explode, stream-static
+    *     left-semi join against the index,
+    *     `dropDuplicatesWithinWatermark` collapse (the only stateful
+    *     operator; the watermark is sized so nothing is ever late —
+    *     arrival order must not matter, and the out-of-order batch
+    *     deal proves it doesn't).
+    *
+    * Output: one row per streamed doc — (doc_id, n_shingles,
+    * n_maybe_seen, near_dup). The DuckDB oracle replays shingling,
+    * the 60-bit md5 hashes, the Kirsch-Mitzenmacher positions against
+    * the same-size bitmap's position set, the band signatures and the
+    * index membership — hash-exact, arrival-order-free. */
+  private val ing01 = QueryDef(
+    "ing01_stream_ingest_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(col("doc_id") * 1000000L).as("ts"))
+      val corpus = docs.filter(col("doc_id") % CorpusMod === 0)
+      val streamSet = docs.filter(col("doc_id") % CorpusMod =!= 0)
+      // static builds, once per ingest epoch (at 100 TB: a bucketed
+      // parquet index table + a bitmap rebuilt on corpus compaction)
+      val index = graft.streaming.IngestDedup.corpusIndex(corpus)
+        .localCheckpoint(true)
+      val bloom = graft.streaming.IngestDedup
+        .corpusShingleBloom(corpus, ShingleBloomBits)
+      // two-slot dir ring per input dir (the cdc10/cdc11 contract:
+      // bounded /tmp growth, previous invocation's frame readable)
+      val n = ing01Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val batchPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ing01_p4q8s2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + (n % 2))
+      graft.Fs.deleteRecursively(batchPath)
+      val batchDir = batchPath.toString
+      (0L until NBatches.toLong).foreach { b =>
+        streamSet.filter(pmod(col("doc_id"), lit(NBatches)) === b)
+          .coalesce(1)
+          .write.mode("append").parquet(batchDir)
+      }
+      val stream = s.readStream
+        .schema(streamSet.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(batchDir)
+      val admView = s"graft_ing01_adm_$n"
+      val dupView = s"graft_ing01_dup_$n"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        // state partitions sized to key volume (the cdc11 note): the
+        // semi join + dedup spawn state tasks per micro-batch
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q1 = graft.streaming.IngestDedup
+          .withShingleOverlap(stream, bloom, ShingleBloomBits)
+          .select(col("doc_id"), col("n_shingles"), col("n_maybe_seen"))
+          .writeStream.format("memory").queryName(admView).start()
+        val q2 = graft.streaming.IngestDedup
+          .flagNearDuplicates(stream, index, watermark = "3650 days")
+          .select(col("doc_id"))
+          .writeStream.format("memory").queryName(dupView).start()
+        try {
+          q1.processAllAvailable()
+          q2.processAllAvailable()
+        } finally { q1.stop(); q2.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val flagged = s.table(dupView)
+        .withColumn("near_dup", lit(true))
+      val out = s.table(admView)
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("n_maybe_seen"),
+          coalesce(col("near_dup"), lit(false)).as("near_dup"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(admView)
+      s.catalog.dropTempView(dupView)
+      out
+    },
+    Some {
+      val B = ShingleBloomBits
+      val h60 = graft.OracleSafe.hash60Sql("sg")
+      def posSql(i: Int) = s"(h % $B + $i * (1 + (h // $B) % ${B - 1})) % $B"
+      def posUnion(pred: String) = (0 until graft.functions.BloomBitsAgg.K)
+        .map(i => s"SELECT doc_id, h, ${posSql(i)} AS p FROM shh WHERE $pred")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${TextShingles.shinglesSql(3)},
+         |${Dedup.signaturesSql},
+         |shh AS (SELECT DISTINCT doc_id, $h60 AS h FROM sh),
+         |cpos AS (SELECT DISTINCT p FROM (
+         |  ${posUnion(s"doc_id % $CorpusMod = 0")})),
+         |hit AS (SELECT doc_id, h, BOOL_AND(p IN (SELECT p FROM cpos)) AS hit
+         |  FROM (${posUnion(s"doc_id % $CorpusMod <> 0")})
+         |  GROUP BY doc_id, h),
+         |cnts AS (SELECT doc_id, COUNT(*) AS n_shingles,
+         |    COUNT(*) FILTER (hit) AS n_maybe_seen
+         |  FROM hit GROUP BY doc_id),
+         |cidx AS (SELECT DISTINCT b, sig FROM sig WHERE doc_id % $CorpusMod = 0),
+         |flagged AS (SELECT DISTINCT s.doc_id FROM sig s
+         |  JOIN cidx c ON s.b = c.b AND s.sig = c.sig
+         |  WHERE s.doc_id % $CorpusMod <> 0)
+         |SELECT s.doc_id,
+         |  COALESCE(c.n_shingles, 0) AS n_shingles,
+         |  COALESCE(c.n_maybe_seen, 0) AS n_maybe_seen,
+         |  s.doc_id IN (SELECT doc_id FROM flagged) AS near_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $CorpusMod <> 0) s
+         |LEFT JOIN cnts c USING (doc_id)""".stripMargin
+    })
+
+  val defs: Seq[QueryDef] = Seq(ing01)
+}

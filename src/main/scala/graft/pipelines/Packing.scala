@@ -182,5 +182,46 @@ object Packing {
         |FROM b GROUP BY cap""".stripMargin))
   }
 
-  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03)
+  // -------------------------------------------------------------- pk04
+  /** Deterministic GLOBAL SHUFFLE + balanced sharding (round 9) — the
+    * last writer stage of every training-data pipeline: the corpus in
+    * a reproducible pseudo-random TOTAL order (training-order
+    * reproducibility; the salt is the seed), dealt round-robin into
+    * [[ShuffleShards]] output shards whose sizes are exact to ±1 (a
+    * hash-residue deal like pk01's is only √n-balanced — fine for
+    * packing bins, wrong for fixed-count output files a reader maps
+    * 1:1 to workers).
+    *
+    * shard = rank % S, shard_pos = rank div S: round-robin by rank,
+    * so balance is exact BY CONSTRUCTION and a shard's rows are
+    * still a uniform random sample of the corpus (any prefix of the
+    * training order covers all shards evenly — what curriculum-free
+    * training wants from a shuffle).
+    *
+    * Scale shape: rank comes from [[Ranking.saltedRank]]'s two-phase
+    * bucket-offset form — NO global sort, no single-partition window
+    * (the 256-row histogram is the only driver scalar); the writer
+    * then repartitions by shard and sorts within partitions by
+    * shard_pos, both ordinary shuffles. The oracle replays the total
+    * order as one ROW_NUMBER over (md5 key, id) — equal by the
+    * monotone-prefix argument in [[Ranking]]. */
+  private val ShuffleShards = 8
+  private val pk04 = QueryDef(
+    "pk04_shard_shuffle",
+    (s, dir) => {
+      val ranked = Ranking.saltedRank(
+        Tables.load(s, dir, "documents").select(col("doc_id")),
+        "shuf:", "doc_id")
+      ranked
+        .withColumn("shard", pmod(col("pos"), lit(ShuffleShards.toLong)))
+        .withColumn("shard_pos", expr(s"pos div $ShuffleShards"))
+        .select(col("doc_id"), col("pos"), col("shard"), col("shard_pos"))
+    },
+    Some(s"""WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (
+      |  ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)) ASC,
+      |    doc_id ASC) - 1 AS pos FROM documents)
+      |SELECT doc_id, pos, pos % $ShuffleShards AS shard,
+      |  pos // $ShuffleShards AS shard_pos FROM r""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03, pk04)
 }

@@ -104,6 +104,42 @@ object IngestDedup {
       .drop("h", "bloomw")
   }
 
+  /** Corpus → a SHINGLE-level Bloom seen-set: the distinct 3-shingle
+    * hashes of the whole corpus folded into one bitmap — dd07's
+    * decontamination index with the exact broadcast list swapped for
+    * a corpus-size-independent sketch (the exact list is the MB-scale
+    * tool; a web-corpus shingle set is billions of keys). Built in
+    * one pass: codegen'd per-doc distinct-shingle call, explode to
+    * hash rows, OR-merge aggregate; `bits` per the BloomBitsAgg
+    * sizing math. */
+  def corpusShingleBloom(corpus: DataFrame, bits: Long): Array[Long] =
+    tokenized(corpus)
+      .select(explode(column(graft.functions.ShingleHashSet(
+        expression(col("ws")), ShingleK))).as("h"))
+      .agg(column(graft.functions.BloomBitsAgg(expression(col("h")), bits)
+        .toAggregateExpression()).as("bloom"))
+      .collect()(0).getSeq[Long](0).toArray
+
+  /** Per-doc shingle-overlap against a [[corpusShingleBloom]] bitmap —
+    * the approximate CONTAMINATION gate on ingest: n_maybe_seen of
+    * n_shingles distinct shingles probe true (no false negatives, so
+    * low overlap is definitive novelty; fp is the sized budget). A
+    * stateless codegen'd projection — the k-bit tests run inside an
+    * array lambda against the broadcast bitmap literal; no join, no
+    * state, batch and streaming frames alike. */
+  def withShingleOverlap(
+      docs: DataFrame, bloom: Array[Long], bits: Long): DataFrame = {
+    val hit = graft.functions.BloomBitsAgg.probeHitExpr("bloomw", "x", bits)
+    tokenized(docs)
+      .withColumn("hset", column(graft.functions.ShingleHashSet(
+        expression(col("ws")), ShingleK)))
+      .withColumn("bloomw", typedlit(bloom.toSeq))
+      .withColumn("n_shingles", size(col("hset")).cast("long"))
+      .withColumn("n_maybe_seen",
+        size(expr(s"filter(hset, x -> $hit)")).cast("long"))
+      .drop("ws", "hset", "bloomw")
+  }
+
   /** The §2.2 ↔ §2.3 integration: a `graft-cdc` SUBSCRIPTION of a
     * documents table, checked for near-dups as records arrive. The
     * reference's domain (CDC transport of table changes) feeds the

@@ -482,6 +482,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@5 fell to $recall")
   }
 
+  test("ann06 NN-descent graph: k per query, true cosines, seeded recall") {
+    val df = SparkEntry.queries("ann06_knn_graph")(spark, sf)
+    val perQ = df.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5))
+    assert(df.filter(col("q_id") === col("n_id")).count() == 0)
+    // graph edges carry EXACT cosines — the approximation is WHICH
+    // pairs get scored, never the score — so every emitted cosine
+    // must equal the brute-force value for that pair
+    val truth = SparkEntry.queries("ann01_knn_brute")(spark, sf)
+      .select(col("q_id"), col("n_id"), col("cos").as("true_cos"))
+    assert(df.join(truth, Seq("q_id", "n_id"))
+      .filter(abs(col("cos") - col("true_cos")) > 1e-12).count() == 0)
+    // measured 1.00 at sf0.001 / 0.98 at sf0.01 / 0.92 at sf0.1 with
+    // the LSH+ring seeded init (pure random init needed 6+ rounds for
+    // 0.36 at sf0.1); the floor guards regressions, Bench reports live
+    val recall = graft.pipelines.Similarity.recallAtK(
+      spark, sf, "ann06_knn_graph")
+    assert(recall >= 0.8, s"NN-descent recall@5 fell to $recall")
+  }
+
   test("tx01 langid picks argmax with priority tie-break") {
     val df = SparkEntry.queries("tx01_langid")(spark, sf)
     val bad = df.filter(col("pred_lang") === "de" && col("h_en") >= col("h_de"))
@@ -1005,6 +1025,28 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("pk04 shard shuffle: total permutation, exact ±1 balance, stable") {
+    val df = SparkEntry.queries("pk04_shard_shuffle")(spark, sf).cache()
+    try {
+      val n = Tables.load(spark, sf, "documents").count()
+      // a permutation: every doc exactly once, pos dense 0..n-1
+      assert(df.count() == n)
+      assert(df.agg(min("pos"), max("pos"), countDistinct("pos"))
+        .head() == org.apache.spark.sql.Row(0L, n - 1, n))
+      // round-robin balance is EXACT (max−min shard size ≤ 1) and
+      // shard_pos is dense within each shard
+      val sizes = df.groupBy("shard").count()
+        .agg(min("count"), max("count")).head()
+      assert(sizes.getLong(1) - sizes.getLong(0) <= 1, sizes.toString)
+      assert(df.filter(col("shard_pos") =!=
+        expr(s"pos div 8")).count() == 0)
+      // the two-phase bucket rank must not depend on physical layout
+      val again = SparkEntry.queries("pk04_shard_shuffle")(spark, sf)
+        .repartition(13)
+      assert(df.except(again).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("tx11 surprise bits: hand-computed on a crafted corpus") {
     // N = 10 tokens; 'x' has ctf 8 → ⌊10/8⌋=1 → 0 bits; 'y'/'z' are
     // singletons → ⌊10/1⌋=10 → bitlength 4 → 3 bits each
@@ -1055,6 +1097,25 @@ class PipelineSpec extends AnyFunSuite {
         .as[(Long, Boolean)].collect().toMap
       assert(got(1L) && !got(2L), got.toString)
     } finally q.stop()
+  }
+
+  test("shingle bloom overlap: corpus shingles all hit, novel docs near-zero") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val bits = 1L << 20
+    val bloom = graft.streaming.IngestDedup.corpusShingleBloom(corpus, bits)
+    assert(bloom.length == (bits / 64).toInt)
+    // no false negatives: a corpus doc re-probed overlaps FULLY
+    val self = graft.streaming.IngestDedup
+      .withShingleOverlap(corpus, bloom, bits)
+    assert(self.filter(col("n_maybe_seen") =!= col("n_shingles")).count() == 0)
+    // a novel doc's shingles are (fp-rare) misses at this fill
+    val novel = Seq((9999L, "qa qb qc qd qe qf qg qh qi qj"))
+      .toDF("doc_id", "text")
+    val r = graft.streaming.IngestDedup
+      .withShingleOverlap(novel, bloom, bits).head()
+    assert(r.getAs[Long]("n_shingles") == 8L)
+    assert(r.getAs[Long]("n_maybe_seen") <= 1L)
   }
 
   test("ingest dedup flags streamed near-dups against the corpus index") {
