@@ -87,7 +87,14 @@ object ScaleProbe {
       // round 8: tx12's bigram explode + hash-keyed count joins,
       // pk03's scan-riding bucket table and dd14's df-join weighting
       // are all corpus-linear
-      "tx12_bigram_surprise", "pk03_length_bucket", "dd14_soft_dedup")
+      "tx12_bigram_surprise", "pk03_length_bucket", "dd14_soft_dedup",
+      // round 10 (VERDICT r9 #4): pk04's two-phase rank is one
+      // per-bucket window + a 256-row histogram — linear, no global
+      // sort; ing01's streaming path is per-record-flat (stateless
+      // Bloom projection + stream-static semi join); tx13/pk05 ride
+      // the scan (one codegen'd encoder call per doc)
+      "pk04_shard_shuffle", "ing01_stream_ingest_dedup",
+      "tx13_subword_tokens", "pk05_subword_pack")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap
@@ -140,8 +147,12 @@ object ScaleProbe {
     // the ANN ladder at a FIXED query set over a k× corpus: every rung
     // should scale ~linearly in corpus size (brute = full scan, the
     // others by their scan fraction), output constant at 50 rows
+    // ann06: the capped init + per-node refinement make build time
+    // ~linear in corpus (candidate mass per node is a constant);
+    // ann07 adds a constant-work search on top of the member build
     for (op <- Seq("ann01_knn_brute", "ann02_knn_bucket", "ann03_knn_ivf",
-        "ann04_knn_ivfpq", "ann05_knn_sq8") if wanted(op)) {
+        "ann04_knn_ivfpq", "ann05_knn_sq8", "ann06_knn_graph",
+        "ann07_graph_search") if wanted(op)) {
       val ts = mults.map(k => k -> time(op, dirFor(k)))
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
         .mkString(" ")

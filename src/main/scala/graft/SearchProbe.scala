@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch diagnostic for the ann07 graph-search rung: recall@5 vs
+  * the member-only brute truth and the measured scan budget (distinct
+  * scored (q_id, n_id) pairs per query vs the member corpus) at a
+  * given SF. Not part of the driver contract. */
+object SearchProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build(16, "search-probe")
+    try {
+      val (scannedPerQ, memberN) =
+        pipelines.Similarity.searchScanStats(spark, dir)
+      val recall = pipelines.Similarity.recallHeldOutAtK(spark, dir)
+      println(f"SEARCH recall@5=$recall%.3f scanned/q=$scannedPerQ%.1f " +
+        f"members=$memberN frac=${scannedPerQ / memberN}%.4f")
+    } finally spark.stop()
+  }
+}

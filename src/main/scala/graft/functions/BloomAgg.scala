@@ -155,6 +155,17 @@ object BloomBitsAgg {
     * admission gate both build from here; a drift between build and
     * probe would silently break the no-false-negative guarantee).
     * `bits` must match the build side's. */
+  /** DuckDB-dialect twin of [[probeHitExpr]]'s position math — the
+    * ORACLE-side single definition (ADVICE r9: dd12's and ing01's
+    * oracles each re-derived this by hand; a change to K or the
+    * position formula now reaches every oracle from here or not at
+    * all). `h` must already be a non-negative 60-bit hash
+    * ([[graft.OracleSafe.hash60Sql]]), so the Spark side's Mask60 is
+    * a no-op and is omitted; `i` is the probe index expression
+    * (a literal or the unnest variable). */
+  def posSqlDuck(h: String, i: String, bits: Long): String =
+    s"($h % $bits + $i * (1 + ($h // $bits) % ${bits - 1})) % $bits"
+
   def probeHitExpr(bitmapCol: String, h: String = "h",
       bits: Long = DefaultBits): String = {
     val m = s"($h & $Mask60)"

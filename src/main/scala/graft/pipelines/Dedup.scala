@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private[pipelines] val Bands = 4
+  /** LSH band count and shingle size — THE single definition (ADVICE
+    * r9: [[graft.streaming.IngestDedup]] mirrors these so a streamed
+    * doc and its batch twin hash identically; it now references them
+    * directly instead of repeating the literals by convention). */
+  private[graft] val Bands = 4
+  private[graft] val ShingleK = 3
 
   /** 60-bit shingle hash (first 15 hex digits of md5 as a BIGINT) —
     * the shared [[graft.OracleSafe.hash60]] twins, aliased to the
@@ -37,9 +42,9 @@ object Dedup {
       element_at(col("sigs"), b + 1).as(s"sig$b"))
     TextShingles.words(s, dir)
       .withColumn("sigs",
-        column(graft.functions.MinHashSigs(expression(col("ws")), 3, Bands)))
+        column(graft.functions.MinHashSigs(expression(col("ws")), ShingleK, Bands)))
       .withColumn("hset",
-        column(graft.functions.ShingleHashSet(expression(col("ws")), 3)))
+        column(graft.functions.ShingleHashSet(expression(col("ws")), ShingleK)))
       .select(Seq(col("doc_id"), col("hset")) ++ sigCols: _*)
   }
 
@@ -853,10 +858,10 @@ object Dedup {
         |sd AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
         |ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
         |spos AS (SELECT DISTINCT
-        |    (h % $B + i * (1 + (h // $B) % ${B - 1})) % $B AS p
+        |    ${graft.functions.BloomBitsAgg.posSqlDuck("h", "i", B)} AS p
         |  FROM sd CROSS JOIN ii),
         |dp AS (SELECT doc_id, h,
-        |    (h % $B + i * (1 + (h // $B) % ${B - 1})) % $B AS p
+        |    ${graft.functions.BloomBitsAgg.posSqlDuck("h", "i", B)} AS p
         |  FROM d CROSS JOIN ii),
         |hit AS (SELECT doc_id, BOOL_AND(p IN (SELECT p FROM spos))
         |    AS bloom_hit
@@ -1088,7 +1093,7 @@ object Dedup {
       import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
       val dsh = TextShingles.words(s, dir)
         .withColumn("hset",
-          column(graft.functions.ShingleHashSet(expression(col("ws")), 3)))
+          column(graft.functions.ShingleHashSet(expression(col("ws")), ShingleK)))
         .select(col("doc_id"), explode(col("hset")).as("h"))
       val dfh = dsh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val agg = dsh.join(dfh, "h")

@@ -96,8 +96,17 @@ object Ingest {
         .schema(streamSet.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(batchDir)
-      val admView = s"graft_ing01_adm_$n"
-      val dupView = s"graft_ing01_dup_$n"
+      // FILE sinks + read-back (VERDICT r9 #3/#5: the memory sink was
+      // the last query-path materialization whose row count scales
+      // with the corpus — a 100 TB ingest writes its admission log to
+      // storage, so the gate harness does too; the cdc10 pattern).
+      // Same two-slot ring as the input dir, swept on reuse.
+      val admOut = s"${batchDir}_adm"
+      val dupOut = s"${batchDir}_dup"
+      Seq(admOut, dupOut).foreach { d =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(d))
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(d + "_ck"))
+      }
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
         // state partitions sized to key volume (the cdc11 note): the
@@ -106,35 +115,43 @@ object Ingest {
         val q1 = graft.streaming.IngestDedup
           .withShingleOverlap(stream, bloom, ShingleBloomBits)
           .select(col("doc_id"), col("n_shingles"), col("n_maybe_seen"))
-          .writeStream.format("memory").queryName(admView).start()
+          .writeStream.format("parquet")
+          .option("path", admOut).option("checkpointLocation", admOut + "_ck")
+          .start()
         val q2 = graft.streaming.IngestDedup
           .flagNearDuplicates(stream, index, watermark = "3650 days")
           .select(col("doc_id"))
-          .writeStream.format("memory").queryName(dupView).start()
+          .writeStream.format("parquet")
+          .option("path", dupOut).option("checkpointLocation", dupOut + "_ck")
+          .start()
         try {
           q1.processAllAvailable()
           q2.processAllAvailable()
         } finally { q1.stop(); q2.stop() }
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val flagged = s.table(dupView)
+      // explicit schemas on read-back: a stream that emitted zero
+      // rows leaves a dir with no data files to infer from
+      val adm = s.read.parquet(admOut)
+      val flagged = s.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(dupOut)
         .withColumn("near_dup", lit(true))
-      val out = s.table(admView)
+      adm
         .join(flagged, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_shingles"), col("n_maybe_seen"),
           coalesce(col("near_dup"), lit(false)).as("near_dup"))
-        .localCheckpoint(true)
-      s.catalog.dropTempView(admView)
-      s.catalog.dropTempView(dupView)
-      out
     },
     Some {
       val B = ShingleBloomBits
       val h60 = graft.OracleSafe.hash60Sql("sg")
-      def posSql(i: Int) = s"(h % $B + $i * (1 + (h // $B) % ${B - 1})) % $B"
+      def posSql(i: Int) =
+        graft.functions.BloomBitsAgg.posSqlDuck("h", i.toString, B)
       def posUnion(pred: String) = (0 until graft.functions.BloomBitsAgg.K)
         .map(i => s"SELECT doc_id, h, ${posSql(i)} AS p FROM shh WHERE $pred")
         .mkString("\n  UNION ALL ")
-      s"""WITH ${TextShingles.shinglesSql(3)},
+      s"""WITH ${TextShingles.shinglesSql(Dedup.ShingleK)},
          |${Dedup.signaturesSql},
          |shh AS (SELECT DISTINCT doc_id, $h60 AS h FROM sh),
          |cpos AS (SELECT DISTINCT p FROM (

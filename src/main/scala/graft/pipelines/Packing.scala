@@ -223,5 +223,84 @@ object Packing {
       |SELECT doc_id, pos, pos % $ShuffleShards AS shard,
       |  pos // $ShuffleShards AS shard_pos FROM r""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03, pk04)
+  // -------------------------------------------------------------- pk05
+  /** pk01's deterministic packing budgeted in SUBWORD tokens (tx13's
+    * greedy longest-match encoder) instead of whitespace words — the
+    * unit a real pre-training writer actually bins by (VERDICT r9
+    * #6). Same salted-md5 shard deal, same per-shard cumsum window,
+    * same clamp; only the token source changes: one codegen'd
+    * [[graft.functions.SubwordCounts]] call per doc rides the scan
+    * where pk01 counted split() sizes. Budget is scaled ~4× (subword
+    * counts run ~4-5× the word count on this corpus) so bins stay
+    * comparably full. The oracle chains tx13's recursive encoder CTEs
+    * into pk01's window SQL — hash-exact end-to-end. */
+  private val SubwordBudget = 1024
+  private val pk05 = QueryDef(
+    "pk05_subword_pack",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ws",
+          expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+        .select(col("doc_id"),
+          element_at(
+            column(graft.functions.SubwordCounts(expression(col("ws")))), 1)
+            .as("n_tok"),
+          md5(concat(col("doc_id").cast("string"), lit(":pack"))
+            .cast("binary")).as("pick"))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substring(pick, 1, 1))") - 1)
+            % NShards).cast("int"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("pick").asc, col("doc_id").asc)
+      docs
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("cum_tok",
+          sum(col("n_tok")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("bin",
+          greatest(lit(0L),
+            floor((col("cum_tok") - 1) / SubwordBudget)).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"),
+          col("cum_tok"), col("bin"))
+    },
+    Some(s"""WITH wrd AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '\\s+'),
+      |      x -> x <> '')) AS word
+      |  FROM documents),
+      |dw AS (SELECT DISTINCT word FROM wrd),
+      |vocab AS (SELECT unnest(${graft.functions.SubwordVocab.vocabSql})
+      |  AS tok),
+      |enc AS (
+      |  WITH RECURSIVE cur(word, pos, ntok) AS (
+      |    SELECT word, 1, 0 FROM dw
+      |    UNION ALL
+      |    SELECT c.word, c.pos + COALESCE(m.mlen, 1), c.ntok + 1
+      |    FROM cur c
+      |    LEFT JOIN LATERAL (
+      |      SELECT MAX(len(v.tok)) AS mlen FROM vocab v
+      |      WHERE substr(c.word, c.pos, len(v.tok)) = v.tok) m ON TRUE
+      |    WHERE c.pos <= len(c.word))
+      |  SELECT word, ntok FROM cur WHERE pos > len(word)),
+      |d AS (SELECT doc.doc_id,
+      |  CAST(COALESCE((SELECT SUM(e.ntok) FROM wrd w JOIN enc e
+      |    USING (word) WHERE w.doc_id = doc.doc_id), 0) AS BIGINT)
+      |    AS n_tok,
+      |  md5(CAST(doc.doc_id AS VARCHAR) || ':pack') AS pick
+      |  FROM documents doc),
+      |sh AS (SELECT doc_id, n_tok, pick,
+      |  CAST((instr('0123456789abcdef', substr(pick, 1, 1)) - 1)
+      |    % $NShards AS INT) AS shard FROM d),
+      |win AS (SELECT doc_id, shard, n_tok,
+      |  CAST(ROW_NUMBER() OVER o AS BIGINT) AS pos,
+      |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY pick ASC, doc_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM sh
+      |  WINDOW o AS (PARTITION BY shard ORDER BY pick ASC, doc_id ASC))
+      |SELECT doc_id, shard, pos, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+      |  CAST(greatest(0, floor((cum_tok - 1) / $SubwordBudget)) AS BIGINT)
+      |    AS bin
+      |FROM win""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03, pk04, pk05)
 }

@@ -792,91 +792,164 @@ object Similarity {
     val Degree = 20
     val Rounds = 3
     val Salt = "nnd:"
-    /** Sign-bit LSH bits for the seeded init (ann02's bucket). */
+    /** Sign-bit LSH bits for the seeded init (ann02's bucket).
+      * SIZING RULE (the BloomAgg discipline): buckets average
+      * n/2^SeedBits members, so at corpus growth add bits to keep the
+      * average bucket O(SeedCap) — but correctness of the init's cost
+      * bound does NOT depend on getting this right, because
+      * [[SeedCap]] hard-caps what any bucket can contribute. */
     val SeedBits = 8
+    /** Per-bucket REPRESENTATIVE cap (VERDICT r9 #1 on ann06: the
+      * uncapped bucket join was Θ(n²/2^SeedBits) — ~9·n²/256 cosines
+      * at init, a scale-killer at 10⁹ vectors in the one operator
+      * whose refinement cost is corpus-independent). Each bucket
+      * elects its top-[[SeedCap]] members by salted md5 (a
+      * deterministic, engine-independent draw — replayed 1:1 by the
+      * DuckDB oracle) and only representatives are joinable, so a
+      * node's init candidate mass is ≤ 9·SeedCap + Degree(ring)
+      * REGARDLESS of n or of a mis-sized SeedBits. The ring seed
+      * already guarantees ≥ Degree edges and the long-range hops, so
+      * capping the locality seed costs recall nothing the refinement
+      * rounds can't recover (measured: recall@5 unchanged at all
+      * three SFs). Pinned by PipelineSpec at 1×/4×/16× corpora. */
+    val SeedCap = 32
+    /** Salt for the representative draw — distinct from [[Salt]] so
+      * the ring permutation and the bucket election are independent. */
+    val RepSalt = "nndrep:"
+  }
+
+  /** Spark-side sign-bucket expression for the seeded init. */
+  private[graft] def nndBucketExpr: String = (0 until Nnd.SeedBits)
+    .map(j => s"(CASE WHEN v[$j] > 0D THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  /** (id, nbr) init candidate set for the NN-descent build: bounded
+    * LSH seed ∪ ring. The LSH side joins each node's 1+SeedBits probe
+    * buckets against at most [[Nnd.SeedCap]] REPRESENTATIVES per
+    * bucket (elected by salted md5 — deterministic and replayed by
+    * the oracle's `reps` CTE), so per-node candidate mass is
+    * ≤ (1+SeedBits)·SeedCap + Degree — a constant in n, pinned by
+    * PipelineSpec at 1×/4×/16× corpora. The ring guard drops the
+    * self-edges a corpus of ≤ Degree rows would wrap onto (ADVICE
+    * r9). `n` must carry (vec_id, bucket); factored out of ann06 so
+    * the spec can measure the candidate mass directly. */
+  /** Spark-side probe-bucket array (own + Hamming-1 sign buckets). */
+  private def nndProbesExpr: String = {
+    val seedFlips: Seq[Int] = 0 +: (0 until Nnd.SeedBits).map(1 << _)
+    seedFlips.map(m => s"CAST(bucket ^ $m AS BIGINT)")
+      .mkString("array(", ", ", ")")
+  }
+
+  /** Per-bucket representative election: top-[[Nnd.SeedCap]] by
+    * salted md5. The window partitions by bucket, so its sort is
+    * per-bucket and bounded by the bucket size — and the SIZING RULE
+    * on SeedBits (scaladoc there) keeps buckets O(SeedCap) at any
+    * corpus. Shared by the init seed and ann07's entry selection
+    * (both replay the oracle's single `reps` CTE). */
+  private[graft] def nndReps(n: DataFrame): DataFrame = {
+    val repW = Window.partitionBy(col("bucket"))
+      .orderBy(md5(concat(lit(Nnd.RepSalt), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
+    n.select(col("vec_id"), col("bucket"))
+      .withColumn("rr", row_number().over(repW))
+      .filter(col("rr") <= Nnd.SeedCap)
+      .select(col("vec_id").as("nbr"), col("bucket"))
+  }
+
+  private[graft] def nndInitCandidates(n: DataFrame, corpusN: Long): DataFrame = {
+    val reps = nndReps(n)
+    val lshCand = n.select(col("vec_id").as("id"),
+        explode(expr(nndProbesExpr)).as("bucket"))
+      .join(reps, "bucket")
+      .filter(col("id") =!= col("nbr"))
+      .select(col("id"), col("nbr"))
+    // ring fallback: the Degree successors in the md5 permutation —
+    // ≥ Degree init edges per node even in sparse buckets, plus the
+    // long-range hops a locality seed can't provide ([[Ranking]]'s
+    // two-phase rank: no global sort)
+    val ord = Ranking.saltedRank(n, Nnd.Salt, "vec_id")
+    val ringTargets = ord.select(col("vec_id").as("id"),
+      explode(array((1 to Nnd.Degree).map(j =>
+        pmod(col("pos") + j, lit(corpusN))): _*)).as("tpos"))
+    val ring = ringTargets.join(
+      ord.select(col("vec_id").as("nbr"), col("pos").as("tpos")), "tpos")
+      .filter(col("id") =!= col("nbr"))
+      .select(col("id"), col("nbr"))
+    lshCand.union(ring).distinct()
+  }
+
+  /** Release a localCheckpoint's pinned blocks (dd06's rationale:
+    * superseded per-round snapshots are NON-EVICTABLE until freed). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** The NN-descent build loop over an arbitrary member frame
+    * (vec_id, v, nn, bucket): capped-seed init, then [[Nnd.Rounds]]
+    * rounds of neighbor-of-neighbor refinement. Returns the final
+    * directed top-[[Nnd.Degree]] graph (id, nbr, cos) as a
+    * localCheckpointed frame — caller frees it via [[freeCheckpoint]]
+    * when superseded. Shared by ann06 (full corpus) and ann07 (build
+    * on members only, search held-out queries).
+    *
+    * Eager per-round localCheckpoint, NOT persist (the dd06 lesson,
+    * re-learned here the hard way): each round references its
+    * predecessor three times (forward list, symmetric swap,
+    * keep-union), so an unbroken lineage TRIPLES the logical plan per
+    * round — with persist the data came from cache but Catalyst still
+    * re-planned the exponentially-growing tree, and round 3's
+    * driver-side planning alone took 80+ s at sf0.1. The checkpoint
+    * truncates the plan to the materialized rows, keeping per-round
+    * planning O(1); superseded snapshots are freed immediately
+    * (localCheckpoint blocks are pinned). */
+  private[graft] def nndBuild(n: DataFrame, corpusN: Long): DataFrame = {
+    val init = nndInitCandidates(n, corpusN)
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(n.select(col("vec_id").as("id"), col("v").as("xv"),
+          col("nn").as("xn")), "id")
+        .join(n.select(col("vec_id").as("nbr"), col("v").as("yv"),
+          col("nn").as("yn")), "nbr")
+        .select(col("id"), col("nbr"),
+          VectorOps.cosine("xv", "yv", "xn", "yn").as("cos"))
+    val wK = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("nbr").asc)
+    var b = score(init)
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= Nnd.Degree)
+      .select(col("id"), col("nbr"), col("cos"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < Nnd.Rounds) {
+      val sym = b.select(col("id"), col("nbr"))
+        .union(b.select(col("nbr").as("id"), col("id").as("nbr")))
+        .distinct()
+      val cand = sym.as("a").join(sym.as("b"),
+          col("a.id") === col("b.id") && col("a.nbr") =!= col("b.nbr"))
+        .select(col("a.nbr").as("id"), col("b.nbr").as("nbr"))
+        .distinct()
+      val nb = b.union(score(cand)).distinct()
+        .withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= Nnd.Degree)
+        .select(col("id"), col("nbr"), col("cos"))
+        .localCheckpoint(true)
+      freeCheckpoint(b)
+      b = nb
+      r += 1
+    }
+    b
   }
 
   private val ann06 = QueryDef(
     "ann06_knn_graph",
     (s, dir) => {
-      val bucketExpr = (0 until Nnd.SeedBits)
-        .map(j => s"(CASE WHEN v[$j] > 0D THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
-      val seedFlips: Seq[Int] = 0 +: (0 until Nnd.SeedBits).map(1 << _)
-      val probesExpr = seedFlips.map(m => s"CAST(bucket ^ $m AS BIGINT)")
-        .mkString("array(", ", ", ")")
       val n = vecs(s, dir)
-        .withColumn("bucket", expr(bucketExpr).cast("bigint"))
+        .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
       val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
-      // LSH seed: every pair inside the node's own + Hamming-1 sign
-      // buckets (an ordinary hash join on the bucket key)
-      val lshCand = n.select(col("vec_id").as("id"),
-          explode(expr(probesExpr)).as("bucket"))
-        .join(n.select(col("vec_id").as("nbr"), col("bucket")), "bucket")
-        .filter(col("id") =!= col("nbr"))
-        .select(col("id"), col("nbr"))
-      // ring fallback: the Degree successors in the md5 permutation —
-      // ≥ Degree init edges per node even in sparse buckets, plus the
-      // long-range hops a locality seed can't provide ([[Ranking]]'s
-      // two-phase rank: no global sort)
-      val ord = Ranking.saltedRank(n, Nnd.Salt, "vec_id")
-      val ringTargets = ord.select(col("vec_id").as("id"),
-        explode(array((1 to Nnd.Degree).map(j =>
-          pmod(col("pos") + j, lit(corpusN))): _*)).as("tpos"))
-      val ring = ringTargets.join(
-        ord.select(col("vec_id").as("nbr"), col("pos").as("tpos")), "tpos")
-        .select(col("id"), col("nbr"))
-      val init = lshCand.union(ring).distinct()
-      def score(pairs: DataFrame): DataFrame =
-        pairs
-          .join(n.select(col("vec_id").as("id"), col("v").as("xv"),
-            col("nn").as("xn")), "id")
-          .join(n.select(col("vec_id").as("nbr"), col("v").as("yv"),
-            col("nn").as("yn")), "nbr")
-          .select(col("id"), col("nbr"),
-            VectorOps.cosine("xv", "yv", "xn", "yn").as("cos"))
-      val wK = Window.partitionBy(col("id"))
-        .orderBy(col("cos").desc, col("nbr").asc)
-      // eager per-round localCheckpoint, NOT persist (the dd06
-      // lesson, re-learned here the hard way): each round references
-      // its predecessor three times (forward list, symmetric swap,
-      // keep-union), so an unbroken lineage TRIPLES the logical plan
-      // per round — with persist the data came from cache but
-      // Catalyst still re-planned the exponentially-growing tree, and
-      // round 3's driver-side planning alone took 80+ s at sf0.1. The
-      // checkpoint truncates the plan to the materialized rows,
-      // keeping per-round planning O(1); superseded snapshots are
-      // freed immediately (localCheckpoint blocks are pinned —
-      // dd06's freeCheckpoint rationale).
-      def freeCheckpoint(df: DataFrame): Unit =
-        df.queryExecution.logical match {
-          case l: org.apache.spark.sql.execution.LogicalRDD =>
-            l.rdd.unpersist(blocking = false)
-          case _ => ()
-        }
-      var b = score(init)
-        .withColumn("rn", row_number().over(wK))
-        .filter(col("rn") <= Nnd.Degree)
-        .select(col("id"), col("nbr"), col("cos"))
-        .localCheckpoint(true)
-      var r = 0
-      while (r < Nnd.Rounds) {
-        val sym = b.select(col("id"), col("nbr"))
-          .union(b.select(col("nbr").as("id"), col("id").as("nbr")))
-          .distinct()
-        val cand = sym.as("a").join(sym.as("b"),
-            col("a.id") === col("b.id") && col("a.nbr") =!= col("b.nbr"))
-          .select(col("a.nbr").as("id"), col("b.nbr").as("nbr"))
-          .distinct()
-        val nb = b.union(score(cand)).distinct()
-          .withColumn("rn", row_number().over(wK))
-          .filter(col("rn") <= Nnd.Degree)
-          .select(col("id"), col("nbr"), col("cos"))
-          .localCheckpoint(true)
-        freeCheckpoint(b)
-        b = nb
-        r += 1
-      }
+      val b = nndBuild(n, corpusN)
       val wOut = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id").asc)
       val out = b.filter(col("id") < NQueries)
@@ -889,6 +962,231 @@ object Similarity {
     },
     Some(NndSql.sql))
 
+  /** Beam-search knobs for ann07 (VERDICT r9 #3: the missing half of
+    * the graph rung — a real index serves vectors it has never seen).
+    * Work per query is Entries + Steps·Beam·Degree cosines — a
+    * CONSTANT in corpus size, the property that makes graph search
+    * the right query path at 10⁹ vectors. Sized so the distinct
+    * scanned fraction stays well under 25% of the member corpus at
+    * sf0.1 (measured by PipelineSpec via [[graphSearch]]'s tracked
+    * trajectory) while recall@5 vs the member-only brute truth
+    * clears ann03's 0.86. */
+  private[graft] object Search {
+    /** Result pool (HNSW's ef): candidates kept per query between
+      * steps. Large pools are nearly free — pool size costs a window
+      * sort, not cosines; only EXPANSION costs scans. */
+    val Beam = 64
+    /** Best-first expansion width: each step expands the edges of the
+      * top-ExpandK beam nodes NOT YET expanded (the anti-join makes
+      * the walk best-first — without it every step re-expands the
+      * same best nodes and the scan budget buys no new territory). */
+    val ExpandK = 6
+    val Steps = 8
+    /** Per-query LSH-probed entry points: the walk starts inside the
+      * query's own + Hamming-1 sign buckets (top-Entries of the
+      * build's capped representative election, ranked by the same
+      * salted md5), so the first hop already lands in the target
+      * neighborhood — the IVF intuition applied to the graph rung.
+      * Ring-rank fallback entries keep the search total even for a
+      * query whose probe buckets are all empty. */
+    val Entries = 64
+    val RingEntries = 2
+  }
+
+  /** Deterministic best-first beam search over a directed k-NN graph
+    * for OUT-OF-GRAPH query vectors. `q` carries (q_id, qv, qn),
+    * `mem` (n_id, nv, mn), `edges` (id, nbr). Every step scores the
+    * current beam's graph neighbors against the (broadcast) query
+    * set and keeps the per-query top-[[Search.Beam]]; ties break
+    * (cos DESC, n_id ASC) so the whole trajectory is replayable as
+    * chained CTEs. When `track` is set the distinct scored pairs are
+    * returned too (the scan-budget measurement) and intermediate
+    * beams stay pinned for it; the query path frees them eagerly. */
+  private[graft] def graphSearch(
+      q: DataFrame, mem: DataFrame, edges: DataFrame, entries: DataFrame,
+      track: Boolean = false): (DataFrame, Option[DataFrame]) = {
+    def score(cand: DataFrame): DataFrame =
+      cand.join(mem, "n_id").join(broadcast(q), "q_id")
+        .select(col("q_id"), col("n_id"),
+          VectorOps.cosine("qv", "nv", "qn", "mn").as("cos"))
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val init = entries
+    var scanned = List(init)
+    var beam = score(init)
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= Search.Beam)
+      .select(col("q_id"), col("n_id"), col("cos"))
+      .localCheckpoint(true)
+    // best-first state: nodes whose edges were already expanded —
+    // each step spends its scan budget on the top-ExpandK NOT-YET-
+    // expanded beam nodes (plain re-expansion of the beam head buys
+    // zero new candidates after the first step)
+    var expanded = beam.select(col("q_id"), col("n_id")).filter(lit(false))
+      .localCheckpoint(true)
+    var olds = List.empty[DataFrame]
+    var t = 0
+    while (t < Search.Steps) {
+      val pick = beam
+        .join(expanded, Seq("q_id", "n_id"), "left_anti")
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= Search.ExpandK)
+        .select(col("q_id"), col("n_id"))
+      val cand = pick.select(col("q_id"), col("n_id").as("id"))
+        .join(edges, "id")
+        .select(col("q_id"), col("nbr").as("n_id"))
+        .distinct()
+      scanned ::= cand
+      val nb = beam.union(score(cand)).distinct()
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= Search.Beam)
+        .select(col("q_id"), col("n_id"), col("cos"))
+        .localCheckpoint(true)
+      val ne = expanded.union(pick).localCheckpoint(true)
+      if (track) olds ::= beam else { freeCheckpoint(beam); freeCheckpoint(expanded) }
+      beam = nb
+      expanded = ne
+      t += 1
+    }
+    if (!track) freeCheckpoint(expanded)
+    val scannedDf =
+      if (track) Some(scanned.reduce(_ union _).distinct()) else None
+    (beam, scannedDf)
+  }
+
+  // -------------------------------------------------------------- ann07
+  /** Query-time graph SEARCH — the other half of the graph rung. The
+    * NN-descent graph is built WITHOUT the query vectors (members =
+    * vec_id ≥ [[NQueries]], the same build [[nndBuild]] runs for
+    * ann06), then each held-out query vector is answered by greedy
+    * beam search over the directed graph: [[Search.Entries]] ring
+    * entry points, [[Search.Steps]] expansion steps keeping the
+    * per-query top-[[Search.Beam]] frontier. Per-query cost is
+    * corpus-independent (the HNSW single-layer search loop); the
+    * full build + search trajectory replays in DuckDB as one chained
+    * CTE program, so the result is hash-oracled like ann06. */
+  /** Shared ann07 setup: the member-only graph build, the query /
+    * member frames, and the per-query LSH-probed entry set (top-
+    * [[Search.Entries]] of the query's probe buckets' representative
+    * election ∪ [[Search.RingEntries]] ring-rank fallbacks). Returns
+    * the build frame too so callers can free its checkpoint. */
+  private def searchSetup(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val all = vecs(s, dir)
+      .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
+    val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
+    val members = all.filter(col("vec_id") >= NQueries)
+    val g = nndBuild(members, corpusN - NQueries)
+    val qb = all.filter(col("vec_id") < NQueries)
+    val q = qb.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nn").as("qn"))
+    val mem = members.select(col("vec_id").as("n_id"),
+      col("v").as("nv"), col("nn").as("mn"))
+    val reps = nndReps(members)
+    val qprobes = qb.select(col("vec_id").as("q_id"),
+      explode(expr(nndProbesExpr)).as("bucket"))
+    val entW = Window.partitionBy(col("q_id"))
+      .orderBy(md5(concat(lit(Nnd.RepSalt), col("n_id").cast("string"))).asc,
+        col("n_id").asc)
+    val qent = qprobes.join(reps, "bucket")
+      .select(col("q_id"), col("nbr").as("n_id"))
+      .withColumn("rr", row_number().over(entW))
+      .filter(col("rr") <= Search.Entries)
+      .select(col("q_id"), col("n_id"))
+    val ringEnt = q.select(col("q_id")).crossJoin(
+      Ranking.saltedRank(members, Nnd.Salt, "vec_id")
+        .filter(col("pos") < Search.RingEntries)
+        .select(col("vec_id").as("n_id")))
+    val entries = qent.union(ringEnt).distinct()
+    val edges = g.select(col("id"), col("nbr"))
+      .union(g.select(col("nbr").as("id"), col("id").as("nbr")))
+      .distinct()
+    (q, mem, edges, entries, g)
+  }
+
+  private val ann07 = QueryDef(
+    "ann07_graph_search",
+    (s, dir) => {
+      val (q, mem, edges, entries, g) = searchSetup(s, dir)
+      val (beam, _) = graphSearch(q, mem, edges, entries)
+      val wOut = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val out = beam
+        .withColumn("rn", row_number().over(wOut).cast("long"))
+        .filter(col("rn") <= K)
+        .localCheckpoint(true)
+      freeCheckpoint(beam)
+      freeCheckpoint(g)
+      out
+    },
+    Some(SearchSql.sql))
+
+  /** DuckDB replay of ann07: the member-only NN-descent build
+    * ([[NndSql.buildCtes]] with the held-out filter) chained with the
+    * beam-search trajectory — entry scoring, per-step candidate
+    * expansion, per-query top-Beam, final top-K. */
+  private object SearchSql {
+    import VectorOps.{castSql, cosineSql, dotSql}
+
+    def sql: String = {
+      val cos = cosineSql("x.v", "y.v", "x.nn", "y.nn")
+      val steps = (1 to Search.Steps).map { t =>
+        val p = s"qb${t - 1}"
+        val xp = s"xp${t - 1}"
+        s"""pk$t AS MATERIALIZED (SELECT q_id, n_id FROM (
+           |  SELECT b.q_id, b.n_id, ROW_NUMBER() OVER (PARTITION BY b.q_id
+           |    ORDER BY b.cos DESC, b.n_id ASC) AS rn
+           |  FROM $p b WHERE NOT EXISTS (SELECT 1 FROM $xp e
+           |    WHERE e.q_id = b.q_id AND e.n_id = b.n_id))
+           |  WHERE rn <= ${Search.ExpandK}),
+           |qc$t AS MATERIALIZED (SELECT DISTINCT p.q_id, g.nbr AS n_id
+           |  FROM pk$t p JOIN edges g ON g.id = p.n_id),
+           |qs$t AS MATERIALIZED (SELECT c.q_id, c.n_id, $cos AS cos
+           |  FROM qc$t c JOIN qe x ON x.q_id = c.q_id
+           |  JOIN n y ON y.vec_id = c.n_id),
+           |qb$t AS MATERIALIZED (SELECT q_id, n_id, cos FROM (
+           |  SELECT q_id, n_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, n_id ASC) AS rn
+           |  FROM (SELECT * FROM $p UNION SELECT * FROM qs$t))
+           |  WHERE rn <= ${Search.Beam}),
+           |xp$t AS MATERIALIZED (SELECT q_id, n_id FROM $xp
+           |  UNION ALL SELECT q_id, n_id FROM pk$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${NndSql.buildCtes(s"vec_id >= $NQueries")},
+         |qe AS MATERIALIZED (SELECT vec_id AS q_id, v,
+         |  ${dotSql("v", "v")} AS nn,
+         |  CAST(${NndSql.bucketSql} AS BIGINT) AS bucket FROM (
+         |  SELECT vec_id, ${castSql("embedding")} AS v FROM embeddings
+         |  WHERE vec_id < $NQueries)),
+         |edges AS MATERIALIZED (SELECT id, nbr FROM b${Nnd.Rounds}
+         |  UNION SELECT nbr AS id, id AS nbr FROM b${Nnd.Rounds}),
+         |qent AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |  SELECT p.q_id, r.nbr AS n_id, ROW_NUMBER() OVER (
+         |    PARTITION BY p.q_id
+         |    ORDER BY md5('${Nnd.RepSalt}' || CAST(r.nbr AS VARCHAR)) ASC,
+         |      r.nbr ASC) AS rr
+         |  FROM (SELECT q_id, unnest(${NndSql.probesSql}) AS pb FROM qe) p
+         |  JOIN reps r ON r.bucket = p.pb)
+         |  WHERE rr <= ${Search.Entries}),
+         |ent AS MATERIALIZED (SELECT q_id, n_id FROM qent
+         |  UNION SELECT q.q_id, o.vec_id AS n_id FROM qe q
+         |  CROSS JOIN ord o WHERE o.pos < ${Search.RingEntries}),
+         |qs0 AS MATERIALIZED (SELECT c.q_id, c.n_id, $cos AS cos
+         |  FROM ent c JOIN qe x ON x.q_id = c.q_id
+         |  JOIN n y ON y.vec_id = c.n_id),
+         |qb0 AS MATERIALIZED (SELECT q_id, n_id, cos FROM (
+         |  SELECT q_id, n_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rn
+         |  FROM qs0) WHERE rn <= ${Search.Beam}),
+         |xp0 AS MATERIALIZED (SELECT q_id, n_id FROM qb0 WHERE 1 = 0),
+         |$steps
+         |SELECT q_id, n_id, cos, rn FROM (
+         |  SELECT q_id, n_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rn
+         |  FROM qb${Search.Steps}) WHERE rn <= $K""".stripMargin
+    }
+  }
+
   /** DuckDB replay of the full NN-descent trajectory: the ring init
     * over the md5 permutation, then per round the symmetric edge
     * closure, neighbor-of-neighbor candidates, in-order-fold cosines
@@ -898,14 +1196,20 @@ object Similarity {
   private object NndSql {
     import VectorOps.{castSql, cosineSql, dotSql}
 
-    def sql: String = {
+    /** The build-chain CTE list (e … b{Rounds}), parameterized by the
+      * member predicate so ann06 (full corpus) and ann07 (members =
+      * corpus minus the held-out queries) replay the identical
+      * trajectory over their respective member sets. Starts after a
+      * caller-provided `WITH`. */
+    // DuckDB lists are 1-based (v[j+1]) where Spark arrays use v[j]
+    def bucketSql: String = (0 until Nnd.SeedBits)
+      .map(j => s"(CASE WHEN v[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    def probesSql: String = (0 +: (0 until Nnd.SeedBits).map(1 << _))
+      .map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
+
+    def buildCtes(memberWhere: String): String = {
       val cos = cosineSql("x.v", "y.v", "x.nn", "y.nn")
-      // DuckDB lists are 1-based (v[j+1]) where Spark arrays use v[j]
-      val bucketSql = (0 until Nnd.SeedBits)
-        .map(j => s"(CASE WHEN v[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
-      val probesSql = (0 +: (0 until Nnd.SeedBits).map(1 << _))
-        .map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
       val rounds = (1 to Nnd.Rounds).map { r =>
         val p = s"b${r - 1}"
         s"""s$r AS MATERIALIZED (SELECT id, nbr FROM $p
@@ -921,22 +1225,30 @@ object Similarity {
            |  FROM (SELECT * FROM $p UNION SELECT * FROM sc$r))
            |  WHERE rn <= ${Nnd.Degree})""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (SELECT vec_id,
-         |  ${castSql("embedding")} AS v FROM embeddings),
+      s"""e AS MATERIALIZED (SELECT vec_id,
+         |  ${castSql("embedding")} AS v FROM embeddings
+         |  WHERE $memberWhere),
          |n AS MATERIALIZED (SELECT vec_id, v, ${dotSql("v", "v")} AS nn,
          |  CAST($bucketSql AS BIGINT) AS bucket FROM e),
          |ord AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (
          |  ORDER BY md5('${Nnd.Salt}' || CAST(vec_id AS VARCHAR)) ASC,
          |    vec_id ASC) - 1 AS pos FROM e),
          |cnt AS MATERIALIZED (SELECT COUNT(*) AS nc FROM e),
-         |lcand AS MATERIALIZED (SELECT a.vec_id AS id, b.vec_id AS nbr
+         |reps AS MATERIALIZED (SELECT nbr, bucket FROM (
+         |  SELECT vec_id AS nbr, bucket, ROW_NUMBER() OVER (
+         |    PARTITION BY bucket
+         |    ORDER BY md5('${Nnd.RepSalt}' || CAST(vec_id AS VARCHAR)) ASC,
+         |      vec_id ASC) AS rr
+         |  FROM n) WHERE rr <= ${Nnd.SeedCap}),
+         |lcand AS MATERIALIZED (SELECT a.vec_id AS id, b.nbr
          |  FROM (SELECT vec_id, unnest($probesSql) AS pb FROM n) a
-         |  JOIN n b ON b.bucket = a.pb WHERE b.vec_id <> a.vec_id),
+         |  JOIN reps b ON b.bucket = a.pb WHERE b.nbr <> a.vec_id),
          |ring AS MATERIALIZED (SELECT a.vec_id AS id, b.vec_id AS nbr
          |  FROM ord a CROSS JOIN cnt
          |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
          |    ${Nnd.Degree})) AS j) t
-         |  JOIN ord b ON b.pos = (a.pos + t.j) % cnt.nc),
+         |  JOIN ord b ON b.pos = (a.pos + t.j) % cnt.nc
+         |  WHERE b.vec_id <> a.vec_id),
          |icand AS MATERIALIZED (SELECT id, nbr FROM lcand
          |  UNION SELECT id, nbr FROM ring),
          |isc AS MATERIALIZED (SELECT c.id, c.nbr, $cos AS cos
@@ -946,12 +1258,15 @@ object Similarity {
          |  SELECT id, nbr, cos, ROW_NUMBER() OVER (PARTITION BY id
          |    ORDER BY cos DESC, nbr ASC) AS rn
          |  FROM isc) WHERE rn <= ${Nnd.Degree}),
-         |$rounds
+         |$rounds""".stripMargin
+    }
+
+    def sql: String =
+      s"""WITH ${buildCtes("TRUE")}
          |SELECT id AS q_id, nbr AS n_id, cos, rn FROM (
          |  SELECT id, nbr, cos, ROW_NUMBER() OVER (PARTITION BY id
          |    ORDER BY cos DESC, nbr ASC) AS rn
          |  FROM b${Nnd.Rounds}) WHERE id < $NQueries AND rn <= $K""".stripMargin
-    }
   }
 
   /** recall@K of an approximate ANN result against [[ann01]]'s
@@ -966,10 +1281,53 @@ object Similarity {
     hit.toDouble / truth.count()
   }
 
+  /** Scan-budget measurement for the ann07 search: (mean distinct
+    * scored (q_id, n_id) pairs per query, member corpus size). Runs
+    * the identical build + search with trajectory tracking on; used
+    * by SearchProbe and PipelineSpec to pin the sub-linear scan claim
+    * with a measurement rather than the worst-case bound. */
+  def searchScanStats(s: SparkSession, dir: String): (Double, Long) = {
+    val (q, mem, edges, entries, g) = searchSetup(s, dir)
+    val (beam, scanned) = graphSearch(q, mem, edges, entries, track = true)
+    val perQ = scanned.get.groupBy("q_id").count()
+      .agg(avg("count")).head.getDouble(0)
+    val memberN = mem.count()
+    freeCheckpoint(beam)
+    freeCheckpoint(g)
+    (perQ, memberN)
+  }
+
+  /** recall@K of ann07 against the member-only brute-force truth —
+    * [[recallAtK]]'s ann01 truth ranks the WHOLE corpus (including
+    * the other held-out query vectors, which ann07's index by
+    * construction cannot return), so the held-out rung gets its own
+    * truth: top-K over members (vec_id ≥ NQueries) only. */
+  def recallHeldOutAtK(s: SparkSession, dir: String): Double = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nn").as("qn"))
+    val m = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nn").as("mn"))
+    val scored = broadcast(q).join(m)
+      .select(col("q_id"), col("n_id"),
+        VectorOps.cosine("qv", "nv", "qn", "mn").as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val truth = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K).select("q_id", "n_id")
+    val approx = defs.find(_.name == "ann07_graph_search").get.run(s, dir)
+      .select("q_id", "n_id")
+    truth.join(approx, Seq("q_id", "n_id")).count().toDouble / truth.count()
+  }
+
   // ORDER IS LOAD-BEARING: Bench emits recall@5 as a POSITIONAL array
-  // in fixed order [ann02, ann03, ann04, ann05] (byte budget — the
-  // driver parses the line from a bounded stdout tail). Inserting an
-  // ann entry mid-list silently re-indexes that array; append only,
-  // and update Bench's recall list together with this Seq (ADVICE r4).
-  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06)
+  // in fixed order [ann02, ann03, ann04, ann05, ann06, ann07] (byte
+  // budget — the driver parses the line from a bounded stdout tail).
+  // Inserting an ann entry mid-list silently re-indexes that array;
+  // append only, and update Bench's recall list together with this
+  // Seq (ADVICE r4). ann07's slot uses [[recallHeldOutAtK]] (member-
+  // only truth), the rest [[recallAtK]] (full-corpus truth).
+  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07)
 }

@@ -635,7 +635,59 @@ object TextAnalysis {
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin))
   }
 
+  // -------------------------------------------------------------- tx13
+  /** Subword token counting ([[graft.functions.SubwordVocab]] greedy
+    * longest-match — the budgeting unit real training pipelines pack
+    * by, replacing tx03/pk01's whitespace counts): per doc, the word
+    * count, total subword tokens and UNK count, all via ONE codegen'd
+    * [[graft.functions.SubwordCounts]] call per row — no explode,
+    * rides the scan. The DuckDB oracle replays the encoder exactly:
+    * distinct words (each distinct word is encoded once — the same
+    * saving a 100 TB run takes by dictionary-encoding hot words),
+    * then a per-word RECURSIVE cursor (depth ≤ word length) whose
+    * step takes the longest vocabulary entry matching at the cursor
+    * via a lateral probe, then a join back to docs. Pure
+    * integer/string ops — hash-exact. */
+  private val tx13 = QueryDef(
+    "tx13_subword_tokens",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      TextShingles.words(s, dir)
+        .withColumn("c",
+          column(graft.functions.SubwordCounts(expression(col("ws")))))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          element_at(col("c"), 1).as("n_subwords"),
+          element_at(col("c"), 2).as("n_unk"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '\\s+'),
+      |      x -> x <> '')) AS word
+      |  FROM documents),
+      |dw AS (SELECT DISTINCT word FROM w),
+      |vocab AS (SELECT unnest(${graft.functions.SubwordVocab.vocabSql})
+      |  AS tok),
+      |enc AS (
+      |  WITH RECURSIVE cur(word, pos, ntok, nunk) AS (
+      |    SELECT word, 1, 0, 0 FROM dw
+      |    UNION ALL
+      |    SELECT c.word, c.pos + COALESCE(m.mlen, 1), c.ntok + 1,
+      |      c.nunk + (CASE WHEN m.mlen IS NULL THEN 1 ELSE 0 END)
+      |    FROM cur c
+      |    LEFT JOIN LATERAL (
+      |      SELECT MAX(len(v.tok)) AS mlen FROM vocab v
+      |      WHERE substr(c.word, c.pos, len(v.tok)) = v.tok) m ON TRUE
+      |    WHERE c.pos <= len(c.word))
+      |  SELECT word, ntok, nunk FROM cur WHERE pos > len(word)),
+      |agg AS (SELECT w.doc_id, COUNT(*) AS n_words,
+      |    SUM(e.ntok) AS n_subwords, SUM(e.nunk) AS n_unk
+      |  FROM w JOIN enc e USING (word) GROUP BY w.doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+      |  CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
-      tx12)
+      tx12, tx13)
 }

@@ -32,10 +32,12 @@ import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   */
 object IngestDedup {
 
-  /** Shingle size / band count — matching dd02's batch parameters so a
-    * streamed doc and its batch twin hash identically. */
-  val ShingleK = 3
-  val Bands = 4
+  /** Shingle size / band count — dd02's batch parameters BY
+    * REFERENCE (ADVICE r9: the equality used to hold only by
+    * convention; now a change to either constant reaches both the
+    * batch and streaming paths or neither). */
+  val ShingleK: Int = graft.pipelines.Dedup.ShingleK
+  val Bands: Int = graft.pipelines.Dedup.Bands
 
   private def sigs(ws: Column): Column =
     column(MinHashSigs(expression(ws), ShingleK, Bands))
