@@ -980,8 +980,8 @@ object Similarity {
       * top-ExpandK beam nodes NOT YET expanded (the anti-join makes
       * the walk best-first — without it every step re-expands the
       * same best nodes and the scan budget buys no new territory). */
-    val ExpandK = 6
-    val Steps = 8
+    val ExpandK = 12
+    val Steps = 4
     /** Per-query LSH-probed entry points: the walk starts inside the
       * query's own + Hamming-1 sign buckets (top-Entries of the
       * build's capped representative election, ranked by the same
@@ -1005,8 +1005,15 @@ object Similarity {
   private[graft] def graphSearch(
       q: DataFrame, mem: DataFrame, edges: DataFrame, entries: DataFrame,
       track: Boolean = false): (DataFrame, Option[DataFrame]) = {
+    // join ORIENTATION is the 100 TB design: the per-query frames
+    // (entries, beam, candidates) are CONSTANT-sized, the member /
+    // edge tables are the corpus — so the tiny side broadcasts and
+    // the big tables only ever stream (no corpus shuffle per step;
+    // without the hint Catalyst sees unknown stats on the checkpoint
+    // and picks a sort-merge join that shuffles the corpus EVERY
+    // step)
     def score(cand: DataFrame): DataFrame =
-      cand.join(mem, "n_id").join(broadcast(q), "q_id")
+      mem.join(broadcast(cand), "n_id").join(broadcast(q), "q_id")
         .select(col("q_id"), col("n_id"),
           VectorOps.cosine("qv", "nv", "qn", "mn").as("cos"))
     val wB = Window.partitionBy(col("q_id"))
@@ -1021,9 +1028,12 @@ object Similarity {
     // best-first state: nodes whose edges were already expanded —
     // each step spends its scan budget on the top-ExpandK NOT-YET-
     // expanded beam nodes (plain re-expansion of the beam head buys
-    // zero new candidates after the first step)
+    // zero new candidates after the first step). The expanded set is
+    // NOT checkpointed: each step's pick hangs off a CHECKPOINTED
+    // beam, so the expanded lineage is a Steps-long union of shallow
+    // plans (vs the beam's 3-references-per-step growth that forces
+    // the eager checkpoint) — one materializing job per step, not two
     var expanded = beam.select(col("q_id"), col("n_id")).filter(lit(false))
-      .localCheckpoint(true)
     var olds = List.empty[DataFrame]
     var t = 0
     while (t < Search.Steps) {
@@ -1032,8 +1042,8 @@ object Similarity {
         .withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= Search.ExpandK)
         .select(col("q_id"), col("n_id"))
-      val cand = pick.select(col("q_id"), col("n_id").as("id"))
-        .join(edges, "id")
+      val cand = edges
+        .join(broadcast(pick.select(col("q_id"), col("n_id").as("id"))), "id")
         .select(col("q_id"), col("nbr").as("n_id"))
         .distinct()
       scanned ::= cand
@@ -1042,13 +1052,16 @@ object Similarity {
         .filter(col("rn") <= Search.Beam)
         .select(col("q_id"), col("n_id"), col("cos"))
         .localCheckpoint(true)
-      val ne = expanded.union(pick).localCheckpoint(true)
-      if (track) olds ::= beam else { freeCheckpoint(beam); freeCheckpoint(expanded) }
+      // the expanded chain references this beam's checkpoint —
+      // freeing it now would truncate pick's lineage; keep the
+      // Steps beams pinned (tiny: ≤ NQueries·Beam rows each) and
+      // free them together after the walk
+      olds ::= beam
+      expanded = expanded.union(pick)
       beam = nb
-      expanded = ne
       t += 1
     }
-    if (!track) freeCheckpoint(expanded)
+    if (!track) olds.foreach(freeCheckpoint)
     val scannedDf =
       if (track) Some(scanned.reduce(_ union _).distinct()) else None
     (beam, scannedDf)
@@ -1098,10 +1111,14 @@ object Similarity {
         .filter(col("pos") < Search.RingEntries)
         .select(col("vec_id").as("n_id")))
     val entries = qent.union(ringEnt).distinct()
+    // the symmetric adjacency is materialized ONCE (at scale it is a
+    // build-time artifact beside the graph, not a per-step recompute)
     val edges = g.select(col("id"), col("nbr"))
       .union(g.select(col("nbr").as("id"), col("id").as("nbr")))
       .distinct()
-    (q, mem, edges, entries, g)
+      .localCheckpoint(true)
+    freeCheckpoint(g)
+    (q, mem, edges, entries, edges)
   }
 
   private val ann07 = QueryDef(
