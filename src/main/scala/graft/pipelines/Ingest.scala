@@ -63,8 +63,19 @@ object Ingest {
     * index membership — hash-exact, arrival-order-free. */
   private val ing01 = QueryDef(
     "ing01_stream_ingest_dedup",
-    (s, dir) => {
+    (outer, dir) => {
       import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      // ADVICE r9: the state-partition override (8 state tasks per
+      // stateful operator per micro-batch — the cdc11 sizing note)
+      // used to flip the SESSION-GLOBAL spark.sql.shuffle.partitions
+      // around the streaming section; a concurrently-running query
+      // would have had its parallelism silently clamped. The whole
+      // harness now runs in a THROWAWAY child session (same
+      // SparkContext, own conf/sessionState), so the override is
+      // invisible outside — the returned frame reads plain parquet
+      // and executes identically from any session.
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           timestamp_micros(col("doc_id") * 1000000L).as("ts"))
@@ -107,11 +118,7 @@ object Ingest {
         graft.Fs.deleteRecursively(java.nio.file.Paths.get(d))
         graft.Fs.deleteRecursively(java.nio.file.Paths.get(d + "_ck"))
       }
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        // state partitions sized to key volume (the cdc11 note): the
-        // semi join + dedup spawn state tasks per micro-batch
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+      locally {
         val q1 = graft.streaming.IngestDedup
           .withShingleOverlap(stream, bloom, ShingleBloomBits)
           .select(col("doc_id"), col("n_shingles"), col("n_maybe_seen"))
@@ -128,7 +135,7 @@ object Ingest {
           q1.processAllAvailable()
           q2.processAllAvailable()
         } finally { q1.stop(); q2.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       // explicit schemas on read-back: a stream that emitted zero
       // rows leaves a dir with no data files to infer from
       val adm = s.read.parquet(admOut)

@@ -1112,19 +1112,22 @@ object Similarity {
         .select(col("vec_id").as("n_id")))
     val entries = qent.union(ringEnt).distinct()
     // the symmetric adjacency is materialized ONCE (at scale it is a
-    // build-time artifact beside the graph, not a per-step recompute)
+    // build-time artifact beside the graph, not a per-step recompute).
+    // The DIRECTED graph (with its cosines) rides along for callers
+    // that need it (ann08's reverse-link prune); both checkpoints are
+    // the caller's to free.
     val edges = g.select(col("id"), col("nbr"))
       .union(g.select(col("nbr").as("id"), col("id").as("nbr")))
       .distinct()
       .localCheckpoint(true)
-    freeCheckpoint(g)
-    (q, mem, edges, entries, edges)
+    (q, mem, edges, entries, g)
   }
 
   private val ann07 = QueryDef(
     "ann07_graph_search",
     (s, dir) => {
       val (q, mem, edges, entries, g) = searchSetup(s, dir)
+      freeCheckpoint(g) // search needs only the symmetric adjacency
       val (beam, _) = graphSearch(q, mem, edges, entries)
       val wOut = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id").asc)
@@ -1133,10 +1136,57 @@ object Similarity {
         .filter(col("rn") <= K)
         .localCheckpoint(true)
       freeCheckpoint(beam)
-      freeCheckpoint(g)
+      freeCheckpoint(edges)
       out
     },
     Some(SearchSql.sql))
+
+  // -------------------------------------------------------------- ann08
+  /** Incremental GRAPH INSERT — the day-2 lifecycle step that
+    * completes the graph rung (build → search → insert): a batch of
+    * NEW vectors (the held-out set, unseen by the build) joins the
+    * index without a rebuild. Per new vector: run the ann07 walk, take
+    * the top-[[Nnd.Degree]] of its candidate pool as the node's
+    * adjacency, then offer each linked member the REVERSE edge and
+    * let it re-prune its own list to Degree (HNSW's insert recipe —
+    * add bidirectional links, shrink to M). Batch arrivals are
+    * treated independently (neighbors are members only; new↔new links
+    * form on the next refinement round — the standard bulk-insert
+    * posture, and what keeps the batch embarrassingly parallel at
+    * scale). Output: the CHANGED adjacency rows only — the inserted
+    * nodes' lists plus the re-pruned lists of affected members (the
+    * write a delta-materialized index applies) — per-node cost
+    * constant, corpus never rescanned. Replayed end-to-end by
+    * [[SearchSql.insertSql]]; hash-matched at all three SFs. */
+  private val ann08 = QueryDef(
+    "ann08_graph_insert",
+    (s, dir) => {
+      val (q, mem, edges, entries, g) = searchSetup(s, dir)
+      val (beam, _) = graphSearch(q, mem, edges, entries)
+      val wN = Window.partitionBy(col("id"))
+        .orderBy(col("cos").desc, col("nbr").asc)
+      val newadj = beam
+        .select(col("q_id").as("id"), col("n_id").as("nbr"), col("cos"))
+        .withColumn("rn", row_number().over(wN).cast("long"))
+        .filter(col("rn") <= Nnd.Degree)
+      val rev = newadj.select(col("nbr").as("id"), col("id").as("nbr"),
+        col("cos"))
+      val upd = g.join(rev.select(col("id")).distinct(), "id")
+        .select(col("id"), col("nbr"), col("cos"))
+        .union(rev)
+        .distinct()
+        .withColumn("rn", row_number().over(wN).cast("long"))
+        .filter(col("rn") <= Nnd.Degree)
+      val out = newadj.select(col("id"), col("nbr"), col("cos"), col("rn"))
+        .unionAll(upd.select(col("id"), col("nbr"), col("cos"), col("rn")))
+        .withColumn("is_new", col("id") < NQueries)
+        .localCheckpoint(true)
+      freeCheckpoint(beam)
+      freeCheckpoint(edges)
+      freeCheckpoint(g)
+      out
+    },
+    Some(SearchSql.insertSql))
 
   /** DuckDB replay of ann07: the member-only NN-descent build
     * ([[NndSql.buildCtes]] with the held-out filter) chained with the
@@ -1145,7 +1195,11 @@ object Similarity {
   private object SearchSql {
     import VectorOps.{castSql, cosineSql, dotSql}
 
-    def sql: String = {
+    /** The member build + beam-walk CTE list, ending at
+      * qb{Search.Steps} (the per-query candidate pool). Shared by
+      * ann07 (final top-K) and ann08 (insert: top-Degree adjacency +
+      * reverse-link prune). Starts after a caller-provided `WITH`. */
+    def searchCtes: String = {
       val cos = cosineSql("x.v", "y.v", "x.nn", "y.nn")
       val steps = (1 to Search.Steps).map { t =>
         val p = s"qb${t - 1}"
@@ -1169,7 +1223,7 @@ object Similarity {
            |xp$t AS MATERIALIZED (SELECT q_id, n_id FROM $xp
            |  UNION ALL SELECT q_id, n_id FROM pk$t)""".stripMargin
       }.mkString(",\n")
-      s"""WITH ${NndSql.buildCtes(s"vec_id >= $NQueries")},
+      s"""${NndSql.buildCtes(s"vec_id >= $NQueries")},
          |qe AS MATERIALIZED (SELECT vec_id AS q_id, v,
          |  ${dotSql("v", "v")} AS nn,
          |  CAST(${NndSql.bucketSql} AS BIGINT) AS bucket FROM (
@@ -1196,12 +1250,37 @@ object Similarity {
          |    ORDER BY cos DESC, n_id ASC) AS rn
          |  FROM qs0) WHERE rn <= ${Search.Beam}),
          |xp0 AS MATERIALIZED (SELECT q_id, n_id FROM qb0 WHERE 1 = 0),
-         |$steps
+         |$steps""".stripMargin
+    }
+
+    def sql: String =
+      s"""WITH $searchCtes
          |SELECT q_id, n_id, cos, rn FROM (
          |  SELECT q_id, n_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id ASC) AS rn
          |  FROM qb${Search.Steps}) WHERE rn <= $K""".stripMargin
-    }
+
+    /** ann08: the walk's pool becomes the inserted node's top-Degree
+      * adjacency; each linked member re-prunes its own list with the
+      * new reverse edge as a candidate. */
+    def insertSql: String =
+      s"""WITH $searchCtes,
+         |newadj AS MATERIALIZED (SELECT id, nbr, cos, rn FROM (
+         |  SELECT q_id AS id, n_id AS nbr, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+         |  FROM qb${Search.Steps}) WHERE rn <= ${Nnd.Degree}),
+         |rev AS MATERIALIZED (SELECT nbr AS id, id AS nbr, cos
+         |  FROM newadj),
+         |aff AS MATERIALIZED (SELECT DISTINCT id FROM rev),
+         |upd AS MATERIALIZED (SELECT id, nbr, cos, rn FROM (
+         |  SELECT id, nbr, cos, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY cos DESC, nbr ASC) AS rn
+         |  FROM (SELECT g.id, g.nbr, g.cos FROM b${Nnd.Rounds} g
+         |      JOIN aff ON aff.id = g.id
+         |    UNION SELECT id, nbr, cos FROM rev))
+         |  WHERE rn <= ${Nnd.Degree})
+         |SELECT id, nbr, cos, rn, id < $NQueries AS is_new FROM (
+         |  SELECT * FROM newadj UNION ALL SELECT * FROM upd)""".stripMargin
   }
 
   /** DuckDB replay of the full NN-descent trajectory: the ring init
@@ -1305,12 +1384,13 @@ object Similarity {
     * with a measurement rather than the worst-case bound. */
   def searchScanStats(s: SparkSession, dir: String): (Double, Long) = {
     val (q, mem, edges, entries, g) = searchSetup(s, dir)
+    freeCheckpoint(g)
     val (beam, scanned) = graphSearch(q, mem, edges, entries, track = true)
     val perQ = scanned.get.groupBy("q_id").count()
       .agg(avg("count")).head.getDouble(0)
     val memberN = mem.count()
     freeCheckpoint(beam)
-    freeCheckpoint(g)
+    freeCheckpoint(edges)
     (perQ, memberN)
   }
 
@@ -1346,5 +1426,5 @@ object Similarity {
   // append only, and update Bench's recall list together with this
   // Seq (ADVICE r4). ann07's slot uses [[recallHeldOutAtK]] (member-
   // only truth), the rest [[recallAtK]] (full-corpus truth).
-  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07)
+  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08)
 }

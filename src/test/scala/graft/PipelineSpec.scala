@@ -558,6 +558,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"graph-search recall@5 fell to $recall")
   }
 
+  test("ann08 graph insert: degree caps, reverse-link consistency, no new-new edges") {
+    import graft.pipelines.Similarity
+    val df = SparkEntry.queries("ann08_graph_insert")(spark, sf)
+    val deg = Similarity.Nnd.Degree
+    // every inserted node links exactly Degree members; every updated
+    // member list is re-pruned to ≤ Degree
+    val newAdj = df.filter(col("is_new"))
+    val updAdj = df.filter(!col("is_new"))
+    assert(newAdj.groupBy("id").count().filter(col("count") =!= deg).count() == 0)
+    assert(updAdj.groupBy("id").count().filter(col("count") > deg).count() == 0)
+    // neighbors of inserted nodes are MEMBERS only (no new-new edges
+    // inside the batch); updated rows belong to members
+    assert(newAdj.filter(col("nbr") < 10).count() == 0)
+    assert(updAdj.filter(col("id") < 10).count() == 0)
+    // reverse-link consistency: an updated member's list may contain a
+    // new node ONLY if that member is in the new node's list, with the
+    // identical cosine (the reverse edge is the same pair)
+    val revInUpd = updAdj.filter(col("nbr") < 10)
+      .select(col("nbr").as("id"), col("id").as("nbr"),
+        col("cos").as("ucos"))
+    assert(revInUpd.join(newAdj.select(col("id"), col("nbr"), col("cos")),
+        Seq("id", "nbr"), "left_anti").count() == 0)
+    // every affected member (appears as updAdj id) is linked by some
+    // inserted node
+    val linked = newAdj.select(col("nbr").as("id")).distinct()
+    assert(updAdj.select("id").distinct()
+      .join(linked, Seq("id"), "left_anti").count() == 0)
+    // rn is a dense best-first rank within each list
+    assert(df.filter(col("rn") < 1 || col("rn") > deg).count() == 0)
+  }
+
   test("tx13 subword encoder: greedy longest-match vs independent reference") {
     import graft.functions.SubwordVocab
     // independent naive encoder (set-scan, no trie) — must agree with
