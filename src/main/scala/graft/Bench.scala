@@ -215,7 +215,15 @@ object Bench {
     // bytes direct to record"). One warm pass then one timed pass.
     val streamRps: Double = {
       try {
-        val n = 200000
+        // 400k records (round 10; was 200k): the whole batch admits
+        // into ONE micro-batch (the source defaults to allAvailable),
+        // so the metric's denominator carried ~0.3-0.4 s of fixed
+        // micro-batch overhead — at 200k that is up to half the wall
+        // and made the number swing 350-630k across rounds on
+        // machine noise alone; doubling the batch halves the fixed
+        // share. Cross-round note: r10+ values are NOT comparable 1:1
+        // with r≤9 (same machinery, better SNR).
+        val n = 400000
         val dir = java.nio.file.Files
           .createTempDirectory("graft_bench_stream").toString
         val recs = (0 until n).map { i =>

@@ -152,7 +152,7 @@ object ScaleProbe {
     // ann07 adds a constant-work search on top of the member build
     for (op <- Seq("ann01_knn_brute", "ann02_knn_bucket", "ann03_knn_ivf",
         "ann04_knn_ivfpq", "ann05_knn_sq8", "ann06_knn_graph",
-        "ann07_graph_search", "ann08_graph_insert") if wanted(op)) {
+        "ann07_graph_search", "ann08_graph_insert", "ann09_graph_delete") if wanted(op)) {
       val ts = mults.map(k => k -> time(op, dirFor(k)))
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
         .mkString(" ")

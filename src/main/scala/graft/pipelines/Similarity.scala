@@ -1188,6 +1188,84 @@ object Similarity {
     },
     Some(SearchSql.insertSql))
 
+  // -------------------------------------------------------------- ann09
+  /** GRAPH DELETE with local repair — the remaining lifecycle verb
+    * (build → search → insert → DELETE): drop a node set from the
+    * index and REPAIR only the lists that referenced it, without a
+    * rebuild (FreshDiskANN's delete-consolidation recipe). The graph
+    * is ann06's full-corpus build; the delete set is the vec_id <
+    * [[NQueries]] block. Per affected node a (one whose list holds a
+    * deleted d): candidates = a's surviving list ∪ each such d's own
+    * surviving out-neighbors (the bridge through the hole the delete
+    * leaves — exactly the paths d used to provide), exact cosines,
+    * re-prune to top-[[Nnd.Degree]]. Work is bounded by the deleted
+    * set's in-degree × Degree — corpus never rescanned. Output: the
+    * repaired lists only (the delta a materialized index applies).
+    * Replayed by the chained build + repair CTEs; hash-matched at all
+    * three SFs. */
+  private val ann09 = QueryDef(
+    "ann09_graph_delete",
+    (s, dir) => {
+      val n = vecs(s, dir)
+        .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
+      val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
+      val g = nndBuild(n, corpusN)
+      val isDel = (c: org.apache.spark.sql.Column) => c < NQueries
+      // surviving edges between survivors
+      val keep = g.filter(!isDel(col("id")) && !isDel(col("nbr")))
+      // (a, d): survivor a whose list references deleted d
+      val holes = g.filter(!isDel(col("id")) && isDel(col("nbr")))
+        .select(col("id").as("a"), col("nbr").as("d"))
+      // bridge: d's surviving out-neighbors become a's candidates
+      val bridge = holes.join(
+          g.filter(isDel(col("id")) && !isDel(col("nbr")))
+            .select(col("id").as("d"), col("nbr").as("cand")), "d")
+        .filter(col("a") =!= col("cand"))
+        .select(col("a").as("id"), col("cand").as("nbr"))
+        .distinct()
+      val scored = bridge
+        .join(n.select(col("vec_id").as("id"), col("v").as("xv"),
+          col("nn").as("xn")), "id")
+        .join(n.select(col("vec_id").as("nbr"), col("v").as("yv"),
+          col("nn").as("yn")), "nbr")
+        .select(col("id"), col("nbr"),
+          VectorOps.cosine("xv", "yv", "xn", "yn").as("cos"))
+      val affected = holes.select(col("a").as("id")).distinct()
+      val wN = Window.partitionBy(col("id"))
+        .orderBy(col("cos").desc, col("nbr").asc)
+      val out = keep.join(affected, "id")
+        .select(col("id"), col("nbr"), col("cos"))
+        .union(scored)
+        .distinct()
+        .withColumn("rn", row_number().over(wN).cast("long"))
+        .filter(col("rn") <= Nnd.Degree)
+        .localCheckpoint(true)
+      freeCheckpoint(g)
+      out
+    },
+    Some {
+      val cos = VectorOps.cosineSql("x.v", "y.v", "x.nn", "y.nn")
+      s"""WITH ${NndSql.buildCtes("TRUE")},
+         |keep AS MATERIALIZED (SELECT id, nbr, cos FROM b${Nnd.Rounds}
+         |  WHERE id >= $NQueries AND nbr >= $NQueries),
+         |holes AS MATERIALIZED (SELECT id AS a, nbr AS d
+         |  FROM b${Nnd.Rounds} WHERE id >= $NQueries AND nbr < $NQueries),
+         |bridge AS MATERIALIZED (SELECT DISTINCT h.a AS id, dn.nbr
+         |  FROM holes h JOIN b${Nnd.Rounds} dn ON dn.id = h.d
+         |  WHERE dn.nbr >= $NQueries AND dn.nbr <> h.a),
+         |sc AS MATERIALIZED (SELECT c.id, c.nbr, $cos AS cos
+         |  FROM bridge c JOIN n x ON x.vec_id = c.id
+         |  JOIN n y ON y.vec_id = c.nbr),
+         |aff AS MATERIALIZED (SELECT DISTINCT a AS id FROM holes)
+         |SELECT id, nbr, cos, rn FROM (
+         |  SELECT id, nbr, cos, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY cos DESC, nbr ASC) AS rn
+         |  FROM (SELECT k.id, k.nbr, k.cos FROM keep k
+         |      JOIN aff ON aff.id = k.id
+         |    UNION SELECT id, nbr, cos FROM sc))
+         |  WHERE rn <= ${Nnd.Degree}""".stripMargin
+    })
+
   /** DuckDB replay of ann07: the member-only NN-descent build
     * ([[NndSql.buildCtes]] with the held-out filter) chained with the
     * beam-search trajectory — entry scoring, per-step candidate
@@ -1426,5 +1504,5 @@ object Similarity {
   // append only, and update Bench's recall list together with this
   // Seq (ADVICE r4). ann07's slot uses [[recallHeldOutAtK]] (member-
   // only truth), the rest [[recallAtK]] (full-corpus truth).
-  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08)
+  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09)
 }

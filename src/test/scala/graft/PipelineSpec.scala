@@ -589,6 +589,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.filter(col("rn") < 1 || col("rn") > deg).count() == 0)
   }
 
+  test("ann09 graph delete: no deleted refs, degree cap, repair locality") {
+    import graft.pipelines.Similarity
+    val df = SparkEntry.queries("ann09_graph_delete")(spark, sf)
+    val deg = Similarity.Nnd.Degree
+    // repaired lists never reference a deleted node, and belong only
+    // to survivors
+    assert(df.filter(col("nbr") < 10).count() == 0)
+    assert(df.filter(col("id") < 10).count() == 0)
+    // per-node degree cap and valid dense rank
+    assert(df.groupBy("id").count().filter(col("count") > deg).count() == 0)
+    assert(df.filter(col("rn") < 1 || col("rn") > deg).count() == 0)
+    // repair LOCALITY: the output is exactly the affected set — every
+    // repaired node's pre-delete list referenced a deleted node
+    // (recompute the full graph's affected set independently)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val full = graft.pipelines.Similarity.nndBuild(
+      Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorOps.toDouble("embedding").as("v"))
+        .withColumn("nn", graft.functions.VectorOps.norm2("v"))
+        .withColumn("bucket",
+          expr(Similarity.nndBucketExpr).cast("bigint")), n)
+    val affected = full.filter(col("id") >= 10 && col("nbr") < 10)
+      .select(col("id")).distinct()
+    val repaired = df.select("id").distinct()
+    assert(repaired.join(affected, Seq("id"), "left_anti").count() == 0)
+    assert(affected.join(repaired, Seq("id"), "left_anti").count() == 0)
+  }
+
   test("tx13 subword encoder: greedy longest-match vs independent reference") {
     import graft.functions.SubwordVocab
     // independent naive encoder (set-scan, no trie) — must agree with
