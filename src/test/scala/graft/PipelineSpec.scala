@@ -587,6 +587,28 @@ class PipelineSpec extends AnyFunSuite {
       .join(linked, Seq("id"), "left_anti").count() == 0)
     // rn is a dense best-first rank within each list
     assert(df.filter(col("rn") < 1 || col("rn") > deg).count() == 0)
+    // insert QUALITY: the inserted node's adjacency vs its true
+    // top-Degree members (brute) — at this SF the walk's constant
+    // budget nearly covers the corpus, so the lists should be
+    // essentially exact
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble("embedding").as("v"))
+      .withColumn("nn", graft.functions.VectorOps.norm2("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("id"), col("v").as("qv"), col("nn").as("qn"))
+    val m = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nbr"), col("v").as("nv"), col("nn").as("mn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("nbr").asc)
+    val truth = broadcast(q).join(m)
+      .select(col("id"), col("nbr"),
+        graft.functions.VectorOps.cosine("qv", "nv", "qn", "mn").as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= deg)
+      .select("id", "nbr")
+    val hit = truth.join(newAdj.select("id", "nbr"), Seq("id", "nbr")).count()
+    val rec = hit.toDouble / truth.count()
+    assert(rec >= 0.9, s"insert adjacency recall@$deg fell to $rec")
   }
 
   test("ann09 graph delete: no deleted refs, degree cap, repair locality") {
