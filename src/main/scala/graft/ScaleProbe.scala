@@ -94,7 +94,7 @@ object ScaleProbe {
       // Bloom projection + stream-static semi join); tx13/pk05 ride
       // the scan (one codegen'd encoder call per doc)
       "pk04_shard_shuffle", "ing01_stream_ingest_dedup",
-      "tx13_subword_tokens", "pk05_subword_pack")
+      "tx13_subword_tokens", "pk05_subword_pack", "tx14_source_drift")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap

@@ -687,7 +687,82 @@ object TextAnalysis {
       |  CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin))
 
+  // -------------------------------------------------------------- tx14
+  /** Per-SOURCE distribution drift vs the whole corpus — the
+    * domain-shift monitor a 100 TB pipeline runs when a new crawl
+    * source lands: for each (source, term), the whole-bit
+    * log-likelihood ratio ⌊log₂(n_g/c_g)⌋ − ⌊log₂(n_s/c_s)⌋
+    * (positive when the term is over-represented in the source),
+    * summed term-count-weighted per source — an integer-bits KL(
+    * source ‖ corpus) estimate on tx11's no-libm bitlength bridge
+    * (quantization < 1 bit/term; the whole-bit form can dip slightly
+    * negative where true KL is ~0, which is itself the "no drift"
+    * reading). `drifted` flags sources averaging ≥ 1 bit/token — the
+    * knob a corpus owner tunes. Shape: two map-side-combined
+    * aggregates ((source,term) and term — the vocabulary stays a
+    * hash-partitioned table, never a broadcast, the tx12 lesson), two
+    * hash joins back, one scalar broadcast; output is |sources| rows.
+    * Pure integer math + one division — hash-exact. */
+  private val tx14 = QueryDef(
+    "tx14_source_drift",
+    (s, dir) => {
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+            .as("term"))
+      val cs = tok.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c_s"))
+      val ns = cs.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+      val cg = tok.groupBy(col("term")).agg(count(lit(1)).as("c_g"))
+      val ng = tok.agg(count(lit(1)).as("n_g"))
+      val sc = cs.join(ns, "source").join(cg, "term")
+        .crossJoin(broadcast(ng))
+        .select(col("source"), col("c_s"),
+          ((length(expr("bin(n_g div c_g)")) - 1) -
+            (length(expr("bin(n_s div c_s)")) - 1)).cast("long").as("dbits"))
+        .groupBy(col("source"))
+        .agg(sum(col("c_s")).as("n_tokens"),
+          count(lit(1)).as("n_terms"),
+          sum(col("c_s") * col("dbits")).as("drift_bits"))
+      Tables.load(s, dir, "documents").select(col("source")).distinct()
+        .join(sc, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+          coalesce(col("drift_bits"), lit(0L)).as("drift_bits"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            col("drift_bits").cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)).as("bits_per_token"))
+        .withColumn("drifted",
+          col("n_tokens") > 0 && col("drift_bits") >= col("n_tokens"))
+    },
+    Some("""WITH tok AS (SELECT source,
+      |  unnest(list_filter(string_split_regex(text, '\s+'),
+      |    x -> x <> '')) AS term FROM documents),
+      |cs AS (SELECT source, term, COUNT(*) AS c_s FROM tok GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s
+      |  FROM cs GROUP BY 1),
+      |cg AS (SELECT term, COUNT(*) AS c_g FROM tok GROUP BY 1),
+      |ng AS (SELECT COUNT(*) AS n_g FROM tok),
+      |sc AS (SELECT c.source, CAST(SUM(c.c_s) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_terms,
+      |    CAST(SUM(c.c_s * ((length(bin(ng.n_g // g.c_g)) - 1) -
+      |      (length(bin(s2.n_s // c.c_s)) - 1))) AS BIGINT) AS drift_bits
+      |  FROM cs c JOIN ns s2 USING (source) JOIN cg g USING (term)
+      |  CROSS JOIN ng GROUP BY c.source)
+      |SELECT d.source,
+      |  CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(sc.n_terms, 0) AS BIGINT) AS n_terms,
+      |  CAST(COALESCE(sc.drift_bits, 0) AS BIGINT) AS drift_bits,
+      |  CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+      |    THEN CAST(sc.drift_bits AS DOUBLE) / sc.n_tokens ELSE 0.0 END
+      |    AS bits_per_token,
+      |  COALESCE(sc.n_tokens, 0) > 0 AND
+      |    COALESCE(sc.drift_bits, 0) >= COALESCE(sc.n_tokens, 0) AS drifted
+      |FROM (SELECT DISTINCT source FROM documents) d
+      |LEFT JOIN sc USING (source)""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
-      tx12, tx13)
+      tx12, tx13, tx14)
 }

@@ -694,6 +694,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("tx14 source drift matches a driver-side recomputation") {
+    val df = SparkEntry.queries("tx14_source_drift")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent recomputation from raw text
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+    val toks = docs.flatMap(r =>
+      r.getString(1).split("\\s+").filter(_.nonEmpty).map(r.getString(0) -> _))
+    val cg = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val ng = toks.length.toLong
+    def bits(q: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    toks.groupBy(_._1).foreach { case (src, xs) =>
+      val cs = xs.groupBy(_._2).map { case (t, ys) => t -> ys.length.toLong }
+      val ns = xs.length.toLong
+      val drift = cs.map { case (t, c) =>
+        c * (bits(ng / cg(t)) - bits(ns / c))
+      }.sum
+      assert(df(src) == ((ns, cs.size.toLong, drift)),
+        s"$src: query ${df(src)} != recomputed ($ns, ${cs.size}, $drift)")
+    }
+    // token totals partition the corpus
+    assert(df.values.map(_._1).sum == ng)
+  }
+
   test("tx01 langid picks argmax with priority tie-break") {
     val df = SparkEntry.queries("tx01_langid")(spark, sf)
     val bad = df.filter(col("pred_lang") === "de" && col("h_en") >= col("h_de"))
