@@ -180,9 +180,10 @@ object ScaleProbe {
       scaledEvents(spark, srcDir, d, k)
       d
     })
-    for (k <- mults if wanted("cdc10_sink_materialize")) {
-      val ts = time("cdc10_sink_materialize", evDirFor(k))
-      println(f"SCALE sink(cdc10)          x$k=${ts._1}%.2fs/${ts._2}r")
+    for (op <- Seq("cdc10_sink_materialize", "cdc16_sink_time_travel")
+         if wanted(op); k <- mults) {
+      val ts = time(op, evDirFor(k))
+      println(f"SCALE sink($op) x$k=${ts._1}%.2fs/${ts._2}r")
     }
     // the STREAMING topologies (round 8): k× changelog records over k×
     // keys through the DSv2 write + micro-batched retract machinery —

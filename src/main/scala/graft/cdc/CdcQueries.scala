@@ -925,7 +925,74 @@ object CdcQueries {
       |FROM changelog WHERE op <> 'HEARTBEAT'
       |GROUP BY pk""".stripMargin))
 
+  // -------------------------------------------------------------- cdc16
+  /** SNAPSHOT TIME-TRAVEL over the sink (round 10) — `VERSION AS OF`
+    * for the base+delta store: the same three out-of-order batches
+    * cdc10 writes, then the table read AS OF batch 1's publish via
+    * [[graft.sinks.CdcParquetSink.readTableAsOf]] — the pinned-
+    * snapshot read a reproducible training run needs ("train on the
+    * corpus exactly as of snapshot v", Delta/Iceberg semantics).
+    * Every batch's manifest is immutable; GC retains the last
+    * [[graft.sinks.CdcParquetSink.RetainVersions]] manifests' files,
+    * and an aged-out snapshot reads as None, never silently partial
+    * (SinkSpec pins both sides). The result must hash-match the
+    * declarative last-DML-wins over ONLY the records of batches 0-1 —
+    * rows arriving in batch 2, including deletes of batch-0/1 keys,
+    * must be invisible. */
+  private val cdc16Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc16 = QueryDef(
+    "cdc16_sink_time_travel",
+    (s, dir) => {
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        col("ts_us").as("tsUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        lit(null).cast("array<string>").as("ukNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"))
+      val parity = cdc16Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement() % 2
+      val tablePath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc16_b3x4m2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + parity)
+      graft.Fs.deleteRecursively(tablePath)
+      val tableDir = tablePath.toString
+      (0L until 3L).foreach { b =>
+        graft.sinks.CdcParquetSink.applyBatch(
+          s, asRecords.filter(pmod(col("id"), lit(3)) === b),
+          tableDir, b, nBuckets = 4, maxDeltas = 2)
+      }
+      graft.sinks.CdcParquetSink.readTableAsOf(s, tableDir, 1L).get
+        .select(
+          expr("after['pk']").cast("bigint").as("pk"),
+          col("recordId").as("record_id"),
+          col("tsUs").as("ts_us"),
+          col("op"),
+          expr("after['val']").cast("double").as("val"),
+          expr("after['k']").cast("int").as("k"))
+    },
+    // the snapshot must equal the declarative last-wins over batches
+    // 0-1 only (id mod 3 <= 1) — batch 2 invisible
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, ts_us, op, val, k FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY ts_us DESC, record_id DESC) AS rn
+      |  FROM changelog WHERE op <> 'HEARTBEAT' AND record_id % 3 <= 1)
+      |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
-    cdc11, cdc12, cdc13, cdc14, cdc15)
+    cdc11, cdc12, cdc13, cdc14, cdc15, cdc16)
 }

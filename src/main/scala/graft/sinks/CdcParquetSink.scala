@@ -100,6 +100,41 @@ object CdcParquetSink {
         .filter(col("op") =!= Op.Delete)
     }
 
+  /** TIME-TRAVEL read: the table exactly as of micro-batch `batchId`'s
+    * publish — the snapshot a reproducible training run pins ("read
+    * the corpus as of snapshot v", Delta/Iceberg's `VERSION AS OF`).
+    * Every batch publishes an immutable manifest; the read resolves
+    * the newest v-manifest ≤ batchId and merges ITS chains. Snapshots
+    * stay readable while their files are inside the GC retention
+    * window ([[RetainVersions]] manifests — folds/compactions rewrite
+    * chains, so older snapshots' inputs eventually age out); an
+    * aged-out snapshot returns None rather than a silently-partial
+    * table (every referenced bucket dir is existence-checked first).
+    * Manifests themselves are never deleted (O(lines)), so "which
+    * snapshots exist" is always answerable even past retention. */
+  def readTableAsOf(spark: SparkSession, tableDir: String,
+      batchId: Long): Option[DataFrame] = {
+    val re = "manifest-v(\\d{12})\\.tsv".r
+    val cands = graft.Fs.listDir(Paths.get(tableDir))
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case re(v) => Some(v.toLong -> p.getFileName.toString)
+          case _     => None
+        }
+      }
+      .filter(_._1 <= batchId)
+    cands.sortBy(_._1).lastOption.flatMap { case (_, name) =>
+      val m = readManifest(tableDir, name)
+      val rels = m.values.flatten.toSeq.distinct.sorted
+      if (m.isEmpty ||
+        !rels.forall(rel => Files.exists(Paths.get(tableDir, rel)))) None
+      else Some(
+        lastWins(spark.read.schema(StoreSchema)
+          .parquet(rels.map(rel => s"$tableDir/$rel"): _*))
+          .filter(col("op") =!= Op.Delete))
+    }
+  }
+
   /** The store's fixed row shape: chain reads declare it instead of
     * inferring from footers (one less metadata pass per read). */
   private val StoreSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -232,19 +267,34 @@ object CdcParquetSink {
     Files.move(tmp, Paths.get(tableDir, Latest),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    gcUnreferenced(tableDir, manifest)
+    gcUnreferenced(tableDir)
   }
 
-  /** Delete bucket dirs superseded by the just-published manifest —
+  /** Snapshot retention: GC keeps every file referenced by the last
+    * RetainVersions PUBLISHED manifests (not just the newest), so
+    * [[readTableAsOf]] can serve recent snapshots; disk stays bounded
+    * at ≤ RetainVersions chains (chains share deltas, so the overlap
+    * usually makes it far less). Publication order = manifest file
+    * mtime (single-writer store), name as tiebreak. */
+  val RetainVersions = 2
+
+  /** Delete bucket dirs no RETAINED manifest references —
     * without GC, every fold/compact left its inputs on disk and file
     * count grew without bound between compactions (ADVICE r3). Old
     * MANIFEST files are kept (they are the at-least-once replay
     * short-circuit and are O(lines), never data-sized). Single-writer
     * store: a reader racing the fold may need a retry, same contract
     * as any non-snapshot-isolated table store. */
-  private def gcUnreferenced(tableDir: String,
-      manifest: Map[Int, Seq[String]]): Unit = {
-    val referenced = manifest.values.flatten.toSet
+  private def gcUnreferenced(tableDir: String): Unit = {
+    val retained = graft.Fs.listDir(Paths.get(tableDir))
+      .filter(_.getFileName.toString.startsWith("manifest-"))
+      .sortBy(p => (Files.getLastModifiedTime(p).toMillis,
+        p.getFileName.toString))
+      .takeRight(math.max(1, RetainVersions))
+    val referenced = retained
+      .flatMap(p => readManifest(tableDir, p.getFileName.toString)
+        .values.flatten)
+      .toSet
     val dirs = graft.Fs.listDir(Paths.get(tableDir))
       .filter(Files.isDirectory(_))
       .filter { d => val n = d.getFileName.toString

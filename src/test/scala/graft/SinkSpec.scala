@@ -127,20 +127,59 @@ class SinkSpec extends AnyFunSuite {
     assert(k1v == "u2")
     assert(table.filter(col("key").endsWith("|k2")).count() == 0)
 
-    // GC: the fold superseded hot's old base+deltas — their bucket
-    // dirs must be gone from disk, and everything the live manifest
-    // references must still exist (file count can't grow unbounded
-    // between compactions)
-    val live = m2.values.flatten.toSet
+    // GC with snapshot retention (round 10): the fold superseded
+    // hot's old base+deltas, but they stay on disk ONE more publish —
+    // RetainVersions=2 keeps the previous manifest's files readable
+    // for time travel. After the NEXT publish they are outside the
+    // retention window and must be gone; the live manifest's files
+    // always survive (file count bounded at ≤ RetainVersions chains).
     m1(hot).foreach { rel =>
+      assert(Files.exists(Paths.get(tableDir, rel)),
+        s"$rel is inside the retention window and must survive the fold") }
+    CdcParquetSink.applyBatch(spark, oneRec(102L, 52L, "u3"),
+      tableDir, 3L, nBuckets = 4, maxDeltas = 2)
+    val m3 = CdcParquetSink.latestManifest(tableDir).get
+    val live = (m2.values.flatten ++ m3.values.flatten).toSet
+    m1(hot).filterNot(live).foreach { rel =>
       assert(!Files.exists(Paths.get(tableDir, rel)),
-        s"superseded $rel should be GC'd") }
+        s"superseded $rel aged out of retention and should be GC'd") }
     live.foreach { rel =>
       assert(Files.exists(Paths.get(tableDir, rel)),
         s"live $rel must survive GC") }
-    // manifests are the replay short-circuit: all three survive
-    (0L to 2L).foreach { b =>
+    // manifests are the replay short-circuit: all four survive
+    (0L to 3L).foreach { b =>
       assert(Files.exists(Paths.get(tableDir, f"manifest-v$b%012d.tsv"))) }
+  }
+
+  test("time travel: as-of reads pin snapshots; aged-out reads are None") {
+    val tableDir = Files.createTempDirectory("tbl").toString
+    def oneRec(id: Long, tsSec: Long, key: String, v: String) = {
+      val d = Files.createTempDirectory("gcl").toString
+      CdcChunkFile.write(s"$d/chunk-00000${CdcChunkFile.Extension}",
+        Seq(CdcFixtures.rec(id, tsSec * 1000000L, Op.Update, key, v)))
+      CdcStreaming.readBatch(spark, d)
+    }
+    def k1v(df: org.apache.spark.sql.DataFrame): String =
+      df.filter(col("key").endsWith("|k1"))
+        .select(element_at(col("after"), "v")).head().getString(0)
+    // k1 gets a new value every batch; folds happen at maxDeltas=1 so
+    // each batch rewrites k1's chain and old inputs age out fast
+    (0L to 3L).foreach { b =>
+      CdcParquetSink.applyBatch(spark, oneRec(100 + b, 50 + b, "k1", s"u$b"),
+        tableDir, b, nBuckets = 2, maxDeltas = 1)
+    }
+    // the two most recent snapshots read exactly their own state
+    assert(k1v(CdcParquetSink.readTableAsOf(spark, tableDir, 3L).get) == "u3")
+    assert(k1v(CdcParquetSink.readTableAsOf(spark, tableDir, 2L).get) == "u2")
+    // as-of an id BETWEEN published batches resolves to the newest ≤ it
+    assert(k1v(CdcParquetSink.readTableAsOf(spark, tableDir, 99L).get) == "u3")
+    // batch 0's inputs were rewritten by later folds and are outside
+    // the RetainVersions=2 window: None, never a silently-partial read
+    assert(CdcParquetSink.readTableAsOf(spark, tableDir, 0L).isEmpty)
+    // before any publish: None
+    assert(CdcParquetSink.readTableAsOf(spark, tableDir, -1L).isEmpty)
+    // the latest read is unaffected by time travel machinery
+    assert(k1v(CdcParquetSink.readTable(spark, tableDir).get) == "u3")
   }
 
   test("maxDeltas < 1 is rejected (would degrade to whole-bucket rewrites)") {
