@@ -72,8 +72,11 @@ object Ingest {
       // would have had its parallelism silently clamped. The whole
       // harness now runs in a THROWAWAY child session (same
       // SparkContext, own conf/sessionState), so the override is
-      // invisible outside — the returned frame reads plain parquet
-      // and executes identically from any session.
+      // invisible outside. Only the STREAMING writes run on the child;
+      // the final read-back join below is built on the OUTER session,
+      // so the returned frame executes at the caller's parallelism
+      // (ADVICE r10: a frame bound to the child would silently run its
+      // shuffles at the child's 8 partitions wherever it is consumed).
       val s = outer.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val docs = Tables.load(s, dir, "documents")
@@ -137,9 +140,10 @@ object Ingest {
         } finally { q1.stop(); q2.stop() }
       }
       // explicit schemas on read-back: a stream that emitted zero
-      // rows leaves a dir with no data files to infer from
-      val adm = s.read.parquet(admOut)
-      val flagged = s.read
+      // rows leaves a dir with no data files to infer from. Read on
+      // the OUTER session — see the child-session note above.
+      val adm = outer.read.parquet(admOut)
+      val flagged = outer.read
         .schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType))))

@@ -964,11 +964,18 @@ object Similarity {
 
   /** Beam-search knobs for ann07 (VERDICT r9 #3: the missing half of
     * the graph rung — a real index serves vectors it has never seen).
-    * Work per query is Entries + Steps·Beam·Degree cosines — a
-    * CONSTANT in corpus size, the property that makes graph search
-    * the right query path at 10⁹ vectors. Sized so the distinct
-    * scanned fraction stays well under 25% of the member corpus at
-    * sf0.1 (measured by PipelineSpec via [[graphSearch]]'s tracked
+    * Work per query is Entries + Steps·ExpandK·(2·Degree) cosines,
+    * CORPUS-INDEPENDENT — the property that makes graph search the
+    * right query path at 10⁹ vectors. The bound holds as the MEAN
+    * over queries, not per query (ADVICE r10): each expanded node
+    * contributes its SYMMETRIC adjacency, whose in-degree the build
+    * does not cap, so a hub on a skewed corpus can exceed 2·Degree
+    * for an individual query; the expected expansion mass is what is
+    * corpus-independent, and PipelineSpec pins the measured mean at
+    * both spec SFs (a per-node truncation of the stored adjacency
+    * would make it structural at the cost of recall on hubs). Sized
+    * so the distinct scanned fraction stays well under 25% of the
+    * member corpus at sf0.1 (measured via [[graphSearch]]'s tracked
     * trajectory) while recall@5 vs the member-only brute truth
     * clears ann03's 0.86. */
   private[graft] object Search {
@@ -1004,7 +1011,8 @@ object Similarity {
     * beams stay pinned for it; the query path frees them eagerly. */
   private[graft] def graphSearch(
       q: DataFrame, mem: DataFrame, edges: DataFrame, entries: DataFrame,
-      track: Boolean = false): (DataFrame, Option[DataFrame]) = {
+      track: Boolean = false)
+      : (DataFrame, Option[(DataFrame, Seq[DataFrame])]) = {
     // join ORIENTATION is the 100 TB design: the per-query frames
     // (entries, beam, candidates) are CONSTANT-sized, the member /
     // edge tables are the corpus — so the tiny side broadcasts and
@@ -1061,10 +1069,15 @@ object Similarity {
       beam = nb
       t += 1
     }
+    // track=true hands the pinned per-step beams BACK to the caller:
+    // the scanned frame's lineage references them, so they must stay
+    // pinned until it is consumed — and then be freed, or every probe
+    // call leaks Steps non-evictable checkpoint blocks (ADVICE r10)
     if (!track) olds.foreach(freeCheckpoint)
-    val scannedDf =
-      if (track) Some(scanned.reduce(_ union _).distinct()) else None
-    (beam, scannedDf)
+    val tracked =
+      if (track) Some((scanned.reduce(_ union _).distinct(), olds))
+      else None
+    (beam, tracked)
   }
 
   // -------------------------------------------------------------- ann07
@@ -1078,24 +1091,73 @@ object Similarity {
     * corpus-independent (the HNSW single-layer search loop); the
     * full build + search trajectory replays in DuckDB as one chained
     * CTE program, so the result is hash-oracled like ann06. */
-  /** Shared ann07 setup: the member-only graph build, the query /
-    * member frames, and the per-query LSH-probed entry set (top-
-    * [[Search.Entries]] of the query's probe buckets' representative
-    * election ∪ [[Search.RingEntries]] ring-rank fallbacks). Returns
-    * the build frame too so callers can free its checkpoint. */
+  /** Process-level registry of built member indexes: input dir →
+    * on-disk index path. A real deployment builds the graph index
+    * ONCE and every search/insert consumer reads the stored artifact
+    * — the dd06→dd11 shared-parquet lesson applied to the graph rung
+    * (round 11, VERDICT r10 #2: ann07 and ann08 each re-paid the
+    * identical member build, ~half their wall each). */
+  private val memberIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once ON-DISK member index: the NN-descent graph, its
+    * symmetric adjacency, the per-bucket representative election and
+    * the ring-rank entry fallbacks, landed as parquet beside /tmp's
+    * other per-dir artifacts. These four tables ARE the index a
+    * 100 TB deployment stores (graph + entry metadata ≈ what a
+    * DiskANN/HNSW index file holds); build cost is paid once per
+    * (dir, process) and every consumer — ann07's search, ann08's
+    * insert, ann10's refinement, the spec's scan probes — reads the
+    * artifact. Parquet round-trips long/double bit-exactly, so the
+    * oracle replay is unaffected by the storage hop. */
+  private def ensureMemberIndex(s: SparkSession, dir: String): String =
+    memberIndexBuilt.computeIfAbsent(dir, _ => {
+      val idxPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_annidx_m6k3t8_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.Fs.deleteRecursively(idxPath)
+      val idx = idxPath.toString
+      val all = vecs(s, dir)
+        .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
+      val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
+      val members = all.filter(col("vec_id") >= NQueries)
+      val g = nndBuild(members, corpusN - NQueries)
+      g.write.parquet(s"$idx/graph")
+      // the symmetric adjacency is a BUILD-time artifact beside the
+      // graph, not a per-query recompute
+      g.select(col("id"), col("nbr"))
+        .union(g.select(col("nbr").as("id"), col("id").as("nbr")))
+        .distinct()
+        .write.parquet(s"$idx/edges")
+      freeCheckpoint(g)
+      nndReps(members).write.parquet(s"$idx/reps")
+      Ranking.saltedRank(members, Nnd.Salt, "vec_id")
+        .filter(col("pos") < Search.RingEntries)
+        .select(col("vec_id").as("n_id"))
+        .write.parquet(s"$idx/ringheads")
+      idx
+    })
+
+  /** Shared ann07/ann08 setup: the query / member frames plus the
+    * STORED member index ([[ensureMemberIndex]] — graph, symmetric
+    * adjacency, representative election, ring fallbacks read from
+    * parquet), and the per-query LSH-probed entry set (top-
+    * [[Search.Entries]] of the query's probe buckets' representatives
+    * ∪ [[Search.RingEntries]] ring-rank fallbacks). */
   private def searchSetup(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val idx = ensureMemberIndex(s, dir)
     val all = vecs(s, dir)
-      .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
-    val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
-    val members = all.filter(col("vec_id") >= NQueries)
-    val g = nndBuild(members, corpusN - NQueries)
     val qb = all.filter(col("vec_id") < NQueries)
+      .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
     val q = qb.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nn").as("qn"))
-    val mem = members.select(col("vec_id").as("n_id"),
-      col("v").as("nv"), col("nn").as("mn"))
-    val reps = nndReps(members)
+    val mem = all.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nn").as("mn"))
+    val g = s.read.parquet(s"$idx/graph")
+    val edges = s.read.parquet(s"$idx/edges")
+    val reps = s.read.parquet(s"$idx/reps")
     val qprobes = qb.select(col("vec_id").as("q_id"),
       explode(expr(nndProbesExpr)).as("bucket"))
     val entW = Window.partitionBy(col("q_id"))
@@ -1107,27 +1169,18 @@ object Similarity {
       .filter(col("rr") <= Search.Entries)
       .select(col("q_id"), col("n_id"))
     val ringEnt = q.select(col("q_id")).crossJoin(
-      Ranking.saltedRank(members, Nnd.Salt, "vec_id")
-        .filter(col("pos") < Search.RingEntries)
-        .select(col("vec_id").as("n_id")))
+      s.read.parquet(s"$idx/ringheads"))
     val entries = qent.union(ringEnt).distinct()
-    // the symmetric adjacency is materialized ONCE (at scale it is a
-    // build-time artifact beside the graph, not a per-step recompute).
-    // The DIRECTED graph (with its cosines) rides along for callers
-    // that need it (ann08's reverse-link prune); both checkpoints are
-    // the caller's to free.
-    val edges = g.select(col("id"), col("nbr"))
-      .union(g.select(col("nbr").as("id"), col("id").as("nbr")))
-      .distinct()
-      .localCheckpoint(true)
     (q, mem, edges, entries, g)
   }
 
   private val ann07 = QueryDef(
     "ann07_graph_search",
     (s, dir) => {
-      val (q, mem, edges, entries, g) = searchSetup(s, dir)
-      freeCheckpoint(g) // search needs only the symmetric adjacency
+      // search reads the STORED index (graph build paid once per
+      // (dir, process) by ensureMemberIndex) — this query measures
+      // SEARCH, the way a deployed index serves it
+      val (q, mem, edges, entries, _) = searchSetup(s, dir)
       val (beam, _) = graphSearch(q, mem, edges, entries)
       val wOut = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id").asc)
@@ -1136,7 +1189,6 @@ object Similarity {
         .filter(col("rn") <= K)
         .localCheckpoint(true)
       freeCheckpoint(beam)
-      freeCheckpoint(edges)
       out
     },
     Some(SearchSql.sql))
@@ -1161,6 +1213,9 @@ object Similarity {
   private val ann08 = QueryDef(
     "ann08_graph_insert",
     (s, dir) => {
+      // insert reads the same STORED index ann07 searches (VERDICT
+      // r10 #2: the identical member build used to run twice, once
+      // per query — now it is a build-once artifact on disk)
       val (q, mem, edges, entries, g) = searchSetup(s, dir)
       val (beam, _) = graphSearch(q, mem, edges, entries)
       val wN = Window.partitionBy(col("id"))
@@ -1182,8 +1237,6 @@ object Similarity {
         .withColumn("is_new", col("id") < NQueries)
         .localCheckpoint(true)
       freeCheckpoint(beam)
-      freeCheckpoint(edges)
-      freeCheckpoint(g)
       out
     },
     Some(SearchSql.insertSql))
@@ -1461,14 +1514,16 @@ object Similarity {
     * by SearchProbe and PipelineSpec to pin the sub-linear scan claim
     * with a measurement rather than the worst-case bound. */
   def searchScanStats(s: SparkSession, dir: String): (Double, Long) = {
-    val (q, mem, edges, entries, g) = searchSetup(s, dir)
-    freeCheckpoint(g)
-    val (beam, scanned) = graphSearch(q, mem, edges, entries, track = true)
-    val perQ = scanned.get.groupBy("q_id").count()
+    val (q, mem, edges, entries, _) = searchSetup(s, dir)
+    val (beam, tracked) = graphSearch(q, mem, edges, entries, track = true)
+    val (scanned, pinned) = tracked.get
+    val perQ = scanned.groupBy("q_id").count()
       .agg(avg("count")).head.getDouble(0)
     val memberN = mem.count()
+    // the per-step beams stayed pinned only for `scanned`'s lineage —
+    // free them now that the aggregation is materialized (ADVICE r10)
+    pinned.foreach(freeCheckpoint)
     freeCheckpoint(beam)
-    freeCheckpoint(edges)
     (perQ, memberN)
   }
 

@@ -539,17 +539,20 @@ class PipelineSpec extends AnyFunSuite {
     // never contain one
     assert(df.filter(col("n_id") < 10).count() == 0)
     assert(df.filter(col("q_id") >= 10).count() == 0)
-    // constant per-query scan budget: distinct scored pairs per query
-    // ≤ Entries + RingEntries + Steps·ExpandK·(2·Degree) whatever the
-    // corpus size — measured at BOTH spec SFs (the corpus-independent
-    // work claim, the property that makes the graph rung the query
-    // path at 10⁹ vectors)
+    // corpus-independent per-query scan budget, pinned as the MEAN
+    // over queries (ADVICE r10: the Steps·ExpandK·(2·Degree) term is
+    // not a per-query structural guarantee — a hub node's symmetric
+    // degree is its out-degree plus an in-degree the build does not
+    // cap, so a skewed corpus can push an individual query past it;
+    // what IS corpus-independent is the expected expansion mass, and
+    // that is what this measures at BOTH spec SFs — the property that
+    // makes the graph rung the query path at 10⁹ vectors)
     val bound = Similarity.Search.Entries + Similarity.Search.RingEntries +
       Similarity.Search.Steps * Similarity.Search.ExpandK * 2 * Similarity.Nnd.Degree
     for (d <- Seq(sf, "/root/testdata/sf0.01")) {
       val (perQScan, _) = Similarity.searchScanStats(spark, d)
       assert(perQScan <= bound,
-        s"$d: per-query scanned $perQScan exceeds the constant $bound")
+        s"$d: mean per-query scanned $perQScan exceeds the budget $bound")
     }
     // at sf0.001 the constant budget nearly covers the 490-member
     // corpus, so recall should be ~perfect; the sf0.1 operating point
