@@ -16,6 +16,10 @@ object SearchProbe {
       val recall = pipelines.Similarity.recallHeldOutAtK(spark, dir)
       println(f"SEARCH recall@5=$recall%.3f scanned/q=$scannedPerQ%.1f " +
         f"members=$memberN frac=${scannedPerQ / memberN}%.4f")
+      val (rRepaired, rRebuilt) =
+        pipelines.Similarity.recallAfterDelete(spark, dir)
+      println(f"DELETE recall@5 repaired=$rRepaired%.3f " +
+        f"rebuilt=$rRebuilt%.3f gap=${rRebuilt - rRepaired}%.3f")
     } finally spark.stop()
   }
 }

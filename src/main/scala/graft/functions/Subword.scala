@@ -28,6 +28,50 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * its replayability; swapping in a production vocabulary table is a
   * data change, not a code change.
   */
+/** A greedy longest-match subword vocabulary as a VALUE (round 11):
+  * the encoder machinery parameterized by its entry set, so a TRAINED
+  * vocabulary — e.g. tx15's merge table, turned into tokens — plugs
+  * into the identical encode rule as data. [[SubwordVocab]] is the
+  * embedded fixture instance tx13/pk05 pin their oracles to. */
+final class SubwordVocabulary(val entries: Seq[String]) extends Serializable {
+  require(entries.nonEmpty, "empty subword vocabulary")
+  require(entries.distinct.size == entries.size, "subword vocab has duplicates")
+
+  val maxLen: Int = entries.map(_.length).max
+
+  // per-length exact-match sets: greedy tries maxLen..1 then UNK
+  private val byLen: Array[java.util.HashSet[String]] = {
+    val a = Array.fill(maxLen + 1)(new java.util.HashSet[String]())
+    entries.foreach(t => a(t.length).add(t))
+    a
+  }
+
+  /** (tokens, unks) of one word under greedy longest-match. Positions
+    * advance by CODEPOINT (DuckDB's substr/len unit), not UTF-16
+    * char — an astral codepoint is one UNK, not two. */
+  def encodeCounts(word: String): (Long, Long) = {
+    var toks = 0L
+    var unks = 0L
+    var i = 0 // UTF-16 index
+    val n = word.length
+    while (i < n) {
+      var matched = 0
+      var l = math.min(maxLen, n - i)
+      while (matched == 0 && l >= 1) {
+        // candidate must also be l CODEPOINTS long: vocab entries are
+        // single-UTF-16-unit chars in the base, so UTF-16 length ==
+        // codepoint length for every entry and substring compare is
+        // exact
+        if (byLen(l).contains(word.substring(i, i + l))) matched = l
+        else l -= 1
+      }
+      if (matched > 0) { toks += 1; i += matched }
+      else { toks += 1; unks += 1; i += Character.charCount(word.codePointAt(i)) }
+    }
+    (toks, unks)
+  }
+}
+
 object SubwordVocab {
 
   /** Multi-char entries (all lowercase ASCII; matching is
@@ -63,9 +107,12 @@ object SubwordVocab {
 
   /** The full vocabulary, longest-first (the match order). */
   val All: Seq[String] = Merges ++ Singles
-  require(All.distinct.size == All.size, "subword vocab has duplicates")
 
-  val MaxLen: Int = All.map(_.length).max
+  /** The fixture as a [[SubwordVocabulary]] value — the same class a
+    * trained merge table instantiates. */
+  val vocab: SubwordVocabulary = new SubwordVocabulary(All)
+
+  val MaxLen: Int = vocab.maxLen
 
   /** DuckDB list literal of the SAME vocabulary — the oracle-side
     * twin, generated from the single definition above. */
@@ -73,36 +120,7 @@ object SubwordVocab {
     All.map(t => "'" + t.replace("'", "''") + "'")
       .mkString("[", ", ", "]")
 
-  // per-length exact-match sets: greedy tries MaxLen..1 then UNK
-  private val byLen: Array[java.util.HashSet[String]] = {
-    val a = Array.fill(MaxLen + 1)(new java.util.HashSet[String]())
-    All.foreach(t => a(t.length).add(t))
-    a
-  }
-
-  /** (tokens, unks) of one word under greedy longest-match. Positions
-    * advance by CODEPOINT (DuckDB's substr/len unit), not UTF-16
-    * char — an astral codepoint is one UNK, not two. */
-  def encodeCounts(word: String): (Long, Long) = {
-    var toks = 0L
-    var unks = 0L
-    var i = 0 // UTF-16 index
-    val n = word.length
-    while (i < n) {
-      var matched = 0
-      var l = math.min(MaxLen, n - i)
-      while (matched == 0 && l >= 1) {
-        // candidate must also be l CODEPOINTS long: vocab is all
-        // ASCII/BMP single-unit chars, so UTF-16 length == codepoint
-        // length for every entry and substring compare is exact
-        if (byLen(l).contains(word.substring(i, i + l))) matched = l
-        else l -= 1
-      }
-      if (matched > 0) { toks += 1; i += matched }
-      else { toks += 1; unks += 1; i += Character.charCount(word.codePointAt(i)) }
-    }
-    (toks, unks)
-  }
+  def encodeCounts(word: String): (Long, Long) = vocab.encodeCounts(word)
 }
 
 /** Pure-JVM runtime entry points (called from codegen'd expressions —

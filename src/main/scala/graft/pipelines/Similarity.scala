@@ -1210,28 +1210,39 @@ object Similarity {
     * write a delta-materialized index applies) — per-node cost
     * constant, corpus never rescanned. Replayed end-to-end by
     * [[SearchSql.insertSql]]; hash-matched at all three SFs. */
+  /** The insert computation shared by ann08 and ann10: walk the
+    * stored index for the new batch, take each new node's top-Degree
+    * pool as its adjacency (`newadj`), offer every linked member the
+    * reverse edge and re-prune its list (`upd`). Returns the walk's
+    * beam too — the caller frees it after materializing downstream. */
+  private def insertState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // insert reads the same STORED index ann07 searches (VERDICT
+    // r10 #2: the identical member build used to run twice, once
+    // per query — now it is a build-once artifact on disk)
+    val (q, mem, edges, entries, g) = searchSetup(s, dir)
+    val (beam, _) = graphSearch(q, mem, edges, entries)
+    val wN = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("nbr").asc)
+    val newadj = beam
+      .select(col("q_id").as("id"), col("n_id").as("nbr"), col("cos"))
+      .withColumn("rn", row_number().over(wN).cast("long"))
+      .filter(col("rn") <= Nnd.Degree)
+    val rev = newadj.select(col("nbr").as("id"), col("id").as("nbr"),
+      col("cos"))
+    val upd = g.join(rev.select(col("id")).distinct(), "id")
+      .select(col("id"), col("nbr"), col("cos"))
+      .union(rev)
+      .distinct()
+      .withColumn("rn", row_number().over(wN).cast("long"))
+      .filter(col("rn") <= Nnd.Degree)
+    (newadj, upd, beam)
+  }
+
   private val ann08 = QueryDef(
     "ann08_graph_insert",
     (s, dir) => {
-      // insert reads the same STORED index ann07 searches (VERDICT
-      // r10 #2: the identical member build used to run twice, once
-      // per query — now it is a build-once artifact on disk)
-      val (q, mem, edges, entries, g) = searchSetup(s, dir)
-      val (beam, _) = graphSearch(q, mem, edges, entries)
-      val wN = Window.partitionBy(col("id"))
-        .orderBy(col("cos").desc, col("nbr").asc)
-      val newadj = beam
-        .select(col("q_id").as("id"), col("n_id").as("nbr"), col("cos"))
-        .withColumn("rn", row_number().over(wN).cast("long"))
-        .filter(col("rn") <= Nnd.Degree)
-      val rev = newadj.select(col("nbr").as("id"), col("id").as("nbr"),
-        col("cos"))
-      val upd = g.join(rev.select(col("id")).distinct(), "id")
-        .select(col("id"), col("nbr"), col("cos"))
-        .union(rev)
-        .distinct()
-        .withColumn("rn", row_number().over(wN).cast("long"))
-        .filter(col("rn") <= Nnd.Degree)
+      val (newadj, upd, beam) = insertState(s, dir)
       val out = newadj.select(col("id"), col("nbr"), col("cos"), col("rn"))
         .unionAll(upd.select(col("id"), col("nbr"), col("cos"), col("rn")))
         .withColumn("is_new", col("id") < NQueries)
@@ -1240,6 +1251,61 @@ object Similarity {
       out
     },
     Some(SearchSql.insertSql))
+
+  // -------------------------------------------------------------- ann10
+  /** Bounded NEW↔NEW refinement after a batch insert (round 11,
+    * VERDICT r10 #6 — closing ann08's documented deferral: "new↔new
+    * links form on the next refinement round", which now exists as an
+    * operator). ann08 treats batch arrivals independently — every
+    * inserted node links to MEMBERS only — so two new vectors that
+    * are each other's true neighbors cannot see each other until a
+    * refinement runs. This is that refinement: ONE NN-descent round
+    * restricted to the inserted batch ∪ its adjacency. Per new node x
+    * the candidates are the DIRECTED 2-hop set through the
+    * post-insert graph: x → y (x's adjacency, ≤ Degree members) → z
+    * (y's RE-PRUNED post-insert list `upd`, ≤ Degree entries — which
+    * includes the reverse links to other new nodes, the bridge that
+    * lets the batch discover itself through shared members). Exact
+    * cosines, per-node re-prune to top-Degree. Candidate mass is
+    * ≤ Degree² per new node — constant in corpus size and in batch
+    * size (the batch stays embarrassingly parallel). Output: the
+    * inserted batch's refined lists only (changed rows, never the
+    * corpus), `is_new_new` flagging the edges the refinement earned.
+    * Replays as the insert CTE chain + one candidate/score/re-prune
+    * rung; hash-oracled at all three SFs. */
+  private val ann10 = QueryDef(
+    "ann10_insert_refine",
+    (s, dir) => {
+      val (newadj, upd, beam) = insertState(s, dir)
+      // directed 2-hop through the post-insert lists of x's members
+      val cand = newadj.select(col("id"), col("nbr").as("mid"))
+        .join(upd.select(col("id").as("mid"), col("nbr").as("cand")), "mid")
+        .filter(col("cand") =!= col("id"))
+        .select(col("id"), col("cand").as("nbr"))
+        .distinct()
+      // both endpoints may be NEW nodes — score against the full
+      // corpus vectors, not the member frame
+      val allv = vecs(s, dir)
+      val scored = cand
+        .join(allv.select(col("vec_id").as("id"), col("v").as("xv"),
+          col("nn").as("xn")), "id")
+        .join(allv.select(col("vec_id").as("nbr"), col("v").as("yv"),
+          col("nn").as("yn")), "nbr")
+        .select(col("id"), col("nbr"),
+          VectorOps.cosine("xv", "yv", "xn", "yn").as("cos"))
+      val wN = Window.partitionBy(col("id"))
+        .orderBy(col("cos").desc, col("nbr").asc)
+      val out = newadj.select(col("id"), col("nbr"), col("cos"))
+        .union(scored)
+        .distinct()
+        .withColumn("rn", row_number().over(wN).cast("long"))
+        .filter(col("rn") <= Nnd.Degree)
+        .withColumn("is_new_new", col("nbr") < NQueries)
+        .localCheckpoint(true)
+      freeCheckpoint(beam)
+      out
+    },
+    Some(SearchSql.refineSql))
 
   // -------------------------------------------------------------- ann09
   /** GRAPH DELETE with local repair — the remaining lifecycle verb
@@ -1256,6 +1322,44 @@ object Similarity {
     * repaired lists only (the delta a materialized index applies).
     * Replayed by the chained build + repair CTEs; hash-matched at all
     * three SFs. */
+  /** The FreshDiskANN-style local repair shared by ann09 and the
+    * recall-after-delete probe: given the full-corpus graph `g` and
+    * vectors `n`, re-prune exactly the survivor lists that referenced
+    * a deleted node (vec_id < [[NQueries]]), bridging candidates
+    * through each deleted node's surviving out-neighbors. Returns the
+    * repaired lists (id, nbr, cos, rn) — lazy, caller materializes. */
+  private def deleteRepair(n: DataFrame, g: DataFrame): DataFrame = {
+    val isDel = (c: org.apache.spark.sql.Column) => c < NQueries
+    // surviving edges between survivors
+    val keep = g.filter(!isDel(col("id")) && !isDel(col("nbr")))
+    // (a, d): survivor a whose list references deleted d
+    val holes = g.filter(!isDel(col("id")) && isDel(col("nbr")))
+      .select(col("id").as("a"), col("nbr").as("d"))
+    // bridge: d's surviving out-neighbors become a's candidates
+    val bridge = holes.join(
+        g.filter(isDel(col("id")) && !isDel(col("nbr")))
+          .select(col("id").as("d"), col("nbr").as("cand")), "d")
+      .filter(col("a") =!= col("cand"))
+      .select(col("a").as("id"), col("cand").as("nbr"))
+      .distinct()
+    val scored = bridge
+      .join(n.select(col("vec_id").as("id"), col("v").as("xv"),
+        col("nn").as("xn")), "id")
+      .join(n.select(col("vec_id").as("nbr"), col("v").as("yv"),
+        col("nn").as("yn")), "nbr")
+      .select(col("id"), col("nbr"),
+        VectorOps.cosine("xv", "yv", "xn", "yn").as("cos"))
+    val affected = holes.select(col("a").as("id")).distinct()
+    val wN = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("nbr").asc)
+    keep.join(affected, "id")
+      .select(col("id"), col("nbr"), col("cos"))
+      .union(scored)
+      .distinct()
+      .withColumn("rn", row_number().over(wN).cast("long"))
+      .filter(col("rn") <= Nnd.Degree)
+  }
+
   private val ann09 = QueryDef(
     "ann09_graph_delete",
     (s, dir) => {
@@ -1263,36 +1367,7 @@ object Similarity {
         .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
       val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
       val g = nndBuild(n, corpusN)
-      val isDel = (c: org.apache.spark.sql.Column) => c < NQueries
-      // surviving edges between survivors
-      val keep = g.filter(!isDel(col("id")) && !isDel(col("nbr")))
-      // (a, d): survivor a whose list references deleted d
-      val holes = g.filter(!isDel(col("id")) && isDel(col("nbr")))
-        .select(col("id").as("a"), col("nbr").as("d"))
-      // bridge: d's surviving out-neighbors become a's candidates
-      val bridge = holes.join(
-          g.filter(isDel(col("id")) && !isDel(col("nbr")))
-            .select(col("id").as("d"), col("nbr").as("cand")), "d")
-        .filter(col("a") =!= col("cand"))
-        .select(col("a").as("id"), col("cand").as("nbr"))
-        .distinct()
-      val scored = bridge
-        .join(n.select(col("vec_id").as("id"), col("v").as("xv"),
-          col("nn").as("xn")), "id")
-        .join(n.select(col("vec_id").as("nbr"), col("v").as("yv"),
-          col("nn").as("yn")), "nbr")
-        .select(col("id"), col("nbr"),
-          VectorOps.cosine("xv", "yv", "xn", "yn").as("cos"))
-      val affected = holes.select(col("a").as("id")).distinct()
-      val wN = Window.partitionBy(col("id"))
-        .orderBy(col("cos").desc, col("nbr").asc)
-      val out = keep.join(affected, "id")
-        .select(col("id"), col("nbr"), col("cos"))
-        .union(scored)
-        .distinct()
-        .withColumn("rn", row_number().over(wN).cast("long"))
-        .filter(col("rn") <= Nnd.Degree)
-        .localCheckpoint(true)
+      val out = deleteRepair(n, g).localCheckpoint(true)
       freeCheckpoint(g)
       out
     },
@@ -1391,12 +1466,12 @@ object Similarity {
          |    ORDER BY cos DESC, n_id ASC) AS rn
          |  FROM qb${Search.Steps}) WHERE rn <= $K""".stripMargin
 
-    /** ann08: the walk's pool becomes the inserted node's top-Degree
+    /** The insert-state CTEs (newadj/upd) shared by ann08 and ann10:
+      * the walk's pool becomes the inserted node's top-Degree
       * adjacency; each linked member re-prunes its own list with the
       * new reverse edge as a candidate. */
-    def insertSql: String =
-      s"""WITH $searchCtes,
-         |newadj AS MATERIALIZED (SELECT id, nbr, cos, rn FROM (
+    private def insertCtes: String =
+      s"""newadj AS MATERIALIZED (SELECT id, nbr, cos, rn FROM (
          |  SELECT q_id AS id, n_id AS nbr, cos, ROW_NUMBER() OVER (
          |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
          |  FROM qb${Search.Steps}) WHERE rn <= ${Nnd.Degree}),
@@ -1409,9 +1484,38 @@ object Similarity {
          |  FROM (SELECT g.id, g.nbr, g.cos FROM b${Nnd.Rounds} g
          |      JOIN aff ON aff.id = g.id
          |    UNION SELECT id, nbr, cos FROM rev))
-         |  WHERE rn <= ${Nnd.Degree})
+         |  WHERE rn <= ${Nnd.Degree})""".stripMargin
+
+    def insertSql: String =
+      s"""WITH $searchCtes,
+         |$insertCtes
          |SELECT id, nbr, cos, rn, id < $NQueries AS is_new FROM (
          |  SELECT * FROM newadj UNION ALL SELECT * FROM upd)""".stripMargin
+
+    /** ann10: one bounded NN-descent round over the inserted batch —
+      * directed 2-hop candidates through the members' post-insert
+      * lists (`upd`, which carry the reverse links to other new
+      * nodes), exact cosines over the FULL corpus (both endpoints may
+      * be new), per-new-node re-prune to Degree. */
+    def refineSql: String = {
+      val cos = cosineSql("x.v", "y.v", "x.nn", "y.nn")
+      s"""WITH $searchCtes,
+         |$insertCtes,
+         |nall AS MATERIALIZED (SELECT vec_id, v, nn FROM n
+         |  UNION ALL SELECT q_id AS vec_id, v, nn FROM qe),
+         |rcand AS MATERIALIZED (SELECT DISTINCT na.id, u.nbr
+         |  FROM newadj na JOIN upd u ON u.id = na.nbr
+         |  WHERE u.nbr <> na.id),
+         |rsc AS MATERIALIZED (SELECT c.id, c.nbr, $cos AS cos
+         |  FROM rcand c JOIN nall x ON x.vec_id = c.id
+         |  JOIN nall y ON y.vec_id = c.nbr)
+         |SELECT id, nbr, cos, rn, nbr < $NQueries AS is_new_new FROM (
+         |  SELECT id, nbr, cos, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY cos DESC, nbr ASC) AS rn
+         |  FROM (SELECT id, nbr, cos FROM newadj
+         |    UNION SELECT id, nbr, cos FROM rsc))
+         |WHERE rn <= ${Nnd.Degree}""".stripMargin
+    }
   }
 
   /** DuckDB replay of the full NN-descent trajectory: the ring init
@@ -1533,6 +1637,16 @@ object Similarity {
     * construction cannot return), so the held-out rung gets its own
     * truth: top-K over members (vec_id ≥ NQueries) only. */
   def recallHeldOutAtK(s: SparkSession, dir: String): Double = {
+    val truth = heldOutTruth(s, dir)
+    val approx = defs.find(_.name == "ann07_graph_search").get.run(s, dir)
+      .select("q_id", "n_id")
+    truth.join(approx, Seq("q_id", "n_id")).count().toDouble / truth.count()
+  }
+
+  /** Brute top-K of the held-out queries over the members only — the
+    * truth the search rung and the delete-quality probe grade
+    * against. */
+  private def heldOutTruth(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -1545,11 +1659,63 @@ object Similarity {
         VectorOps.cosine("qv", "nv", "qn", "mn").as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
-    val truth = scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K).select("q_id", "n_id")
-    val approx = defs.find(_.name == "ann07_graph_search").get.run(s, dir)
-      .select("q_id", "n_id")
-    truth.join(approx, Seq("q_id", "n_id")).count().toDouble / truth.count()
+  }
+
+  /** Recall-after-delete QUALITY probe (round 11, VERDICT r10 #8):
+    * ann09 pins repair LOCALITY and degree caps; this measures repair
+    * EFFECTIVENESS the way PipelineSpec pins insert quality. The
+    * deleted block's vectors become out-of-graph QUERIES — the
+    * hardest queries for the repaired region, since every path that
+    * used to route through them was re-bridged — and the identical
+    * beam search runs over (a) the REPAIRED graph (full build −
+    * deleted nodes, affected lists repaired by [[deleteRepair]]) and
+    * (b) the FULL REBUILD on survivors (the stored member index —
+    * shared, not re-built). Returns (recall@K repaired, recall@K
+    * rebuilt) vs the survivor-only brute truth; a repair that merely
+    * preserved degree while losing neighborhood structure would show
+    * up as a recall gap between the two. */
+  def recallAfterDelete(s: SparkSession, dir: String): (Double, Double) = {
+    val all = vecs(s, dir)
+      .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
+    val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
+    // repaired graph: full build, drop the deleted block, repair the
+    // affected survivor lists in place
+    val g = nndBuild(all, corpusN)
+    val survivorsOnly = g.filter(col("id") >= NQueries &&
+      col("nbr") >= NQueries)
+    val repairedLists = deleteRepair(all, g)
+    val affected = repairedLists.select(col("id")).distinct()
+    val repairedEdges = survivorsOnly
+      .join(affected, Seq("id"), "left_anti")
+      .select(col("id"), col("nbr"))
+      .union(repairedLists.select(col("id"), col("nbr")))
+    val edgesRepaired = repairedEdges
+      .union(repairedEdges.select(col("nbr").as("id"), col("id").as("nbr")))
+      .distinct()
+      .localCheckpoint(true)
+    freeCheckpoint(g)
+    // rebuilt graph on survivors = the stored member index (build
+    // shared with ann07/ann08, not re-paid); q/mem/entries likewise
+    val (q, mem, edgesRebuilt, entries, _) = searchSetup(s, dir)
+    val truth = heldOutTruth(s, dir).localCheckpoint(true)
+    val wOut = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    def recallOver(edges: DataFrame): Double = {
+      val (beam, _) = graphSearch(q, mem, edges, entries)
+      val approx = beam
+        .withColumn("rn", row_number().over(wOut))
+        .filter(col("rn") <= K).select("q_id", "n_id")
+      val r = truth.join(approx, Seq("q_id", "n_id")).count().toDouble /
+        truth.count()
+      freeCheckpoint(beam)
+      r
+    }
+    val out = (recallOver(edgesRepaired), recallOver(edgesRebuilt))
+    freeCheckpoint(edgesRepaired)
+    freeCheckpoint(truth)
+    out
   }
 
   // ORDER IS LOAD-BEARING: Bench emits recall@5 as a POSITIONAL array
@@ -1559,5 +1725,6 @@ object Similarity {
   // append only, and update Bench's recall list together with this
   // Seq (ADVICE r4). ann07's slot uses [[recallHeldOutAtK]] (member-
   // only truth), the rest [[recallAtK]] (full-corpus truth).
-  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09)
+  val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06,
+    ann07, ann08, ann09, ann10)
 }

@@ -614,6 +614,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(rec >= 0.9, s"insert adjacency recall@$deg fell to $rec")
   }
 
+  test("ann10 insert refinement: new-new edges, degree cap, monotone quality, bounded candidates") {
+    import graft.pipelines.Similarity
+    val deg = Similarity.Nnd.Degree
+    val df = SparkEntry.queries("ann10_insert_refine")(spark, sf)
+    // output = the inserted batch's lists only (changed rows — the
+    // corpus is never rewritten), exactly Degree rows per node
+    assert(df.filter(col("id") >= 10).count() == 0)
+    assert(df.groupBy("id").count().filter(col("count") =!= deg).count() == 0)
+    assert(df.filter(col("rn") < 1 || col("rn") > deg).count() == 0)
+    // ann08's deferral is closed: new↔new edges EXIST post-refinement
+    // where cosine warrants (deterministic on this corpus), and the
+    // flag is consistent with the id range
+    assert(df.filter(col("is_new_new") =!= (col("nbr") < 10)).count() == 0)
+    assert(df.filter(col("is_new_new")).count() >= 1)
+    val ins = SparkEntry.queries("ann08_graph_insert")(spark, sf)
+    // refinement is MONOTONE: a node's worst kept cosine never drops
+    // (candidates only ever displace weaker edges)
+    val before = ins.filter(col("is_new")).groupBy("id")
+      .agg(min("cos").as("b"))
+    val after = df.groupBy("id").agg(min("cos").as("a"))
+    assert(after.join(before, "id").filter(col("a") < col("b")).count() == 0)
+    // candidate mass ≤ Degree² per new node — constant in corpus and
+    // batch size (the per-node cost claim, recomputed independently
+    // from ann08's output)
+    val newadj = ins.filter(col("is_new"))
+      .select(col("id"), col("nbr").as("mid"))
+    val upd = ins.filter(!col("is_new"))
+      .select(col("id").as("mid"), col("nbr").as("cand"))
+    val cand = newadj.join(upd, "mid").filter(col("cand") =!= col("id"))
+      .select("id", "cand").distinct()
+    assert(cand.groupBy("id").count()
+      .filter(col("count") > deg * deg).count() == 0)
+  }
+
   test("ann09 graph delete: no deleted refs, degree cap, repair locality") {
     import graft.pipelines.Similarity
     val df = SparkEntry.queries("ann09_graph_delete")(spark, sf)
@@ -641,6 +675,21 @@ class PipelineSpec extends AnyFunSuite {
     val repaired = df.select("id").distinct()
     assert(repaired.join(affected, Seq("id"), "left_anti").count() == 0)
     assert(affected.join(repaired, Seq("id"), "left_anti").count() == 0)
+  }
+
+  test("ann09 repair QUALITY: recall near the full rebuild's") {
+    // VERDICT r10 #8 — measure the repair's EFFECTIVENESS, not just
+    // its locality: search the repaired graph for the deleted vectors
+    // (the hardest queries for the repaired region) and compare
+    // recall@5 against the same search over a full survivor rebuild.
+    // A repair that kept degrees but lost neighborhood structure
+    // would open a gap here.
+    val (rRepaired, rRebuilt) =
+      graft.pipelines.Similarity.recallAfterDelete(spark, sf)
+    assert(rRepaired >= rRebuilt - 0.1,
+      s"repaired-graph recall $rRepaired trails the rebuild's $rRebuilt " +
+        "by more than 0.1")
+    assert(rRepaired >= 0.8, s"repaired-graph recall fell to $rRepaired")
   }
 
   test("tx13 subword encoder: greedy longest-match vs independent reference") {
@@ -681,6 +730,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(SubwordVocab.encodeCounts("hello-world_42!")._2 == 0L)
     // non-ASCII codepoints are one UNK each
     assert(SubwordVocab.encodeCounts("§") == ((1L, 1L)))
+  }
+
+  test("tx15 BPE trainer: closure, monotone counts, trained vocab feeds the encoder") {
+    val m = SparkEntry.queries("tx15_bpe_train")(spark, sf)
+      .orderBy("round").collect()
+    assert(m.length == 12)
+    // BPE closure: merged = lhs+rhs, and both sides are single chars
+    // or earlier merge products (a merge can only combine symbols
+    // that exist when it runs)
+    val known = scala.collection.mutable.Set(('a' to 'z').map(_.toString): _*)
+    m.foreach { r =>
+      val (lhs, rhs, mg) = (r.getString(1), r.getString(2), r.getString(3))
+      assert(mg == lhs + rhs)
+      assert(known(lhs) && known(rhs), s"round ${r.getInt(0)}: $lhs|$rhs not derivable")
+      known += mg
+    }
+    // the winning pair count never increases round-over-round: a new
+    // pair touching the merged token can occur at most as often as
+    // the merge itself did, and old counts only shrink
+    assert(m.toSeq.sliding(2).forall(p =>
+      p(1).getLong(4) <= p(0).getLong(4)))
+    // the TRAINED merge table instantiates the SAME encoder class the
+    // tx13 fixture uses (VERDICT r10 #3: vocab is data, not code) —
+    // cross-checked against an independent naive greedy matcher
+    val trained = new graft.functions.SubwordVocabulary(
+      m.map(_.getString(3)).toSeq ++ ('a' to 'z').map(_.toString))
+    def naive(word: String): Long = {
+      val vocab = trained.entries.toSet
+      var i = 0; var t = 0L
+      while (i < word.length) {
+        val l = (math.min(trained.maxLen, word.length - i) to 1 by -1)
+          .find(k => vocab.contains(word.substring(i, i + k))).getOrElse(1)
+        t += 1; i += l
+      }
+      t
+    }
+    val words = Tables.load(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      .distinct().collect().map(_.getString(0))
+    words.foreach { w =>
+      assert(trained.encodeCounts(w)._1 == naive(w), s"word $w")
+      // corpus-trained merges never UNK on corpus words
+      assert(trained.encodeCounts(w)._2 == 0L)
+    }
+    // training helps: corpus words cost fewer tokens than char-level
+    val gain = words.map(w => w.length - trained.encodeCounts(w)._1).sum
+    assert(gain > 0, "trained merges saved no tokens on the corpus")
   }
 
   test("pk05 subword packing covers every doc with valid bins") {
