@@ -127,7 +127,7 @@ object CdcParquetSink {
     * when no such version was ever published, or when any referenced
     * bucket dir has been GC'd (aged-out snapshots must read as None,
     * never silently partial). */
-  private def manifestAsOf(
+  private[graft] def manifestAsOf(
       tableDir: String, batchId: Long): Option[Map[Int, Seq[String]]] = {
     if (!Files.isDirectory(Paths.get(tableDir))) return None
     val re = "manifest-v(\\d{12})\\.tsv".r
@@ -218,7 +218,7 @@ object CdcParquetSink {
 
   /** The store's fixed row shape: chain reads declare it instead of
     * inferring from footers (one less metadata pass per read). */
-  private val StoreSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val StoreSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("key",
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("tsUs",

@@ -182,6 +182,112 @@ class SinkSpec extends AnyFunSuite {
     assert(k1v(CdcParquetSink.readTable(spark, tableDir).get) == "u3")
   }
 
+  test("versionAsOf reader option serves the API snapshot; aged-out raises") {
+    val tableDir = Files.createTempDirectory("tbl").toString
+    def oneRec(id: Long, tsSec: Long, key: String, v: String) = {
+      val d = Files.createTempDirectory("gcl").toString
+      CdcChunkFile.write(s"$d/chunk-00000${CdcChunkFile.Extension}",
+        Seq(CdcFixtures.rec(id, tsSec * 1000000L, Op.Update, key, v)))
+      CdcStreaming.readBatch(spark, d)
+    }
+    (0L to 3L).foreach { b =>
+      CdcParquetSink.applyBatch(spark, oneRec(100 + b, 50 + b, "k1", s"u$b"),
+        tableDir, b, nBuckets = 2, maxDeltas = 1)
+    }
+    // the declarative surface (VERDICT r10 #7): format("graft-cdc") +
+    // versionAsOf ≡ the readTableAsOf API, row for row including the
+    // after map — the provider's snapshot mode is merge-on-read per
+    // bucket, no shuffle
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("tsUs"), col("recordId"), col("op"),
+        element_at(col("after"), "v").as("v"))
+        .collect().map(_.toSeq).toSet
+    for (v <- Seq(2L, 3L, 99L)) {
+      val sqlRead = spark.read.format("graft-cdc")
+        .option("versionAsOf", v).load(tableDir)
+      assert(norm(sqlRead) ==
+        norm(CdcParquetSink.readTableAsOf(spark, tableDir, v).get),
+        s"versionAsOf=$v diverges from the API read")
+    }
+    // aged-out / never-published versions FAIL the declarative read
+    // (no Option on the SQL surface; Delta's vacuumed-version shape)
+    val e = intercept[Exception] {
+      spark.read.format("graft-cdc").option("versionAsOf", 0L)
+        .load(tableDir).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("tableChanges: typed diff between snapshots, untouched buckets pruned") {
+    val tableDir = Files.createTempDirectory("tbl").toString
+    def batchOf(recs: Seq[graft.cdc.ChangeRecord]) = {
+      val d = Files.createTempDirectory("gcl").toString
+      CdcChunkFile.write(s"$d/chunk-00000${CdcChunkFile.Extension}", recs)
+      CdcStreaming.readBatch(spark, d)
+    }
+    // batch 0: three keys; batch 1 touches only kA (update), kNew
+    // (insert) and kB (delete) — kC's bucket may stay untouched
+    CdcParquetSink.applyBatch(spark, batchOf(Seq(
+      CdcFixtures.rec(1, 1000000L, Op.Insert, "kA", "a0"),
+      CdcFixtures.rec(2, 1000000L, Op.Insert, "kB", "b0"),
+      CdcFixtures.rec(3, 1000000L, Op.Insert, "kC", "c0"))),
+      tableDir, 0L, nBuckets = 8, maxDeltas = 4)
+    CdcParquetSink.applyBatch(spark, batchOf(Seq(
+      CdcFixtures.rec(4, 2000000L, Op.Update, "kA", "a1"),
+      CdcFixtures.rec(5, 2000000L, Op.Insert, "kNew", "n0"),
+      CdcFixtures.rec(6, 2000000L, Op.Delete, "kB", null))),
+      tableDir, 1L, nBuckets = 8, maxDeltas = 4)
+    val diff = CdcParquetSink.tableChanges(spark, tableDir, 0L, 1L).get
+      .select(col("change_type"), col("key"),
+        element_at(col("after"), "v").as("v"))
+      .collect().map(r => (r.getString(0),
+        r.getString(1).split('|').last, r.getString(2))).toSet
+    assert(diff == Set(
+      ("update", "kA", "a1"), ("insert", "kNew", "n0"),
+      ("delete", "kB", "b0")), s"got $diff")
+    // manifest-level pruning: only the buckets batch 1 touched differ
+    val touched = CdcParquetSink.changedBuckets(tableDir, 0L, 1L).get
+    val m1 = CdcParquetSink.latestManifest(tableDir).get
+    val batch1Buckets = m1.filter(_._2.exists(_.startsWith("v000000000001")))
+      .keySet
+    assert(touched.toSet == batch1Buckets,
+      s"diff read $touched but batch 1 touched $batch1Buckets")
+    // identical versions diff to nothing without opening any bucket
+    assert(CdcParquetSink.changedBuckets(tableDir, 1L, 1L).get.isEmpty)
+    assert(CdcParquetSink.tableChanges(spark, tableDir, 1L, 1L).get.count() == 0)
+    // an aged-out endpoint yields None, mirroring readTableAsOf
+    assert(CdcParquetSink.tableChanges(spark, tableDir, -1L, 1L).isEmpty)
+  }
+
+  test("GC retention follows the publication log and keeps the live manifest") {
+    val tableDir = Files.createTempDirectory("tbl").toString
+    def oneRec(id: Long, tsSec: Long, key: String, v: String) = {
+      val d = Files.createTempDirectory("gcl").toString
+      CdcChunkFile.write(s"$d/chunk-00000${CdcChunkFile.Extension}",
+        Seq(CdcFixtures.rec(id, tsSec * 1000000L, Op.Update, key, v)))
+      CdcStreaming.readBatch(spark, d)
+    }
+    (0L to 2L).foreach { b =>
+      CdcParquetSink.applyBatch(spark, oneRec(10 + b, 5 + b, "k1", s"u$b"),
+        tableDir, b, nBuckets = 2, maxDeltas = 1)
+    }
+    // a compact publishes a hash-named manifest; ADVICE r10: on an
+    // mtime tie its name sorts BEFORE every versioned manifest, which
+    // used to let the just-published live manifest's data get GC'd.
+    // The publication log orders by publish, not mtime — so the
+    // compact IS the newest entry and its data survives, and _LATEST
+    // resolves to a readable table whatever the filesystem's mtime
+    // granularity.
+    CdcParquetSink.compact(spark, tableDir, nBuckets = 2)
+    val pub = Files.readAllLines(Paths.get(tableDir, "_PUBLISHED"))
+    assert(pub.size() == 4 && pub.get(3).startsWith("manifest-compact-"))
+    val latest = Files.readString(Paths.get(tableDir, "_LATEST")).trim
+    assert(latest.startsWith("manifest-compact-"))
+    val df = CdcParquetSink.readTable(spark, tableDir).get
+    assert(df.filter(col("key").endsWith("|k1")).count() == 1)
+    assert(df.select(element_at(col("after"), "v")).head().getString(0) == "u2")
+  }
+
   test("maxDeltas < 1 is rejected (would degrade to whole-bucket rewrites)") {
     val dir = Files.createTempDirectory("gcl").toString
     CdcFixtures.writeChunks(dir)
