@@ -302,5 +302,90 @@ object Packing {
       |    AS bin
       |FROM win""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03, pk04, pk05)
+  // -------------------------------------------------------------- pk06
+  /** The TRAINED-tokenizer pipeline end-to-end (round 11, beyond the
+    * VERDICT list — the rung that makes the tokenizer family a
+    * LIFECYCLE: train → encode → pack in one operator): tx15's BPE
+    * trainer runs first (same loop, [[TextAnalysis.trainBpeMerges]]),
+    * then every document is encoded UNDER THE MERGES IT JUST LEARNED
+    * and packed by pk01's deterministic shard/cumsum window.
+    *
+    * The encode is fully declarative: each doc's words are wrapped
+    * (`<c><c>…`, space-joined so merges never cross a word boundary)
+    * and the [[TextAnalysis.BpeRounds]] trained merges apply as ONE
+    * chained codegen'd `replace` expression — training produces
+    * literal search/replace pairs, so apply-time is a narrow
+    * projection riding the scan, no join against a merge table and no
+    * per-row loop. Token count = `'<'`-count of the final
+    * segmentation. The DuckDB oracle re-trains via the shared
+    * [[TextAnalysis.bpeCtes]] trajectory and applies each round's
+    * merge as a chained per-doc CTE — hash-exact end-to-end, which
+    * pins train AND encode AND pack in one comparison. */
+  private val TrainedBudget = 1024
+  private val pk06 = QueryDef(
+    "pk06_trained_pack",
+    (s, dir) => {
+      val merges = TextAnalysis.trainBpeMerges(s, dir)
+      val applyChain = merges.foldLeft("seg0") { case (acc, (_, l, r, _, _)) =>
+        s"replace($acc, '<$l><$r>', '<$l$r>')"
+      }
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("seg0", expr(
+          "array_join(transform(regexp_extract_all(text, '[a-z]+', 0), " +
+            "w -> regexp_replace(w, '(.)', '<$1>')), ' ')"))
+        .withColumn("segf", expr(applyChain))
+        .select(col("doc_id"),
+          (length(col("segf")) -
+            length(expr("replace(segf, '<', '')"))).cast("long").as("n_tok"),
+          md5(concat(col("doc_id").cast("string"), lit(":pack"))
+            .cast("binary")).as("pick"))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substring(pick, 1, 1))") - 1)
+            % NShards).cast("int"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("pick").asc, col("doc_id").asc)
+      docs
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("cum_tok",
+          sum(col("n_tok")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("bin",
+          greatest(lit(0L),
+            floor((col("cum_tok") - 1) / TrainedBudget)).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"),
+          col("cum_tok"), col("bin"))
+    },
+    Some {
+      val encodeChain = (1 to TextAnalysis.BpeRounds).map { r =>
+        s"""doc$r AS MATERIALIZED (SELECT doc_id,
+           |  replace(seg, '<'||m.lhs||'><'||m.rhs||'>',
+           |    '<'||m.lhs||m.rhs||'>') AS seg
+           |  FROM doc${r - 1}, m$r m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${TextAnalysis.bpeCtes},
+         |doc0 AS MATERIALIZED (SELECT doc_id,
+         |  array_to_string(list_transform(regexp_extract_all(text, '[a-z]+'),
+         |    w -> regexp_replace(w, '(.)', '<\\1>', 'g')), ' ') AS seg
+         |  FROM documents),
+         |$encodeChain,
+         |d AS (SELECT doc_id,
+         |  CAST(len(seg) - len(replace(seg, '<', '')) AS BIGINT) AS n_tok,
+         |  md5(CAST(doc_id AS VARCHAR) || ':pack') AS pick
+         |  FROM doc${TextAnalysis.BpeRounds}),
+         |sh AS (SELECT doc_id, n_tok, pick,
+         |  CAST((instr('0123456789abcdef', substr(pick, 1, 1)) - 1)
+         |    % $NShards AS INT) AS shard FROM d),
+         |win AS (SELECT doc_id, shard, n_tok,
+         |  CAST(ROW_NUMBER() OVER o AS BIGINT) AS pos,
+         |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY pick ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+         |  FROM sh
+         |  WINDOW o AS (PARTITION BY shard ORDER BY pick ASC, doc_id ASC))
+         |SELECT doc_id, shard, pos, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+         |  CAST(greatest(0, floor((cum_tok - 1) / $TrainedBudget)) AS BIGINT)
+         |    AS bin
+         |FROM win""".stripMargin
+    })
+
+  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03, pk04, pk05, pk06)
 }

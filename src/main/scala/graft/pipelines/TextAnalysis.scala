@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** §2.3 text analysis: language-ID, quality scoring, token counting,
@@ -796,7 +797,7 @@ object TextAnalysis {
     * MATERIALIZED CTEs; hash-exact at all three SFs. No end-of-word
     * marker (documented choice: the corpus' words are space-delimited
     * already; merges never cross word boundaries by construction). */
-  private val BpeRounds = 12
+  private[pipelines] val BpeRounds = 12
 
   private def freeCp(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.logical match {
@@ -805,70 +806,87 @@ object TextAnalysis {
       case _ => ()
     }
 
+  /** The trainer loop, shared by tx15 and pk06's end-to-end pipeline:
+    * [[BpeRounds]] rounds of (pair count → pinned-tiebreak argmax →
+    * merge apply) over the vocabulary table. Returns the merge list
+    * (round, lhs, rhs, merged, pair_count), in training order. */
+  private[pipelines] def trainBpeMerges(
+      s: SparkSession, dir: String): Seq[(Int, String, String, String, Long)] = {
+    var words = Tables.load(s, dir, "documents")
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seg", regexp_replace(col("word"), "(.)", "<$1>"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var i = 1
+    while (i <= BpeRounds) {
+      val counts = words
+        .withColumn("syms", expr("regexp_extract_all(seg, '<([^>]*)>', 1)"))
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(x, i) -> struct(x AS lhs, syms[i + 1] AS rhs))")).as("pr"))
+        .select(col("freq"), col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .groupBy("lhs", "rhs").agg(sum(col("freq")).as("cnt"))
+      val best = counts
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((i, l, r, l + r, c))
+      val nw = words
+        .withColumn("seg", expr(s"replace(seg, '<$l><$r>', '<$l$r>')"))
+        .localCheckpoint(true)
+      freeCp(words)
+      words = nw
+      i += 1
+    }
+    freeCp(words)
+    merges.toSeq
+  }
+
+  /** The DuckDB replay of the trainer trajectory (w0 … m{R}/w{R}),
+    * shared by tx15's oracle and pk06's (which chains the per-doc
+    * encode + packing window after it). Starts after a `WITH`. */
+  private[pipelines] def bpeCtes: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val p = s"w${r - 1}"
+      s"""sy$r AS MATERIALIZED (SELECT word, freq,
+         |  regexp_extract_all(seg, '<([^>]*)>', 1) AS syms FROM $p),
+         |p$r AS MATERIALIZED (SELECT lhs, rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT s.freq, s.syms[t.i] AS lhs, s.syms[t.i + 1] AS rhs
+         |  FROM sy$r s, LATERAL (SELECT unnest(generate_series(1,
+         |    len(s.syms) - 1)) AS i) t)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$r
+         |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, freq,
+         |  replace(seg, '<'||m.lhs||'><'||m.rhs||'>',
+         |    '<'||m.lhs||m.rhs||'>') AS seg
+         |  FROM $p, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    regexp_replace(word, '(.)', '<\\1>', 'g') AS seg
+       |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+       |    FROM documents) GROUP BY 1),
+       |$rounds""".stripMargin
+  }
+
   private val tx15 = QueryDef(
     "tx15_bpe_train",
     (s, dir) => {
-      var words = Tables.load(s, dir, "documents")
-        .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)"))
-          .as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .withColumn("seg", regexp_replace(col("word"), "(.)", "<$1>"))
-        .localCheckpoint(true)
-      val merges =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-      var i = 1
-      while (i <= BpeRounds) {
-        val counts = words
-          .withColumn("syms", expr("regexp_extract_all(seg, '<([^>]*)>', 1)"))
-          .select(col("freq"), explode(expr(
-            "transform(slice(syms, 1, size(syms) - 1), " +
-              "(x, i) -> struct(x AS lhs, syms[i + 1] AS rhs))")).as("pr"))
-          .select(col("freq"), col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
-          .groupBy("lhs", "rhs").agg(sum(col("freq")).as("cnt"))
-        val best = counts
-          .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1).collect()(0)
-        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((i, l, r, l + r, c))
-        val nw = words
-          .withColumn("seg", expr(s"replace(seg, '<$l><$r>', '<$l$r>')"))
-          .localCheckpoint(true)
-        freeCp(words)
-        words = nw
-        i += 1
-      }
-      freeCp(words)
       import s.implicits._
-      merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+      trainBpeMerges(s, dir)
+        .toDF("round", "lhs", "rhs", "merged", "pair_count")
     },
     Some {
-      val rounds = (1 to BpeRounds).map { r =>
-        val p = s"w${r - 1}"
-        s"""sy$r AS MATERIALIZED (SELECT word, freq,
-           |  regexp_extract_all(seg, '<([^>]*)>', 1) AS syms FROM $p),
-           |p$r AS MATERIALIZED (SELECT lhs, rhs,
-           |    CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |  SELECT s.freq, s.syms[t.i] AS lhs, s.syms[t.i + 1] AS rhs
-           |  FROM sy$r s, LATERAL (SELECT unnest(generate_series(1,
-           |    len(s.syms) - 1)) AS i) t)
-           |  GROUP BY 1, 2),
-           |m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$r
-           |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
-           |w$r AS MATERIALIZED (SELECT word, freq,
-           |  replace(seg, '<'||m.lhs||'><'||m.rhs||'>',
-           |    '<'||m.lhs||m.rhs||'>') AS seg
-           |  FROM $p, m$r m)""".stripMargin
-      }.mkString(",\n")
       val sel = (1 to BpeRounds)
         .map(r => s"SELECT $r AS round, lhs, rhs, lhs||rhs AS merged, " +
           s"cnt AS pair_count FROM m$r")
         .mkString("\nUNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-         |    regexp_replace(word, '(.)', '<\\1>', 'g') AS seg
-         |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
-         |    FROM documents) GROUP BY 1),
-         |$rounds
+      s"""WITH $bpeCtes
          |$sel""".stripMargin
     })
 
