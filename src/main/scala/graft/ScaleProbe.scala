@@ -94,7 +94,12 @@ object ScaleProbe {
       // Bloom projection + stream-static semi join); tx13/pk05 ride
       // the scan (one codegen'd encoder call per doc)
       "pk04_shard_shuffle", "ing01_stream_ingest_dedup",
-      "tx13_subword_tokens", "pk05_subword_pack", "tx14_source_drift")
+      "tx13_subword_tokens", "pk05_subword_pack", "tx14_source_drift",
+      // round 11: tx15's trainer is ONE corpus pass + BpeRounds rounds
+      // over the collapsed vocab table (grows far slower than the
+      // corpus), pk06 adds a narrow chained-replace projection — both
+      // should track the scan
+      "tx15_bpe_train", "pk06_trained_pack")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap
@@ -152,7 +157,11 @@ object ScaleProbe {
     // ann07 adds a constant-work search on top of the member build
     for (op <- Seq("ann01_knn_brute", "ann02_knn_bucket", "ann03_knn_ivf",
         "ann04_knn_ivfpq", "ann05_knn_sq8", "ann06_knn_graph",
-        "ann07_graph_search", "ann08_graph_insert", "ann09_graph_delete") if wanted(op)) {
+        "ann07_graph_search", "ann08_graph_insert", "ann09_graph_delete",
+        // round 11: ann10 = the ann08 walk + a Degree²-bounded
+        // refinement over the fixed batch — the added work is
+        // corpus-independent
+        "ann10_insert_refine") if wanted(op)) {
       val ts = mults.map(k => k -> time(op, dirFor(k)))
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
         .mkString(" ")
@@ -180,7 +189,12 @@ object ScaleProbe {
       scaledEvents(spark, srcDir, d, k)
       d
     })
-    for (op <- Seq("cdc10_sink_materialize", "cdc16_sink_time_travel")
+    for (op <- Seq("cdc10_sink_materialize", "cdc16_sink_time_travel",
+        // round 11: the diff read folds only CHANGED buckets — with
+        // k× keys every bucket is touched, so time tracks the folded
+        // volume (the pruning win shows on tables with quiet buckets,
+        // pinned by SinkSpec, not by this volume sweep)
+        "cdc17_sink_diff")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE sink($op) x$k=${ts._1}%.2fs/${ts._2}r")
@@ -191,7 +205,11 @@ object ScaleProbe {
     // record volume plus the fixed per-micro-batch floor
     for (op <- Seq("cdc11_stream_retract_agg", "cdc12_stream_windowed_live",
         "cdc13_stream_sessions", "cdc14_stream_interval_join",
-        "cdc15_stream_redelivery")
+        "cdc15_stream_redelivery",
+        // round 11: the full source→stream→sink-table topology —
+        // per-record sink work is O(batch), so time tracks volume
+        // plus the fixed per-micro-batch floor
+        "cdc18_stream_to_sink")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE $op%-22s x$k=${ts._1}%.2fs/${ts._2}r")

@@ -1104,7 +1104,95 @@ object CdcQueries {
       |       WHEN sa.record_id <> sb.record_id THEN 'update'
       |  END IS NOT NULL""".stripMargin))
 
+  // -------------------------------------------------------------- cdc18
+  /** The COMPLETE reference topology under ONE hash (round 11): wire
+    * chunks → DSv2 streaming source → [[graft.sinks.CdcParquetSink
+    * .start]] (the checkpointed foreachBatch merge-upsert a real
+    * deployment runs continuously) → chain-merge table read-back.
+    * cdc10 gates `applyBatch` batch-by-batch from driver code; THIS
+    * gates the STREAMING entry point end-to-end — the changelog is
+    * dealt into three out-of-timestamp-order batches (the cdc11
+    * id-mod-3 deal, two chunk segments each → six micro-batches at
+    * maxChunksPerTrigger=1), each micro-batch lands as a delta with
+    * mid-run chain folds at maxDeltas=2, and the final table must
+    * hash-match the declarative last-DML-wins — out-of-order arrival,
+    * UPDATE last-wins and DELETE tombstones proven through the wire
+    * decode + micro-batch boundaries + sink fold machinery in one
+    * comparison. The subscription-to-analytics-store pipeline the
+    * reference exists to feed (README: land the subscription into the
+    * big-data platform), as one oracle-gated query. */
+  private val cdc18Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc18 = QueryDef(
+    "cdc18_stream_to_sink",
+    (s, dir) => {
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      val n = cdc18Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc18_f7j2p5_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      (0L until 3L).foreach { b =>
+        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      val tableDir = chunkDir + "_tbl"
+      val ckptDir = chunkDir + "_tblck"
+      Seq(tableDir, ckptDir).foreach(d =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.CdcStreaming
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+      val q = graft.sinks.CdcParquetSink.start(
+        stream, tableDir, ckptDir, nBuckets = 4, maxDeltas = 2)
+      try q.processAllAvailable() finally q.stop()
+      // read back on the OUTER session (ADVICE r10 pattern)
+      graft.sinks.CdcParquetSink.readTable(s, tableDir).get
+        .select(
+          expr("after['pk']").cast("bigint").as("pk"),
+          col("recordId").as("record_id"),
+          col("tsUs").as("ts_us"),
+          col("op"),
+          expr("after['val']").cast("double").as("val"),
+          expr("after['k']").cast("int").as("k"))
+    },
+    // the streamed sink must agree with the declarative last-wins
+    // materialization — cdc10's oracle, reached through the wire +
+    // micro-batch machinery instead of driver-side applyBatch calls
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, ts_us, op, val, k FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY ts_us DESC, record_id DESC) AS rn
+      |  FROM changelog WHERE op <> 'HEARTBEAT')
+      |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
-    cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17)
+    cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18)
 }
