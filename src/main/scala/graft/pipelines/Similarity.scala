@@ -1466,6 +1466,31 @@ object Similarity {
          |    ORDER BY cos DESC, n_id ASC) AS rn
          |  FROM qb${Search.Steps}) WHERE rn <= $K""".stripMargin
 
+    /** ann11: the walk's full SCANNED set (entry points ∪ every
+      * per-step candidate expansion — exactly the pairs the Spark
+      * side tracks), label-filtered to the query's own label, then
+      * top-K. The walk itself is ann07's, byte for byte. */
+    def filteredSql: String = {
+      val cos = cosineSql("x.v", "y.v", "x.nn", "y.nn")
+      val scans = (1 to Search.Steps)
+        .map(t => s"SELECT q_id, n_id FROM qc$t")
+        .mkString("\n  UNION ")
+      s"""WITH $searchCtes,
+         |scn AS MATERIALIZED (SELECT q_id, n_id FROM ent
+         |  UNION $scans),
+         |fsc AS MATERIALIZED (SELECT c.q_id, c.n_id, lm.label, $cos AS cos
+         |  FROM scn c
+         |  JOIN qe x ON x.q_id = c.q_id
+         |  JOIN n y ON y.vec_id = c.n_id
+         |  JOIN embeddings lq ON lq.vec_id = c.q_id
+         |  JOIN embeddings lm ON lm.vec_id = c.n_id
+         |  WHERE lq.label = lm.label)
+         |SELECT q_id, n_id, label, cos, rn FROM (
+         |  SELECT q_id, n_id, label, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+         |  FROM fsc) WHERE rn <= $K""".stripMargin
+    }
+
     /** The insert-state CTEs (newadj/upd) shared by ann08 and ann10:
       * the walk's pool becomes the inserted node's top-Degree
       * adjacency; each linked member re-prunes its own list with the
