@@ -254,7 +254,7 @@ object CdcQueries {
   private object Cdc08Transport {
     def ensure(s: SparkSession, dir: String): String = synchronized {
       val out = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_cdc08_v1_${math.abs(dir.hashCode)}")
+        sys.props("java.io.tmpdir"), s"graft_cdc08_v1_${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}")
       val done = out.resolve("_DONE")
       if (!java.nio.file.Files.exists(done)) {
         java.nio.file.Files.createDirectories(out)
@@ -452,7 +452,7 @@ object CdcQueries {
         .getAndIncrement() % 2
       val tablePath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc10_b3x4m2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc10_b3x4m2_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
       val tableDir = tablePath.toString
@@ -533,7 +533,7 @@ object CdcQueries {
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc11_k9w2r7_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc11_k9w2r7_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
@@ -631,7 +631,7 @@ object CdcQueries {
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc12_t5p8q1_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc12_t5p8q1_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
@@ -737,7 +737,7 @@ object CdcQueries {
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc13_w7h3m9_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc13_w7h3m9_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
@@ -830,7 +830,7 @@ object CdcQueries {
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc14_z2f6k4_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc14_z2f6k4_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
@@ -910,7 +910,7 @@ object CdcQueries {
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc15_r4n8s2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc15_r4n8s2_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
@@ -991,7 +991,7 @@ object CdcQueries {
         .getAndIncrement() % 2
       val tablePath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc16_b3x4m2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc16_b3x4m2_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
       val tableDir = tablePath.toString
@@ -1057,7 +1057,7 @@ object CdcQueries {
         .getAndIncrement() % 2
       val tablePath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc17_d5v1q8_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc17_d5v1q8_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
       val tableDir = tablePath.toString
@@ -1066,7 +1066,19 @@ object CdcQueries {
           s, asRecords.filter(pmod(col("id"), lit(3)) === b),
           tableDir, b, nBuckets = 4, maxDeltas = 2)
       }
-      graft.sinks.CdcParquetSink.tableChanges(s, tableDir, 0L, 2L).get
+      // retention arithmetic this diff DEPENDS on (ADVICE r11): with
+      // maxDeltas=2 and 3 batches, v1 folds nothing and its chains
+      // still reference v0's delta dirs, so RetainVersions=2 (v1,v2 +
+      // _LATEST) transitively keeps v0's buckets on disk and
+      // manifestAsOf(0) resolves. Growing maxDeltas, shrinking
+      // RetainVersions, or adding batches can age v0 out — fail with
+      // the snapshot named instead of an opaque NoSuchElementException.
+      graft.sinks.CdcParquetSink.tableChanges(s, tableDir, 0L, 2L)
+        .getOrElse(sys.error(
+          s"cdc17: snapshot v0 of $tableDir aged out of GC retention " +
+            s"(RetainVersions=${graft.sinks.CdcParquetSink.RetainVersions})" +
+            " — the maxDeltas=2 / 3-batch / RetainVersions=2 arithmetic" +
+            " this query pins no longer holds"))
         .select(
           col("change_type"),
           expr("after['pk']").cast("bigint").as("pk"),
@@ -1152,7 +1164,7 @@ object CdcQueries {
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_cdc18_f7j2p5_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_cdc18_f7j2p5_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString

@@ -36,6 +36,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 final class SubwordVocabulary(val entries: Seq[String]) extends Serializable {
   require(entries.nonEmpty, "empty subword vocabulary")
   require(entries.distinct.size == entries.size, "subword vocab has duplicates")
+  // byLen indexing, substring matching and the greedy advance are
+  // UTF-16-unit based and only equal the documented CODEPOINT
+  // semantics (DuckDB's substr/len unit) when every entry is BMP-only
+  // — an astral entry would silently diverge from the oracle twin
+  // (ADVICE r11), so reject it at construction
+  require(entries.forall(e => e.length == e.codePointCount(0, e.length)),
+    "subword vocab entries must be BMP-only (UTF-16 length == codepoint length)")
 
   val maxLen: Int = entries.map(_.length).max
 

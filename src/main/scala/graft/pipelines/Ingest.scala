@@ -97,7 +97,7 @@ object Ingest {
         .getAndIncrement()
       val batchPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_ing01_p4q8s2_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "graft_ing01_p4q8s2_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(batchPath)
       val batchDir = batchPath.toString

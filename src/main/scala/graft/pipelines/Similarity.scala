@@ -1112,9 +1112,15 @@ object Similarity {
     * oracle replay is unaffected by the storage hop. */
   private def ensureMemberIndex(s: SparkSession, dir: String): String =
     memberIndexBuilt.computeIfAbsent(dir, _ => {
+      // the build-once guard is PROCESS-local (the ConcurrentHashMap),
+      // so the path carries the pid: without it, two concurrent JVMs
+      // on one machine (test suite + bench) would race one JVM's
+      // deleteRecursively against the other's reads of the shared
+      // index dir (ADVICE r11)
       val idxPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_annidx_m6k3t8_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        "graft_annidx_m6k3t8_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
       graft.Fs.deleteRecursively(idxPath)
       val idx = idxPath.toString
       val all = vecs(s, dir)

@@ -43,7 +43,10 @@ import scala.jdk.CollectionConverters._
   *
   * Exactly-once: the per-version manifest is written AFTER the data
   * and `_LATEST` swaps atomically; a replayed micro-batch (foreachBatch
-  * is at-least-once) short-circuits when its manifest already exists.
+  * is at-least-once) skips the data write when its manifest already
+  * exists, and COMPLETES the publish idempotently if the crash fell
+  * between the manifest write and the `_LATEST` swap (ADVICE r11 —
+  * a bare short-circuit there silently lost the batch).
   */
 object CdcParquetSink {
 
@@ -254,9 +257,26 @@ object CdcParquetSink {
     require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
     Files.createDirectories(Paths.get(tableDir))
     val version = versionName(batchId)
-    // at-least-once replay: manifest is written last, so its existence
-    // means this batch fully committed — re-applying would double-count
-    if (Files.exists(Paths.get(tableDir, manifestName(version)))) return
+    // at-least-once replay: the manifest is written after the data, so
+    // its existence means the batch's DATA fully landed and re-applying
+    // would double-count — but publish itself may not have completed
+    // (crash between the manifest write and the _LATEST swap would
+    // otherwise LOSE the batch: the short-circuit returned, _LATEST
+    // stayed on the old version, and GC reaped the orphaned delta —
+    // ADVICE r11). Single writer + monotone batchIds: a replay of this
+    // batch means no LATER batch committed its offset, so completing
+    // the publish can only move _LATEST forward, never roll it back;
+    // the later-published guard covers a manifest that IS already in
+    // the log with successors (fully committed long ago).
+    if (Files.exists(Paths.get(tableDir, manifestName(version)))) {
+      val mName = manifestName(version)
+      val logged = publicationOrder(tableDir)
+      val idx = logged.indexOf(mName)
+      val laterPublished = idx >= 0 && idx < logged.size - 1
+      if (!laterPublished && !latestManifestFile(tableDir).contains(mName))
+        publish(tableDir, version, readManifest(tableDir, mName))
+      return
+    }
 
     // pre-merge within the batch (last-wins per key) so a delta holds
     // at most one row per key — batch-local, no base read — and write

@@ -319,6 +319,38 @@ class SinkSpec extends AnyFunSuite {
       .collect().toSet == rows1)
   }
 
+  test("crash between manifest write and _LATEST swap: replay completes the publish") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val tableDir = Files.createTempDirectory("tbl").toString
+    CdcFixtures.writeChunks(dir)
+    val all = CdcStreaming.readBatch(spark, dir)
+    CdcParquetSink.applyBatch(spark, all.filter(col("id") < 25), tableDir, 0L)
+    val v0Name = Paths.get(CdcParquetSink.latestSnapshot(tableDir).get)
+      .getFileName.toString
+    CdcParquetSink.applyBatch(spark, all.filter(col("id") >= 25), tableDir, 1L)
+    val v1 = CdcParquetSink.latestSnapshot(tableDir).get
+    val v1Name = Paths.get(v1).getFileName.toString
+    val rows = CdcParquetSink.readTable(spark, tableDir).get.collect().toSet
+    // simulate the ADVICE r11 crash window: batch 1's manifest landed
+    // but the publish never completed — _LATEST still points at v0 and
+    // the publication log never saw v1
+    Files.writeString(Paths.get(tableDir, "_LATEST"), v0Name)
+    val log = Paths.get(tableDir, "_PUBLISHED")
+    Files.writeString(log, Files.readString(log).linesIterator
+      .filterNot(_.trim == v1Name).mkString("", "\n", "\n"))
+    assert(CdcParquetSink.latestSnapshot(tableDir).get != v1)
+    // the at-least-once replay of batch 1 must COMPLETE the publish
+    // instead of short-circuiting (which silently lost the batch)
+    CdcParquetSink.applyBatch(spark, all.filter(col("id") >= 25), tableDir, 1L)
+    assert(CdcParquetSink.latestSnapshot(tableDir).get == v1)
+    assert(CdcParquetSink.readTable(spark, tableDir).get
+      .collect().toSet == rows)
+    // and a replay of an OLDER fully-committed batch must never roll
+    // _LATEST back past its successors
+    CdcParquetSink.applyBatch(spark, all.filter(col("id") < 25), tableDir, 0L)
+    assert(CdcParquetSink.latestSnapshot(tableDir).get == v1)
+  }
+
   test("stale pre-delete record cannot resurrect a deleted key") {
     val dir = Files.createTempDirectory("gcl").toString
     val tableDir = Files.createTempDirectory("tbl").toString
