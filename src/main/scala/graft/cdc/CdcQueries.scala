@@ -1204,7 +1204,52 @@ object CdcQueries {
       |  FROM changelog WHERE op <> 'HEARTBEAT')
       |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
 
+  // -------------------------------------------------------------- cdc19
+  /** SCD TYPE-2 dimension history from the changelog (round 12) —
+    * the warehouse-side contract a CDC subscription most often feeds
+    * (Kimball slowly-changing-dimension type 2): every INSERT/UPDATE
+    * opens a version row carrying the attribute image, the NEXT data
+    * record on the same key (of any kind — a DELETE closes without
+    * opening) supplies `valid_to_us`, and an open interval marks the
+    * current version. cdc02 is the `is_current` slice of this table;
+    * cdc16's time travel is the SINK-side analogue (file versions),
+    * this is the ROW-side history a point-in-time dimension join
+    * (`FROM dim WHERE valid_from <= t AND t < coalesce(valid_to,
+    * 'inf')`) consumes — together they close the temporal story from
+    * both directions. Scale shape: one hash partition per pk for the
+    * lead/row_number windows (the cdc04 plan), no joins, no
+    * driver-side state; version numbering happens AFTER the
+    * delete-filter so versions are dense per key. */
+  private val cdc19 = QueryDef(
+    "cdc19_scd2_history",
+    (s, dir) => {
+      val wAll = Window.partitionBy(col("pk"))
+        .orderBy(col("ts_us").asc, col("record_id").asc)
+      val wVer = Window.partitionBy(col("pk"))
+        .orderBy(col("valid_from_us").asc, col("record_id").asc)
+      dataOps(s, dir)
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wAll))
+        .filter(col("op") =!= "DELETE")
+        .select(col("pk"), col("record_id"), col("op"),
+          col("val"), col("k"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"))
+        .withColumn("version_no", row_number().over(wVer).cast("long"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    },
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, op, val, k, valid_from_us, valid_to_us,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY valid_from_us ASC, record_id ASC) AS BIGINT)
+      |    AS version_no,
+      |  valid_to_us IS NULL AS is_current
+      |FROM (
+      |  SELECT pk, record_id, op, val, k, ts_us AS valid_from_us,
+      |    LEAD(ts_us, 1) OVER (PARTITION BY pk
+      |      ORDER BY ts_us ASC, record_id ASC) AS valid_to_us
+      |  FROM changelog WHERE op <> 'HEARTBEAT')
+      |WHERE op <> 'DELETE'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
-    cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18)
+    cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19)
 }

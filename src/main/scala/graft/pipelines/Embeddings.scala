@@ -539,5 +539,114 @@ object Embeddings {
       |    ORDER BY w.cdist DESC, w.vec_id ASC) AS keep
       |FROM wd w JOIN g ON w.vec_id = g.vec_id""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03, emb04, emb05, emb06)
+  // ------------------------------------------------------------- emb07
+  private val JlDims = 16
+  private val JlInDims = 64
+
+  /** Deterministic ±1 sign matrix (row-major [[JlDims]]×[[JlInDims]]),
+    * pinned from md5 of fixed strings. The SAME literal matrix is
+    * embedded in the Spark plan (an expression constant riding
+    * [[graft.functions.MatVecProject]]) and the DuckDB program
+    * (inline list literals), so there is no cross-engine RNG to
+    * match — the projection is data, like tx13's vocabulary. */
+  private[graft] lazy val jlSigns: Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(JlDims * JlInDims) { idx =>
+      val h = md.digest(s"jl_${idx / JlInDims}_${idx % JlInDims}"
+        .getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003:
+    * database-friendly random projections — the dense sign matrix
+    * variant) from 64 to [[JlDims]] dims, graded by what a retrieval
+    * consumer cares about: per held-out query, the top-K in PROJECTED
+    * space, each hit flagged with whether the full-space top-K
+    * contains it. emb03 (coordinate truncation) keeps quality only if
+    * the kept COORDINATES carry the signal; JL's guarantee is
+    * distribution-free — E‖f(x)−f(y)‖² = p·‖x−y‖² for every pair
+    * regardless of basis (the spec pins that concentration directly;
+    * measured retrieval overlap at equal dims is statistically EQUAL
+    * to truncation's on this corpus, 4-7/50 both, BECAUSE the corpus
+    * is isotropic — every coordinate is as good as every direction,
+    * the one distribution where truncation matches JL; on real
+    * embedding corpora with correlated axes truncation collapses and
+    * JL does not). Scale shape: the projection is emb04's
+    * [[graft.functions.MatVecProject]] with μ=0 and W=±1 — one
+    * codegen'd narrow map riding the scan, the 1 KB matrix an
+    * expression constant on every executor (never a join); the top-K
+    * is the brute broadcast-queries plan over 4×-smaller vectors
+    * (dot cost falls 4×; at 10⁹ rows the projected corpus feeds the
+    * ann06 graph build instead). Fold order is element-order in both
+    * engines, so cosines hash-match bit-exactly. */
+  private val emb07 = {
+    val K = 5
+    val NQueries = 10
+    QueryDef(
+      "emb07_jl_recall",
+      (s, dir) => {
+        def top5(vcol: Column): DataFrame = {
+          val e = Tables.load(s, dir, "embeddings")
+            .select(col("vec_id"), vcol.as("v"))
+            .withColumn("nn", VectorOps.norm2("v"))
+          val q = e.filter(col("vec_id") < NQueries)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nn").as("qn"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("n_id").asc)
+          broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("n_id"),
+              VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
+            .withColumn("rn", row_number().over(w).cast("long"))
+            .filter(col("rn") <= K)
+            .select(col("q_id"), col("n_id"), col("rn"))
+        }
+        val jlCol = ColumnBridge.column(graft.functions.MatVecProject(
+          ColumnBridge.expression(VectorOps.toDouble("embedding")),
+          new Array[Double](JlInDims), jlSigns))
+        val full = top5(VectorOps.toDouble("embedding"))
+          .select(col("q_id"), col("n_id"), lit(true).as("in_full"))
+        top5(jlCol)
+          .join(full, Seq("q_id", "n_id"), "left_outer")
+          .select(col("q_id"), col("n_id"), col("rn"),
+            coalesce(col("in_full"), lit(false)).as("in_full"))
+      },
+      Some {
+        val rows = (0 until JlDims).map { r =>
+          val lit = (0 until JlInDims)
+            .map(i => if (jlSigns(r * JlInDims + i) > 0) "1.0" else "-1.0")
+            .mkString("[", ", ", "]")
+          VectorOps.dotSql("v", lit)
+        }.mkString(",\n    ")
+        s"""WITH e AS (SELECT vec_id,
+          |  ${VectorOps.castSql("embedding")} AS v FROM embeddings),
+          |fn AS (SELECT vec_id, v, ${VectorOps.dotSql("v", "v")} AS nn
+          |  FROM e),
+          |ft AS (SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
+          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+          |      ${VectorOps.cosineSql("q.v", "e2.v", "q.nn", "e2.nn")} DESC,
+          |      e2.vec_id ASC) AS rn
+          |  FROM fn q JOIN fn e2 ON e2.vec_id <> q.vec_id
+          |  WHERE q.vec_id < $NQueries),
+          |f5 AS (SELECT q_id, n_id FROM ft WHERE rn <= $K),
+          |j0 AS (SELECT vec_id, [$rows] AS v FROM e),
+          |jn AS (SELECT vec_id, v, ${VectorOps.dotSql("v", "v")} AS nn
+          |  FROM j0),
+          |jt AS (SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
+          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+          |      ${VectorOps.cosineSql("q.v", "e2.v", "q.nn", "e2.nn")} DESC,
+          |      e2.vec_id ASC) AS rn
+          |  FROM jn q JOIN jn e2 ON e2.vec_id <> q.vec_id
+          |  WHERE q.vec_id < $NQueries)
+          |SELECT j.q_id, j.n_id, CAST(j.rn AS BIGINT) AS rn,
+          |  f5.n_id IS NOT NULL AS in_full
+          |FROM jt j LEFT JOIN f5 ON f5.q_id = j.q_id AND f5.n_id = j.n_id
+          |WHERE j.rn <= $K""".stripMargin
+      })
+  }
+
+  val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03, emb04, emb05, emb06,
+    emb07)
 }

@@ -1367,6 +1367,138 @@ object Similarity {
     },
     Some(SearchSql.refineSql))
 
+  // -------------------------------------------------------------- ann11
+  /** FILTERED graph search (round 12) — metadata-constrained ANN, the
+    * "filtered vector search" contract every production vector store
+    * ships (search WHERE label = x): per held-out query, top-K among
+    * the members sharing the QUERY'S OWN label. The walk is ann07's
+    * byte for byte (same stored index, same best-first beam); the
+    * filter applies POST-walk over the walk's full SCANNED set
+    * (entries ∪ every step's expansion — the pairs [[graphSearch]]
+    * already tracks) rather than the final Beam pool: the pool
+    * optimizes UNFILTERED cosine and can hold arbitrarily few
+    * same-label rows on a selective predicate, while the scanned set
+    * is ~12× larger at IDENTICAL walk cost — those candidates were
+    * already paid for, so post-filtering them back is free recall
+    * (the standard post-filter recipe; filtering DURING the walk
+    * breaks graph connectivity exactly when the predicate is
+    * selective). Join shape unchanged from the walk: corpus-sized
+    * tables (members, labels) stream, per-query frames broadcast.
+    * Replays as ann07's CTE program + one label-filtered scan CTE;
+    * recall vs the label-restricted brute truth is measured by
+    * [[recallFilteredAtK]] and rides the bench line. */
+  private val ann11 = QueryDef(
+    "ann11_filtered_search",
+    (s, dir) => {
+      val (q, mem, edges, entries, _) = searchSetup(s, dir)
+      val (beam, tracked) = graphSearch(q, mem, edges, entries, track = true)
+      val (scanned, pinned) = tracked.get
+      val lab = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val qlab = lab.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      val scored = mem.join(broadcast(scanned), "n_id")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("n_id"),
+          VectorOps.cosine("qv", "nv", "qn", "mn").as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val out = lab.select(col("vec_id").as("n_id"), col("label"))
+        .join(broadcast(scored), "n_id")
+        .join(broadcast(qlab), "q_id")
+        .filter(col("label") === col("q_label"))
+        .select(col("q_id"), col("n_id"), col("label"), col("cos"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= K)
+        .localCheckpoint(true)
+      pinned.foreach(freeCheckpoint)
+      freeCheckpoint(beam)
+      out
+    },
+    Some(SearchSql.filteredSql))
+
+  // -------------------------------------------------------------- ann12
+  /** Per-leg candidate depth for hybrid fusion (deeper than K: RRF's
+    * value is promoting a doc that is mid-ranked on BOTH legs over one
+    * that tops a single leg — that needs to SEE past the final K). */
+  private[graft] val FuseDepth = 20
+  /** Reciprocal-rank-fusion smoothing constant (k=60, the value the
+    * original RRF paper and every production search stack pin). */
+  private[graft] val RrfK = 60
+
+  /** HYBRID RETRIEVAL with reciprocal rank fusion (round 12) — the
+    * RAG-serving contract: a LEXICAL leg (inverted-index tf·idf-weight
+    * scoring over `documents`) and a VECTOR leg (the stored-index
+    * graph walk over `embeddings`) each rank top-[[FuseDepth]]
+    * candidates per held-out query, fused by RRF
+    * (Cormack/Clarke/Büttcher 2009): score = Σ_legs 1/(60+rank).
+    * Rank fusion dodges the calibration trap — cosine and tf·idf live
+    * on incomparable scales, ranks always fuse — and is engine-exact:
+    * each term is one IEEE division of small integers and the 2-term
+    * sum rounds identically in Spark and DuckDB (no Σ-order hazard).
+    * The legs keep their native scale shapes: the lexical leg is the
+    * inverted-index plan (token explode → map-side-combined (term)
+    * aggregation; query tf-vectors and the term-df table broadcast —
+    * the corpus never shuffles), the vector leg reads the stored
+    * member index and pays the walk's CONSTANT per-query scan (ann07's
+    * plan, byte for byte); fusion itself touches only per-query
+    * frames (≤ 2·FuseDepth rows/query). The two legs deliberately
+    * cover DIFFERENT corpora where they differ (at sf0.1 the lexical
+    * index spans all 4,990 member docs, the vector index the 1,990
+    * embedded ones) — RRF's missing-leg semantics (absent rank
+    * contributes 0) is exactly the production posture when indexes
+    * lag each other. Integer lexical scores (tf_q·tf_d·(N−df+1))
+    * make the leg exact; ties pin by doc_id. Replays as the walk's
+    * CTE program + an inverted-index CTE + one fused window. */
+  private val ann12 = QueryDef(
+    "ann12_hybrid_rrf",
+    (s, dir) => {
+      // vector leg: top-FuseDepth of the stored-index walk's pool
+      val (q, mem, edges, entries, _) = searchSetup(s, dir)
+      val (beam, _) = graphSearch(q, mem, edges, entries)
+      val wV = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val vleg = beam
+        .withColumn("r_vec", row_number().over(wV).cast("long"))
+        .filter(col("r_vec") <= FuseDepth)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("r_vec"))
+        .localCheckpoint(true)
+      freeCheckpoint(beam)
+      // lexical leg: integer tf·idf-weight scoring, inverted-index plan
+      val nMem = graft.Tables.rowCount(s, dir, "documents") - NQueries
+      val tok = TextShingles.words(s, dir)
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+      val memTf = tok.filter(col("doc_id") >= NQueries)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val qTf = tok.filter(col("doc_id") < NQueries)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("qtf"))
+        .select(col("doc_id").as("q_id"), col("term"), col("qtf"))
+      val dfreq = memTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val wL = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val lleg = memTf
+        .join(broadcast(dfreq), "term")
+        .join(broadcast(qTf), "term")
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("qtf") * col("tf") * (lit(nMem) - col("df") + 1L))
+          .as("score"))
+        .withColumn("r_lex", row_number().over(wL).cast("long"))
+        .filter(col("r_lex") <= FuseDepth)
+        .select(col("q_id"), col("doc_id"), col("r_lex"))
+      // RRF fusion over the union of leg candidates
+      val wF = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      vleg.join(lleg, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)))
+        .withColumn("rn", row_number().over(wF).cast("long"))
+        .filter(col("rn") <= K)
+        .select(col("q_id"), col("doc_id"), col("r_vec"), col("r_lex"),
+          col("rrf"), col("rn"))
+    },
+    Some(SearchSql.hybridSql))
+
   // -------------------------------------------------------------- ann09
   /** GRAPH DELETE with local repair — the remaining lifecycle verb
     * (build → search → insert → DELETE): drop a node set from the
@@ -1551,6 +1683,49 @@ object Similarity {
          |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
          |  FROM fsc) WHERE rn <= $K""".stripMargin
     }
+
+    /** ann12: the walk pool's top-FuseDepth as the vector leg, an
+      * inverted-index integer-scored lexical leg over `documents`,
+      * fused by reciprocal rank fusion. The 2-term double sum is
+      * engine-exact (one IEEE division per leg, no Σ-order hazard). */
+    def hybridSql: String =
+      s"""WITH $searchCtes,
+         |vleg AS MATERIALIZED (SELECT q_id, n_id AS doc_id,
+         |  CAST(rn AS BIGINT) AS r_vec FROM (
+         |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id ASC) AS rn
+         |  FROM qb${Search.Steps}) WHERE rn <= $FuseDepth),
+         |w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |mtf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM tok WHERE doc_id >= $NQueries GROUP BY 1, 2),
+         |qtf AS MATERIALIZED (SELECT doc_id AS q_id, term, COUNT(*) AS qtf
+         |  FROM tok WHERE doc_id < $NQueries GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM mtf GROUP BY 1),
+         |sc AS MATERIALIZED (SELECT q.q_id, m.doc_id,
+         |  SUM(q.qtf * m.tf *
+         |    ((SELECT COUNT(*) FROM documents) - $NQueries - d.df + 1))
+         |    AS score
+         |  FROM mtf m JOIN dfq d USING (term) JOIN qtf q USING (term)
+         |  GROUP BY 1, 2),
+         |lleg AS MATERIALIZED (SELECT q_id, doc_id,
+         |  CAST(rn AS BIGINT) AS r_lex FROM (
+         |  SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM sc) WHERE rn <= $FuseDepth),
+         |fused AS (SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+         |  COALESCE(v.doc_id, l.doc_id) AS doc_id, v.r_vec, l.r_lex,
+         |  COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.r_vec), 0) +
+         |  COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.r_lex), 0) AS rrf
+         |  FROM vleg v FULL OUTER JOIN lleg l
+         |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id)
+         |SELECT q_id, doc_id, r_vec, r_lex, rrf, CAST(rn AS BIGINT) AS rn
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS rn
+         |  FROM fused) WHERE rn <= $K""".stripMargin
 
     /** The insert-state CTEs (newadj/upd) shared by ann08 and ann10:
       * the walk's pool becomes the inserted node's top-Degree
@@ -1802,13 +1977,45 @@ object Similarity {
     out
   }
 
+  /** recall@K of ann11 against the LABEL-RESTRICTED brute truth:
+    * per query, top-K over members sharing the query's label. The
+    * fair grade for filtered search — the unfiltered truth contains
+    * rows the filter forbids. */
+  def recallFilteredAtK(s: SparkSession, dir: String): Double = {
+    val e = vecs(s, dir)
+    val lab = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val el = e.join(lab, "vec_id")
+    val q = el.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nn").as("qn"), col("label").as("q_label"))
+    val m = el.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nn").as("mn"), col("label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val truth = m.join(broadcast(q), col("label") === col("q_label"))
+      .select(col("q_id"), col("n_id"),
+        VectorOps.cosine("qv", "nv", "qn", "mn").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K).select("q_id", "n_id")
+      .localCheckpoint(true)
+    val approx = defs.find(_.name == "ann11_filtered_search").get
+      .run(s, dir).select("q_id", "n_id")
+    val r = truth.join(approx, Seq("q_id", "n_id")).count().toDouble /
+      truth.count()
+    freeCheckpoint(truth)
+    r
+  }
+
   // ORDER IS LOAD-BEARING: Bench emits recall@5 as a POSITIONAL array
-  // in fixed order [ann02, ann03, ann04, ann05, ann06, ann07] (byte
-  // budget — the driver parses the line from a bounded stdout tail).
-  // Inserting an ann entry mid-list silently re-indexes that array;
-  // append only, and update Bench's recall list together with this
-  // Seq (ADVICE r4). ann07's slot uses [[recallHeldOutAtK]] (member-
-  // only truth), the rest [[recallAtK]] (full-corpus truth).
+  // in fixed order [ann02, ann03, ann04, ann05, ann06, ann07, ann11]
+  // (byte budget — the driver parses the line from a bounded stdout
+  // tail). Inserting an ann entry mid-list silently re-indexes that
+  // array; append only, and update Bench's recall list together with
+  // this Seq (ADVICE r4). ann07's slot uses [[recallHeldOutAtK]]
+  // (member-only truth), ann11's [[recallFilteredAtK]] (label-
+  // restricted truth), the rest [[recallAtK]] (full-corpus truth).
   val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06,
-    ann07, ann08, ann09, ann10)
+    ann07, ann08, ann09, ann10, ann11, ann12)
 }

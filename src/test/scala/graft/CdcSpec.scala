@@ -1084,4 +1084,42 @@ class CdcSourceSpec extends AnyFunSuite {
       assert(after.filter(col("id") === 100L).count() == 1)
     } finally q2.stop()
   }
+
+  test("cdc19 SCD2 history: dense versions, one current, point-in-time = last-wins") {
+    val sf = "/root/testdata/sf0.001"
+    val hist = SparkEntry.queries("cdc19_scd2_history")(spark, sf)
+      .localCheckpoint(true)
+    // intervals are well-formed and version numbering is dense per key
+    assert(hist.filter(col("valid_to_us").isNotNull &&
+      col("valid_to_us") <= col("valid_from_us")).count() == 0)
+    val dense = hist.groupBy("pk").agg(
+      count(lit(1)).as("n"), max(col("version_no")).as("mx"),
+      sum(when(col("is_current"), 1L).otherwise(0L)).as("cur"))
+    assert(dense.filter(col("n") =!= col("mx")).count() == 0)
+    // at most one open interval per key
+    assert(dense.filter(col("cur") > 1).count() == 0)
+    // the is_current slice IS cdc02's materialized state (pk,val,k)
+    val cur = hist.filter(col("is_current")).select("pk", "val", "k")
+    val mat = SparkEntry.queries("cdc02_materialize")(spark, sf)
+      .select("pk", "val", "k")
+    assert(cur.exceptAll(mat).count() == 0 &&
+      mat.exceptAll(cur).count() == 0)
+    // point-in-time slice at t reconstructs the last-wins state of
+    // records at-or-before t (the dimension-join contract)
+    val t = hist.agg(expr("percentile(valid_from_us, 0.5)"))
+      .head.getDouble(0).toLong
+    val asOf = hist.filter(col("valid_from_us") <= t &&
+      (col("valid_to_us").isNull || col("valid_to_us") > t))
+      .select("pk", "val", "k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk"))
+      .orderBy(col("ts_us").desc, col("record_id").desc)
+    val replay = CdcQueries.changelog(spark, sf)
+      .filter(col("op") =!= "HEARTBEAT" && col("ts_us") <= t)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "DELETE")
+      .select("pk", "val", "k")
+    assert(asOf.exceptAll(replay).count() == 0 &&
+      replay.exceptAll(asOf).count() == 0)
+  }
 }

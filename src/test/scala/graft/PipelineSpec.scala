@@ -561,6 +561,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"graph-search recall@5 fell to $recall")
   }
 
+  test("ann11 filtered search: label constraint, member-only, k per query, recall") {
+    import graft.pipelines.Similarity
+    val df = SparkEntry.queries("ann11_filtered_search")(spark, sf)
+      .localCheckpoint(true)
+    // exactly k rows per held-out query, never a held-out id as a hit
+    val perQ = df.groupBy("q_id").count().collect()
+    assert(perQ.length == 10 && perQ.forall(_.getLong(1) == 5))
+    assert(df.filter(col("n_id") < 10).count() == 0)
+    // EVERY hit carries the query's own label — the filter is a hard
+    // constraint, not a preference
+    val lab = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    assert(df.join(lab, "q_id").filter(col("label") =!= col("q_label"))
+      .count() == 0)
+    // post-filtering the scanned set can only DROP rows relative to
+    // the unfiltered walk: any ann11 hit whose label happens to match
+    // an ann07 hit for the same query must carry the identical cosine
+    // (same stored index, same walk, same scoring)
+    val unf = SparkEntry.queries("ann07_graph_search")(spark, sf)
+      .select(col("q_id"), col("n_id"), col("cos").as("ucos"))
+    assert(df.join(unf, Seq("q_id", "n_id"))
+      .filter(abs(col("cos") - col("ucos")) > 1e-12).count() == 0)
+    // at sf0.001 the walk's constant scan budget nearly covers the
+    // 490-member corpus, so the label-restricted recall should be
+    // ~perfect; the sf0.1 operating point rides the bench recall array
+    val recall = Similarity.recallFilteredAtK(spark, sf)
+    assert(recall >= 0.9, s"filtered-search recall@5 fell to $recall")
+  }
+
+  test("ann12 hybrid RRF: rank bounds, fusion formula, vector-leg = ann07") {
+    import graft.pipelines.Similarity
+    val df = SparkEntry.queries("ann12_hybrid_rrf")(spark, sf)
+      .localCheckpoint(true)
+    // k rows per query, each (q_id, doc_id) once, rn dense
+    assert(df.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+    assert(df.groupBy("q_id", "doc_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // leg ranks live in [1, FuseDepth] when present; never both absent
+    assert(df.filter(col("r_vec").isNull && col("r_lex").isNull)
+      .count() == 0)
+    assert(df.filter(
+      (col("r_vec").isNotNull &&
+        (col("r_vec") < 1 || col("r_vec") > Similarity.FuseDepth)) ||
+      (col("r_lex").isNotNull &&
+        (col("r_lex") < 1 || col("r_lex") > Similarity.FuseDepth)))
+      .count() == 0)
+    // the fused score IS the 2-term reciprocal-rank sum of the
+    // reported leg ranks (bit-exact — each term one IEEE division)
+    val k = Similarity.RrfK
+    assert(df.filter(col("rrf") =!=
+      (coalesce(lit(1.0) / (lit(k) + col("r_vec")), lit(0.0)) +
+       coalesce(lit(1.0) / (lit(k) + col("r_lex")), lit(0.0))))
+      .count() == 0)
+    // rrf is non-increasing in rn within a query (ties pinned by id)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rn").asc)
+    assert(df.withColumn("prev", lag(col("rrf"), 1).over(wq))
+      .filter(col("prev").isNotNull && col("prev") < col("rrf"))
+      .count() == 0)
+    // the vector leg is ann07's ranking of the same walk pool: its
+    // top-5 must coincide exactly
+    val a7 = SparkEntry.queries("ann07_graph_search")(spark, sf)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+        col("rn").as("r_vec"))
+    val v5 = df.filter(col("r_vec") <= 5).select("q_id", "doc_id", "r_vec")
+    // (ann12 output only carries fused top-K rows, so compare the
+    // intersection direction: every fused row claiming r_vec ≤ 5 must
+    // be ann07's row at that rank)
+    assert(v5.exceptAll(a7).count() == 0)
+  }
+
   test("ann08 graph insert: degree caps, reverse-link consistency, no new-new edges") {
     import graft.pipelines.Similarity
     val df = SparkEntry.queries("ann08_graph_insert")(spark, sf)
@@ -1046,6 +1117,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.filter(col("n_overlap") < 0 || col("n_overlap") > 5).count() == 0)
     // truncation keeps SOME structure: overlap is not all-zero
     assert(df.agg(sum("n_overlap")).head().getLong(0) > 0)
+  }
+
+  test("emb07 JL projection: shape, in_full flags, norm concentration") {
+    import graft.functions.{MatVecProject, VectorOps}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = SparkEntry.queries("emb07_jl_recall")(spark, sf)
+      .localCheckpoint(true)
+    assert(df.count() == 50)
+    assert(df.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+    assert(df.filter(col("rn") < 1 || col("rn") > 5).count() == 0)
+    // in_full agrees with an independently computed full-space top-5
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
+      .withColumn("nn", VectorOps.norm2("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qn"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    val full5 = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
+      .withColumn("fr", row_number().over(wq)).filter(col("fr") <= 5)
+      .select(col("q_id"), col("n_id"), lit(true).as("expected"))
+    assert(df.join(full5, Seq("q_id", "n_id"), "left_outer")
+      .filter(col("in_full") =!= coalesce(col("expected"), lit(false)))
+      .count() == 0)
+    // the JL guarantee itself: E‖f(x)−f(y)‖² = p·‖x−y‖² — the mean
+    // ratio over consecutive-id pairs must concentrate near 1
+    // (per-pair variance ~2/p, mean over ~490 pairs has σ≈0.016)
+    val p = 16
+    val jl = ColumnBridge.column(MatVecProject(
+      ColumnBridge.expression(col("v")),
+      new Array[Double](64), graft.pipelines.Embeddings.jlSigns))
+    val withY = e.select(col("vec_id"), col("v"), jl.as("y"))
+    val pairs = withY.alias("a").join(withY.alias("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(
+        expr("aggregate(zip_with(a.v, b.v, (x, w) -> (x-w)*(x-w)), 0d, (acc, z) -> acc + z)").as("d2"),
+        expr("aggregate(zip_with(a.y, b.y, (x, w) -> (x-w)*(x-w)), 0d, (acc, z) -> acc + z)").as("p2"))
+    val mean = pairs.filter(col("d2") > 0)
+      .select(avg(col("p2") / (lit(p) * col("d2")))).head.getDouble(0)
+    assert(mean > 0.8 && mean < 1.2,
+      s"JL norm-preservation ratio drifted to $mean")
   }
 
   test("emb04 gram moments: exact vs sequential reference, repartition-invariant") {
