@@ -1249,7 +1249,83 @@ object CdcQueries {
       |  FROM changelog WHERE op <> 'HEARTBEAT')
       |WHERE op <> 'DELETE'""".stripMargin))
 
+  // -------------------------------------------------------------- cdc20
+  /** INCREMENTAL VIEW MAINTENANCE over the changelog (round 12) — the
+    * DBSP/Materialize contract a CDC feed exists to enable: a
+    * grouped aggregate view (per `k`: live-row count + exact sum of
+    * `val` under upsert semantics) is maintained from a checkpoint
+    * WITHOUT re-aggregating the base. The plan IS the IVM algebra:
+    * base aggregate over the state at t₀, plus per-TOUCHED-key
+    * adjustments — retract the key's t₀ image (−1, −val₀), apply its
+    * t₁ image (+1, +val₁) unless deleted — merged by a union-regroup
+    * (the null-safe way to add two partial aggregates). Work after
+    * the checkpoint is O(delta + touched keys), never O(base) — at a
+    * 100 TB base with a 0.1% daily delta that is the whole point;
+    * retractions are exactly what cdc11's streaming retract-agg does
+    * per-trigger, here as the BATCH algebra the oracle can replay.
+    * Sums stay in DECIMAL(28,6) through retract/apply so each key's
+    * base contribution cancels bit-exactly (double-summing each leg
+    * separately would round twice and drift off the oracle); the
+    * oracle is the FULL recompute at t₁ — hash equality IS the proof
+    * the incremental path converges to the declarative view. */
+  private val cdc20 = QueryDef(
+    "cdc20_ivm_delta",
+    (s, dir) => {
+      val t0 = unix_micros(lit("2024-01-15 00:00:00").cast("timestamp"))
+      val d = dataOps(s, dir)
+      def lastWins(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("pk"))
+          .orderBy(col("ts_us").desc, col("record_id").desc)
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "DELETE")
+          .select(col("pk"), col("k"), col("val"))
+      }
+      val state0 = lastWins(d.filter(col("ts_us") <= t0))
+        .localCheckpoint(true)
+      val touched = d.filter(col("ts_us") > t0).select("pk").distinct()
+      // base AGGREGATE (what a deployment stores between batches)
+      val base = state0.groupBy(col("k")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("val").cast("decimal(28,6)")).as("dv"))
+      // retract the touched keys' old images, apply their new ones
+      val retract = state0.join(touched, Seq("pk"), "left_semi")
+        .select(col("k"), lit(-1L).as("cnt"),
+          (-col("val").cast("decimal(28,6)")).as("dv"))
+      val apply = lastWins(d.join(touched, Seq("pk"), "left_semi"))
+        .select(col("k"), lit(1L).as("cnt"),
+          col("val").cast("decimal(28,6)").as("dv"))
+      val delta = retract.union(apply).groupBy(col("k")).agg(
+        sum(col("cnt")).as("cnt"), sum(col("dv")).as("dv"))
+      val out = base
+        .select(col("k"), col("cnt"), col("dv").cast("decimal(38,6)").as("dv"))
+        .union(delta.select(col("k"), col("cnt"),
+          col("dv").cast("decimal(38,6)").as("dv")))
+        .groupBy(col("k")).agg(
+          sum(col("cnt")).as("n_live"),
+          sum(col("dv")).cast("double").as("sum_val"))
+        .filter(col("n_live") > 0)
+        .localCheckpoint(true)
+      state0.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+      out
+    },
+    // the declarative view at t₁ — the state the incremental algebra
+    // must land on exactly
+    Some(s"""$changelogSql
+      |SELECT k, COUNT(*) AS n_live,
+      |  ${dsumSql("val")} AS sum_val
+      |FROM (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      |      ORDER BY ts_us DESC, record_id DESC) AS rn
+      |    FROM changelog WHERE op <> 'HEARTBEAT')
+      |  WHERE rn = 1 AND op <> 'DELETE')
+      |GROUP BY k""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
-    cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19)
+    cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20)
 }

@@ -1126,7 +1126,125 @@ object Dedup {
       |FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
       |""".stripMargin))
 
+  // -------------------------------------------------------------- dd15
+  /** Incremental-batch boundary: doc_id < DeltaN plays the ARRIVING
+    * batch, the rest the already-deduped base corpus. */
+  private val DeltaN = 100L
+
+  /** Process-level registry for the stored BASE fingerprint index —
+    * the artifact a day-2 dedup deployment keeps between batches
+    * (the ann08/ann09 stored-index pattern applied to dedup):
+    * `sigs` = the base docs' unpivoted (doc_id, b, sig) MinHash-LSH
+    * signatures, `sets` = their distinct shingle-hash arrays for
+    * exact verification. Built once per (dir, process), pid-isolated
+    * (ADVICE r11). */
+  private val baseIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureBaseIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    baseIndexBuilt.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_dd15_b4q7s2_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.Fs.deleteRecursively(p)
+      val st = docShingleState(s, dir).filter(col("doc_id") >= DeltaN)
+        .persist()
+      signatures(st).write.parquet(s"$p/sigs")
+      st.select(col("doc_id"), col("hset"),
+          expr("size(hset)").cast("long").as("n"))
+        .write.parquet(s"$p/sets")
+      st.unpersist(blocking = false)
+      p.toString
+    })
+
+  /** INCREMENTAL dedup against a stored fingerprint index (round 12)
+    * — the day-2 posture every production dedup runs: the corpus was
+    * deduped yesterday, today's batch must check against it WITHOUT
+    * rescanning it. The base index (MinHash-LSH signatures + exact
+    * shingle-hash sets, [[ensureBaseIndex]]) is a stored artifact;
+    * per batch the work is: shingle/sign the DELTA only (batch-sized,
+    * rides the scan), probe the base signature table with the
+    * BROADCAST delta signatures on (band, sig) — the base streams,
+    * nothing corpus-sized shuffles — then exact-verify the
+    * LSH-bounded candidates by hash-set intersection and report, per
+    * delta doc, the best base match (jaccard ≥ 0.2; ties → lowest
+    * base id) or none. Completes the dedup family's lifecycle the
+    * way ann08/ann09 completed the ANN index's: dd02/dd04 are the
+    * build-day batch pass, this is every day after. Work per batch
+    * is O(batch + collisions), independent of base-corpus size —
+    * the property that matters at a 100 TB base. Jaccard is one
+    * exact integer division; replays as the dd04 CTE chain split at
+    * the boundary. */
+  private val dd15 = QueryDef(
+    "dd15_incremental_dedup",
+    (s, dir) => {
+      val idx = ensureBaseIndex(s, dir)
+      val st = docShingleState(s, dir).filter(col("doc_id") < DeltaN)
+        .persist()
+      val dsig = signatures(st)
+        .select(col("doc_id").as("did"), col("b"), col("sig"))
+      val bsig = s.read.parquet(s"$idx/sigs")
+        .select(col("doc_id").as("bid"), col("b"), col("sig"))
+      val cand = bsig.join(broadcast(dsig), Seq("b", "sig"))
+        .select(col("did"), col("bid"))
+        .distinct()
+      val bsets = s.read.parquet(s"$idx/sets")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("did"))
+        .orderBy(col("jaccard").desc, col("bid").asc)
+      val best = cand
+        .join(st.select(col("doc_id").as("did"), col("hset").as("dh")), "did")
+        .join(bsets.select(col("doc_id").as("bid"), col("hset").as("bh"),
+          col("n").as("n_b")), "bid")
+        .select(col("did"), col("bid"),
+          expr("size(array_intersect(dh, bh))").cast("long").as("n_inter"),
+          expr("size(dh)").cast("long").as("n_d"), col("n_b"))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("n_d") + col("n_b") - col("n_inter")))
+        .filter(col("jaccard") >= 0.2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val out = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < DeltaN).select(col("doc_id"))
+        .join(best.select(col("did").as("doc_id"), col("bid").as("dup_of"),
+          col("jaccard")), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+          col("dup_of"), col("jaccard"))
+        .localCheckpoint(true)
+      st.unpersist(blocking = false)
+      out
+    },
+    Some(s"""WITH ${TextShingles.shinglesSql(3)},
+      |shd AS (SELECT DISTINCT doc_id, ${hash64Sql("sg")} AS h FROM sh),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      |$signaturesSql,
+      |cand AS (SELECT DISTINCT d.doc_id AS did, b2.doc_id AS bid
+      |  FROM sig d JOIN sig b2
+      |    ON d.b = b2.b AND d.sig = b2.sig
+      |  WHERE d.doc_id < $DeltaN AND b2.doc_id >= $DeltaN),
+      |inter AS (SELECT c.did, c.bid, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN shd a ON c.did = a.doc_id
+      |  JOIN shd b3 ON c.bid = b3.doc_id AND a.h = b3.h
+      |  GROUP BY c.did, c.bid),
+      |sc AS (SELECT i.did, i.bid,
+      |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+      |  FROM inter i
+      |  JOIN sizes za ON i.did = za.doc_id
+      |  JOIN sizes zb ON i.bid = zb.doc_id
+      |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.2),
+      |best AS (SELECT did, bid, jaccard FROM (
+      |  SELECT did, bid, jaccard, ROW_NUMBER() OVER (PARTITION BY did
+      |    ORDER BY jaccard DESC, bid ASC) AS rn FROM sc)
+      |  WHERE rn = 1)
+      |SELECT d.doc_id, best.bid IS NOT NULL AS is_dup,
+      |  best.bid AS dup_of, best.jaccard
+      |FROM (SELECT doc_id FROM documents WHERE doc_id < $DeltaN) d
+      |LEFT JOIN best ON d.doc_id = best.did""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
-      dd12, dd13, dd14)
+      dd12, dd13, dd14, dd15)
 }

@@ -1122,4 +1122,21 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(asOf.exceptAll(replay).count() == 0 &&
       replay.exceptAll(asOf).count() == 0)
   }
+
+  test("cdc20 IVM: incremental aggregate equals full recompute exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val inc = SparkEntry.queries("cdc20_ivm_delta")(spark, sf)
+    // the declarative view at t1, recomputed from scratch over the
+    // materialized state (cdc02) — the incremental algebra must land
+    // on it EXACTLY (decimal-exact sums, not approximately)
+    val full = SparkEntry.queries("cdc02_materialize")(spark, sf)
+      .groupBy(col("k")).agg(
+        count(lit(1)).as("n_live"),
+        graft.OracleSafe.dsum(col("val")).as("sum_val"))
+    assert(inc.exceptAll(full).count() == 0 &&
+      full.exceptAll(inc).count() == 0)
+    // the view is non-trivial: several groups, keys live on both
+    // sides of the checkpoint
+    assert(inc.count() > 1)
+  }
 }

@@ -340,6 +340,37 @@ class PipelineSpec extends AnyFunSuite {
     // ExtensionsSpec, which runs the extension-enabled session)
   }
 
+  test("dd15 incremental dedup: one row per delta doc, best match = batch pass") {
+    val df = SparkEntry.queries("dd15_incremental_dedup")(spark, sf)
+      .localCheckpoint(true)
+    // exactly one verdict per arriving doc; dup targets are base docs
+    assert(df.count() == 100)
+    assert(df.select("doc_id").distinct().count() == 100)
+    assert(df.filter(col("is_dup") =!= col("dup_of").isNotNull).count() == 0)
+    assert(df.filter(col("dup_of").isNotNull && col("dup_of") < 100).count() == 0)
+    // EQUIVALENCE to the batch pass: dd04's verified pairs crossing
+    // the boundary, reduced to best-match-per-delta-doc, must be
+    // exactly what the incremental probe reports (same candidates —
+    // LSH buckets don't care which side is stored — same jaccard,
+    // same tie-break), and docs with no crossing pair must be clean
+    val batch = SparkEntry.queries("dd04_ngram_jaccard")(spark, sf)
+      .filter(col("d1") < 100 && col("d2") >= 100)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1")).orderBy(col("jaccard").desc, col("d2").asc)
+    val bestBatch = batch.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === 1)
+      .select(col("d1").as("doc_id"), col("d2").as("b_dup_of"),
+        col("jaccard").as("b_jac"))
+    val cmp = df.join(bestBatch, Seq("doc_id"), "full_outer")
+    assert(cmp.filter(col("is_dup") && col("b_dup_of").isNull).count() == 0)
+    assert(cmp.filter(!col("is_dup") && col("b_dup_of").isNotNull).count() == 0)
+    assert(cmp.filter(col("is_dup") &&
+      (col("dup_of") =!= col("b_dup_of") || col("jaccard") =!= col("b_jac")))
+      .count() == 0)
+    // the incremental path found real work at this SF (not vacuous)
+    assert(df.filter(col("is_dup")).count() > 0)
+  }
+
   test("dd14 soft dedup: crafted weights are exact (unique=1.0, clone=0.5)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dd14").toString
     try {
