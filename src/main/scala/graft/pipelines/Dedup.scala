@@ -1177,9 +1177,13 @@ object Dedup {
     * the property that matters at a 100 TB base. Jaccard is one
     * exact integer division; replays as the dd04 CTE chain split at
     * the boundary. */
-  private val dd15 = QueryDef(
-    "dd15_incremental_dedup",
-    (s, dir) => {
+  /** The dd15 probe plan WITHOUT the final checkpoint — exposed so
+    * PlanSpec can pin the broadcast orientation (the checkpointed
+    * query result plans as an opaque RDD scan). Returns the output
+    * frame plus the persisted delta state for the caller to release
+    * after materializing. */
+  private[graft] def incrementalProbe(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       val idx = ensureBaseIndex(s, dir)
       val st = docShingleState(s, dir).filter(col("doc_id") < DeltaN)
         .persist()
@@ -1212,7 +1216,14 @@ object Dedup {
           col("jaccard")), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
           col("dup_of"), col("jaccard"))
-        .localCheckpoint(true)
+      (out, st)
+  }
+
+  private val dd15 = QueryDef(
+    "dd15_incremental_dedup",
+    (s, dir) => {
+      val (frame, st) = incrementalProbe(s, dir)
+      val out = frame.localCheckpoint(true)
       st.unpersist(blocking = false)
       out
     },

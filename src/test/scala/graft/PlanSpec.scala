@@ -305,4 +305,42 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 1,
       s"one hash shuffle on shard expected:\n$p")
   }
+
+  test("dd15 incremental probe: delta broadcasts, base index streams, no cartesian") {
+    // the query result is checkpointed (plans as an RDD scan), so pin
+    // the pre-checkpoint probe plan the exposed hook returns
+    val (frame, st) = graft.pipelines.Dedup.incrementalProbe(spark, sf)
+    val p = frame.queryExecution.executedPlan.toString
+    st.unpersist(blocking = false)
+    // the (band, sig) probe must be a broadcast join with the BATCH
+    // on the broadcast side — at a 100 TB base the stored index can
+    // only ever stream
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta-signature probe must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join leaked into the probe:\n$p")
+  }
+
+  test("ann12 hybrid: lexical-leg stats broadcast, corpus never cartesians") {
+    val p = plan("ann12_hybrid_rrf")
+    // the df table and the query tf-vectors are tiny corpus-level
+    // aggregates — both must broadcast onto the streaming (doc, term)
+    // rows; the fused window runs over per-query frames only
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"df/query-tf joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join leaked into the hybrid plan:\n$p")
+  }
+
+  test("cdc19 SCD2: both windows reuse one pk partitioning, no joins") {
+    val p = plan("cdc19_scd2_history")
+    // lead() and the version row_number() both partition by pk — the
+    // second window must ride the first's exchange, and a history
+    // materialization has no business joining anything
+    assert(count(p, "Exchange") == 1,
+      s"one pk hash shuffle expected, windows must share it:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in SCD2 plan:\n$p")
+  }
 }
