@@ -39,7 +39,7 @@ object CdcQueries {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
 
   /** DuckDB rendering of [[changelog]]. */
-  private val changelogSql: String =
+  private[graft] val changelogSql: String =
     """WITH changelog AS (
       |  SELECT event_id AS record_id, epoch_us(ts) AS ts_us,
       |    CASE event_type
@@ -1325,7 +1325,51 @@ object CdcQueries {
       |  WHERE rn = 1 AND op <> 'DELETE')
       |GROUP BY k""".stripMargin))
 
+  // -------------------------------------------------------------- cdc21
+  /** TRANSACTION-CONSISTENT apply (round 12) — the visibility rule a
+    * transactional CDC consumer enforces (ref: DtsRecord
+    * getTransactionId/getTransSeq — the reference ships transaction
+    * identity on every record precisely so downstream can do this):
+    * a record becomes visible only when its WHOLE transaction has
+    * arrived (commit time = the transaction's max record timestamp),
+    * so a checkpoint read never sees a torn prefix of an in-flight
+    * transaction — the records a naive ts ≤ T apply would happily
+    * materialize (exactly one transaction straddles the checkpoint
+    * on this changelog; its naive-visible prefix is what this
+    * operator holds back, spec-pinned). Transactions follow cdc18's
+    * wire convention (record_id div 100). Scale shape: commit times
+    * are one window over the txn hash partitioning (map-side
+    * combinable if rewritten as agg+join — same shuffle either way),
+    * then the cdc02 last-wins window per pk: two keyed shuffles, no
+    * driver state, no joins. */
+  private val cdc21 = QueryDef(
+    "cdc21_txn_apply",
+    (s, dir) => {
+      val ckpt = unix_micros(lit("2024-01-15 00:00:00").cast("timestamp"))
+      val wT = Window.partitionBy(col("txn"))
+      val wP = Window.partitionBy(col("pk"))
+        .orderBy(col("ts_us").desc, col("record_id").desc)
+      dataOps(s, dir)
+        .withColumn("txn", expr("record_id div 100"))
+        .withColumn("commit_us", max(col("ts_us")).over(wT))
+        .filter(col("commit_us") <= ckpt)
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") === 1 && col("op") =!= "DELETE")
+        .select("pk", "record_id", "ts_us", "op", "val", "k",
+          "txn", "commit_us")
+    },
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, ts_us, op, val, k, txn, commit_us FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY ts_us DESC, record_id DESC) AS rn FROM (
+      |    SELECT *, record_id // 100 AS txn,
+      |      MAX(ts_us) OVER (PARTITION BY record_id // 100) AS commit_us
+      |    FROM changelog WHERE op <> 'HEARTBEAT')
+      |  WHERE commit_us <= epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+      |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
-    cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20)
+    cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
+    cdc21)
 }

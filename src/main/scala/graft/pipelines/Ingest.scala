@@ -185,5 +185,60 @@ object Ingest {
          |LEFT JOIN cnts c USING (doc_id)""".stripMargin
     })
 
-  val defs: Seq[QueryDef] = Seq(ing01)
+  // -------------------------------------------------------------- ing02
+  /** DEAD-LETTER QUARANTINE ROUTING (round 12) — the error path of
+    * the ingest story: the wire decode's permissive mode DROPS
+    * undecodable payloads (ing01/cdc18 exercise the happy path; the
+    * drop is visible only as a DSv2 metric), but a production ingest
+    * routes them to a quarantine table for forensics and replay —
+    * bad data must be ACCOUNTED FOR, not silently shed. Every data
+    * record round-trips through the real v3 wire codec; a
+    * deterministic subset (record_id ≡ 0 mod 37) is truncated to 5
+    * bytes — an unconditionally undecodable prefix — and ONE
+    * stateless routing pass ([[graft.streaming.CdcStreaming
+    * .routeWireRecords]], identical under batch and streaming) lands
+    * each wire payload as either its decoded identity or a quarantine
+    * verdict. The oracle knows the corruption RULE, not the bytes:
+    * the routing outcome per wire id is fully determined by it, so
+    * the entire encode→corrupt→route path is hash-gated. Scale: a
+    * per-row narrow map riding the wire scan — no shuffle, no state,
+    * no driver involvement. */
+  private val ing02 = QueryDef(
+    "ing02_quarantine_route",
+    (s, dir) => {
+      import s.implicits._
+      val recs = graft.cdc.CdcQueries.changelog(s, dir)
+        .filter(col("op") =!= "HEARTBEAT")
+        .select(col("record_id"), col("ts_us"), col("op"),
+          col("pk").cast("string").as("pk"),
+          col("val").cast("string").as("val"),
+          col("k").cast("string").as("k"))
+        .as[(Long, Long, String, String, String, String)]
+      val wire = recs.map { case (id, ts, op, pk, v, k) =>
+        val after =
+          if (op == "DELETE") null
+          else Map("pk" -> pk, "val" -> v, "k" -> k).filter(_._2 != null)
+        val before = if (op == "DELETE") Map("pk" -> pk) else null
+        val bytes = graft.cdc.RecordCodec.encode(graft.cdc.ChangeRecord(
+          id, s"tx-${id / 100}", ts, ts - 500L, op, "app", "users",
+          Seq("pk"), before, after))
+        (id, if (id % 37 == 0) bytes.take(5) else bytes)
+      }.toDF("wire_id", "value")
+      graft.streaming.CdcStreaming.routeWireRecords(wire)
+        .select(col("wire_id"), col("ok"),
+          col("record_id").as("rec_id"), col("op"),
+          // the library surface carries the JVM error class; the
+          // oracled query normalizes it (engine-portable verdict)
+          when(col("ok"), lit(null).cast("string"))
+            .otherwise(lit("decode_error")).as("err"))
+    },
+    Some(s"""${graft.cdc.CdcQueries.changelogSql}
+      |SELECT record_id AS wire_id,
+      |  record_id % 37 <> 0 AS ok,
+      |  CASE WHEN record_id % 37 <> 0 THEN record_id END AS rec_id,
+      |  CASE WHEN record_id % 37 <> 0 THEN op END AS op,
+      |  CASE WHEN record_id % 37 = 0 THEN 'decode_error' END AS err
+      |FROM changelog WHERE op <> 'HEARTBEAT'""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(ing01, ing02)
 }

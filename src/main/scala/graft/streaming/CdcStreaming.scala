@@ -85,6 +85,39 @@ object CdcStreaming {
       .toDF()
   }
 
+  /** Wire decode with DEAD-LETTER ROUTING (round 12): permissive
+    * [[fromKafkaRecords]] DROPS undecodable payloads (visible only as
+    * a metric); a production ingest routes them to a quarantine
+    * table for forensics and replay instead — nothing is silently
+    * lost. ONE stateless pass over (wire_id, value): a payload either
+    * decodes to its record identity (`ok = true`) or lands as a
+    * quarantine row carrying the wire offset, payload length and
+    * error class. Null payloads remain log-compaction tombstones —
+    * dropped, not quarantined (routine compaction is not an error).
+    * Stateless per-row map ⇒ identical under batch and streaming,
+    * scales with the wire volume, never shuffles. */
+  def routeWireRecords(wire: DataFrame): DataFrame = {
+    val spark = wire.sparkSession
+    import spark.implicits._
+    wire.select(col("wire_id").cast("long"), col("value"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (wid, bytes) =>
+        if (bytes == null) None
+        else try {
+          val r = graft.cdc.RecordCodec.decode(bytes)
+          Some((wid, true, Some(r.id), Some(r.op), Some(r.db),
+            Some(r.tbl), bytes.length.toLong, None: Option[String]))
+        } catch {
+          case e: Exception =>
+            Some((wid, false, None: Option[Long], None: Option[String],
+              None: Option[String], None: Option[String],
+              bytes.length.toLong, Some(e.getClass.getSimpleName)))
+        }
+      }
+      .toDF("wire_id", "ok", "record_id", "op", "db", "tbl",
+        "n_bytes", "err_class")
+  }
+
   /** Logical key of a change record: db|tbl|all-pk-values (every
     * declared pk column in pkNames order, '#'-joined) — composite
     * primary keys hash to distinct keys instead of colliding on the
