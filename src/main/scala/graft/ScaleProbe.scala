@@ -215,8 +215,11 @@ object ScaleProbe {
         // the changelog in this harness (a deployment reads the
         // stored base aggregate), so the sweep measures the window +
         // delta algebra — linear in changelog, with the O(delta)
-        // claim carried by the plan shape, not this fixture
-        "cdc19_scd2_history", "cdc20_ivm_delta")
+        // claim carried by the plan shape, not this fixture;
+        // cdc21 is two keyed windows (txn commit + pk last-wins);
+        // ing02 is a narrow encode→corrupt→route map riding the scan
+        "cdc19_scd2_history", "cdc20_ivm_delta", "cdc21_txn_apply",
+        "ing02_quarantine_route")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE sink($op) x$k=${ts._1}%.2fs/${ts._2}r")

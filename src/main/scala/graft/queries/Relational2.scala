@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.OracleSafe._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -388,6 +389,70 @@ object Relational2 {
       |FROM s FULL OUTER JOIN p ON s.user_id = p.user_id
       |""".stripMargin))
 
+  // ---------------------------------------------------------------- q37
+  /** Statistical aggregates — STDDEV_SAMP / CORR, the analytics-SQL
+    * vocabulary the inventory lacked — computed ENGINE-EXACTLY
+    * (round 12): the built-in stddev/corr are streaming double folds
+    * whose result depends on partitioning and engine, so the oracle
+    * could never hash them. Instead, the five raw MOMENTS (Σx, Σx²,
+    * Σy, Σy², Σxy) accumulate through [[dsum]]'s exact DECIMAL(28,6)
+    * path — associative ⇒ partitioning-invariant, identical in both
+    * engines — and variance/correlation emerge as ONE textually
+    * identical double formula over those deterministic inputs
+    * (IEEE ops on equal operands round equally; sqrt is correctly
+    * rounded). Same pattern that made q19/q20 exact — with one more
+    * cross-engine finding: DuckDB's DECIMAL→DOUBLE cast is NOT
+    * correctly rounded once the decimal needs more than 53 bits
+    * (measured: Σprice² ≈ 7·10¹³ with 6 decimals lands 1 ULP off
+    * Java's BigDecimal.doubleValue), so the price moments are taken
+    * on price/1000 — every moment then stays under 2⁵³ units where
+    * BOTH engines' conversions are exact-input correctly-rounded
+    * division. Correlation is scale-invariant; the stddev column
+    * carries the _k suffix for its unit. Scale: a single map-side-
+    * combinable aggregation — moment state is 5 decimals per group
+    * per task, the corpus never shuffles raw rows. */
+  private val q37 = QueryDef(
+    "q37_stat_moments",
+    (s, dir) => {
+      def varOf(sxx: Column, sx: Column, n: Column): Column =
+        (sxx - sx * sx / n) / (n - lit(1))
+      val priceK = col("l_extendedprice") / lit(1000.0)
+      val m = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum(priceK).as("sy"),
+          dsum(priceK * priceK).as("syy"),
+          dsum(col("l_quantity") * priceK).as("sxy"))
+      m.select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          (col("sx") / col("n")).as("mean_qty"),
+          sqrt(varOf(col("sxx"), col("sx"), col("n"))).as("std_qty"),
+          sqrt(varOf(col("syy"), col("sy"), col("n"))).as("std_price_k"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+                 (col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr_qty_price"))
+    },
+    Some(s"""WITH m AS (SELECT l_returnflag,
+      |  CAST(COUNT(*) AS DOUBLE) AS n,
+      |  ${dsumSql("l_quantity")} AS sx,
+      |  ${dsumSql("l_quantity * l_quantity")} AS sxx,
+      |  ${dsumSql("(l_extendedprice / 1000.0)")} AS sy,
+      |  ${dsumSql("(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)")} AS syy,
+      |  ${dsumSql("l_quantity * (l_extendedprice / 1000.0)")} AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  sx / n AS mean_qty,
+      |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+      |  sqrt((syy - sy * sy / n) / (n - 1)) AS std_price_k,
+      |  (sxy - sx * sy / n) /
+      |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+      |    AS corr_qty_price
+      |FROM m""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

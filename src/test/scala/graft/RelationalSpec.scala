@@ -133,4 +133,24 @@ class RelationalSpec extends AnyFunSuite {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
   }
+
+  test("q37 exact moments agree with the built-in stddev/corr to 1e-9 relative") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q37_stat_moments")(spark, sf)
+    // the built-ins are streaming double folds (partitioning-
+    // dependent, never hashable) — but they define the STATISTIC the
+    // exact-moment formula must land on
+    val ref = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(stddev_samp(col("l_quantity")).as("r_std_qty"),
+        stddev_samp(col("l_extendedprice") / lit(1000.0)).as("r_std_pk"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("r_corr"))
+    val j = got.join(ref, "l_returnflag")
+    def relErr(a: String, b: String) =
+      abs(col(a) - col(b)) / greatest(abs(col(b)), lit(1e-12))
+    assert(j.filter(relErr("std_qty", "r_std_qty") > 1e-9 ||
+      relErr("std_price_k", "r_std_pk") > 1e-9 ||
+      relErr("corr_qty_price", "r_corr") > 1e-9).count() == 0)
+  }
 }
