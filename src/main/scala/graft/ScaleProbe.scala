@@ -175,7 +175,13 @@ object ScaleProbe {
         // explode + (term) shuffle — corpus-linear) + a per-query
         // fusion window (constant); emb07 = a constant-matrix narrow
         // map + the brute top-5 scan (corpus-linear, queries fixed)
-        "ann11_filtered_search", "ann12_hybrid_rrf", "emb07_jl_recall")
+        "ann11_filtered_search", "ann12_hybrid_rrf", "emb07_jl_recall",
+        // ann13 = brute MaxSim over the member stream (queries
+        // broadcast): corpus-linear with a LiSegs²·LiDim per-pair
+        // constant — the scoring-kernel slope PLAID pays post-filter;
+        // ann14 = the routed variant: the same kernel on the
+        // ~13%-candidate frame the per-segment sign-bucket probe keeps
+        "ann13_late_interaction", "ann14_routed_maxsim")
         if wanted(op)) {
       val ts = mults.map(k => k -> time(op, dirFor(k)))
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
@@ -219,7 +225,12 @@ object ScaleProbe {
         // cdc21 is two keyed windows (txn commit + pk last-wins);
         // ing02 is a narrow encode→corrupt→route map riding the scan
         "cdc19_scd2_history", "cdc20_ivm_delta", "cdc21_txn_apply",
-        "ing02_quarantine_route")
+        "ing02_quarantine_route",
+        // cdc22 = the cdc10 write path + one full-rewrite compaction
+        // job (input = live chains, output = k× keys once each);
+        // cdc23 = the same write path + one changed-bucket-pruned
+        // diff per version pair (feed cost ∝ Σ deltas, not versions×table)
+        "cdc22_sink_compact", "cdc23_change_feed")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE sink($op) x$k=${ts._1}%.2fs/${ts._2}r")

@@ -1368,8 +1368,177 @@ object CdcQueries {
       |  WHERE commit_us <= epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
       |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
 
+  // -------------------------------------------------------------- cdc22
+  private val cdc22Calls =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+
+  /** Build the 3-batch sink table the round-12 sink-lifecycle gates
+    * read: the changelog's data ops as ChangeRecord-shaped rows,
+    * split `pmod(record_id, 3)` into three applied batches (batches
+    * interleave in ts — out-of-order arrival exercised), nBuckets=4 /
+    * maxDeltas=2 so inline folds fire mid-run. Table dir is
+    * per-(process, dir, call-parity) — the two-slot ring lets a
+    * concurrent reader on the previous invocation finish. */
+  private def builtSinkTable(s: SparkSession, dir: String, tag: String,
+      calls: java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.atomic.AtomicLong]): String = {
+    val asRecords = dataOps(s, dir).select(
+      col("record_id").as("id"),
+      col("ts_us").as("tsUs"),
+      col("op"),
+      lit("app").as("db"), lit("users").as("tbl"),
+      array(lit("pk")).as("pkNames"),
+      lit(null).cast("array<string>").as("ukNames"),
+      when(col("op") === "DELETE",
+        map(lit("pk"), col("pk").cast("string"))).as("before"),
+      when(col("op") =!= "DELETE",
+        map_filter(
+          map(lit("pk"), col("pk").cast("string"),
+            lit("val"), col("val").cast("string"),
+            lit("k"), col("k").cast("string")),
+          (_, v) => v.isNotNull)).as("after"))
+    val parity = calls
+      .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+      .getAndIncrement() % 2
+    val tablePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_" + tag + "_k9p2w6_" + ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + parity)
+    graft.Fs.deleteRecursively(tablePath)
+    val tableDir = tablePath.toString
+    (0L until 3L).foreach { b =>
+      graft.sinks.CdcParquetSink.applyBatch(
+        s, asRecords.filter(pmod(col("id"), lit(3)) === b),
+        tableDir, b, nBuckets = 4, maxDeltas = 2)
+    }
+    tableDir
+  }
+
+  /** SINK COMPACTION under the oracle gate (round 12) — the last
+    * sink-lifecycle verb still spec-only (write → fold → time travel
+    * → diff → GC are all gated; `compact()` wasn't): the full rewrite
+    * that folds every bucket chain to a single base and drops DELETE
+    * tombstones past the replay horizon. THE compaction invariant is
+    * that it changes the file layout and NOTHING else — so the oracle
+    * is deliberately cdc10's, reached through batched writes + a full
+    * `compact()` + the manifest read: a hash mismatch here means
+    * compaction corrupted state. The structural claims (every chain
+    * length 1, zero tombstone rows in the compacted files, read
+    * equality with the pre-compact table) are SinkSpec's. At scale
+    * compaction is the Delta/Iceberg OPTIMIZE analogue: one
+    * bucket-partitioned rewrite job whose input is the live chains,
+    * never the full history. */
+  private val cdc22 = QueryDef(
+    "cdc22_sink_compact",
+    (s, dir) => {
+      val tableDir = builtSinkTable(s, dir, "cdc22", cdc22Calls)
+      graft.sinks.CdcParquetSink.compact(s, tableDir, nBuckets = 4)
+      graft.sinks.CdcParquetSink.readTable(s, tableDir).get
+        .select(
+          expr("after['pk']").cast("bigint").as("pk"),
+          col("recordId").as("record_id"),
+          col("tsUs").as("ts_us"),
+          col("op"),
+          expr("after['val']").cast("double").as("val"),
+          expr("after['k']").cast("int").as("k"))
+    },
+    // compaction must be state-invisible: the oracle is the same
+    // declarative last-wins materialization the UNcompacted sink
+    // (cdc10) matches
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, ts_us, op, val, k FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY ts_us DESC, record_id DESC) AS rn
+      |  FROM changelog WHERE op <> 'HEARTBEAT')
+      |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
+
+  // -------------------------------------------------------------- cdc23
+  private val cdc23Calls =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+
+  /** CHANGE-DATA-FEED over the sink (round 12) — the row-level change
+    * SUBSCRIPTION an incremental consumer runs against the landed
+    * table (Delta CDF / `table_changes` over every published version):
+    * for each published version in publication order, the typed diff
+    * from its predecessor (insert / update / delete, post-image for
+    * insert/update, pre-image for delete), version-tagged; the first
+    * version reads as pure inserts from empty — the bootstrap a new
+    * consumer replays. This completes cdc16/cdc17's temporal story:
+    * time travel answers "what WAS the table", diff answers "what
+    * changed between two versions", the feed is the INCREMENTAL
+    * CONSUMER LOOP itself — replaying the feed in version order onto
+    * an empty table reconstructs the live state (SinkSpec pins that,
+    * plus resume-from-checkpoint suffix semantics and that compaction
+    * publishes NO feed rows). Every leg is changed-bucket pruned
+    * ([[graft.sinks.CdcParquetSink.changeFeed]]), so the feed costs
+    * O(Σ per-version deltas), never O(table × versions) — at 100 TB a
+    * subscriber pays for the changes, not the store. Oracle = the
+    * declarative per-version last-wins states diffed pairwise by full
+    * outer join — the feed through manifests+chains must equal the
+    * diff-of-states definition. */
+  private val cdc23 = QueryDef(
+    "cdc23_change_feed",
+    (s, dir) => {
+      val tableDir = builtSinkTable(s, dir, "cdc23", cdc23Calls)
+      graft.sinks.CdcParquetSink.changeFeed(s, tableDir)
+        .getOrElse(sys.error(
+          s"change feed unavailable (no published versions) at $tableDir"))
+        .select(
+          col("version"),
+          col("change_type"),
+          expr("after['pk']").cast("bigint").as("pk"),
+          col("recordId").as("record_id"),
+          col("tsUs").as("ts_us"),
+          expr("after['val']").cast("double").as("val"),
+          expr("after['k']").cast("int").as("k"))
+    },
+    // per-version states s0/s1/s2 (last-wins over batches ≤ v, batch =
+    // record_id % 3), diffed pairwise; the image is the b-side row when
+    // it exists, else the a-side PRE-image (whole-image semantics — a
+    // per-field COALESCE would backfill an update's NULL field from
+    // the pre-image and diverge from the sink's after-map)
+    Some {
+      def state(v: Int) =
+        s"""s$v AS (SELECT pk, record_id, ts_us, val, k FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+           |    ORDER BY ts_us DESC, record_id DESC) AS rn
+           |  FROM recs WHERE b <= $v) WHERE rn = 1 AND op <> 'DELETE')"""
+          .stripMargin
+      def leg(v: Int) =
+        s"""SELECT CAST($v AS BIGINT) AS version,
+           |  CASE WHEN a.record_id IS NULL THEN 'insert'
+           |       WHEN b.record_id IS NULL THEN 'delete'
+           |       WHEN a.record_id <> b.record_id THEN 'update'
+           |  END AS change_type, pk,
+           |  CASE WHEN b.record_id IS NULL THEN a.record_id
+           |       ELSE b.record_id END AS record_id,
+           |  CASE WHEN b.record_id IS NULL THEN a.ts_us
+           |       ELSE b.ts_us END AS ts_us,
+           |  CASE WHEN b.record_id IS NULL THEN a.val
+           |       ELSE b.val END AS val,
+           |  CASE WHEN b.record_id IS NULL THEN a.k
+           |       ELSE b.k END AS k
+           |FROM s${v - 1} a FULL JOIN s$v b USING (pk)
+           |WHERE a.record_id IS NULL OR b.record_id IS NULL
+           |   OR a.record_id <> b.record_id""".stripMargin
+      s"""$changelogSql,
+         |recs AS (SELECT *, record_id % 3 AS b FROM changelog
+         |  WHERE op <> 'HEARTBEAT'),
+         |${state(0)},
+         |${state(1)},
+         |${state(2)}
+         |SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+         |  pk, record_id, ts_us, val, k FROM s0
+         |UNION ALL
+         |${leg(1)}
+         |UNION ALL
+         |${leg(2)}""".stripMargin
+    })
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
-    cdc21)
+    cdc21, cdc22, cdc23)
 }

@@ -2008,14 +2008,250 @@ object Similarity {
     r
   }
 
+  // -------------------------------------------------------------- ann13
+  /** Late-interaction segments: the 64-dim vector split into
+    * [[LiSegs]] contiguous 16-dim segment vectors — the fixture's
+    * stand-in for ColBERT's per-token embeddings. */
+  private val LiSegs = 4
+  private val LiDim = 16
+
+  /** In-order dot of segment `qs` of `a` against segment `ds` of `b`
+    * (the engine-proven left fold; Spark slice is 1-based). Shared by
+    * ann13 (brute MaxSim) and ann14 (routed MaxSim) so the scoring
+    * kernel has ONE definition. */
+  private def liSegDot(a: String, b: String, qs: Int, ds: Int): String =
+    s"aggregate(zip_with(slice($a, ${qs * LiDim + 1}, $LiDim), " +
+    s"slice($b, ${ds * LiDim + 1}, $LiDim), (x, y) -> x * y), " +
+    "0d, (acc, z) -> acc + z)"
+  private def liSegNorm(v: String, i: Int): String = liSegDot(v, v, i, i)
+
+  /** The fully-unrolled fixed-point MaxSim sum — references columns
+    * `qv`/`nv` and the precomputed norm columns `qn0..3`/`nn0..3`;
+    * divide by 1e9 for the score. */
+  private def liMaxSimFixed: String =
+    (0 until LiSegs).map { qs =>
+      val coses = (0 until LiSegs).map(ds =>
+        s"(${liSegDot("qv", "nv", qs, ds)} / (sqrt(qn$qs) * sqrt(nn$ds)))")
+      s"CAST(floor(1e9 * greatest(${coses.mkString(", ")}) + 0.5d) AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB twins of the above (1-based list slices). */
+  private def liSegDotSql(a: String, b: String, qs: Int, ds: Int): String =
+    s"list_reduce(list_transform(list_zip(" +
+    s"$a[${qs * LiDim + 1}:${(qs + 1) * LiDim}], " +
+    s"$b[${ds * LiDim + 1}:${(ds + 1) * LiDim}]), " +
+    "p -> p[1] * p[2]), (x, y) -> x + y)"
+  private def liMaxSimFixedSql(qa: String, ma: String): String =
+    (0 until LiSegs).map { qs =>
+      val coses = (0 until LiSegs).map(ds =>
+        s"(${liSegDotSql(s"$qa.qv", s"$ma.nv", qs, ds)} / (sqrt($qa.qn$qs) * sqrt($ma.nn$ds)))")
+      s"CAST(floor(1e9 * GREATEST(${coses.mkString(", ")}) + 0.5) AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** MULTI-VECTOR LATE-INTERACTION retrieval (round 12) — ColBERT's
+    * MaxSim contract (Khattab & Zaharia 2020, arXiv:2004.12832)
+    * re-expressed: score(q, d) = Σ_{query segment} max_{doc segment}
+    * cos(qs, ds), which beats single-vector retrieval exactly when
+    * different parts of a query match different parts of a document.
+    * Engine-exactness: every segment cosine is the same in-order fold
+    * both engines already hash-match; the max over [[LiSegs]]
+    * identical doubles is exact; and the qs-sum — the one
+    * order-sensitive float reduction — is taken in FIXED-POINT
+    * (floor(1e9·maxsim + 0.5) per term, BIGINT sum = associative), so
+    * no Σ-order hazard exists; the final /1e9 is one deterministic
+    * division. The 4×4 segment grid is fully UNROLLED into plain
+    * greatest()/arithmetic in BOTH programs (no nested-lambda
+    * re-evaluation hazard — the dd09 lesson). Scale shape: queries
+    * broadcast (constant), members stream, per-pair work is
+    * LiSegs²·LiDim multiplies riding the join — the brute MaxSim
+    * baseline whose candidate-generation half at 10⁹ docs is ann07's
+    * walk over segment centroids (the PLAID recipe; the scoring
+    * kernel here is the part PLAID keeps). */
+  private val ann13 = QueryDef(
+    "ann13_late_interaction",
+    (s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .filter(col("q_id") < NQueries)
+      val m = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+        .filter(col("n_id") >= NQueries)
+      val qn = (0 until LiSegs).foldLeft(q)((d, i) =>
+        d.withColumn(s"qn$i", expr(liSegNorm("qv", i))))
+      val mn = (0 until LiSegs).foldLeft(m)((d, i) =>
+        d.withColumn(s"nn$i", expr(liSegNorm("nv", i))))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("n_id").asc)
+      mn.crossJoin(broadcast(qn))
+        .withColumn("score", expr(liMaxSimFixed) / lit(1e9))
+        .select(col("q_id"), col("n_id"), col("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= K)
+    },
+    Some {
+      val qNorms = (0 until LiSegs)
+        .map(i => s"${liSegDotSql("v", "v", i, i)} AS qn$i").mkString(", ")
+      val mNorms = (0 until LiSegs)
+        .map(i => s"${liSegDotSql("v", "v", i, i)} AS nn$i").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, ${VectorOps.castSql("embedding")} AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, $qNorms
+         |  FROM e WHERE vec_id < $NQueries),
+         |m AS (SELECT vec_id AS n_id, v AS nv, $mNorms
+         |  FROM e WHERE vec_id >= $NQueries),
+         |sc AS (SELECT q.q_id, m.n_id,
+         |  ${liMaxSimFixedSql("q", "m")} / 1e9 AS score
+         |  FROM m CROSS JOIN q)
+         |SELECT q_id, n_id, score, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT q_id, n_id, score, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, n_id ASC) AS rn
+         |  FROM sc) WHERE rn <= $K""".stripMargin
+    })
+
+  // -------------------------------------------------------------- ann14
+  /** Per-segment routing: an [[LiRouteBits]]-bit sign bucket over the
+    * segment's FIRST LiRouteBits dims (256 buckets/segment); queries
+    * probe self + Hamming-1 (1 + 8 buckets per segment). */
+  private val LiRouteBits = 8
+
+  /** CANDIDATE-ROUTED late interaction (round 12) — the PLAID
+    * decomposition (Santhanam et al. 2022, arXiv:2205.09707) of
+    * ann13's brute MaxSim made executable: multi-vector retrieval at
+    * scale is candidate GENERATION by coarse-quantized segment match
+    * + the exact MaxSim kernel on candidates only. Routing: every
+    * member segment lands in a sign bucket (the ann02/ann06 coarse
+    * quantizer — PLAID routes per query token to its centroid's
+    * posting lists; sign buckets are the same contract without a
+    * trained codebook, and ann03's trained coarse centroids swap in
+    * where training is warranted); a doc becomes a candidate when ANY
+    * query segment's probe set (own + Hamming-1 buckets) contains ANY
+    * of the doc's segment buckets FOR THAT SEGMENT — per-segment
+    * matching, the multi-vector analogue of ann02's probe join. The
+    * kept candidates then run the IDENTICAL fixed-point MaxSim kernel
+    * (one definition, [[liMaxSimFixed]]) and pinned top-K. Scale
+    * shape: the query probe frame (NQueries·LiSegs·9 rows) broadcasts,
+    * member routing rows ((n, seg, bucket), 4/doc) and member vectors
+    * STREAM — the corpus never shuffles; scoring work collapses from
+    * n·LiSegs²·LiDim to |candidates|·LiSegs²·LiDim (measured fraction
+    * rides the spec; the bench recall array carries recall@5 vs the
+    * exact MaxSim ranking). Whole pipeline is deterministic — one
+    * bucket CTE per side + the ann13 scoring SQL restricted to
+    * candidates replays in DuckDB — hash-match at all three SFs. */
+  private def liBucketSpark(seg: Int): String = (0 until LiRouteBits)
+    .map(j => s"(CASE WHEN v[${seg * LiDim + j}] > 0D THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+  private val liFlips: Seq[Int] =
+    0 +: (0 until LiRouteBits).map(1 << _).toSeq
+
+  /** The routed candidate frame: distinct (q_id, n_id) such that some
+    * query segment's probe set (own + Hamming-1 sign buckets) contains
+    * the member's bucket FOR THAT SEGMENT. Query probes broadcast
+    * (NQueries·LiSegs·(1+LiRouteBits) rows); member routing rows
+    * stream. Shared by the ann14 query and [[recallRoutedMaxSim]]'s
+    * scan-fraction measurement. */
+  private def liRoutedCand(e: DataFrame): DataFrame = {
+    val mroute = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("n_id"),
+        explode(expr((0 until LiSegs).map(sg =>
+          s"named_struct('seg', $sg, " +
+            s"'bucket', CAST((${liBucketSpark(sg)}) AS BIGINT))")
+          .mkString("array(", ", ", ")"))).as("sb"))
+      .select(col("n_id"), col("sb.seg"), col("sb.bucket"))
+    val qroute = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(expr((for (sg <- 0 until LiSegs; f <- liFlips) yield
+          s"named_struct('seg', $sg, " +
+            s"'bucket', CAST((${liBucketSpark(sg)}) ^ $f AS BIGINT))")
+          .mkString("array(", ", ", ")"))).as("sb"))
+      .select(col("q_id"), col("sb.seg"), col("sb.bucket"))
+    broadcast(qroute).join(mroute, Seq("seg", "bucket"))
+      .select("q_id", "n_id").distinct()
+  }
+
+  private val ann14 = {
+    def bucketSql(seg: Int) = (0 until LiRouteBits)
+      .map(j => s"(CASE WHEN v[${seg * LiDim + j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef(
+      "ann14_routed_maxsim",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val qn = (0 until LiSegs).foldLeft(
+          e.filter(col("vec_id") < NQueries)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")))((d, i) =>
+          d.withColumn(s"qn$i", expr(liSegNorm("qv", i))))
+        val mn = (0 until LiSegs).foldLeft(
+          e.filter(col("vec_id") >= NQueries)
+            .select(col("vec_id").as("n_id"), col("v").as("nv")))((d, i) =>
+          d.withColumn(s"nn$i", expr(liSegNorm("nv", i))))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id").asc)
+        liRoutedCand(e).join(mn, Seq("n_id")).join(broadcast(qn), Seq("q_id"))
+          .withColumn("score", expr(liMaxSimFixed) / lit(1e9))
+          .select(col("q_id"), col("n_id"), col("score"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= K)
+      },
+      Some {
+        val qNorms = (0 until LiSegs)
+          .map(i => s"${liSegDotSql("v", "v", i, i)} AS qn$i").mkString(", ")
+        val mNorms = (0 until LiSegs)
+          .map(i => s"${liSegDotSql("v", "v", i, i)} AS nn$i").mkString(", ")
+        def routeLegs(where: String, idAs: String) = (0 until LiSegs).map(sg =>
+          s"""SELECT vec_id AS $idAs, $sg AS seg,
+             |    CAST((${bucketSql(sg)}) AS BIGINT) AS bucket
+             |  FROM e WHERE $where""".stripMargin).mkString("\n  UNION ALL\n  ")
+        val probeList = liFlips.map(f => s"xor(bucket, $f)")
+          .mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, ${VectorOps.castSql("embedding")} AS v
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, v AS qv, $qNorms
+           |  FROM e WHERE vec_id < $NQueries),
+           |m AS (SELECT vec_id AS n_id, v AS nv, $mNorms
+           |  FROM e WHERE vec_id >= $NQueries),
+           |mb AS (
+           |  ${routeLegs(s"vec_id >= $NQueries", "n_id")}),
+           |qb AS (
+           |  ${routeLegs(s"vec_id < $NQueries", "q_id")}),
+           |qp AS (SELECT q_id, seg, unnest($probeList) AS bucket FROM qb),
+           |cand AS (SELECT DISTINCT q_id, n_id
+           |  FROM qp JOIN mb USING (seg, bucket)),
+           |sc AS (SELECT c.q_id, c.n_id,
+           |  ${liMaxSimFixedSql("q", "m")} / 1e9 AS score
+           |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN m ON m.n_id = c.n_id)
+           |SELECT q_id, n_id, score, CAST(rn AS BIGINT) AS rn FROM (
+           |  SELECT q_id, n_id, score, ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY score DESC, n_id ASC) AS rn
+           |  FROM sc) WHERE rn <= $K""".stripMargin
+      })
+  }
+
+  /** (recall@5 of ann14 vs ann13's exact MaxSim ranking, candidate
+    * fraction of the full query×member grid) — the routed rung's
+    * quality and its scan budget in one pass. */
+  def recallRoutedMaxSim(s: SparkSession, dir: String): (Double, Double) = {
+    val truth = defs.find(_.name == "ann13_late_interaction").get.run(s, dir)
+      .select("q_id", "n_id")
+    val routed = defs.find(_.name == "ann14_routed_maxsim").get.run(s, dir)
+      .select("q_id", "n_id")
+    val hit = truth.join(routed, Seq("q_id", "n_id")).count()
+    val e = vecs(s, dir)
+    val nMembers = e.filter(col("vec_id") >= NQueries).count()
+    val nQ = e.filter(col("vec_id") < NQueries).count()
+    val scanned = liRoutedCand(e).count()
+    (hit.toDouble / truth.count(),
+      scanned.toDouble / (nQ.toDouble * nMembers.toDouble))
+  }
+
   // ORDER IS LOAD-BEARING: Bench emits recall@5 as a POSITIONAL array
-  // in fixed order [ann02, ann03, ann04, ann05, ann06, ann07, ann11]
-  // (byte budget — the driver parses the line from a bounded stdout
-  // tail). Inserting an ann entry mid-list silently re-indexes that
-  // array; append only, and update Bench's recall list together with
-  // this Seq (ADVICE r4). ann07's slot uses [[recallHeldOutAtK]]
+  // in fixed order [ann02, ann03, ann04, ann05, ann06, ann07, ann11,
+  // ann14] (byte budget — the driver parses the line from a bounded
+  // stdout tail). Inserting an ann entry mid-list silently re-indexes
+  // that array; append only, and update Bench's recall list together
+  // with this Seq (ADVICE r4). ann07's slot uses [[recallHeldOutAtK]]
   // (member-only truth), ann11's [[recallFilteredAtK]] (label-
-  // restricted truth), the rest [[recallAtK]] (full-corpus truth).
+  // restricted truth), ann14's [[recallRoutedMaxSim]] (the exact
+  // MaxSim ranking as truth), the rest [[recallAtK]] (full-corpus
+  // truth).
   val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06,
-    ann07, ann08, ann09, ann10, ann11, ann12)
+    ann07, ann08, ann09, ann10, ann11, ann12, ann13, ann14)
 }

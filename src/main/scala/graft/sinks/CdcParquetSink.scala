@@ -219,6 +219,55 @@ object CdcParquetSink {
           coalesce(col("b_after"), col("a_after")).as("after"))
     }
 
+  /** CHANGE-DATA-FEED read (round 12) — the contract an incremental
+    * consumer actually subscribes to (Delta's CDF / `table_changes`
+    * over EVERY published version, not one pair): for each published
+    * batch version in publication order, the row-level diff from its
+    * predecessor, tagged with the version. The first version reads as
+    * pure inserts from empty (the bootstrap a new consumer replays);
+    * every later leg is [[tableChanges]] — changed-bucket pruned, so
+    * the whole feed costs O(Σ per-version deltas), never
+    * O(table × versions): at 100 TB a subscriber pays for the changes,
+    * not the store. `compact()` manifests are EXCLUDED by construction
+    * (layout-only versions publish no changes — compaction is
+    * state-invisible, so its feed leg would be empty by the compaction
+    * invariant anyway; excluding it keeps feed versions = batch ids).
+    *
+    * `sinceBatchId` resumes a checkpointed consumer: only versions
+    * strictly after it are emitted. A resume point that is not a
+    * published on-disk version returns None (aged out / never
+    * existed) — a consumer that lost its retention window must
+    * re-bootstrap from a snapshot, never silently skip changes (the
+    * readTableAsOf aged-out contract applied to the feed). */
+  def changeFeed(spark: SparkSession, tableDir: String,
+      sinceBatchId: Long = Long.MinValue): Option[DataFrame] = {
+    val re = "manifest-v(\\d{12})\\.tsv".r
+    val ids = publicationOrder(tableDir)
+      .collect { case re(v) => v.toLong }
+    if (ids.isEmpty) return None
+    if (sinceBatchId != Long.MinValue && !ids.contains(sinceBatchId))
+      return None
+    val legs: Seq[Option[DataFrame]] = ids.zipWithIndex
+      .filter { case (id, _) => id > sinceBatchId }
+      .map { case (id, idx) =>
+        val diff =
+          if (idx == 0)
+            // bootstrap: the first version's live state, all inserts
+            manifestAsOf(tableDir, id).map { m =>
+              val rels = m.values.flatten.toSeq.distinct.sorted
+              lastWins(spark.read.schema(StoreSchema)
+                .parquet(rels.map(rel => s"$tableDir/$rel"): _*))
+                .filter(col("op") =!= Op.Delete)
+                .select(lit("insert").as("change_type"), col("key"),
+                  col("recordId"), col("tsUs"), col("after"))
+            }
+          else tableChanges(spark, tableDir, ids(idx - 1), id)
+        diff.map(_.withColumn("version", lit(id)))
+      }
+    if (legs.exists(_.isEmpty)) None
+    else Some(legs.flatten.reduce(_.unionByName(_)))
+  }
+
   /** The store's fixed row shape: chain reads declare it instead of
     * inferring from footers (one less metadata pass per read). */
   private[graft] val StoreSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -663,6 +663,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(v5.exceptAll(a7).count() == 0)
   }
 
+  test("ann13 late interaction: MaxSim equals an independent exploded recomputation") {
+    val df = SparkEntry.queries("ann13_late_interaction")(spark, sf)
+      .localCheckpoint(true)
+    assert(df.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+    assert(df.filter(col("n_id") < 10).count() == 0)
+    // sum of 4 cosines lives in [-4, 4]
+    assert(df.filter(abs(col("score")) > 4.0).count() == 0)
+    // independent path: explode both sides into (id, seg, vec) rows,
+    // aggregate max-per-query-segment then fixed-point sum — entirely
+    // different plan shape, must land on the identical score
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val segs = e.select(col("vec_id"), posexplode(
+        expr("transform(sequence(0, 3), s -> slice(v, s*16 + 1, 16))")))
+      .select(col("vec_id"), col("pos").as("seg"), col("col").as("sv"))
+      .withColumn("sn",
+        expr("aggregate(zip_with(sv, sv, (x,y) -> x*y), 0d, (a,b) -> a+b)"))
+    val qs = segs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("seg").as("qseg"),
+        col("sv").as("qv"), col("sn").as("qn"))
+    val ds = segs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("seg").as("dseg"),
+        col("sv").as("dv"), col("sn").as("dn"))
+    val ref = ds.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("n_id"), col("qseg"),
+        (expr("aggregate(zip_with(qv, dv, (x,y) -> x*y), 0d, (a,b) -> a+b)") /
+          (sqrt(col("qn")) * sqrt(col("dn")))).as("cos"))
+      .groupBy("q_id", "n_id", "qseg").agg(max(col("cos")).as("mx"))
+      .withColumn("mi", expr("CAST(floor(1e9 * mx + 0.5d) AS BIGINT)"))
+      .groupBy("q_id", "n_id").agg((sum(col("mi")) / lit(1e9)).as("ref_score"))
+    assert(df.join(ref, Seq("q_id", "n_id"))
+      .filter(col("score") =!= col("ref_score")).count() == 0)
+  }
+
+  test("ann14 routed maxsim: kernel identity with ann13, bounded scan, measured recall") {
+    val df = SparkEntry.queries("ann14_routed_maxsim")(spark, sf)
+      .localCheckpoint(true)
+    assert(df.groupBy("q_id").count().collect().forall(_.getLong(1) <= 5))
+    assert(df.filter(col("n_id") < 10).count() == 0)
+    // kernel identity: on shared (q, d) pairs the routed score IS the
+    // brute MaxSim score bit for bit — routing only restricts WHICH
+    // pairs get scored, never changes the score
+    val brute = SparkEntry.queries("ann13_late_interaction")(spark, sf)
+      .select(col("q_id"), col("n_id"), col("score").as("brute_score"))
+    assert(df.join(brute, Seq("q_id", "n_id"))
+      .filter(col("score") =!= col("brute_score")).count() == 0)
+    // scan budget + quality: the candidate fraction stays bounded and
+    // recall vs the exact MaxSim top-5 clears the declared floor
+    // (measured 0.20 at 0.133 scan — ~1.7x the linear recall/scan
+    // line of this deliberately isotropic corpus, the same efficiency
+    // class as ann02's 0.68 at 0.36 scan; see SURVEY §6)
+    val (rec, frac) = graft.pipelines.Similarity.recallRoutedMaxSim(spark, sf)
+    assert(frac > 0.0 && frac <= 0.2, s"candidate fraction $frac")
+    assert(rec >= 0.15, s"routed recall $rec")
+  }
+
   test("ann08 graph insert: degree caps, reverse-link consistency, no new-new edges") {
     import graft.pipelines.Similarity
     val df = SparkEntry.queries("ann08_graph_insert")(spark, sf)

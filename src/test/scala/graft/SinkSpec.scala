@@ -379,6 +379,98 @@ class SinkSpec extends AnyFunSuite {
         .filter(col("key").endsWith("k9")).count() == 0)
   }
 
+  test("compact folds every chain to length 1 and stores zero tombstone rows") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val tableDir = Files.createTempDirectory("tbl").toString
+    val ckpt = Files.createTempDirectory("ck").toString
+    // three batches over 5 keys with a delete — chains grow past 1
+    // (maxDeltas default is high enough not to fold at this size)
+    (0 until 3).foreach { b =>
+      CdcChunkFile.write(f"$dir/chunk-$b%05d${CdcChunkFile.Extension}",
+        (0 until 10).map { i =>
+          val id = (b * 10 + i).toLong
+          val op = if (id == 25L) Op.Delete else
+            if (id % 10 < 2) Op.Insert else Op.Update
+          CdcFixtures.rec(id, 1000000L * (id + 1), op, s"k${id % 5}", s"v$id")
+        })
+      val q = CdcParquetSink.start(
+        CdcStreaming.readStream(spark, dir), tableDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val before = CdcParquetSink.readTable(spark, tableDir).get
+      .orderBy("key").collect().toSeq
+    val pre = CdcParquetSink.latestManifest(tableDir).get
+    assert(pre.values.exists(_.size > 1), "fixture never grew a chain")
+    CdcParquetSink.compact(spark, tableDir)
+    // every surviving bucket chain is a single path, and the stored
+    // files carry no DELETE rows (tombstones dropped past the horizon)
+    val post = CdcParquetSink.latestManifest(tableDir).get
+    assert(post.nonEmpty && post.values.forall(_.size == 1))
+    val stored = spark.read.parquet(
+      post.values.flatten.map(rel => s"$tableDir/$rel").toSeq: _*)
+    assert(stored.filter(col("op") === Op.Delete).count() == 0)
+    // and the READ state is byte-identical to the pre-compact table
+    val after = CdcParquetSink.readTable(spark, tableDir).get
+      .orderBy("key").collect().toSeq
+    assert(before == after)
+  }
+
+  test("change feed replays to the live table, resumes by suffix, ignores compaction") {
+    val dir = Files.createTempDirectory("gcl").toString
+    val tableDir = Files.createTempDirectory("tbl").toString
+    val ckpt = Files.createTempDirectory("ck").toString
+    (0 until 3).foreach { b =>
+      CdcChunkFile.write(f"$dir/chunk-$b%05d${CdcChunkFile.Extension}",
+        (0 until 10).map { i =>
+          val id = (b * 10 + i).toLong
+          val op = if (id == 25L) Op.Delete else
+            if (id % 10 < 2) Op.Insert else Op.Update
+          CdcFixtures.rec(id, 1000000L * (id + 1), op, s"k${id % 5}", s"v$id")
+        })
+      val q = CdcParquetSink.start(
+        CdcStreaming.readStream(spark, dir), tableDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val feed = CdcParquetSink.changeFeed(spark, tableDir).get
+      .localCheckpoint(true)
+    assert(feed.select("version").distinct().collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(0L, 1L, 2L)))
+    // the delete of id 25 (key k0) must surface as a typed delete row
+    // carrying the PRE-image: k0's winner in the LAST PUBLISHED state
+    // (id 15 — id 20 arrives in the same batch as the delete and is
+    // never visible in any published version)
+    val dels = feed.filter(col("change_type") === "delete").collect()
+    assert(dels.length == 1 && dels.head.getAs[Long]("recordId") == 15L)
+    // CONSUMER CONTRACT: replaying the feed in version order onto an
+    // empty table reconstructs the live state exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("version").desc)
+    val live = feed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("change_type") =!= "delete")
+      .select("key", "recordId", "tsUs")
+    val table = CdcParquetSink.readTable(spark, tableDir).get
+      .select("key", "recordId", "tsUs")
+    assert(live.exceptAll(table).count() == 0 &&
+      table.exceptAll(live).count() == 0)
+    // set comparisons project off the `after` map (exceptAll rejects
+    // MapType); the scalar columns fully determine a feed row
+    def flat(df: org.apache.spark.sql.DataFrame) = df.select(
+      "version", "change_type", "key", "recordId", "tsUs")
+    // resume-from-checkpoint = the strict suffix of the full feed
+    val resumed = CdcParquetSink.changeFeed(spark, tableDir, 0L).get
+    val suffix = feed.filter(col("version") > 0)
+    assert(flat(resumed).exceptAll(flat(suffix)).count() == 0 &&
+      flat(suffix).exceptAll(flat(resumed)).count() == 0)
+    // a resume point that is not a published version → None (aged-out
+    // consumers must re-bootstrap, never silently skip)
+    assert(CdcParquetSink.changeFeed(spark, tableDir, 7L).isEmpty)
+    // compaction is layout-only: it publishes NO feed rows
+    CdcParquetSink.compact(spark, tableDir)
+    val post = CdcParquetSink.changeFeed(spark, tableDir).get
+    assert(flat(post).exceptAll(flat(feed)).count() == 0 &&
+      flat(feed).exceptAll(flat(post)).count() == 0)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val dir = Files.createTempDirectory("gcl").toString
     CdcFixtures.writeChunks(dir)
