@@ -106,7 +106,12 @@ object ScaleProbe {
       // signature table (4 rows/doc — linear with a tiny constant; a
       // bucketed index layout would prune it at 100 TB) and verified
       // candidates grow with true cross-boundary dups
-      "dd15_incremental_dedup")
+      "dd15_incremental_dedup",
+      // dd16 pays dd13's position explode + a dup-mass covered-token
+      // explode + one doc-keyed reassembly shuffle; on this replica
+      // fixture nearly every position is duplicated, so time should
+      // track the exploded row count like dd13's
+      "dd16_exact_substr_removal")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap

@@ -1255,7 +1255,134 @@ object Dedup {
       |FROM (SELECT doc_id FROM documents WHERE doc_id < $DeltaN) d
       |LEFT JOIN best ON d.doc_id = best.did""".stripMargin))
 
+  // -------------------------------------------------------------- dd16
+  /** EXACT-SUBSTRING REMOVAL (round 12) — the step the Lee et al.
+    * 2021 (arXiv:2107.06499) ExactSubstr pass actually EXISTS for:
+    * dd13 detects the duplicated-coverage islands, this one removes
+    * them and emits the cleaned corpus (the paper deletes one copy of
+    * every duplicated span; the island union is dd13's exact covered
+    * set). Mechanics: dd13's duplicate-position frame → merged
+    * disjoint islands per doc → explode each island to its covered
+    * token positions (dup-mass bounded, never corpus-sized) → anti-
+    * join the corpus token frame → reassemble surviving tokens in
+    * position order. The cleaned text is whitespace-normalized (both
+    * engines rejoin with single spaces); a fully-covered doc comes
+    * back as the empty string, never dropped — downstream mixing
+    * keeps its row identity. Scale: the token explode is the O(total
+    * tokens) cost dd13 already pays; removal adds one dup-mass
+    * explode + one doc-keyed shuffle for the ordered reassembly; the
+    * text never shuffles except as the final per-doc rows. Spec pins
+    * kept + removed = n_tokens, removed == dd13's dup_tokens per doc,
+    * and that no L-gram of the crafted duplicated passage survives in
+    * the cleaned text. */
+  private val dd16 = {
+    val L = SubstrL
+    QueryDef(
+      "dd16_exact_substr_removal",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+        val w0 = TextShingles.words(s, dir)
+        val base = w0
+          .select(col("doc_id"), col("ws"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            column(graft.functions.ShingleHashSeq(
+              expression(col("ws")), L)).as("hs"))
+        val pos = base
+          .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+        val dup = pos
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("cnt") >= 2)
+          .select(col("doc_id"), col("pos"))
+          .localCheckpoint(true)
+        val runs = dup
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+          .withColumn("g", col("pos") - col("rn"))
+        val iv = runs.groupBy(col("doc_id"), col("g"))
+          .agg(min(col("pos")).as("s"),
+            (max(col("pos")) + lit(L - 1).cast("long")).as("e"))
+        val isl = iv
+          .withColumn("pmax", max(col("e")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("s"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk",
+            when(col("s") > col("pmax") + 1, 1L).otherwise(0L))
+          .withColumn("iid", sum(col("brk")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("s"))))
+        val islands = isl.groupBy(col("doc_id"), col("iid"))
+          .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+        // islands are disjoint and non-adjacent by construction, so
+        // the covered-position explode emits each position once
+        val cov = islands.select(col("doc_id"),
+          explode(expr("sequence(s, e)")).as("tpos"))
+        val tok = base.select(col("doc_id"),
+            posexplode(col("ws")).as(Seq("tp", "token")))
+          .select(col("doc_id"), col("tp").cast("long").as("tpos"),
+            col("token"))
+        val kept = tok.join(cov, Seq("doc_id", "tpos"), "left_anti")
+        val clean = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("kept_tokens"),
+            array_join(expr(
+              "transform(sort_array(collect_list(struct(tpos, token)))," +
+                " x -> x.token)"), " ").as("cleaned"))
+        base.select(col("doc_id"), col("n_tokens"))
+          .join(clean, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+            (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+              .as("removed_tokens"),
+            coalesce(col("cleaned"), lit("")).as("cleaned"))
+      },
+      Some({
+        val cols = (0 until L).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+        s"""WITH w AS (SELECT doc_id,
+          |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |base AS (SELECT doc_id, len(ws) AS n_tokens FROM w),
+          |shp AS (SELECT doc_id, i AS pos,
+          |    ${graft.OracleSafe.hash60Sql(s"($cols)")} AS h
+          |  FROM w CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(1, len(ws) - ${L - 1})) AS i) t),
+          |dup AS (SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt
+          |    FROM shp) WHERE cnt >= 2),
+          |runs AS (SELECT doc_id, pos,
+          |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          |  FROM dup),
+          |iv AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + ${L - 1} AS e
+          |  FROM runs GROUP BY 1, 2),
+          |isl AS (SELECT doc_id, s, e,
+          |    CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+          |      THEN 1 ELSE 0 END AS brk
+          |  FROM iv),
+          |isl2 AS (SELECT doc_id, s, e,
+          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS iid
+          |  FROM isl),
+          |islands AS (SELECT doc_id, iid, MIN(s) AS s, MAX(e) AS e
+          |  FROM isl2 GROUP BY 1, 2),
+          |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS tpos
+          |  FROM islands),
+          |tok AS (SELECT doc_id, i AS tpos, ws[i] AS token
+          |  FROM w CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+          |kept AS (SELECT t.doc_id, t.tpos, t.token FROM tok t
+          |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+          |  WHERE c.tpos IS NULL),
+          |clean AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+          |    string_agg(token, ' ' ORDER BY tpos) AS cleaned
+          |  FROM kept GROUP BY 1)
+          |SELECT b.doc_id, b.n_tokens,
+          |  COALESCE(c.kept_tokens, 0) AS kept_tokens,
+          |  b.n_tokens - COALESCE(c.kept_tokens, 0) AS removed_tokens,
+          |  COALESCE(c.cleaned, '') AS cleaned
+          |FROM base b LEFT JOIN clean c ON b.doc_id = c.doc_id""".stripMargin
+      }))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
-      dd12, dd13, dd14, dd15)
+      dd12, dd13, dd14, dd15, dd16)
 }

@@ -425,6 +425,50 @@ class PipelineSpec extends AnyFunSuite {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("dd16 removal: crafted passage scrubbed from both copies, unique doc untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd16").toString
+    try {
+      import spark.implicits._
+      val passage = (1 to 25).map(i => s"p$i").mkString(" ")
+      val head1 = (1 to 10).map(i => s"a$i").mkString(" ")
+      val tail1 = (1 to 10).map(i => s"b$i").mkString(" ")
+      val tail2 = (1 to 30).map(i => s"c$i").mkString(" ")
+      val doc1 = head1 + " " + passage + " " + tail1
+      val doc2 = passage + " " + tail2
+      val doc3 = (1 to 40).map(i => s"u$i").mkString(" ")
+      Seq((1L, doc1, "en", "s1", doc1.length.toLong),
+        (2L, doc2, "en", "s1", doc2.length.toLong),
+        (3L, doc3, "en", "s2", doc3.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("dd16_exact_substr_removal")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4)))).toMap
+      // BOTH copies of the shared 25-token passage are removed (the
+      // detector flags every duplicated position, Lee et al.'s island
+      // union), splicing the surrounding text back together
+      assert(out(1L) == ((45L, 20L, 25L, head1 + " " + tail1)),
+        s"doc1: ${out(1L)}")
+      assert(out(2L) == ((55L, 30L, 25L, tail2)), s"doc2: ${out(2L)}")
+      assert(out(3L) == ((40L, 40L, 0L, doc3)), s"doc3: ${out(3L)}")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("dd16 removal accounting matches dd13's covered-token islands at the gate SF") {
+    val df = SparkEntry.queries("dd16_exact_substr_removal")(spark, sf)
+      .localCheckpoint(true)
+    assert(df.filter(col("kept_tokens") + col("removed_tokens")
+      =!= col("n_tokens")).count() == 0)
+    // removed == dd13's exact island union, doc by doc
+    val d13 = SparkEntry.queries("dd13_exact_substring")(spark, sf)
+      .select(col("doc_id"), col("dup_tokens"))
+    val joined = df.join(d13, Seq("doc_id")).localCheckpoint(true)
+    assert(joined.filter(col("removed_tokens") =!= col("dup_tokens"))
+      .count() == 0)
+    assert(joined.count() == df.count())
+  }
+
   test("dd13 byte-exact verify equals the hash count at the gate SF " +
       "(no collisions) — Lee et al.'s byte-exact contract") {
     val df = SparkEntry.queries("dd13_exact_substring")(spark, sf)
