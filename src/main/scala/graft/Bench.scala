@@ -277,7 +277,7 @@ object Bench {
       catch { case e: Throwable => errors(s"recall:$name") =
         Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }
     // recall@5 vs brute truth, FIXED order [ann02, ann03, ann04,
-    // ann05, ann06, ann07, ann11, ann14] (an array, not per-key
+    // ann05, ann06, ann07, ann11, ann14, ann15] (an array, not per-key
     // fields — byte budget, see above; append-only, matching
     // Similarity.defs order). ann07's slot is vs the member-only
     // truth — its index cannot contain the other held-out queries by
@@ -295,7 +295,8 @@ object Bench {
         Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }) :+
       (try graft.pipelines.Similarity.recallRoutedMaxSim(spark, sfDir)._1
       catch { case e: Throwable => errors("recall:ann14") =
-        Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 })
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }) :+
+      recallOf("ann15_binary_quant")
     val errJson =
       if (errors.isEmpty) "" // empty map costs 12 bytes of the window
       else ""","errors":""" + errors.map { case (k, v) =>

@@ -111,7 +111,11 @@ object ScaleProbe {
       // explode + one doc-keyed reassembly shuffle; on this replica
       // fixture nearly every position is duplicated, so time should
       // track the exploded row count like dd13's
-      "dd16_exact_substr_removal")
+      "dd16_exact_substr_removal",
+      // ann15's hamming pass is ann01's linear broadcast-probe shape
+      // over two longs per vector (queries fixed); rerank touches
+      // Depth rows per query — the slope is the code-table scan's
+      "ann15_binary_quant")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap

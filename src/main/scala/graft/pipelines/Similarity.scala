@@ -2225,6 +2225,94 @@ object Similarity {
       })
   }
 
+  // -------------------------------------------------------------- ann15
+  /** BINARY-quantization ANN (round 12) — the last rung of the
+    * compression ladder (double → float → int8/emb01 → SQ8/ann05 →
+    * PQ/ann04 → 1 BIT per dimension): each 64-dim vector collapses to
+    * 64 sign bits packed in two 32-bit words, candidates rank by
+    * HAMMING distance (popcount of XOR — the binary-embedding recipe
+    * behind every "binary quantization" mode production vector stores
+    * ship; sign-random-projection LSH theory: E[hamming] ∝ angle),
+    * then the exact-cosine re-rank of the top-[[ann05]]-depth
+    * absorbs rank inversions near the cut. 512× less candidate-scan
+    * memory traffic than the double vectors (8 bytes vs 512/vector:
+    * at 10⁹ vectors the code table is 8 GB — RAM-resident where
+    * floats are not), and the scan kernel is two XOR+popcounts per
+    * pair. No trained state ⇒ fully hash-oracled like ann05.
+    * Engine-portable bit packing: each word is a SUM of distinct
+    * powers 2^j (j ≤ 31, always positive — no BIGINT sign edge, no
+    * HUGEINT promotion drift), bit j set iff v[j] > 0 strictly.
+    * Plan: codes build rides the scan; queries broadcast (two longs
+    * each) against the streamed code table; re-rank joins the full
+    * vectors of Depth·NQueries candidate rows only. */
+  private val ann15 = {
+    val Depth = 50
+    def packExpr(lo: Int): String =
+      s"""aggregate(transform(sequence($lo, ${lo + 31}),
+         |  j -> IF(v[j] > 0D, shiftleft(1L, j - $lo), 0L)),
+         |  0L, (a, x) -> a + x)""".stripMargin
+    def packSql(lo: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}),
+         |  j -> CASE WHEN v[j + 1] > 0 THEN (CAST(1 AS BIGINT) << (j - $lo))
+         |       ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+    QueryDef(
+      "ann15_binary_quant",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val codes = e.select(col("vec_id"),
+          expr(packExpr(0)).as("lo"), expr(packExpr(32)).as("hi"))
+        val q = codes.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"),
+            col("lo").as("qlo"), col("hi").as("qhi"))
+        val ham = broadcast(q).join(codes, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)"))
+              .cast("long").as("hamming"))
+        val wH = Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming").asc, col("n_id").asc)
+        val cand = ham.withColumn("rn", row_number().over(wH))
+          .filter(col("rn") <= Depth).select("q_id", "n_id", "hamming")
+        val qv = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nn").as("qn"))
+        val exact = cand
+          .join(e.select(col("vec_id").as("n_id"), col("v"), col("nn")), "n_id")
+          .join(broadcast(qv), "q_id")
+          .select(col("q_id"), col("n_id"), col("hamming"),
+            VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)
+        exact.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= K)
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+        |  ${VectorOps.castSql("embedding")} AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, ${VectorOps.dotSql("v", "v")} AS nn FROM e),
+        |codes AS (SELECT vec_id, ${packSql(0)} AS lo, ${packSql(32)} AS hi
+        |  FROM e),
+        |qc AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes
+        |  WHERE vec_id < $NQueries),
+        |ham AS (SELECT qc.q_id, c.vec_id AS n_id,
+        |  CAST(bit_count(xor(c.lo, qc.qlo))
+        |    + bit_count(xor(c.hi, qc.qhi)) AS BIGINT) AS hamming
+        |  FROM qc JOIN codes c ON c.vec_id <> qc.q_id),
+        |cand AS (SELECT q_id, n_id, hamming FROM (
+        |  SELECT q_id, n_id, hamming, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY hamming ASC, n_id ASC) AS rn FROM ham)
+        |  WHERE rn <= $Depth),
+        |qs AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM n
+        |  WHERE vec_id < $NQueries),
+        |exact AS (SELECT c.q_id, c.n_id, c.hamming,
+        |  ${VectorOps.cosineSql("qs.qv", "nb.v", "qs.qn", "nb.nn")} AS cos
+        |  FROM cand c
+        |  JOIN n nb ON nb.vec_id = c.n_id
+        |  JOIN qs ON qs.q_id = c.q_id)
+        |SELECT q_id, n_id, hamming, cos, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id ASC) AS rn FROM exact)
+        |WHERE rn <= $K""".stripMargin))
+  }
+
   /** (recall@5 of ann14 vs ann13's exact MaxSim ranking, candidate
     * fraction of the full query×member grid) — the routed rung's
     * quality and its scan budget in one pass. */
@@ -2244,7 +2332,7 @@ object Similarity {
 
   // ORDER IS LOAD-BEARING: Bench emits recall@5 as a POSITIONAL array
   // in fixed order [ann02, ann03, ann04, ann05, ann06, ann07, ann11,
-  // ann14] (byte budget — the driver parses the line from a bounded
+  // ann14, ann15] (byte budget — the driver parses the line from a bounded
   // stdout tail). Inserting an ann entry mid-list silently re-indexes
   // that array; append only, and update Bench's recall list together
   // with this Seq (ADVICE r4). ann07's slot uses [[recallHeldOutAtK]]
@@ -2253,5 +2341,5 @@ object Similarity {
   // MaxSim ranking as truth), the rest [[recallAtK]] (full-corpus
   // truth).
   val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06,
-    ann07, ann08, ann09, ann10, ann11, ann12, ann13, ann14)
+    ann07, ann08, ann09, ann10, ann11, ann12, ann13, ann14, ann15)
 }

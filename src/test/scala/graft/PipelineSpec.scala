@@ -763,6 +763,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rec >= 0.15, s"routed recall $rec")
   }
 
+  test("ann15 binary quant: codes re-derived by a different plan, hamming exact, measured recall") {
+    val df = SparkEntry.queries("ann15_binary_quant")(spark, sf)
+      .localCheckpoint(true)
+    // structure: exactly K best-first rows per query
+    assert(df.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+    assert(df.filter(col("hamming") < 0 || col("hamming") > 64).count() == 0)
+    assert(df.filter(col("cos") < -1.0001 || col("cos") > 1.0001).count() == 0)
+    // re-derive every vector's packed sign words through a completely
+    // different plan (posexplode -> per-(vec,word) sum of powers) and
+    // recompute the output rows' hamming from them; bit-equality
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val bits = e.select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
+      .withColumn("word", (col("j") / 32).cast("int"))
+      .withColumn("term", when(col("x") > 0d,
+        expr("shiftleft(1L, j % 32)")).otherwise(lit(0L)))
+      .groupBy("vec_id", "word").agg(sum("term").as("w"))
+      .groupBy("vec_id").pivot("word", Seq(0, 1)).sum("w")
+      .select(col("vec_id"), col("0").as("rlo"), col("1").as("rhi"))
+      .localCheckpoint(true)
+    val joined = df
+      .join(bits.select(col("vec_id").as("q_id"), col("rlo").as("qlo"),
+        col("rhi").as("qhi")), "q_id")
+      .join(bits.select(col("vec_id").as("n_id"), col("rlo"), col("rhi")),
+        "n_id")
+    assert(joined.filter(
+      expr("bit_count(rlo ^ qlo) + bit_count(rhi ^ qhi)").cast("long")
+        =!= col("hamming")).count() == 0)
+    // quality: the 1-bit rung's recall vs ann01 truth clears the
+    // declared floor (64 sign bits ~ sign-random-projection LSH;
+    // re-rank depth 50 absorbs inversions near the cut)
+    val rec = graft.pipelines.Similarity.recallAtK(spark, sf,
+      "ann15_binary_quant")
+    info(s"ann15 recall@5 = $rec")
+    assert(rec >= 0.5, s"binary-quant recall $rec")
+  }
+
   test("ann08 graph insert: degree caps, reverse-link consistency, no new-new edges") {
     import graft.pipelines.Similarity
     val df = SparkEntry.queries("ann08_graph_insert")(spark, sf)
