@@ -239,7 +239,11 @@ object ScaleProbe {
         // job (input = live chains, output = k× keys once each);
         // cdc23 = the same write path + one changed-bucket-pruned
         // diff per version pair (feed cost ∝ Σ deltas, not versions×table)
-        "cdc22_sink_compact", "cdc23_change_feed")
+        "cdc22_sink_compact", "cdc23_change_feed",
+        // ing03 = one batch filter + the streamed tail's stateless
+        // position admission — both ride the changelog scan; output
+        // rows are the full data-record set, so rows grow k×
+        "ing03_backfill_seam")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE sink($op) x$k=${ts._1}%.2fs/${ts._2}r")

@@ -240,5 +240,93 @@ object Ingest {
       |  CASE WHEN record_id % 37 = 0 THEN 'decode_error' END AS err
       |FROM changelog WHERE op <> 'HEARTBEAT'""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(ing01, ing02)
+  private val ing03Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  // ------------------------------------------------------------- ing03
+  /** BACKFILL / STREAMING-TAIL SEAM (round 12) — the bootstrap every
+    * production ingest runs once and must get exactly-once right: a
+    * consumer arrives after history already exists, so it (a)
+    * batch-backfills the archived range and (b) subscribes the live
+    * stream from an offset EARLIER than the archive's high-water mark
+    * (the only safe order — subscribe first, snapshot later; a gap
+    * between archive end and subscription start loses records
+    * forever, so production always overlaps and dedups the seam).
+    * The seam rule is STATELESS: the archive publishes its high-water
+    * mark (max archived position), and the stream leg admits only
+    * records ABOVE it — O(1) per record, no key state, no anti-join
+    * against a corpus-sized id set; the redelivered overlap
+    * ([subscription start, HWM)) is dropped on sight. Here: HWM =
+    * ⌊3/5·max record_id⌋, subscription from ⌊4/5·HWM⌋ (a genuinely
+    * non-empty overlap at every SF), the tail dealt into
+    * [[NBatches]] out-of-order micro-batches (the seam must be
+    * arrival-order-free, and is — the filter is stateless); file
+    * sink + outer-session read-back (the ing01 contract). Output:
+    * every data record exactly once, tagged with the leg that
+    * delivered it. The oracle is the declarative partition of the
+    * changelog at HWM — the hash match proves the streaming path
+    * implements exactly-once across the seam. */
+  private val ing03 = QueryDef(
+    "ing03_backfill_seam",
+    (outer, dir) => {
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val log = graft.cdc.CdcQueries.changelog(s, dir)
+        .filter(col("op") =!= "HEARTBEAT")
+        .select(col("record_id"), col("ts_us"), col("op"), col("pk"))
+      // 1-row driver scalar (the emb05 sanctioned pattern): the
+      // archive's high-water mark; Long division matches DuckDB `//`
+      val hwm = log.agg(max("record_id")).head().getLong(0) * 3 / 5
+      val pstart = hwm * 4 / 5
+      val backfill = log.filter(col("record_id") < hwm)
+        .withColumn("via", lit("backfill"))
+      val tail = log.filter(col("record_id") >= pstart)
+      val n = ing03Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val batchPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ing03_w7r2k9_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
+      graft.Fs.deleteRecursively(batchPath)
+      val batchDir = batchPath.toString
+      (0L until NBatches.toLong).foreach { b =>
+        tail.filter(pmod(col("record_id"), lit(NBatches)) === b)
+          .coalesce(1)
+          .write.mode("append").parquet(batchDir)
+      }
+      val stream = s.readStream
+        .schema(tail.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(batchDir)
+      // the seam: stateless position admission against the published
+      // high-water mark — the overlap redelivery drops on sight
+      val admitted = stream.filter(col("record_id") >= hwm)
+        .withColumn("via", lit("stream"))
+      val outDir = s"${batchDir}_out"
+      Seq(outDir).foreach { d =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(d))
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(d + "_ck"))
+      }
+      locally {
+        val q = admitted.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", outDir + "_ck")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val streamed = outer.read.schema(
+        org.apache.spark.sql.types.StructType(
+          tail.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "via", org.apache.spark.sql.types.StringType)))
+        .parquet(outDir)
+      backfill.unionByName(streamed)
+    },
+    Some(s"""${graft.cdc.CdcQueries.changelogSql},
+      |hw AS (SELECT (MAX(record_id) * 3) // 5 AS hwm FROM changelog
+      |  WHERE op <> 'HEARTBEAT')
+      |SELECT record_id, ts_us, op, pk,
+      |  CASE WHEN record_id < hwm THEN 'backfill' ELSE 'stream' END AS via
+      |FROM changelog, hw WHERE op <> 'HEARTBEAT'""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03)
 }

@@ -1697,6 +1697,32 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ing03 seam: exactly-once across backfill/stream, non-empty overlap dropped statelessly") {
+    val out = SparkEntry.queries("ing03_backfill_seam")(spark, sf)
+      .localCheckpoint(true)
+    val log = graft.cdc.CdcQueries.changelog(spark, sf)
+      .filter(col("op") =!= "HEARTBEAT").localCheckpoint(true)
+    val hwm = log.agg(max("record_id")).head().getLong(0) * 3 / 5
+    val pstart = hwm * 4 / 5
+    // exactly-once: every data record appears exactly once
+    assert(out.count() == log.count())
+    assert(out.select("record_id").distinct().count() == out.count())
+    // the seam partition: below HWM only the backfill delivered it,
+    // at/above HWM only the stream did
+    assert(out.filter(col("record_id") < hwm && col("via") =!= "backfill")
+      .count() == 0)
+    assert(out.filter(col("record_id") >= hwm && col("via") =!= "stream")
+      .count() == 0)
+    // non-vacuous: the subscription genuinely overlapped the archive
+    // ([pstart, hwm) redelivered through the stream and dropped by
+    // the stateless admission), and both legs genuinely delivered
+    val overlap = log.filter(col("record_id") >= pstart &&
+      col("record_id") < hwm).count()
+    assert(overlap > 0, "seam overlap must be non-empty to prove the drop")
+    assert(out.filter(col("via") === "backfill").count() > 0)
+    assert(out.filter(col("via") === "stream").count() > 0)
+  }
+
   test("shingle bloom overlap: corpus shingles all hit, novel docs near-zero") {
     import spark.implicits._
     val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
