@@ -647,6 +647,93 @@ object Embeddings {
       })
   }
 
+  // ------------------------------------------------------------- emb08
+  /** PROTOTYPICALITY data pruning (Sorscher et al. 2022, arXiv:
+    * 2206.14486 "Beyond neural scaling laws"): the curation step that
+    * beats power-law scaling — score every example by its distance to
+    * its cluster centroid (the paper's self-supervised prototype
+    * metric) and PRUNE the most prototypical fraction per cluster
+    * (with abundant data, easy/redundant examples teach the least;
+    * the paper keeps the hard ones). emb06 removes near-DUPLICATES;
+    * this removes the redundant CORE — the two compose into the
+    * paper's full curation recipe.
+    *
+    * Per-cluster (not global) pruning is the paper's class-balance
+    * guard: a global distance cut would empty small tight clusters
+    * first. The cut is exact integer math — prune count =
+    * ⌈n_c·[[Emb08PruneNum]]/[[Emb08PruneDen]]⌉ via (a+b−1) div b — so
+    * both engines cut identically, and rank ties (bit-identical
+    * cdist) break by vec_id.
+    *
+    * Scale shape: training is emb05's distributed Lloyd (K-row driver
+    * state); assignment + cdist is one codegen'd narrow map plus a
+    * K-row broadcast join; ranking is ONE window keyed by cluster id.
+    * Per-cluster sort size is bounded by the SemDeDup K ∝ n/B recipe
+    * (clusters stay ~B rows as the corpus grows, so the window
+    * partitions stay bounded and parallelism grows with K) — no
+    * global sort anywhere.
+    *
+    * Bit-exact vs DuckDB: the oracle replays emb05's training CTEs,
+    * recomputes cdist with the same qq − 2⟨v,μ⟩ + ‖μ‖² in-order
+    * folds, and applies the same window + integer cut — hash-match
+    * across the full train→score→prune pipeline. */
+  private val Emb08PruneNum = 1
+  private val Emb08PruneDen = 4
+
+  private val emb08 = QueryDef(
+    "emb08_proto_prune",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      import org.apache.spark.sql.expressions.Window
+      def load() = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
+      val base = load().withColumn("codes", expr(emb05CodesSpark)).persist()
+      val cents =
+        try kmeansCentroids(base)
+        finally base.unpersist(blocking = false)
+      val (flat, norms) = emb05Flat(cents)
+      import s.implicits._
+      val centsDf = cents.zipWithIndex.toSeq
+        .map { case (m, i) => (i.toLong, m.toSeq) }.toDF("cid", "m")
+      val wd = load()
+        .select(col("vec_id"), col("v"),
+          column(graft.functions.NearestCentroid(
+            expression(col("v")), flat, norms)).as("cid"),
+          VectorOps.norm2("v").as("qq"))
+        .join(broadcast(centsDf), "cid")
+        .select(col("vec_id"), col("cid"), col("qq"),
+          (col("qq") - lit(2) * VectorOps.dot("v", "m") +
+            VectorOps.dot("m", "m")).as("cdist"))
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("cdist").asc, col("vec_id").asc)
+      wd
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n_c",
+          count(lit(1)).over(Window.partitionBy(col("cid"))))
+        .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+          col("cdist"), col("rnk"),
+          (col("rnk") >
+            expr(s"(n_c * $Emb08PruneNum + ${Emb08PruneDen - 1}) div $Emb08PruneDen"))
+            .as("keep"))
+    },
+    Some(s"""WITH $emb05TrainCtes,
+      |${emb05AssignSql("af", s"c$Emb05T", "en.vec_id, ")},
+      |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+      |wd AS (SELECT en.vec_id, a.cid,
+      |  en.qq - 2 * ${VectorOps.dotSql("en.v", "c.m")} +
+      |    ${VectorOps.dotSql("c.m", "c.m")} AS cdist
+      |  FROM en JOIN asg a ON en.vec_id = a.vec_id
+      |  JOIN c$Emb05T c ON a.cid = c.cid),
+      |rk AS (SELECT vec_id, cid, cdist,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY cid
+      |    ORDER BY cdist ASC, vec_id ASC) AS BIGINT) AS rnk,
+      |  COUNT(*) OVER (PARTITION BY cid) AS n_c
+      |  FROM wd)
+      |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cdist, rnk,
+      |  rnk > (n_c * $Emb08PruneNum + ${Emb08PruneDen - 1}) // $Emb08PruneDen
+      |    AS keep
+      |FROM rk""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03, emb04, emb05, emb06,
-    emb07)
+    emb07, emb08)
 }

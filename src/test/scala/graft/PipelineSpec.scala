@@ -1586,6 +1586,37 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("emb08 proto-prune: exact per-cluster cut, pruned are the prototypical prefix") {
+    val df = SparkEntry.queries("emb08_proto_prune")(spark, sf).persist()
+    try {
+      val n = Tables.load(spark, sf, "embeddings").count()
+      assert(df.count() == n) // every vector graded, none dropped
+      // per cluster: pruned count is exactly ceil(n_c/4), and the
+      // pruned set is the rank PREFIX (most prototypical first) —
+      // every pruned cdist ≤ every kept cdist within the cluster
+      val per = df.groupBy("cluster_id").agg(
+        count(lit(1)).as("n_c"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_pruned"),
+        max(when(!col("keep"), col("rnk"))).as("max_pruned_rnk"),
+        max(when(!col("keep"), col("cdist"))).as("max_pruned_d"),
+        min(when(col("keep"), col("cdist"))).as("min_kept_d"))
+      assert(per.filter(col("n_pruned") =!= expr("(n_c + 3) div 4"))
+        .count() == 0)
+      assert(per.filter(col("max_pruned_rnk") =!= col("n_pruned"))
+        .count() == 0)
+      assert(per.filter(col("max_pruned_d") > col("min_kept_d"))
+        .count() == 0)
+      // non-vacuous both ways
+      assert(df.filter(!col("keep")).count() > 0)
+      assert(df.filter(col("keep")).count() > 0)
+      // clusters agree with emb05's assignment (same training replay)
+      val km = SparkEntry.queries("emb05_kmeans")(spark, sf)
+        .select(col("vec_id"), col("cluster_id").as("km_cid"))
+      assert(df.join(km, "vec_id")
+        .filter(col("cluster_id") =!= col("km_cid")).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(
