@@ -890,7 +890,113 @@ object TextAnalysis {
          |$sel""".stripMargin
     })
 
+  // -------------------------------------------------------------- tx16
+  /** CORPUS-FREQUENCY BOILERPLATE REMOVAL — the CCNet/RefinedWeb pass
+    * (Wenzek et al. 2020, arXiv:1911.00359; Penedo et al. 2023,
+    * arXiv:2306.01116): text fragments repeated across many DOCUMENTS
+    * (headers, footers, navigation chrome) are deleted from every
+    * document; dd13/dd16 target long verbatim runs between doc PAIRS,
+    * this targets short spans whose signal is corpus-wide document
+    * frequency. The unit is the non-overlapping [[Tx16SpanW]]-token
+    * span (the fixture has no newlines, so spans play the role lines
+    * play on web text); the tail (< W tokens) is always kept.
+    *
+    * The boilerplate rule is CORPUS-RELATIVE: the top ⌈keys/100⌉ span
+    * keys by (document frequency DESC, span ASC), with a df ≥ 2
+    * floor. An absolute df threshold has NO stable regime on this
+    * uniform synthetic corpus (measured: at W=2 every threshold is
+    * either ~0% or ~100% removal as the SF changes, because df/n
+    * concentrates as n grows) — and rank cuts are also the
+    * scale-portable form: a top-k is a `TakeOrderedAndProject`, never
+    * a global window.
+    *
+    * Scale shape: span construction is a narrow per-row transform; df
+    * is ONE map-side-combinable distinct-aggregate shuffle keyed by
+    * span; the cut is a count plus a top-k (the boilerplate list —
+    * ≤1% of the key space — is a bounded model artifact like emb05's
+    * centroids, broadcast into the span stream); marking is a
+    * broadcast hash join riding the scan; reassembly is ONE
+    * doc-keyed aggregate, the only stage that carries document text.
+    * Deterministic end-to-end (exact counts, pinned tie-breaks, exact
+    * integer cut) — the DuckDB replay hash-matches at all three SFs. */
+  private val Tx16SpanW = 2
+
+  private val tx16 = QueryDef(
+    "tx16_boilerplate",
+    (s, dir) => {
+      val base = TextShingles.words(s, dir).select(
+        col("doc_id"),
+        expr("CAST(size(ws) AS BIGINT)").as("n_tok"),
+        expr(s"CASE WHEN size(ws) % $Tx16SpanW = 1 THEN ws[size(ws) - 1] " +
+          "ELSE '' END").as("tail_tok"),
+        expr(s"""CASE WHEN size(ws) >= $Tx16SpanW THEN
+            transform(sequence(1, size(ws) div $Tx16SpanW),
+              i -> concat(ws[$Tx16SpanW*i - 2], ' ', ws[$Tx16SpanW*i - 1]))
+          ELSE array() END""").as("sps"))
+      val sp = base.select(col("doc_id"), col("n_tok"), col("tail_tok"),
+        posexplode_outer(col("sps")).as(Seq("idx", "sg")))
+      val dfTab = sp.filter(col("sg").isNotNull)
+        .groupBy("sg").agg(countDistinct(col("doc_id")).as("df"))
+      // bounded driver scalar: the distinct-span-key count sizes the
+      // rank cut (exact ⌈keys/100⌉ in both engines)
+      val nKeys = dfTab.count()
+      val kCut = ((nKeys + 99L) / 100L).toInt
+      val boiler = dfTab.orderBy(col("df").desc, col("sg").asc)
+        .limit(kCut).filter(col("df") >= 2L)
+        .select(col("sg"), lit(true).as("hit"))
+      sp.join(broadcast(boiler), Seq("sg"), "left_outer")
+        .select(col("doc_id"), col("n_tok"), col("tail_tok"), col("idx"),
+          col("sg"), coalesce(col("hit"), lit(false)).as("rem"))
+        .groupBy(col("doc_id"), col("n_tok"), col("tail_tok"))
+        .agg(
+          count(col("sg")).as("n_spans"),
+          sum(when(col("rem"), 1L).otherwise(0L)).as("removed_spans"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(
+              when(!col("rem") && col("sg").isNotNull,
+                struct(col("idx"), col("sg"))))),
+            x => x.getField("sg"))).as("kept"))
+        .select(col("doc_id"), col("n_tok"), col("n_spans"),
+          col("removed_spans"),
+          when(col("kept") === "", col("tail_tok"))
+            .when(col("tail_tok") === "", col("kept"))
+            .otherwise(concat(col("kept"), lit(" "), col("tail_tok")))
+            .as("cleaned"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+      |  len(ws) // $Tx16SpanW AS nsp,
+      |  CASE WHEN len(ws) % $Tx16SpanW = 1 THEN ws[len(ws)] ELSE '' END
+      |    AS tail_tok,
+      |  ws FROM w),
+      |sp AS (SELECT doc_id, t.i AS idx,
+      |  ws[$Tx16SpanW*t.i - 1] || ' ' || ws[$Tx16SpanW*t.i] AS sg
+      |  FROM b CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, nsp)) AS i) t),
+      |dfx AS (SELECT sg, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY sg),
+      |st AS (SELECT COUNT(*) AS n_keys FROM dfx),
+      |bo AS (SELECT x.sg FROM (SELECT sg, df,
+      |    ROW_NUMBER() OVER (ORDER BY df DESC, sg ASC) AS r FROM dfx) x, st
+      |  WHERE x.r <= (st.n_keys + 99) // 100 AND x.df >= 2),
+      |mk AS (SELECT s.doc_id, s.idx, s.sg, (b2.sg IS NOT NULL) AS rem
+      |  FROM sp s LEFT JOIN bo b2 USING (sg)),
+      |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN rem THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS removed_spans,
+      |  COALESCE(string_agg(CASE WHEN NOT rem THEN sg END, ' '
+      |    ORDER BY idx), '') AS kept
+      |  FROM mk GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tok,
+      |  COALESCE(ag.n_spans, 0) AS n_spans,
+      |  COALESCE(ag.removed_spans, 0) AS removed_spans,
+      |  CASE WHEN COALESCE(ag.kept, '') = '' THEN b.tail_tok
+      |       WHEN b.tail_tok = '' THEN ag.kept
+      |       ELSE ag.kept || ' ' || b.tail_tok END AS cleaned
+      |FROM b LEFT JOIN ag USING (doc_id)""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
-      tx12, tx13, tx14, tx15)
+      tx12, tx13, tx14, tx15, tx16)
 }

@@ -1617,6 +1617,44 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("tx16 boilerplate: matches an independent driver-side recomputation") {
+    val df = SparkEntry.queries("tx16_boilerplate")(spark, sf).persist()
+    try {
+      // full independent recomputation of the pass in plain Scala
+      val docs = Tables.load(spark, sf, "documents")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).split("\\s+")
+          .filter(_.nonEmpty).toSeq).toMap
+      val spans = docs.view.mapValues(ws =>
+        ws.grouped(2).filter(_.size == 2).map(_.mkString(" ")).toSeq).toMap
+      val docFreq = spans.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val kCut = ((docFreq.size + 99) / 100)
+      val boiler = docFreq.toSeq
+        .sortBy { case (sg, dfq) => (-dfq, sg) }.take(kCut)
+        .filter(_._2 >= 2).map(_._1).toSet
+      assert(boiler.nonEmpty) // the cut catches real repeats here
+      val expected = docs.map { case (id, ws) =>
+        val ss = spans(id)
+        val kept = ss.filterNot(boiler)
+        val tail = if (ws.size % 2 == 1) Seq(ws.last) else Nil
+        id -> ((ws.size.toLong, ss.size.toLong,
+          ss.count(boiler).toLong, (kept ++ tail).mkString(" ")))
+      }
+      assert(df.count() == docs.size)
+      df.collect().foreach { r =>
+        val (nTok, nSp, rem, cleaned) = expected(r.getLong(0))
+        assert(r.getLong(1) == nTok, s"n_tok doc ${r.getLong(0)}")
+        assert(r.getLong(2) == nSp, s"n_spans doc ${r.getLong(0)}")
+        assert(r.getLong(3) == rem, s"removed doc ${r.getLong(0)}")
+        assert(r.getString(4) == cleaned, s"cleaned doc ${r.getLong(0)}")
+      }
+      // non-vacuous both ways: something removed, corpus not destroyed
+      val tot = df.agg(sum("removed_spans"), sum("n_spans")).head
+      assert(tot.getLong(0) > 0 && tot.getLong(0) < tot.getLong(1) / 2)
+    } finally df.unpersist()
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(
