@@ -1537,8 +1537,189 @@ object CdcQueries {
          |${leg(2)}""".stripMargin
     })
 
+  // -------------------------------------------------------------- cdc24
+  /** ALLOWED LATENESS + LATE-DATA SIDE OUTPUT under the oracle gate
+    * (round 12) — the Flink windowing contract the reference's
+    * watermarked SQL runs under (ref: DtsTableISelectTCaseTest.java
+    * `WATERMARK FOR ts AS ts - INTERVAL '5' SECOND`; Flink
+    * `allowedLateness` + `sideOutputLateData`): records later than
+    * the watermark but whose window is still open COUNT (the
+    * lateness the delay buys), records whose window was already
+    * finalized are DROPPED by the stream and ROUTED to a side table
+    * — accounted for, never silently shed (the ing02 posture applied
+    * to time instead of bytes).
+    *
+    * Topology: the changelog (heartbeats INCLUDED — they advance the
+    * watermark in-band, [[graft.streaming.CdcStreaming
+    * .withHeartbeatWatermark]]'s contract, then drop) is dealt into
+    * two time-contiguous on-time batches, one STRAGGLER batch (a
+    * deterministic ~1/11 of data records, all event times, delivered
+    * after everything else — the out-of-order consumer a failover
+    * replay produces), and one final liveness heartbeat that flushes
+    * every still-open window. One real append-mode streaming query
+    * ([[graft.streaming.CdcStreaming.windowedOnTimeCounts]]) emits
+    * each (window, k) count exactly once through the parquet file
+    * sink. The watermark in force when the stragglers arrive is
+    * maxEventTime(on-time batches) − delay, ms-floored (Spark tracks
+    * event-time stats in milliseconds) — a straggler with window end
+    * above it is admitted, at or below it is dropped.
+    *
+    * The SIDE-OUTPUT leg is the external-watermark-service recipe: a
+    * deployment's lateness router consults the PUBLISHED watermark
+    * (a 1-row broadcast scalar here), so the leg is a stateless
+    * filter + one windowed aggregate over the stragglers — no key
+    * state, no second stateful stream. Output = both legs unioned,
+    * tagged `ontime`/`late`; the oracle replays the admission rule
+    * declaratively, so the hash match pins Spark's exact late-row
+    * admission boundary (strict window_end > watermark) cross-engine.
+    * Scale: everything rides the changelog scan; the only shuffle is
+    * the windowed count's, state is bounded by open windows ×
+    * values. */
+  private val cdc24Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val Cdc24WinUs = 10000000L
+  private val Cdc24DelayMs = 5L * 86400 * 1000 // 5 days
+
+  private val cdc24 = QueryDef(
+    "cdc24_late_side_output",
+    (s, dir) => {
+      val isData = col("op") =!= "HEARTBEAT"
+      val straggler = isData && col("record_id") % 11 === 7
+      val asRecords = changelog(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op").isin("INSERT", "UPDATE"),
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"),
+        straggler.as("straggler"))
+      val n = cdc24Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc24_j6r2d8_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      // two time-contiguous on-time batches, then the stragglers
+      val cut1 = unix_micros(lit("2024-01-16 00:00:00").cast("timestamp"))
+      val onTimeBatches = Seq(
+        !col("straggler") && col("tsUs") < cut1,
+        !col("straggler") && col("tsUs") >= cut1)
+      val wire = asRecords.drop("straggler")
+      def writeHeartbeat(id: Long, tsUs: Column): Unit =
+        wire.limit(1).select(
+          lit(id).as("id"), lit("tx-hb").as("transactionId"),
+          tsUs.as("tsUs"), tsUs.as("bornUs"),
+          lit("HEARTBEAT").as("op"),
+          lit("app").as("db"), lit("users").as("tbl"),
+          array(lit("pk")).as("pkNames"),
+          lit(null).cast("map<string,string>").as("before"),
+          lit(null).cast("map<string,string>").as("after"),
+          lit(null).cast("map<string,string>").as("props"),
+          lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+          lit(null).cast("array<string>").as("ukNames"))
+          .coalesce(1)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      def writeBatch(pred: Column): Unit =
+        asRecords.filter(pred).drop("straggler").coalesce(1)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      onTimeBatches.foreach(writeBatch)
+      // liveness heartbeat carrying the subscription's on-time
+      // high-water event time, BEFORE the replayed stragglers (the
+      // reference's idle-partition liveness record): it pins the
+      // watermark in force at replay to maxOnTime − delay regardless
+      // of how many micro-batches the engine's event-time stats lag
+      // by (measured: Spark 4 filters batch n with stats from batch
+      // n−2 on this path; with this record batches n−1 and n−2 carry
+      // the SAME max, so a 1- or 2-batch lag yields one watermark)
+      val maxOnUs = changelog(s, dir)
+        .filter(!(isData && col("record_id") % 11 === 7))
+        .agg(max(col("ts_us"))).head.getLong(0)
+      writeHeartbeat(999999998L, lit(maxOnUs))
+      writeBatch(col("straggler"))
+      // final liveness heartbeats: flush every still-open window (a
+      // fixed calendar instant far past the fixture's Jan-2024 span,
+      // so wm_final clears every window end; written twice so the
+      // flushing watermark lands whatever the stats lag is)
+      val flushTs = unix_micros(lit("2024-06-01 00:00:00").cast("timestamp"))
+      writeHeartbeat(999999999L, flushTs)
+      writeHeartbeat(1000000000L, flushTs)
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.CdcStreaming
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+      val counts = graft.streaming.CdcStreaming.windowedOnTimeCounts(
+        stream, expr("element_at(after, 'k')"), "10 seconds", "5 days")
+      val ontime = runToParquetAndRead(s, counts, chunkDir + "_out",
+        complete = false,
+        streamOutSchema("win_us" -> LongType, "value" -> StringType,
+          "n" -> LongType))
+        .select(lit("ontime").as("leg"), col("win_us"),
+          col("value").cast("int").as("k"), col("n"))
+      // side-output leg: the published-watermark router (ms-floored,
+      // exactly Spark's event-time stats precision)
+      val base = changelog(s, dir)
+      val wmRow = base
+        .filter(!(isData && col("record_id") % 11 === 7))
+        .agg(expr(s"(max(ts_us) div 1000 - $Cdc24DelayMs) * 1000")
+          .as("wm_us"))
+      val late = base.filter(isData && col("record_id") % 11 === 7)
+        .crossJoin(broadcast(wmRow))
+        .filter(expr(s"(ts_us div $Cdc24WinUs) * $Cdc24WinUs + $Cdc24WinUs") <=
+          col("wm_us"))
+        // the wire carries k in the AFTER image only — a DELETE has no
+        // after-image, so its k is NULL on the streaming leg and must
+        // be NULL here too
+        .groupBy(expr(s"(ts_us div $Cdc24WinUs) * $Cdc24WinUs").as("win_us"),
+          when(col("op") =!= "DELETE", col("k")).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("late").as("leg"), col("win_us"), col("k"), col("n"))
+      ontime.unionByName(late)
+    },
+    Some(s"""$changelogSql,
+      |p AS (SELECT record_id, ts_us, op, k,
+      |  (op <> 'HEARTBEAT' AND record_id % 11 = 7) AS lateflag
+      |  FROM changelog),
+      |wm AS (SELECT (MAX(ts_us) // 1000 - $Cdc24DelayMs) * 1000 AS wm_us
+      |  FROM p WHERE NOT lateflag),
+      |d AS (SELECT record_id, ts_us, op, lateflag,
+      |  CASE WHEN op = 'DELETE' THEN NULL ELSE k END AS k
+      |  FROM p WHERE op <> 'HEARTBEAT')
+      |SELECT 'ontime' AS leg, win_us, k, n FROM (
+      |  SELECT (ts_us // $Cdc24WinUs) * $Cdc24WinUs AS win_us, k,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM d, wm
+      |  WHERE NOT lateflag
+      |     OR (ts_us // $Cdc24WinUs) * $Cdc24WinUs + $Cdc24WinUs > wm_us
+      |  GROUP BY 1, 2)
+      |UNION ALL
+      |SELECT 'late' AS leg, win_us, k, n FROM (
+      |  SELECT (ts_us // $Cdc24WinUs) * $Cdc24WinUs AS win_us, k,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM d, wm
+      |  WHERE lateflag
+      |    AND (ts_us // $Cdc24WinUs) * $Cdc24WinUs + $Cdc24WinUs <= wm_us
+      |  GROUP BY 1, 2)""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
-    cdc21, cdc22, cdc23)
+    cdc21, cdc22, cdc23, cdc24)
 }

@@ -193,6 +193,30 @@ object CdcStreaming {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("win_us"), col("op"), col("n"))
 
+  /** Watermarked tumbling-window record counts in APPEND mode — the
+    * allowed-lateness surface (Flink's
+    * `allowedLateness`/side-output contract, the Spark half): a window
+    * emits exactly once, when the watermark passes its end; an input
+    * record whose window has already been finalized (window end ≤ the
+    * watermark in force at its arrival) is DROPPED by the stateful
+    * operator, while a late record whose window is still open — late
+    * by event time but within the allowed lateness the delay buys —
+    * still counts. Heartbeats advance the watermark and are then
+    * dropped ([[withHeartbeatWatermark]]), so a final liveness record
+    * is what flushes the last open windows at end of stream. The
+    * dropped records are the ones a Flink pipeline would route to its
+    * late-data side output; [[graft.cdc.CdcQueries]] cdc24 pairs this
+    * with the declarative side-output leg and oracle-gates both. */
+  def windowedOnTimeCounts(
+      changes: DataFrame, valueExpr: org.apache.spark.sql.Column,
+      win: String = "10 seconds",
+      watermark: String = "10 minutes"): DataFrame =
+    withHeartbeatWatermark(changes, watermark)
+      .groupBy(window(col("ts"), win), valueExpr.as("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("value"), col("n"))
+
   /** Streaming session windows: per-key activity sessions with a gap
     * timeout (Flink session windows), emitted on watermark close. */
   def sessionizedActivity(

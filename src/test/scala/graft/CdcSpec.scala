@@ -1140,6 +1140,39 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(inc.count() > 1)
   }
 
+  test("cdc24 lateness: legs partition the changelog, both lateness regimes exercised") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cdc24_late_side_output")(spark, sf)
+      .persist()
+    try {
+      // exactly-once emission: one row per (leg, window, k)
+      assert(out.groupBy("leg", "win_us", "k").count()
+        .filter(col("count") > 1).count() == 0)
+      // conservation: ontime + late = every data record, window by
+      // window (nothing silently shed — the side output accounts for
+      // every drop)
+      val total = out.groupBy("win_us", "k").agg(sum("n").as("n"))
+      val decl = graft.cdc.CdcQueries.changelog(spark, sf)
+        .filter(col("op") =!= "HEARTBEAT")
+        .groupBy(expr("(ts_us div 10000000) * 10000000").as("win_us"),
+          when(col("op") =!= "DELETE", col("k")).as("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(total.exceptAll(decl).count() == 0 &&
+        decl.exceptAll(total).count() == 0)
+      // both regimes non-vacuous: some stragglers were DROPPED to the
+      // side table, and some were late-but-admitted (window still
+      // open = allowed lateness actually bought something)
+      val nLate = out.filter(col("leg") === "late")
+        .agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+      val nStraggler = graft.cdc.CdcQueries.changelog(spark, sf)
+        .filter(col("op") =!= "HEARTBEAT" && col("record_id") % 11 === 7)
+        .count()
+      assert(nLate > 0, "no straggler was dropped - the gate is vacuous")
+      assert(nLate < nStraggler,
+        "every straggler was dropped - allowed lateness never exercised")
+    } finally out.unpersist()
+  }
+
   test("cdc21 txn apply: no torn transactions, holds back the straddler's prefix") {
     val sf = "/root/testdata/sf0.001"
     val ckptUs = unix_micros(
