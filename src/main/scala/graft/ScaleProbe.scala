@@ -115,7 +115,12 @@ object ScaleProbe {
       // ann15's hamming pass is ann01's linear broadcast-probe shape
       // over two longs per vector (queries fixed); rerank touches
       // Depth rows per query — the slope is the code-table scan's
-      "ann15_binary_quant")
+      "ann15_binary_quant",
+      // round 12 late additions: emb08 = emb05's training passes + one
+      // cluster-keyed window; tx16 = one span-keyed distinct-agg + one
+      // doc-keyed reassembly, both riding the scan; pk07 = pk01 + one
+      // (shard,bin)-keyed window
+      "emb08_proto_prune", "tx16_boilerplate", "pk07_pack_manifest")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap
@@ -258,7 +263,12 @@ object ScaleProbe {
         // round 11: the full source→stream→sink-table topology —
         // per-record sink work is O(batch), so time tracks volume
         // plus the fixed per-micro-batch floor
-        "cdc18_stream_to_sink")
+        "cdc18_stream_to_sink",
+        // round 12: the changelog scan through the append-mode window
+        // + the stateless side-output filter; streaming state bounded
+        // by open windows × values, so time tracks volume plus the
+        // per-micro-batch floor
+        "cdc24_late_side_output")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE $op%-22s x$k=${ts._1}%.2fs/${ts._2}r")

@@ -387,5 +387,55 @@ object Packing {
          |FROM win""".stripMargin
     })
 
-  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03, pk04, pk05, pk06)
+  // -------------------------------------------------------------- pk07
+  /** PACK MANIFEST with block-diagonal attention boundaries — the
+    * artifact a dataloader consumes to train on pk01's packed bins
+    * WITHOUT cross-document contamination: packing concatenates
+    * unrelated documents into one training sequence, so attention
+    * (and next-token loss at the first position of every document)
+    * must be masked at document boundaries (the standard
+    * sample-packing recipe; cf. Raffel et al. 2020 §2.2 packing,
+    * arXiv:1910.10683, and the block-diagonal attention every packed
+    * pretraining run ships). One row per packed SLOT: where each
+    * document sits inside its sequence — `[start_tok, start_tok +
+    * n_tok)` is the attention block, slot 1's start is 0 and slots
+    * are dense, `bin_tokens` is the sequence's true length before
+    * padding.
+    *
+    * Plan: pk01's packing verbatim, plus ONE window keyed
+    * (shard, bin) — slot numbering, the bin's base offset
+    * (first doc's cumsum start) and its token total all ride the same
+    * exchange; nothing new touches the corpus. Both engines compute
+    * the identical integer arithmetic — hash-exact. */
+  private val pk07 = QueryDef(
+    "pk07_pack_manifest",
+    (s, dir) => {
+      val w = Window.partitionBy(col("shard"), col("bin"))
+        .orderBy(col("pos").asc)
+      val whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      pk01.run(s, dir)
+        .withColumn("slot", row_number().over(w).cast("long"))
+        .withColumn("bin_base",
+          first(col("cum_tok") - col("n_tok")).over(whole))
+        .withColumn("bin_tokens",
+          (max(col("cum_tok")).over(whole) - col("bin_base")))
+        .select(col("shard"), col("bin"), col("slot"), col("doc_id"),
+          (col("cum_tok") - col("n_tok") - col("bin_base")).as("start_tok"),
+          col("n_tok"), col("bin_tokens"))
+    },
+    Some(s"""WITH p AS (${pk01.oracle.get})
+      |SELECT shard, bin, CAST(ROW_NUMBER() OVER w AS BIGINT) AS slot,
+      |  doc_id,
+      |  cum_tok - n_tok - FIRST_VALUE(cum_tok - n_tok) OVER wf AS start_tok,
+      |  n_tok,
+      |  MAX(cum_tok) OVER wf - FIRST_VALUE(cum_tok - n_tok) OVER wf
+      |    AS bin_tokens
+      |FROM p
+      |WINDOW w AS (PARTITION BY shard, bin ORDER BY pos ASC),
+      |  wf AS (PARTITION BY shard, bin ORDER BY pos ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+      .stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03, pk04, pk05, pk06, pk07)
 }

@@ -1655,6 +1655,37 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("pk07 pack manifest: blocks tile each bin exactly, consistent with pk01") {
+    val df = SparkEntry.queries("pk07_pack_manifest")(spark, sf).persist()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard", "bin").orderBy("slot")
+      val x = df
+        .withColumn("prev_end",
+          lag(col("start_tok") + col("n_tok"), 1, 0L).over(w))
+        .withColumn("rn", row_number().over(w))
+      // slots dense from 1; each block starts exactly where the
+      // previous one ends (no gaps, no overlap — the block-diagonal
+      // attention contract)
+      assert(x.filter(col("rn") =!= col("slot")).count() == 0)
+      assert(x.filter(col("start_tok") =!= col("prev_end")).count() == 0)
+      // bin_tokens = the sum of its blocks
+      val per = df.groupBy("shard", "bin").agg(
+        sum("n_tok").as("tok"), max("bin_tokens").as("bt"),
+        countDistinct("bin_tokens").as("nbt"))
+      assert(per.filter(col("tok") =!= col("bt") || col("nbt") =!= 1)
+        .count() == 0)
+      // same doc→(shard,bin) assignment as pk01
+      val pk01 = SparkEntry.queries("pk01_seq_pack")(spark, sf)
+        .select(col("doc_id"), col("shard").as("s1"), col("bin").as("b1"))
+      assert(df.join(pk01, "doc_id")
+        .filter(col("shard") =!= col("s1") || col("bin") =!= col("b1"))
+        .count() == 0)
+      // multi-doc bins exist, or the mask contract is untested
+      assert(per.count() < df.count())
+    } finally df.unpersist()
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(
