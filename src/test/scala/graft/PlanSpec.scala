@@ -306,6 +306,26 @@ class PlanSpec extends AnyFunSuite {
       s"one hash shuffle on shard expected:\n$p")
   }
 
+  test("q38 salted join: SMJ keys carry the salt; the hot key spreads ~S-fold") {
+    val p = plan("q38_skew_salted_join")
+    val smj = p.linesIterator.find(_.contains("SortMergeJoin"))
+    assert(smj.isDefined, s"salted join must not degrade to broadcast:\n$p")
+    assert(smj.get.contains("salt"),
+      s"join keys must include the salt:\n${smj.get}")
+    // the spread the salt buys, measured: max rows behind one join
+    // key falls ~S× (40% of docs share lang='en' unsalted)
+    import org.apache.spark.sql.functions.{col, hash, lit, max, pmod}
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        pmod(hash(col("doc_id")), lit(16)).as("salt"))
+    val maxPlain = d.groupBy("lang").count()
+      .agg(max("count")).head.getLong(0)
+    val maxSalted = d.groupBy("lang", "salt").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxSalted * 8 <= maxPlain,
+      s"salting should spread the hot key: plain=$maxPlain salted=$maxSalted")
+  }
+
   test("dd15 incremental probe: delta broadcasts, base index streams, no cartesian") {
     // the query result is checkpointed (plans as an RDD scan), so pin
     // the pre-checkpoint probe plan the exposed hook returns
