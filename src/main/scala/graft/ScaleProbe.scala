@@ -120,7 +120,14 @@ object ScaleProbe {
       // cluster-keyed window; tx16 = one span-keyed distinct-agg + one
       // doc-keyed reassembly, both riding the scan; pk07 = pk01 + one
       // (shard,bin)-keyed window
-      "emb08_proto_prune", "tx16_boilerplate", "pk07_pack_manifest")
+      "emb08_proto_prune", "tx16_boilerplate", "pk07_pack_manifest",
+      // q38: one map-side-combined 5-key agg + one salted SMJ whose
+      // exchange carries (lang, salt) — corpus-linear by construction
+      "q38_skew_salted_join",
+      // tx17: reference-slice ctf agg + one token-stream hash join +
+      // the bounded-histogram integer rank — corpus-linear, no global
+      // sort
+      "tx17_ppl_buckets")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap

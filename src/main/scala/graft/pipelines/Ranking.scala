@@ -22,6 +22,34 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** (idCol, pos): 0-based global rank by (`valueCol` ASC, `idCol`
+    * ASC) WITHOUT a global sort — the [[saltedRank]] two-phase shape
+    * generalized to an arbitrary non-negative integer key: the coarse
+    * bucket `value >> coarseShift` is a MONOTONE function of the key,
+    * so bucket-offset + within-bucket row_number equals ROW_NUMBER
+    * over the full order. The histogram collect is bounded by the
+    * key's VALUE RANGE (range >> coarseShift buckets), never by the
+    * row count — at 100 TB a bounded-range score (e.g. mean bits ≤
+    * ~40, scaled 2^20) keeps the driver job a few hundred rows while
+    * the per-bucket windows run where the rows live. */
+  private[pipelines] def integerRank(
+      df: DataFrame, valueCol: String, idCol: String,
+      coarseShift: Int): DataFrame = {
+    val keyed = df.select(col(idCol), col(valueCol).as("_rv"))
+      .withColumn("_rb", expr(s"CAST(_rv div ${1L << coarseShift} AS INT)"))
+    val counts = keyed.groupBy("_rb").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val wB = Window.partitionBy(col("_rb"))
+      .orderBy(col("_rv").asc, col(idCol).asc)
+    keyed
+      .withColumn("pos",
+        element_at(typedlit(offsets), col("_rb")) +
+          row_number().over(wB) - 1)
+      .select(col(idCol), col("pos"))
+  }
+
   /** (idCol, pos): 0-based dense rank of each row in the salted-md5
     * permutation. `df` must contain `idCol` with distinct values. */
   private[pipelines] def saltedRank(

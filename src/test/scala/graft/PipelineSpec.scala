@@ -1686,6 +1686,58 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("tx17 ppl buckets: matches a driver-side recomputation; terciles exact") {
+    val df = SparkEntry.queries("tx17_ppl_buckets")(spark, sf).persist()
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+        .select("doc_id", "text", "source").collect()
+        .map(r => (r.getLong(0),
+          r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq,
+          r.getString(2)))
+      val refSrcs = Set("src0", "src1", "src2", "src3")
+      val refToks = docs.filter(d => refSrcs(d._3)).flatMap(_._2)
+      val nRef = refToks.size.toLong
+      val ctf = refToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def bits(t: String): Long = ctf.get(t) match {
+        case Some(c) => java.lang.Long.toBinaryString(nRef / c).length - 1L
+        case None => java.lang.Long.toBinaryString(nRef).length.toLong
+      }
+      val scored = docs.map { case (id, ws, _) =>
+        val sb = ws.map(bits).sum
+        val q = if (ws.nonEmpty) sb * 1048576L / ws.size else 0L
+        (id, ws.size.toLong, sb, q)
+      }
+      val n = scored.length
+      val expected = scored.sortBy(d => (d._4, d._1)).zipWithIndex.map {
+        case ((id, nt, sb, q), pos) =>
+          val b = if (pos * 3 < n) "head"
+            else if (pos * 3 < 2 * n) "middle" else "tail"
+          id -> ((nt, sb, q, b))
+      }.toMap
+      assert(df.count() == n)
+      df.collect().foreach { r =>
+        val (nt, sb, q, b) = expected(r.getLong(0))
+        assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)) ==
+          ((nt, sb, q, b)), s"doc ${r.getLong(0)}")
+      }
+      // tercile sizes exact; score ordering respects the bucket order
+      val szs = df.groupBy("bucket").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(szs("head") + szs("middle") + szs("tail") == n)
+      assert(Seq(szs("head"), szs("middle"), szs("tail"))
+        .forall(c => math.abs(c - n / 3) <= 1))
+      val hMax = df.filter(col("bucket") === "head")
+        .agg(max("ppl_q")).head.getLong(0)
+      val mMin = df.filter(col("bucket") === "middle")
+        .agg(min("ppl_q")).head.getLong(0)
+      val mMax = df.filter(col("bucket") === "middle")
+        .agg(max("ppl_q")).head.getLong(0)
+      val tMin = df.filter(col("bucket") === "tail")
+        .agg(min("ppl_q")).head.getLong(0)
+      assert(hMax <= mMin && mMax <= tMin)
+    } finally df.unpersist()
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(
