@@ -255,7 +255,11 @@ object ScaleProbe {
         // ing03 = one batch filter + the streamed tail's stateless
         // position admission — both ride the changelog scan; output
         // rows are the full data-record set, so rows grow k×
-        "ing03_backfill_seam")
+        "ing03_backfill_seam",
+        // cdc25 = the cdc16/cdc17 write path + two manifest-pruned
+        // chain merges with a per-row typed projection — the
+        // evolution itself costs nothing at write time
+        "cdc25_evolved_snapshots")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE sink($op) x$k=${ts._1}%.2fs/${ts._2}r")

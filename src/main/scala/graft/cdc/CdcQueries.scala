@@ -1718,8 +1718,132 @@ object CdcQueries {
       |    AND (ts_us // $Cdc24WinUs) * $Cdc24WinUs + $Cdc24WinUs <= wm_us
       |  GROUP BY 1, 2)""".stripMargin))
 
+  // -------------------------------------------------------------- cdc25
+  /** SCHEMA EVOLUTION over the landed table (round 12) — the
+    * Delta/Iceberg contract that schema is PER-SNAPSHOT metadata: the
+    * upstream runs `ALTER TABLE ADD COLUMN` mid-changelog (records
+    * from the cut on carry the new field in their after-image; the
+    * reference delivers the DDL in-band — OperationType.java DDL —
+    * and cdc08/applyDdl already gate the WIRE-side reaction), the
+    * sink lands everything unchanged (after-images are schema-free
+    * maps — evolution never rewrites stored files, exactly like the
+    * lakehouse formats), and the READS carry the schema:
+    *
+    *  - the LIVE read projects under the EVOLVED schema
+    *    ([[graft.cdc.TypedSchema.applyDdl]] applied to the declared
+    *    v1 schema — the consumer-side reaction to the control
+    *    stream): keys whose winning record predates the cut
+    *    MERGE-ON-READ to NULL in the new column (never a backfill
+    *    rewrite), keys last written after it carry the value;
+    *  - the TIME-TRAVEL read as of the first batch projects under
+    *    the CONTEMPORANEOUS v1 schema — an old snapshot keeps
+    *    reading exactly as it always did, evolution cannot reach
+    *    back.
+    *
+    * Composes cdc08 (typed projection through applyDdl) with cdc16
+    * (snapshot time travel) into the schema half of the sink's
+    * temporal story. Scale: both legs are the manifest-pruned chain
+    * merges the sink always does plus a per-row typed projection —
+    * nothing new shuffles; the retention arithmetic that keeps batch
+    * 0's snapshot readable is cdc17's (RetainVersions=2 with
+    * maxDeltas=2 over 3 batches — v1's chains still reference the v0
+    * delta). The ALTER lands LATE in the changelog ([[Cdc25CutTs]]):
+    * every fixture key stays active to the month's end, so last-wins
+    * winners cluster in the final days — a mid-month cut leaves the
+    * merge-on-read NULL side VACUOUS (measured: zero pre-cut winners
+    * at any SF for a Jan-16 cut; Jan-30 gives 1/22/173 pre-cut vs
+    * 11/86/957 post-cut live keys at the three SFs). Oracle = the
+    * declarative last-wins states at both cuts with the column rule
+    * applied literally — hash-match at all three SFs. */
+  private val cdc25Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val Cdc25CutTs = "2024-01-30 00:00:00"
+
+  private val cdc25 = QueryDef(
+    "cdc25_evolved_snapshots",
+    (s, dir) => {
+      val cut = unix_micros(lit(Cdc25CutTs).cast("timestamp"))
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        col("ts_us").as("tsUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        lit(null).cast("array<string>").as("ukNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string"),
+              // the ADD COLUMN point: records from the cut on carry
+              // the new field (upstream started emitting it)
+              lit("v2"), when(col("ts_us") >= cut,
+                (col("k").cast("long") * 2).cast("string"))),
+            (_, v) => v.isNotNull)).as("after"))
+      val parity = cdc25Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement() % 2
+      val tablePath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc25_h4t7n1_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + parity)
+      graft.Fs.deleteRecursively(tablePath)
+      val tableDir = tablePath.toString
+      (0L until 3L).foreach { b =>
+        graft.sinks.CdcParquetSink.applyBatch(
+          s, asRecords.filter(pmod(col("id"), lit(3)) === b),
+          tableDir, b, nBuckets = 4, maxDeltas = 2)
+      }
+      val v1 = TypedSchema.TableSchema(
+        db = "app", tbl = "users", pkNames = Seq("pk"),
+        fields = Seq(
+          TypedSchema.RecordField("pk", "bigint"),
+          TypedSchema.RecordField("val", "double"),
+          TypedSchema.RecordField("k", "int")))
+      val v2 = TypedSchema.applyDdl(v1,
+        "ALTER TABLE app.users ADD COLUMN v2 bigint")
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("recordId").as("id"), col("tsUs"), col("op"),
+        lit("app").as("db"), lit("users").as("tbl"), col("after"))
+      val live = TypedSchema.project(shape(
+          graft.sinks.CdcParquetSink.readTable(s, tableDir)
+            .getOrElse(sys.error(s"sink table missing at $tableDir"))), v2)
+        .select(lit("live").as("leg"), col("pk"), col("val"), col("k"),
+          col("v2"))
+      val asof = TypedSchema.project(shape(
+          graft.sinks.CdcParquetSink.readTableAsOf(s, tableDir, 0L)
+            .getOrElse(sys.error(
+              s"snapshot v0 aged out at $tableDir — the cdc17 retention " +
+                "arithmetic (RetainVersions=2, maxDeltas=2, 3 batches) " +
+                "no longer holds"))), v1)
+        .select(lit("asof_v0").as("leg"), col("pk"), col("val"), col("k"),
+          lit(null).cast("long").as("v2"))
+      live.unionByName(asof)
+    },
+    Some(s"""$changelogSql,
+      |recs AS (SELECT *, record_id % 3 AS b FROM changelog
+      |  WHERE op <> 'HEARTBEAT'),
+      |win AS (SELECT pk, record_id, ts_us, op, val, k,
+      |  ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY ts_us DESC, record_id DESC) AS rn FROM recs),
+      |lv AS (SELECT * FROM win WHERE rn = 1 AND op <> 'DELETE'),
+      |w0 AS (SELECT pk, record_id, ts_us, op, val, k,
+      |  ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY ts_us DESC, record_id DESC) AS rn FROM recs
+      |  WHERE b = 0),
+      |s0 AS (SELECT * FROM w0 WHERE rn = 1 AND op <> 'DELETE')
+      |SELECT 'live' AS leg, pk, val, k,
+      |  CASE WHEN ts_us >= epoch_us(TIMESTAMP '$Cdc25CutTs')
+      |    THEN CAST(k * 2 AS BIGINT) END AS v2
+      |FROM lv
+      |UNION ALL
+      |SELECT 'asof_v0' AS leg, pk, val, k, NULL AS v2 FROM s0"""
+      .stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
-    cdc21, cdc22, cdc23, cdc24)
+    cdc21, cdc22, cdc23, cdc24, cdc25)
 }

@@ -1173,6 +1173,47 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("cdc25 evolution: merge-on-read NULL backfill, old snapshot keeps old schema") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cdc25_evolved_snapshots")(spark, sf)
+      .persist()
+    try {
+      val live = out.filter(col("leg") === "live")
+      val asof = out.filter(col("leg") === "asof_v0")
+      // live leg: v2 non-null iff the key's winning record is from
+      // the post-ALTER era — both eras must be present (the cut is
+      // mid-changelog) and v2 carries the declared derivation
+      val cutUs = unix_micros(
+        lit("2024-01-30 00:00:00").cast("timestamp"))
+      val winners = graft.cdc.CdcQueries.changelog(spark, sf)
+        .filter(col("op") =!= "HEARTBEAT")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("pk")
+            .orderBy(col("ts_us").desc, col("record_id").desc)))
+        .filter(col("rn") === 1 && col("op") =!= "DELETE")
+        .select(col("pk"), (col("ts_us") >= cutUs).as("post"))
+      val j = live.join(winners, "pk")
+      assert(j.filter(col("post") =!= col("v2").isNotNull).count() == 0)
+      assert(j.filter(col("post")).count() > 0)
+      assert(j.filter(!col("post")).count() > 0)
+      assert(live.filter(col("v2").isNotNull &&
+        col("v2") =!= col("k").cast("long") * 2).count() == 0)
+      // time-travel leg: schema is contemporaneous — v2 is never
+      // populated, even for records that DID carry the field (batch
+      // deal is id-based, so post-cut records land in batch 0 too)
+      assert(asof.count() > 0)
+      assert(asof.filter(col("v2").isNotNull).count() == 0)
+      // the DROP COLUMN direction returns applyDdl to the v1 shape
+      val v1 = graft.cdc.TypedSchema.TableSchema(
+        "app", "users", Seq("pk"),
+        Seq(graft.cdc.TypedSchema.RecordField("pk", "bigint")))
+      val v2s = graft.cdc.TypedSchema.applyDdl(v1,
+        "ALTER TABLE app.users ADD COLUMN v2 bigint")
+      assert(graft.cdc.TypedSchema.applyDdl(v2s,
+        "ALTER TABLE app.users DROP COLUMN v2") == v1)
+    } finally out.unpersist()
+  }
+
   test("cdc21 txn apply: no torn transactions, holds back the straddler's prefix") {
     val sf = "/root/testdata/sf0.001"
     val ckptUs = unix_micros(
