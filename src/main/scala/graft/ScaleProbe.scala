@@ -127,7 +127,10 @@ object ScaleProbe {
       // tx17: reference-slice ctf agg + one token-stream hash join +
       // the bounded-histogram integer rank — corpus-linear, no global
       // sort
-      "tx17_ppl_buckets")
+      "tx17_ppl_buckets",
+      // emb09: ann01's broadcast-anchors brute scan with a label
+      // predicate — corpus-linear, queries fixed
+      "emb09_hard_negatives")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap
@@ -247,6 +250,9 @@ object ScaleProbe {
         // ing02 is a narrow encode→corrupt→route map riding the scan
         "cdc19_scd2_history", "cdc20_ivm_delta", "cdc21_txn_apply",
         "ing02_quarantine_route",
+        // ing04 = ing02's narrow codec map twice + one broadcast semi
+        // join re-fetching the 1/37 quarantine subset — rides the scan
+        "ing04_quarantine_replay",
         // cdc22 = the cdc10 write path + one full-rewrite compaction
         // job (input = live chains, output = k× keys once each);
         // cdc23 = the same write path + one changed-bucket-pruned

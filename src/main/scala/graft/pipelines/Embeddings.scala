@@ -734,6 +734,63 @@ object Embeddings {
       |    AS keep
       |FROM rk""".stripMargin))
 
+  // ------------------------------------------------------------- emb09
+  /** HARD-NEGATIVE MINING for contrastive retrieval training — the
+    * data-prep step dense-retriever pipelines run between corpus and
+    * trainer (DPR, Karpukhin et al. 2020 arXiv:2004.04906: training
+    * pairs need negatives that are HARD, not random; ANCE, Xiong et
+    * al. 2020 arXiv:2007.00808: mine them from an ANN index over the
+    * corpus): per anchor vector, the top-[[Emb09K]] highest-cosine
+    * vectors with a DIFFERENT label (label = the relevance proxy —
+    * same-label rows are positives and must never appear). The exact
+    * mirror image of ann11's filtered search (label-EXCLUDING instead
+    * of label-constrained).
+    *
+    * Scale shape: anchors broadcast, the corpus streams — ann01's
+    * brute plan, the mining baseline; at 10⁹ vectors the ANCE recipe
+    * swaps in the stored-index graph walk with ann11's post-filter
+    * predicate inverted, kernel unchanged. Cosines are the in-order
+    * VecDot folds, so DuckDB hash-matches bit-for-bit. */
+  private val Emb09K = 10
+  private val Emb09NQ = 10
+
+  private val emb09 = QueryDef(
+    "emb09_hard_negatives",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"),
+          col("label"))
+        .withColumn("nn", VectorOps.norm2("v"))
+      val q = e.filter(col("vec_id") < Emb09NQ)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nn").as("qn"), col("label").as("q_label"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("neg_id").asc)
+      broadcast(q).join(e,
+          col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"),
+          col("vec_id").as("neg_id"), col("label").as("neg_label"),
+          VectorOps.cosine("qv", "v", "qn", "nn").as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= Emb09K)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+      |  ${VectorOps.castSql("embedding")} AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, ${VectorOps.dotSql("v", "v")} AS nn
+      |  FROM e),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, q.label AS q_label,
+      |    e2.vec_id AS neg_id, e2.label AS neg_label,
+      |    ${VectorOps.cosineSql("q.v", "e2.v", "q.nn", "e2.nn")} AS cos
+      |  FROM n q JOIN n e2
+      |    ON e2.vec_id <> q.vec_id AND e2.label <> q.label
+      |  WHERE q.vec_id < $Emb09NQ)
+      |SELECT q_id, q_label, neg_id, neg_label, cos, rnk FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, neg_id ASC) AS BIGINT) AS rnk FROM scored)
+      |WHERE rnk <= $Emb09K""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(emb01, emb02, emb03, emb04, emb05, emb06,
-    emb07, emb08)
+    emb07, emb08, emb09)
 }

@@ -203,28 +203,43 @@ object Ingest {
     * the entire encode→corrupt→route path is hash-gated. Scale: a
     * per-row narrow map riding the wire scan — no shuffle, no state,
     * no driver involvement. */
+  /** Wire payloads for the quarantine pair (ing02/ing04): every data
+    * record encoded through the real v3 codec; ids ≡ 0 mod
+    * `corruptMod` truncated to 5 bytes — an unconditionally
+    * undecodable prefix. `onlyIds` (a `record_id` frame) restricts to
+    * a re-delivery subset via a broadcast semi join — the replay path
+    * re-fetches quarantined positions from the source, and the
+    * quarantine set is tiny relative to the corpus by construction. */
+  private def wireFrame(s: SparkSession, dir: String, corruptMod: Long,
+      onlyIds: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val log = graft.cdc.CdcQueries.changelog(s, dir)
+      .filter(col("op") =!= "HEARTBEAT")
+    val picked = onlyIds.fold(log)(ids =>
+      log.join(broadcast(ids), Seq("record_id"), "left_semi"))
+    val recs = picked
+      .select(col("record_id"), col("ts_us"), col("op"),
+        col("pk").cast("string").as("pk"),
+        col("val").cast("string").as("val"),
+        col("k").cast("string").as("k"))
+      .as[(Long, Long, String, String, String, String)]
+    recs.map { case (id, ts, op, pk, v, k) =>
+      val after =
+        if (op == "DELETE") null
+        else Map("pk" -> pk, "val" -> v, "k" -> k).filter(_._2 != null)
+      val before = if (op == "DELETE") Map("pk" -> pk) else null
+      val bytes = graft.cdc.RecordCodec.encode(graft.cdc.ChangeRecord(
+        id, s"tx-${id / 100}", ts, ts - 500L, op, "app", "users",
+        Seq("pk"), before, after))
+      (id, if (id % corruptMod == 0) bytes.take(5) else bytes)
+    }.toDF("wire_id", "value")
+  }
+
   private val ing02 = QueryDef(
     "ing02_quarantine_route",
     (s, dir) => {
-      import s.implicits._
-      val recs = graft.cdc.CdcQueries.changelog(s, dir)
-        .filter(col("op") =!= "HEARTBEAT")
-        .select(col("record_id"), col("ts_us"), col("op"),
-          col("pk").cast("string").as("pk"),
-          col("val").cast("string").as("val"),
-          col("k").cast("string").as("k"))
-        .as[(Long, Long, String, String, String, String)]
-      val wire = recs.map { case (id, ts, op, pk, v, k) =>
-        val after =
-          if (op == "DELETE") null
-          else Map("pk" -> pk, "val" -> v, "k" -> k).filter(_._2 != null)
-        val before = if (op == "DELETE") Map("pk" -> pk) else null
-        val bytes = graft.cdc.RecordCodec.encode(graft.cdc.ChangeRecord(
-          id, s"tx-${id / 100}", ts, ts - 500L, op, "app", "users",
-          Seq("pk"), before, after))
-        (id, if (id % 37 == 0) bytes.take(5) else bytes)
-      }.toDF("wire_id", "value")
-      graft.streaming.CdcStreaming.routeWireRecords(wire)
+      graft.streaming.CdcStreaming.routeWireRecords(wireFrame(s, dir, 37))
         .select(col("wire_id"), col("ok"),
           col("record_id").as("rec_id"), col("op"),
           // the library surface carries the JVM error class; the
@@ -328,5 +343,63 @@ object Ingest {
       |  CASE WHEN record_id < hwm THEN 'backfill' ELSE 'stream' END AS via
       |FROM changelog, hw WHERE op <> 'HEARTBEAT'""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03)
+  // ------------------------------------------------------------- ing04
+  /** QUARANTINE REPLAY (round 12) — the second half of the dead-letter
+    * contract ing02 opened: quarantined payloads are not a graveyard
+    * but a WORK QUEUE. After the outage that corrupted them clears,
+    * the pipeline re-requests each quarantined position from the
+    * source and routes the re-delivery through the identical decode;
+    * records whose corruption was transient are admitted on attempt 2,
+    * records broken AT SOURCE stay dead with their attempt count — and
+    * the union of (first-pass admissions, replay admissions, dead
+    * letters) must cover every data record EXACTLY ONCE, the
+    * exactly-once-across-retries invariant a redrive loop has to keep
+    * (the DLQ-redrive contract, same shape as Kinesis/SQS redrive or a
+    * Kafka dead-letter-topic re-consumer).
+    *
+    * Gate: pass 1 corrupts ids ≡ 0 mod 37 (ing02's rule); the replay
+    * re-fetches exactly the quarantined positions (a BROADCAST semi
+    * join — the quarantine set is 1/37 of the corpus by construction,
+    * and at 100 TB a redrive batch is always small relative to the
+    * stream) and re-encodes them, but ids ≡ 0 mod 74 are broken at
+    * source, so re-delivery truncates them again. Both passes run the
+    * one [[graft.streaming.CdcStreaming.routeWireRecords]] definition.
+    * The oracle knows the two corruption RULES, not the bytes: since
+    * 74 = 2·37, %37≠0 ⇒ admitted on attempt 1, else %74≠0 ⇒ replayed
+    * on attempt 2, else dead — the whole
+    * encode→corrupt→route→refetch→reroute loop is hash-gated. Scale:
+    * two narrow codec maps riding scans + one broadcast semi join; no
+    * shuffle on the corpus side, no state, no driver collection. */
+  private val ing04 = QueryDef(
+    "ing04_quarantine_replay",
+    (s, dir) => {
+      val r1 = graft.streaming.CdcStreaming
+        .routeWireRecords(wireFrame(s, dir, 37))
+      val admitted = r1.filter(col("ok"))
+        .select(col("wire_id"), col("record_id").as("rec_id"), col("op"),
+          lit(1).as("attempts"), lit("admitted").as("status"))
+      // the quarantine verdict's position is the re-fetch key
+      val quarantineIds = r1.filter(!col("ok"))
+        .select(col("wire_id").as("record_id"))
+      val r2 = graft.streaming.CdcStreaming.routeWireRecords(
+        wireFrame(s, dir, 74, Some(quarantineIds)))
+      val replay = r2.select(col("wire_id"),
+        col("record_id").as("rec_id"), col("op"),
+        lit(2).as("attempts"),
+        when(col("ok"), lit("replayed")).otherwise(lit("dead"))
+          .as("status"))
+      admitted.unionByName(replay)
+    },
+    // 74 = 2·37, so %37≠0 ⇒ %74≠0: one CASE ladder covers the lattice
+    Some(s"""${graft.cdc.CdcQueries.changelogSql}
+      |SELECT record_id AS wire_id,
+      |  CASE WHEN record_id % 74 <> 0 THEN record_id END AS rec_id,
+      |  CASE WHEN record_id % 74 <> 0 THEN op END AS op,
+      |  CASE WHEN record_id % 37 <> 0 THEN 1 ELSE 2 END AS attempts,
+      |  CASE WHEN record_id % 37 <> 0 THEN 'admitted'
+      |       WHEN record_id % 74 <> 0 THEN 'replayed'
+      |       ELSE 'dead' END AS status
+      |FROM changelog WHERE op <> 'HEARTBEAT'""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(ing01, ing02, ing03, ing04)
 }

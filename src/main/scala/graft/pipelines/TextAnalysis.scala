@@ -1096,7 +1096,189 @@ object TextAnalysis {
         |FROM rk""".stripMargin))
   }
 
+  // ------------------------------------------------------------- tx18
+  /** GOPHER REPETITION FILTERS (round 12; Rae et al. 2021,
+    * arXiv:2112.11446 Table A1) — the per-document repetition gates
+    * every Gopher/MassiveText-lineage corpus runs between language ID
+    * and quality scoring: documents dominated by a single repeated
+    * n-gram, or with a large mass of duplicated n-grams, are
+    * machine-generated/boilerplate and are dropped before training.
+    * Two legs, both character-mass fractions over the
+    * space-normalized document (denom = Σ token chars + separators):
+    *
+    *  1. TOP-2-GRAM fraction: chars of the most frequent 2-gram ×
+    *     its count / denom (ties → lexicographically smallest gram —
+    *     deterministic in both engines). Gopher's threshold 0.20
+    *     kept: flags 6/8/59 docs at the three SFs.
+    *  2. DUPLICATE-3-GRAM fraction: chars in ALL occurrences of
+    *     3-grams appearing more than once / denom (overlap-counting,
+    *     the paper's definition). Gopher gates n=5..10; this
+    *     fixture's duplicated-5-gram mass is exactly ZERO (measured
+    *     at every SF — short word-salad docs), so the gate runs the
+    *     same n-agnostic math at n=3 with threshold 0.10 (flags
+    *     9/5/80) so both outcomes are non-vacuous.
+    *
+    * keep = both fractions at or under threshold. All counts are
+    * integers; each fraction is ONE textually-identical double
+    * division (the q37 recipe) so the hash matches bit-for-bit.
+    * Scale: 2-/3-gram explodes are bounded row-multiplies riding the
+    * scan; the per-(doc,gram) count and per-doc window shuffle on
+    * doc-keyed data — corpus-linear, no global structure. */
+  private val tx18 = QueryDef(
+    "tx18_gopher_repeat",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = TextShingles.words(s, dir)
+        .withColumn("n_tokens", size(col("ws")).cast("long"))
+        .withColumn("denom",
+          expr("aggregate(ws, 0L, (a, x) -> a + length(x))") +
+            when(col("n_tokens") > 0, col("n_tokens") - 1).otherwise(lit(0L)))
+      val g2 = base.filter(col("n_tokens") >= 2)
+        .select(col("doc_id"),
+          explode(expr(TextShingles.shingleArray(2))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val w2 = Window.partitionBy("doc_id")
+        .orderBy(col("c").desc, col("g").asc)
+      val top2 = g2.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          (col("c") * length(col("g"))).cast("long").as("top2_n"))
+      val dup3 = base.filter(col("n_tokens") >= 3)
+        .select(col("doc_id"),
+          explode(expr(TextShingles.shingleArray(3))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .groupBy("doc_id")
+        .agg(sum(col("c") * length(col("g"))).cast("long").as("dup3_n"))
+      base.select("doc_id", "n_tokens", "denom")
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup3, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("denom"),
+          coalesce(col("top2_n"), lit(0L)).as("top2_n"),
+          coalesce(col("dup3_n"), lit(0L)).as("dup3_n"))
+        .withColumn("top2_frac", expr(
+          "CASE WHEN denom > 0 THEN CAST(top2_n AS DOUBLE) / denom ELSE CAST(0 AS DOUBLE) END"))
+        .withColumn("dup3_frac", expr(
+          "CASE WHEN denom > 0 THEN CAST(dup3_n AS DOUBLE) / denom ELSE CAST(0 AS DOUBLE) END"))
+        .withColumn("keep",
+          col("top2_frac") <= 0.2 && col("dup3_frac") <= 0.1)
+    },
+    Some("""WITH w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+      |      AS BIGINT)
+      |    + CASE WHEN len(ws) > 0 THEN len(ws) - 1 ELSE 0 END AS denom
+      |  FROM w),
+      |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, COUNT(*) AS c
+      |  FROM w CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+      |  GROUP BY doc_id, g),
+      |top2 AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top2_n
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY c DESC, g ASC) AS rn FROM g2)
+      |  WHERE rn = 1),
+      |g3 AS (SELECT doc_id,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, COUNT(*) AS c
+      |  FROM w CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+      |  GROUP BY doc_id, g),
+      |dup3 AS (SELECT doc_id, CAST(SUM(c * length(g)) AS BIGINT) AS dup3_n
+      |  FROM g3 WHERE c > 1 GROUP BY doc_id),
+      |sel AS (SELECT b.doc_id, b.n_tokens, b.denom,
+      |    COALESCE(t.top2_n, 0) AS top2_n, COALESCE(d.dup3_n, 0) AS dup3_n
+      |  FROM base b LEFT JOIN top2 t USING (doc_id)
+      |  LEFT JOIN dup3 d USING (doc_id))
+      |SELECT doc_id, n_tokens, denom, top2_n, dup3_n,
+      |  CASE WHEN denom > 0 THEN CAST(top2_n AS DOUBLE) / denom
+      |    ELSE CAST(0 AS DOUBLE) END AS top2_frac,
+      |  CASE WHEN denom > 0 THEN CAST(dup3_n AS DOUBLE) / denom
+      |    ELSE CAST(0 AS DOUBLE) END AS dup3_frac,
+      |  top2_frac <= 0.2 AND dup3_frac <= 0.1 AS keep
+      |FROM sel""".stripMargin))
+
+  // ------------------------------------------------------------- tx19
+  /** PII REDACTION (round 12) — the masking pass every released web
+    * corpus runs before training (C4 scrubbed pages; Dolma §2.3 /
+    * RedPajama-v2 mask emails, IP addresses and phone numbers with
+    * exactly this regex-class approach): per document, count and
+    * replace each PII class with a typed placeholder token, emitting
+    * the cleaned text plus the per-class counts an audit needs. The
+    * fixture corpus is PII-free by construction (digit-free word
+    * salad), so the gate INJECTS deterministic PII first — the ing02
+    * corruption pattern: the oracle knows the injection RULE, and the
+    * whole inject→count→redact path is hash-gated end-to-end.
+    *
+    * Injection rule (id-keyed, classes overlap on lcm residues):
+    * id ≡ 0 mod 5 prepends an email, id ≡ 0 mod 7 appends an IPv4,
+    * id ≡ 0 mod 11 appends a phone. Patterns are the Java∩RE2
+    * compatible subset (character classes + bounded repeats — no
+    * backrefs/lookaround, so Spark's java.util.regex and DuckDB's RE2
+    * agree by construction). Counts are taken on the dirty text;
+    * redaction applies all three classes (nested regexp_replace —
+    * Spark replaces all occurrences natively, DuckDB via the 'g'
+    * flag). Scale: one narrow per-row map riding the scan — no
+    * shuffle, no state, codegen'd regex. */
+  private val tx19 = QueryDef(
+    "tx19_pii_redact",
+    (s, dir) => {
+      val emailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val ipPat = "10\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+      val phonePat = "555-[0-9]{4}"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("dirty", expr(
+          """concat(
+            |  CASE WHEN doc_id % 5 = 0
+            |    THEN concat('contact u', doc_id, '@ex', doc_id % 7, '.org ')
+            |    ELSE '' END,
+            |  text,
+            |  CASE WHEN doc_id % 7 = 0
+            |    THEN concat(' from 10.', doc_id % 256, '.0.', doc_id % 100)
+            |    ELSE '' END,
+            |  CASE WHEN doc_id % 11 = 0
+            |    THEN concat(' call 555-', 1000 + doc_id % 9000)
+            |    ELSE '' END)""".stripMargin))
+        .select(col("doc_id"),
+          regexp_count(col("dirty"), lit(emailPat)).cast("long").as("n_email"),
+          regexp_count(col("dirty"), lit(ipPat)).cast("long").as("n_ip"),
+          regexp_count(col("dirty"), lit(phonePat)).cast("long").as("n_phone"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("dirty"), emailPat, "<EMAIL>"),
+              ipPat, "<IP>"),
+            phonePat, "<PHONE>").as("clean"))
+        .withColumn("is_dirty",
+          col("n_email") + col("n_ip") + col("n_phone") > 0)
+    },
+    Some("""WITH dirty AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0
+      |    THEN 'contact u' || doc_id || '@ex' || (doc_id % 7) || '.org '
+      |    ELSE '' END ||
+      |  text ||
+      |  CASE WHEN doc_id % 7 = 0
+      |    THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0
+      |    THEN ' call 555-' || (1000 + doc_id % 9000)
+      |    ELSE '' END AS dirty
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
+      |    AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(dirty, '10\.[0-9]+\.[0-9]+\.[0-9]+'))
+      |    AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(dirty, '555-[0-9]{4}'))
+      |    AS BIGINT) AS n_phone,
+      |  regexp_replace(regexp_replace(regexp_replace(dirty,
+      |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+      |    '555-[0-9]{4}', '<PHONE>', 'g') AS clean,
+      |  n_email + n_ip + n_phone > 0 AS is_dirty
+      |FROM dirty""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
-      tx12, tx13, tx14, tx15, tx16, tx17)
+      tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19)
 }

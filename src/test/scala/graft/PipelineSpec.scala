@@ -1738,6 +1738,42 @@ class PipelineSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("emb09 hard negatives: label-disjoint, exactly K, and actually hardest") {
+    val df = SparkEntry.queries("emb09_hard_negatives")(spark, sf).persist()
+    try {
+      // a negative NEVER shares its anchor's label (it would be a
+      // positive), and every anchor gets exactly K
+      assert(df.filter(col("q_label") === col("neg_label")).count() == 0)
+      val per = df.groupBy("q_id").count()
+      assert(per.filter(col("count") =!= 10).count() == 0)
+      assert(per.count() == 10)
+      // hardness: driver-side brute recompute — no excluded
+      // different-label vector may beat a returned one
+      val vecs = Tables.load(spark, sf, "embeddings")
+        .select("vec_id", "embedding", "label").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+      val byId = vecs.map(v => v._1 -> v).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val returned = df.collect()
+        .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      returned.foreach { case (qid, negs) =>
+        val (_, qv, ql) = byId(qid)
+        val minReturned = negs.map(n => cos(qv, byId(n)._2)).min
+        val bestExcluded = vecs
+          .filter(v => v._1 != qid && v._3 != ql && !negs(v._1))
+          .map(v => cos(qv, v._2)).max
+        assert(bestExcluded <= minReturned + 1e-12,
+          s"anchor $qid: excluded negative harder than a returned one")
+      }
+    } finally df.unpersist()
+  }
+
   test("vec_lsum skips null arrays, pads ragged, nulls empty groups") {
     import org.apache.spark.sql.graft.ColumnBridge
     val df = spark.createDataFrame(java.util.Arrays.asList(
@@ -1873,6 +1909,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap > 0, "seam overlap must be non-empty to prove the drop")
     assert(out.filter(col("via") === "backfill").count() > 0)
     assert(out.filter(col("via") === "stream").count() > 0)
+  }
+
+  test("tx18 gopher repetition: driver-side recompute matches, both gates non-vacuous") {
+    val out = SparkEntry.queries("tx18_gopher_repeat")(spark, sf)
+      .localCheckpoint(true)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.count() == docs.size)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val ws = docs(r.getLong(0)).split("\\s+").filter(_.nonEmpty)
+      val denom = ws.map(_.length).sum + math.max(ws.length - 1, 0)
+      def gramCounts(n: Int): Map[String, Long] =
+        ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val top2 = if (ws.length < 2) 0L else {
+        val gc = gramCounts(2)
+        val (g, c) = gc.toSeq.minBy { case (g, c) => (-c, g) }
+        c * g.length
+      }
+      val dup3 = if (ws.length < 3) 0L
+        else gramCounts(3).collect { case (g, c) if c > 1 => c * g.length }.sum
+      assert(r.getAs[Long]("n_tokens") == ws.length.toLong)
+      assert(r.getAs[Long]("denom") == denom.toLong)
+      assert(r.getAs[Long]("top2_n") == top2, s"top2 doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("dup3_n") == dup3, s"dup3 doc ${r.getLong(0)}")
+      val t2f = if (denom > 0) top2.toDouble / denom else 0.0
+      val d3f = if (denom > 0) dup3.toDouble / denom else 0.0
+      assert(r.getAs[Double]("top2_frac") == t2f)
+      assert(r.getAs[Double]("dup3_frac") == d3f)
+      assert(r.getAs[Boolean]("keep") == (t2f <= 0.2 && d3f <= 0.1))
+    }
+    // the fixture exercises both outcomes on each leg
+    assert(rows.count(!_.getAs[Boolean]("keep")) > 0, "no doc flagged")
+    assert(rows.count(_.getAs[Boolean]("keep")) > 0, "every doc flagged")
+    assert(rows.count(r => r.getAs[Double]("top2_frac") > 0.2) > 0)
+    assert(rows.count(r => r.getAs[Double]("dup3_frac") > 0.1) > 0)
+  }
+
+  test("ing04 replay: statuses partition the corpus, attempts honest, rules hold") {
+    val out = SparkEntry.queries("ing04_quarantine_replay")(spark, sf)
+      .localCheckpoint(true)
+    val nLog = graft.cdc.CdcQueries.changelog(spark, sf)
+      .filter(col("op") =!= "HEARTBEAT").count()
+    // exactly-once across retries: every data record exactly once
+    assert(out.count() == nLog)
+    assert(out.select("wire_id").distinct().count() == nLog)
+    // the corruption lattice: %37≠0 admitted on attempt 1; %37=0 but
+    // %74≠0 repaired by re-delivery; %74=0 broken at source → dead
+    assert(out.filter(col("wire_id") % 37 =!= 0 &&
+      (col("status") =!= "admitted" || col("attempts") =!= 1)).count() == 0)
+    assert(out.filter(col("wire_id") % 37 === 0 && col("wire_id") % 74 =!= 0 &&
+      (col("status") =!= "replayed" || col("attempts") =!= 2)).count() == 0)
+    assert(out.filter(col("wire_id") % 74 === 0 &&
+      (col("status") =!= "dead" || col("attempts") =!= 2)).count() == 0)
+    // decode outcomes carry through: admitted/replayed rows decoded to
+    // their own id, dead rows decoded to nothing
+    assert(out.filter(col("status") =!= "dead" &&
+      col("rec_id") =!= col("wire_id")).count() == 0)
+    assert(out.filter(col("status") === "dead" &&
+      col("rec_id").isNotNull).count() == 0)
+    // non-vacuous: all three outcomes occur at the spec SF
+    Seq("admitted", "replayed", "dead").foreach { st =>
+      assert(out.filter(col("status") === st).count() > 0, s"$st empty")
+    }
   }
 
   test("shingle bloom overlap: corpus shingles all hit, novel docs near-zero") {
