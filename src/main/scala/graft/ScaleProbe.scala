@@ -130,7 +130,14 @@ object ScaleProbe {
       "tx17_ppl_buckets",
       // emb09: ann01's broadcast-anchors brute scan with a label
       // predicate — corpus-linear, queries fixed
-      "emb09_hard_negatives")
+      "emb09_hard_negatives",
+      // tx18: two bounded gram explodes + doc-keyed counts/windows;
+      // tx19: one narrow codegen'd regex map riding the scan
+      "tx18_gopher_repeat", "tx19_pii_redact",
+      // dd17: a narrow string chain + one canonical-keyed window
+      "dd17_url_dedup",
+      // tx20: one bigram explode + doc-keyed agg + a narrow scoring map
+      "tx20_quality_classifier")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap
@@ -285,7 +292,10 @@ object ScaleProbe {
         // + the stateless side-output filter; streaming state bounded
         // by open windows × values, so time tracks volume plus the
         // per-micro-batch floor
-        "cdc24_late_side_output")
+        "cdc24_late_side_output",
+        // cdc26: cdc14's join-state machinery under leftOuter — state
+        // bounded by watermark + tolerance, output = INSERT-side rows
+        "cdc26_outer_interval_join")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE $op%-22s x$k=${ts._1}%.2fs/${ts._2}r")

@@ -1842,8 +1842,132 @@ object CdcQueries {
       |SELECT 'asof_v0' AS leg, pk, val, k, NULL AS v2 FROM s0"""
       .stripMargin))
 
+  // -------------------------------------------------------------- cdc26
+  /** LEFT-OUTER STREAM-STREAM INTERVAL JOIN under the oracle gate
+    * (round 12) — the outer half of Flink's interval-join surface
+    * (cdc14 gates the inner): each INSERT joins its key's UPDATEs
+    * within ±48 h, and an INSERT with NO update in the window is
+    * still emitted — exactly once, with null right columns — the
+    * "orders that never shipped" alerting shape an inner join cannot
+    * express. The outer row may only emit once the watermark passes
+    * `l_ts + tolerance` (a future match could still arrive before
+    * that), so emission timing is part of the contract.
+    *
+    * Harness: batches arrive in EVENT-TIME TERCILES (day-of-month
+    * thirds of the fixture's one-month changelog, one chunk each —
+    * ts-range-ordered arrival, the regime outer emission needs: a
+    * 24 h watermark delay never out-runs an unseen tercile because
+    * tercile width ≫ tolerance + delay, so no cross-boundary pair is
+    * evicted early and no late input is dropped), plus a TERMINAL
+    * LIVENESS batch (the cdc24 in-band pattern, one sentinel per
+    * side at ts far past the horizon, keyed off the pk domain and
+    * filtered from the output by id sign) that drives the watermark
+    * past every `l_ts + tolerance` and flushes the remaining outer
+    * state. Oracle = the declarative LEFT interval join — the hash
+    * match proves both emission exactly-once (a double-emitted outer
+    * row duplicates) and completeness (an unflushed one goes
+    * missing). Scale: same bounded join state as cdc14 (watermark +
+    * tolerance); the liveness record is O(1) per epoch. */
+  private val cdc26Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc26 = QueryDef(
+    "cdc26_outer_interval_join",
+    (s, dir) => {
+      val tolUs = 48L * 3600 * 1000000
+      val sentinelTsUs = 1709251200000000L // 2024-03-01, past horizon+tol+delay
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      def sentinel(id: Long, op: String, tsUs: Long) = s.range(1).select(
+        lit(id).as("id"), lit("tx-liveness").as("transactionId"),
+        lit(tsUs).as("tsUs"), lit(tsUs - 500L).as("bornUs"),
+        lit(op).as("op"), lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        lit(null).cast("map<string,string>").as("before"),
+        map(lit("pk"), lit("-1")).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      val n = cdc26Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc26_h3m9t1_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      // event-time terciles: one chunk per day-of-month third — the
+      // arrival order outer emission needs (see docstring)
+      val tercile = ((dayofmonth(timestamp_micros(col("tsUs"))) - 1) / 11)
+        .cast("int")
+      (0 until 3).foreach { b =>
+        asRecords.filter(tercile === b).coalesce(1)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      // TWO liveness batches: the first advances the watermark past
+      // every `l_ts + tolerance`; the second makes the flush happen
+      // inside a DATA batch (state removal applies the watermark set
+      // by the PREVIOUS batch — relying on a trailing no-data
+      // micro-batch instead loses a processAllAvailable race: the
+      // tail's unmatched INSERTs went missing until this, measured)
+      Seq(0L, 1L).foreach { i =>
+        val ts = sentinelTsUs + i * 86400000000L
+        sentinel(-1L - 2 * i, "INSERT", ts)
+          .unionByName(sentinel(-2L - 2 * i, "UPDATE", ts))
+          .coalesce(1)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.CdcStreaming
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+      val joined = graft.streaming.CdcStreaming
+        .intervalJoin(stream, "INSERT", "UPDATE", tolUs,
+          watermark = "24 hours", joinType = "leftOuter")
+      // the liveness-record exclusion MUST apply on the read-back, not
+      // inside the streaming query: Catalyst pushes a left-side filter
+      // below the outer join, where it drops the sentinel INSERT
+      // before the left EventTimeWatermark node — the left watermark
+      // then never advances (min policy) and the tail's unmatched
+      // rows never flush. Measured, not hypothetical.
+      runToParquetAndRead(s, joined, chunkDir + "_out", complete = false,
+        streamOutSchema("l_id" -> LongType, "r_id" -> LongType,
+          "key" -> StringType, "delta_us" -> LongType))
+        .filter(col("l_id") >= 0) // liveness records are not data
+    },
+    Some(s"""$changelogSql
+      |SELECT i.record_id AS l_id, u.record_id AS r_id,
+      |  'app|users|' || CAST(i.pk AS VARCHAR) AS key,
+      |  u.ts_us - i.ts_us AS delta_us
+      |FROM changelog i LEFT JOIN changelog u
+      |  ON u.pk = i.pk AND u.op = 'UPDATE'
+      |  AND u.ts_us BETWEEN i.ts_us - ${48L * 3600 * 1000000}
+      |                  AND i.ts_us + ${48L * 3600 * 1000000}
+      |WHERE i.op = 'INSERT'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
-    cdc21, cdc22, cdc23, cdc24, cdc25)
+    cdc21, cdc22, cdc23, cdc24, cdc25, cdc26)
 }

@@ -1382,7 +1382,94 @@ object Dedup {
       }))
   }
 
+  // ------------------------------------------------------------- dd17
+  /** URL-LEVEL DEDUPLICATION with canonicalization (round 12) — the
+    * STAGE-1 pass web-corpus pipelines run before any content dedup
+    * (RefinedWeb §3.1 runs URL dedup first; CCNet dedups per crawl
+    * snapshot by URL): the same page is crawled many times under URL
+    * VARIANTS — scheme/case/www/tracking-param/trailing-slash noise —
+    * and collapsing re-crawls by CANONICAL URL is orders of magnitude
+    * cheaper than content-level MinHash, so it always runs first.
+    *
+    * The fixture has no URL column, so the gate SYNTHESIZES one
+    * deterministically (the ing02/tx19 injection pattern): four docs
+    * share each logical page (`page(doc_id div 4)` on a
+    * page-group-keyed host), each with id-keyed variant noise — http/https,
+    * host case, www., a utm_/sid tracking-param mix, trailing slash.
+    * Canonicalization (one codegen'd regex/string chain, the
+    * Java∩RE2-compatible subset): lowercase → strip scheme → strip
+    * www. → drop utm_x / sid / ref params (then a dangling '?') →
+    * strip trailing slash. keep = latest doc_id per canonical (dd-latest
+    * semantics: the freshest crawl wins). Output carries the variant
+    * URL, the canonical, group size and the keep flag — hash-gated
+    * end-to-end because the oracle replays injection + the identical
+    * chain. Spec pins: canonical groups are exactly the div-4 page
+    * groups (injection never collides across pages), exactly one
+    * keeper per group = max doc_id, and every canonicalization rule
+    * actually fired. Scale: narrow per-row string chain riding the
+    * scan + one canonical-keyed agg/window — corpus-linear, the
+    * cheap-first property that makes stage-1 URL dedup worth it. */
+  private val dd17 = QueryDef(
+    "dd17_url_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val urled = Tables.load(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("host",
+          expr("concat('site', CAST((doc_id div 4) % 20 AS STRING))"))
+        .withColumn("url", expr(
+          """concat(
+            |  CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END,
+            |  CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END,
+            |  CASE WHEN doc_id % 5 = 0 THEN upper(host) ELSE host END,
+            |  '.example.com/page', CAST(doc_id div 4 AS STRING),
+            |  CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+            |  CASE WHEN doc_id % 2 = 1 THEN concat('?utm_source=s',
+            |      CAST(doc_id % 9 AS STRING), '&sid=', CAST(doc_id AS STRING))
+            |    ELSE '' END)""".stripMargin))
+      val canon = urled.withColumn("canon",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower(col("url")), "^https?://", ""),
+                "^www\\.", ""),
+              "(utm_[a-z]+|sid|ref)=[^&]*(&|$)", ""),
+            "\\?$", ""),
+          "/$", ""))
+      val w = Window.partitionBy(col("canon"))
+      canon
+        .withColumn("group_n", count(lit(1)).over(w))
+        .withColumn("keep", col("doc_id") === max(col("doc_id")).over(w))
+        .select("doc_id", "url", "canon", "group_n", "keep")
+    },
+    Some("""WITH hosts AS (SELECT doc_id,
+      |    'site' || CAST((doc_id // 4) % 20 AS VARCHAR) AS host
+      |  FROM documents),
+      |urled AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END ||
+      |  CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN upper(host) ELSE host END ||
+      |  '.example.com/page' || CAST(doc_id // 4 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+      |  CASE WHEN doc_id % 2 = 1 THEN '?utm_source=s' ||
+      |      CAST(doc_id % 9 AS VARCHAR) || '&sid=' || CAST(doc_id AS VARCHAR)
+      |    ELSE '' END AS url
+      |  FROM hosts),
+      |canon AS (SELECT doc_id, url,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(lower(url), '^https?://', ''),
+      |    '^www\.', ''),
+      |    '(utm_[a-z]+|sid|ref)=[^&]*(&|$)', '', 'g'),
+      |    '\?$', ''),
+      |    '/$', '') AS canon
+      |  FROM urled)
+      |SELECT doc_id, url, canon,
+      |  COUNT(*) OVER (PARTITION BY canon) AS group_n,
+      |  doc_id = MAX(doc_id) OVER (PARTITION BY canon) AS keep
+      |FROM canon""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
-      dd12, dd13, dd14, dd15, dd16)
+      dd12, dd13, dd14, dd15, dd16, dd17)
 }

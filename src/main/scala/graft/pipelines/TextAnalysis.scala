@@ -1278,7 +1278,93 @@ object TextAnalysis {
       |  n_email + n_ip + n_phone > 0 AS is_dirty
       |FROM dirty""".stripMargin))
 
+  // ------------------------------------------------------------- tx20
+  /** QUALITY-CLASSIFIER FILTER with Pareto-tail sampling (round 12) —
+    * the GPT-3 CommonCrawl curation rule (Brown et al. 2020
+    * arXiv:2005.14165 Appendix A, reused by LLaMA/RedPajama): a cheap
+    * linear classifier over hashed n-gram features scores every
+    * document against a high-quality reference, and documents are
+    * kept when `pareto(α=9) > 1 − score` — LOW-scoring docs still
+    * keep a heavy-tailed chance, which preserves distributional
+    * diversity instead of hard-thresholding (the paper's stated
+    * reason). Re-expressed fully deterministically and ENGINE-EXACT:
+    *
+    *  - features: each bigram occurrence hashes (md5-60) into 256
+    *    buckets; weights are the fixed integer table
+    *    w(j) = (j·37) mod 101 − 50 (a synthetic classifier — the
+    *    real one is trained data, and the operator treats it as
+    *    such: any 256-int table slots in);
+    *  - margin = Σ w(bucket) over occurrences — INTEGER; normalized
+    *    to s64 ∈ [0,64] with an offset-before-divide so the integer
+    *    division never sees a negative numerator (Spark `div` and
+    *    DuckDB `//` agree on nonnegative truncation by construction);
+    *  - the Pareto rule: u^(−1/9) − 1 > 1 − s  ⟺  u·(2−s)⁹ < 1.
+    *    s = s64/64 and u = (md5-52 bits)/2⁵² are EXACT doubles
+    *    (divisions by powers of two); (2−s)⁹ is spelled as nine
+    *    left-associated IEEE multiplications with the SAME expression
+    *    text in both engines — no libm pow, no rounding divergence.
+    *    P(keep) = min(1, (2−s)⁻⁹): s=1 always keeps, s=0 keeps 1/512.
+    *
+    * Spec re-derives margins/s64/keep driver-side byte-for-byte and
+    * pins both outcomes AND both tail regimes non-vacuous (kept
+    * low-score docs exist — the heavy tail actually fires). Scale:
+    * one bounded bigram explode + a doc-keyed agg + a narrow map —
+    * corpus-linear, classifier application is embarrassingly
+    * parallel (the reason this filter runs at CommonCrawl scale). */
+  private val tx20 = {
+    val uTxt = "(CAST(u52 AS DOUBLE) / 4503599627370496.0)"
+    val yTxt = "(2.0 - CAST(s64 AS DOUBLE) / 64.0)"
+    val keepTxt = s"$uTxt * ${Seq.fill(9)(yTxt).mkString(" * ")} < 1.0"
+    val s64Txt = "CASE WHEN n_bigrams > 0 THEN " +
+      "LEAST(GREATEST(((margin + n_bigrams * 50) * 32) DIVOP (n_bigrams * 50), 0), 64) " +
+      "ELSE 32 END"
+    QueryDef(
+      "tx20_quality_classifier",
+      (s, dir) => {
+        val g = TextShingles.words(s, dir)
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"),
+            explode(expr(TextShingles.shingleArray(2))).as("g"))
+        val agg = g
+          .select(col("doc_id"),
+            pmod(expr(graft.OracleSafe.hash60("g")), lit(256L)).as("j"))
+          .withColumn("w", pmod(col("j") * 37, lit(101L)) - 50L)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("w").as("margin"))
+        TextShingles.words(s, dir).select(col("doc_id"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("margin"), lit(0L)).as("margin"))
+          .withColumn("s64", expr(s64Txt.replace("DIVOP", "div")))
+          .withColumn("u52",
+            pmod(expr(graft.OracleSafe.hash60("concat('qc|', CAST(doc_id AS STRING))")),
+              lit(4503599627370496L)))
+          .withColumn("keep", expr(keepTxt))
+          .select("doc_id", "n_bigrams", "margin", "s64", "u52", "keep")
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |  FROM w CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM((${graft.OracleSafe.hash60Sql("g")} % 256) * 37 % 101 - 50)
+        |      AS BIGINT) AS margin
+        |  FROM g GROUP BY doc_id),
+        |b AS (SELECT w.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |    COALESCE(a.margin, 0) AS margin
+        |  FROM w LEFT JOIN agg a USING (doc_id)),
+        |sc AS (SELECT *, ${s64Txt.replace("DIVOP", "//")} AS s64,
+        |    ${graft.OracleSafe.hash60Sql("'qc|' || CAST(doc_id AS VARCHAR)")}
+        |      % 4503599627370496 AS u52
+        |  FROM b)
+        |SELECT doc_id, n_bigrams, margin, s64, u52, $keepTxt AS keep
+        |FROM sc""".stripMargin))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
-      tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19)
+      tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20)
 }

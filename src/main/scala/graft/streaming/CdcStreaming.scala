@@ -237,10 +237,20 @@ object CdcStreaming {
     * time — the streaming form of a range join, with watermarks on
     * both sides bounding join state (Spark evicts state older than
     * watermark + tolerance; without the bound a 100 TB stream would
-    * accumulate unbounded state). */
+    * accumulate unbounded state).
+    *
+    * `joinType` "inner" (default) emits matches on arrival;
+    * "leftOuter" additionally emits each unmatched left record ONCE
+    * with null right columns — but only after the watermark passes
+    * `l_ts + tolerance` (before that a future match could still
+    * arrive), Flink's outer interval-join contract. A caller wanting
+    * the outer rows flushed at stream end must advance the watermark
+    * past the data horizon (e.g. a terminal liveness record on BOTH
+    * sides — the cdc24 in-band pattern). */
   def intervalJoin(
       changes: DataFrame, leftOp: String, rightOp: String,
-      toleranceUs: Long, watermark: String = "10 minutes"): DataFrame = {
+      toleranceUs: Long, watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     def side(op: String, prefix: String) =
       changes.filter(col("op") === op)
         .select(
@@ -252,7 +262,7 @@ object CdcStreaming {
       expr(s"""l_key = r_key AND
         |r_ts BETWEEN l_ts - INTERVAL $toleranceUs MICROSECOND
         |         AND l_ts + INTERVAL $toleranceUs MICROSECOND
-        |""".stripMargin))
+        |""".stripMargin), joinType)
       .select(col("l_id"), col("r_id"), col("l_key").as("key"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("delta_us"))
   }

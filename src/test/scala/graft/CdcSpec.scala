@@ -1173,6 +1173,54 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("cdc26 outer join: unmatched inserts emit exactly once, matched set = inner's") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cdc26_outer_interval_join")(spark, sf)
+      .persist()
+    try {
+      val tolUs = 48L * 3600 * 1000000
+      val log = graft.cdc.CdcQueries.changelog(spark, sf)
+        .filter(col("op") =!= "HEARTBEAT").persist()
+      val ins = log.filter(col("op") === "INSERT")
+        .select(col("record_id").as("l_id"), col("pk").as("l_pk"),
+          col("ts_us").as("l_ts"))
+      val upd = log.filter(col("op") === "UPDATE")
+        .select(col("record_id").as("r_id"), col("pk").as("r_pk"),
+          col("ts_us").as("r_ts"))
+      // matched rows ≡ the declarative inner interval join
+      val declPairs = ins.join(upd,
+        col("l_pk") === col("r_pk") &&
+          col("r_ts").between(col("l_ts") - tolUs, col("l_ts") + tolUs))
+        .select("l_id", "r_id")
+      val gotPairs = out.filter(col("r_id").isNotNull).select("l_id", "r_id")
+      assert(gotPairs.exceptAll(declPairs).count() == 0 &&
+        declPairs.exceptAll(gotPairs).count() == 0)
+      // outer rows: exactly the INSERTs with no UPDATE in the window,
+      // each exactly ONCE with null right columns
+      val unmatched = out.filter(col("r_id").isNull).persist()
+      try {
+        assert(unmatched.groupBy("l_id").count()
+          .filter(col("count") > 1).count() == 0)
+        assert(unmatched.filter(col("delta_us").isNotNull).count() == 0)
+        val declUnmatched = ins.join(declPairs, Seq("l_id"), "left_anti")
+          .select("l_id")
+        assert(unmatched.select("l_id").exceptAll(declUnmatched).count() == 0 &&
+          declUnmatched.exceptAll(unmatched.select("l_id")).count() == 0)
+        // non-vacuous on BOTH sides of the tail-flush fix: outer rows
+        // exist, and some sit in the final 48 h of the changelog (the
+        // rows only the liveness flush can emit)
+        assert(unmatched.count() > 0, "no unmatched insert - gate vacuous")
+        val maxTs = log.agg(max("ts_us")).head().getLong(0)
+        assert(unmatched.join(ins, "l_id")
+          .filter(col("l_ts") > maxTs - tolUs).count() > 0,
+          "no tail-horizon outer row - the liveness flush is unexercised")
+        // liveness records never leak
+        assert(out.filter(col("l_id") < 0 || col("r_id") < 0).count() == 0)
+      } finally unmatched.unpersist()
+      log.unpersist()
+    } finally out.unpersist()
+  }
+
   test("cdc25 evolution: merge-on-read NULL backfill, old snapshot keeps old schema") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("cdc25_evolved_snapshots")(spark, sf)

@@ -1949,6 +1949,128 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.count(r => r.getAs[Double]("dup3_frac") > 0.1) > 0)
   }
 
+  test("tx20 quality classifier: driver recompute matches, heavy tail actually fires") {
+    val out = SparkEntry.queries("tx20_quality_classifier")(spark, sf)
+      .localCheckpoint(true)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.count() == docs.size)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    out.collect().foreach { r =>
+      val id = r.getLong(0)
+      val ws = docs(id).split("\\s+").filter(_.nonEmpty)
+      val grams = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val n = grams.length.toLong
+      val margin = grams.map(g => (h60(g) % 256) * 37 % 101 - 50).sum
+      val s64 = if (n > 0)
+        math.min(64L, math.max(0L, ((margin + n * 50) * 32) / (n * 50)))
+      else 32L
+      val u52 = h60(s"qc|$id") % 4503599627370496L
+      val u = u52.toDouble / 4503599627370496.0
+      val y = 2.0 - s64.toDouble / 64.0
+      // nine left-associated multiplications, same shape as the query
+      val prod = Seq.fill(9)(y).foldLeft(u)(_ * _)
+      assert(r.getAs[Long]("n_bigrams") == n, s"n doc $id")
+      assert(r.getAs[Long]("margin") == margin, s"margin doc $id")
+      assert(r.getAs[Long]("s64") == s64, s"s64 doc $id")
+      assert(r.getAs[Long]("u52") == u52, s"u52 doc $id")
+      assert(r.getAs[Boolean]("keep") == (prod < 1.0), s"keep doc $id")
+    }
+    // both outcomes occur, and the Pareto TAIL fires: some kept doc
+    // sits in the bottom half of the score range (a hard threshold
+    // would have dropped it — the rule's entire point)
+    val rows = out.collect()
+    assert(rows.count(_.getAs[Boolean]("keep")) > 0)
+    assert(rows.count(!_.getAs[Boolean]("keep")) > 0, "nothing dropped")
+    assert(rows.count(r => r.getAs[Boolean]("keep") &&
+      r.getAs[Long]("s64") < 32) > 0, "heavy tail never fired")
+  }
+
+  test("dd17 url dedup: canonical groups, latest-crawl keeper, every rule fires") {
+    val out = SparkEntry.queries("dd17_url_dedup")(spark, sf)
+      .localCheckpoint(true)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(out.count() == nDocs)
+    val rows = out.collect()
+    // driver-side recompute of the canonical: lowercase host + page
+    // path (variant noise gone)
+    def canonOf(id: Long): String =
+      s"site${(id / 4) % 20}.example.com/page${id / 4}"
+    rows.foreach { r =>
+      assert(r.getAs[String]("canon") == canonOf(r.getLong(0)),
+        s"canon doc ${r.getLong(0)}: ${r.getAs[String]("url")}")
+    }
+    // groups = div-4 page classes; exactly one keeper per
+    // group and it is the max doc_id (the freshest crawl)
+    val byCanon = rows.groupBy(_.getAs[String]("canon"))
+    byCanon.foreach { case (c, g) =>
+      assert(g.forall(_.getAs[Long]("group_n") == g.length.toLong))
+      val keepers = g.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"group $c keepers ${keepers.length}")
+      assert(keepers.head.getLong(0) == g.map(_.getLong(0)).max)
+    }
+    // non-vacuous: true re-crawl groups exist, and each variant rule
+    // fired somewhere (scheme/case/www/params/slash all exercised)
+    assert(byCanon.exists(_._2.length > 1), "no multi-crawl group")
+    val urls = rows.map(_.getAs[String]("url"))
+    assert(urls.exists(_.startsWith("https://")))
+    assert(urls.exists(_.startsWith("http://www.")))
+    assert(urls.exists(u => u.exists(_.isUpper)))
+    assert(urls.exists(_.contains("utm_source=")))
+    assert(urls.exists(u => u.endsWith("/") || u.contains("/?")))
+  }
+
+  test("tx19 pii redact: scrub is total, counts match a driver recompute, classes overlap") {
+    val out = SparkEntry.queries("tx19_pii_redact")(spark, sf)
+      .localCheckpoint(true)
+    val pats = Seq(
+      "n_email" -> "[a-z0-9]+@[a-z0-9]+\\.[a-z]+",
+      "n_ip" -> "10\\.[0-9]+\\.[0-9]+\\.[0-9]+",
+      "n_phone" -> "555-[0-9]{4}")
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = out.collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val dirty =
+        (if (id % 5 == 0) s"contact u$id@ex${id % 7}.org " else "") +
+        docs(id) +
+        (if (id % 7 == 0) s" from 10.${id % 256}.0.${id % 100}" else "") +
+        (if (id % 11 == 0) s" call 555-${1000 + id % 9000}" else "")
+      pats.foreach { case (c, p) =>
+        assert(r.getAs[Long](c) ==
+          p.r.findAllMatchIn(dirty).size.toLong, s"$c doc $id")
+      }
+      // redaction is TOTAL: no pattern survives in the clean text, and
+      // each injected class left its placeholder
+      val clean = r.getAs[String]("clean")
+      pats.foreach { case (_, p) =>
+        assert(p.r.findFirstIn(clean).isEmpty, s"doc $id leaked: $p")
+      }
+      if (id % 5 == 0) assert(clean.contains("<EMAIL>"))
+      if (id % 7 == 0) assert(clean.contains("<IP>"))
+      if (id % 11 == 0) assert(clean.contains("<PHONE>"))
+      assert(r.getAs[Boolean]("is_dirty") ==
+        (r.getAs[Long]("n_email") + r.getAs[Long]("n_ip") +
+          r.getAs[Long]("n_phone") > 0))
+    }
+    // non-vacuous: each class fires, classes co-occur, and clean docs exist
+    Seq("n_email", "n_ip", "n_phone").foreach { c =>
+      assert(rows.count(_.getAs[Long](c) > 0) > 0, s"$c never fired")
+    }
+    assert(rows.count(r => r.getAs[Long]("n_email") > 0 &&
+      r.getAs[Long]("n_ip") > 0) > 0, "no class overlap doc")
+    assert(rows.count(!_.getAs[Boolean]("is_dirty")) > 0)
+  }
+
   test("ing04 replay: statuses partition the corpus, attempts honest, rules hold") {
     val out = SparkEntry.queries("ing04_quarantine_replay")(spark, sf)
       .localCheckpoint(true)
