@@ -363,4 +363,53 @@ class PlanSpec extends AnyFunSuite {
       s"one pk hash shuffle expected, windows must share it:\n$p")
     assert(!p.contains("Join"), s"unexpected join in SCD2 plan:\n$p")
   }
+
+  test("tx19 pii redaction is shuffle-free") {
+    val p = plan("tx19_pii_redact")
+    assert(count(p, "Exchange") == 0,
+      s"inject+count+scrub must ride the scan:\n$p")
+  }
+
+  test("dd17 url dedup: one canonical shuffle, both windows share it") {
+    val p = plan("dd17_url_dedup")
+    // group_n and the max-id keeper both partition by canon — one
+    // hash exchange, no join (the keeper is a window, not a self-join)
+    assert(count(p, "Exchange") == 1,
+      s"one canon hash shuffle expected:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in url-dedup plan:\n$p")
+  }
+
+  test("tx20 classifier: map-side partial agg, scoring never re-shuffles") {
+    val p = plan("tx20_quality_classifier")
+    // the (doc) margin agg must combine map-side before its exchange
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      count(p, "HashAggregate") >= 2,
+      s"margin agg must have a partial phase:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join leaked into the classifier plan:\n$p")
+    // doc-keyed agg + the base join: bounded exchange count
+    assert(count(p, "Exchange") - count(p, "BroadcastExchange") <= 3,
+      s"classifier picked up extra shuffles:\n$p")
+  }
+
+  test("emb09 hard negatives: anchors broadcast, corpus streams") {
+    val p = plan("emb09_hard_negatives")
+    assert(p.contains("BroadcastExchange"),
+      s"the 10-anchor frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle for the join:\n$p")
+    // one shuffle only: the per-anchor top-k window
+    assert(count(p, "Exchange") - count(p, "BroadcastExchange") <= 1,
+      s"extra corpus shuffle:\n$p")
+  }
+
+  test("ing04 replay: the quarantine re-fetch is a broadcast semi join") {
+    val p = SparkEntry.queries("ing04_quarantine_replay")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"re-fetch must broadcast the quarantine id set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the changelog side must not shuffle for the re-fetch:\n$p")
+  }
 }
