@@ -32,6 +32,10 @@ object ScaleProbe {
         (col("user_id") + col("rep") * nUsers).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // the static dim rides along unscaled (cdc27's lookup side — the
+    // probe scales the FACT stream; a dimension doesn't grow with it)
+    Tables.load(spark, srcDir, "customer")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
   }
 
   private def scaled(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
@@ -295,7 +299,10 @@ object ScaleProbe {
         "cdc24_late_side_output",
         // cdc26: cdc14's join-state machinery under leftOuter — state
         // bounded by watermark + tolerance, output = INSERT-side rows
-        "cdc26_outer_interval_join")
+        "cdc26_outer_interval_join",
+        // cdc27: stateless stream-static broadcast enrichment — rides
+        // the record volume plus the per-micro-batch floor
+        "cdc27_lookup_join")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE $op%-22s x$k=${ts._1}%.2fs/${ts._2}r")

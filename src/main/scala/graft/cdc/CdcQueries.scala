@@ -5,7 +5,7 @@ import graft.OracleSafe._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** §2.2 CDC / changelog queries — the reference's core domain
   * (change-data-capture subscription) re-expressed as declarative
@@ -1966,8 +1966,101 @@ object CdcQueries {
       |                  AND i.ts_us + ${48L * 3600 * 1000000}
       |WHERE i.op = 'INSERT'""".stripMargin))
 
+  // -------------------------------------------------------------- cdc27
+  /** STREAMING LOOKUP JOIN (round 12) — Flink SQL's dimension-table
+    * lookup (`JOIN dim FOR SYSTEM_TIME AS OF proc_time`), the
+    * enrichment every CDC consumer runs between decode and sink:
+    * each change record looks up its key's attributes in a DIMENSION
+    * table and lands enriched. Re-expressed Spark-first as a
+    * STREAM-STATIC BROADCAST JOIN — Spark re-resolves the static side
+    * per micro-batch, which is exactly Flink's lookup-cache-refresh
+    * semantics (the dim is read fresh as the stream progresses, not
+    * frozen at job start), and the broadcast keeps the streaming side
+    * shuffle-free: at 100 TB/day of changes the fact stream never
+    * repartitions for a dimension of millions of rows.
+    *
+    * Gate: the wire chunks stream through the real DSv2 source in
+    * three id-dealt micro-batches (stateless enrichment must be
+    * arrival-order-free, and is), each record's pk maps onto the
+    * `customer` dim (ck = pk mod |dim| — the fixture's pk and custkey
+    * domains differ; a deployment joins the natural key), enriched
+    * with segment + nation, parquet file sink + outer read-back (the
+    * ing01 contract). The dim size is a 1-row driver scalar (the
+    * emb05 sanctioned pattern). Oracle = the declarative join of the
+    * changelog against the dim — the hash proves per-record lookup
+    * correctness through the wire + micro-batch machinery. */
+  private val cdc27Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc27 = QueryDef(
+    "cdc27_lookup_join",
+    (s, dir) => {
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      val nCust = graft.Tables.load(s, dir, "customer")
+        .agg(max("c_custkey")).head().getLong(0) + 1
+      val dim = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("c_nationkey").cast("int").as("nation"))
+      val n = cdc27Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc27_k5w8d2_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      (0L until 3L).foreach { b =>
+        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.CdcStreaming
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+      val enriched = stream
+        .select(col("id").as("record_id"),
+          expr("CAST(coalesce(after['pk'], before['pk']) AS BIGINT)")
+            .as("pk"))
+        .withColumn("ck", pmod(col("pk"), lit(nCust)))
+        .join(broadcast(dim), col("ck") === col("c_custkey"))
+        .select("record_id", "pk", "ck", "segment", "nation")
+      runToParquetAndRead(s, enriched, chunkDir + "_out", complete = false,
+        streamOutSchema("record_id" -> LongType, "pk" -> LongType,
+          "ck" -> LongType, "segment" -> StringType,
+          "nation" -> IntegerType))
+    },
+    Some(s"""$changelogSql
+      |SELECT l.record_id, l.pk,
+      |  l.pk % (SELECT MAX(c_custkey) + 1 FROM customer) AS ck,
+      |  c.c_mktsegment AS segment,
+      |  CAST(c.c_nationkey AS INTEGER) AS nation
+      |FROM changelog l JOIN customer c
+      |  ON c.c_custkey = l.pk % (SELECT MAX(c_custkey) + 1 FROM customer)
+      |WHERE l.op <> 'HEARTBEAT'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
-    cdc21, cdc22, cdc23, cdc24, cdc25, cdc26)
+    cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27)
 }

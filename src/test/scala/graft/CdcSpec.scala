@@ -1221,6 +1221,35 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("cdc27 lookup join: total enrichment, dim attributes exact per record") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cdc27_lookup_join")(spark, sf)
+      .persist()
+    try {
+      val log = graft.cdc.CdcQueries.changelog(spark, sf)
+        .filter(col("op") =!= "HEARTBEAT")
+      // the lookup is TOTAL: custkeys are dense 0..N-1 (precondition)
+      // so every record enriches exactly once — nothing dropped,
+      // nothing fanned out
+      val dim = Tables.load(spark, sf, "customer")
+      val nCust = dim.agg(max("c_custkey")).head().getLong(0) + 1
+      assert(dim.count() == nCust, "dim keys not dense - precondition")
+      assert(out.count() == log.count())
+      assert(out.select("record_id").distinct().count() == out.count())
+      // attribute exactness via a driver-side dim map
+      val dimMap = dim
+        .select("c_custkey", "c_mktsegment", "c_nationkey").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      out.collect().foreach { r =>
+        val ck = r.getAs[Long]("ck")
+        assert(ck == java.lang.Math.floorMod(r.getAs[Long]("pk"), nCust))
+        val (_, nation) = (dimMap(ck)._1, dimMap(ck)._2)
+        assert(r.getAs[String]("segment") == dimMap(ck)._1, s"segment ck=$ck")
+        assert(r.getAs[Int]("nation") == nation, s"nation ck=$ck")
+      }
+    } finally out.unpersist()
+  }
+
   test("cdc25 evolution: merge-on-read NULL backfill, old snapshot keeps old schema") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("cdc25_evolved_snapshots")(spark, sf)
