@@ -302,7 +302,11 @@ object ScaleProbe {
         "cdc26_outer_interval_join",
         // cdc27: stateless stream-static broadcast enrichment — rides
         // the record volume plus the per-micro-batch floor
-        "cdc27_lookup_join")
+        "cdc27_lookup_join",
+        // q39 (events-based, so it sweeps on this fixture): constant
+        // ≤4-row explode riding the scan + one map-side-combined agg
+        // over 120 window keys
+        "q39_window_cumulate")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE $op%-22s x$k=${ts._1}%.2fs/${ts._2}r")

@@ -510,7 +510,51 @@ object Relational2 {
       |      / (n - 1)) AS z
       |FROM d JOIN st ON d.lang = st.lang""".stripMargin))
 
+  // ---------------------------------------------------------------- q39
+  /** CUMULATE window TVF (round 12) — the one Flink SQL window family
+    * q11/q12/q13 (tumble/hop/session) left uncovered: `CUMULATE(…,
+    * step 6h, size 24h)` assigns each event to EVERY window that
+    * starts at its period boundary and ends at a later step — the
+    * early-firing daily dashboard ("today so far, refreshed every 6
+    * hours") that would otherwise need a hop with window-sized slide
+    * overlap. An event at offset Δ into its UTC day lands in windows
+    * k ∈ [⌊Δ/step⌋+1, size/step], window k = [day, day + k·step).
+    *
+    * Engine-exact: day boundaries and window ends are pure integer
+    * µs arithmetic (day = ts div 86400e6 — UTC-fixed, no timezone
+    * surface), the k-range a bounded `sequence` explode (≤ 4 rows per
+    * event), sums decimal-exact via dsum. Spark shape: narrow explode
+    * riding the scan + ONE hash agg on (win_start, win_end) with
+    * map-side partials — the fan-out is size/step (a constant),
+    * never the corpus. */
+  private val q39 = QueryDef(
+    "q39_window_cumulate",
+    (s, dir) => {
+      val stepUs = 6L * 3600 * 1000000
+      val sizeUs = 24L * 3600 * 1000000
+      val maxK = (sizeUs / stepUs).toInt
+      Tables.events(s, dir)
+        .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("day_us",
+          expr(s"(ts_us div $sizeUs) * $sizeUs"))
+        .withColumn("k", explode(expr(
+          s"sequence((ts_us - day_us) div $stepUs + 1, CAST($maxK AS BIGINT))")))
+        .groupBy(col("day_us").as("win_start_us"),
+          (col("day_us") + col("k") * stepUs).as("win_end_us"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    },
+    Some(s"""WITH e AS (SELECT epoch_us(ts) AS ts_us, value,
+      |    (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+      |  FROM events),
+      |x AS (SELECT ts_us, value, day_us, k
+      |  FROM e CROSS JOIN LATERAL (SELECT unnest(generate_series(
+      |    (ts_us - day_us) // 21600000000 + 1, 4)) AS k) t)
+      |SELECT day_us AS win_start_us,
+      |  day_us + k * 21600000000 AS win_end_us,
+      |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+      |FROM x GROUP BY 1, 2""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-      q38)
+      q38, q39)
 }

@@ -134,6 +134,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
   }
 
+  test("q39 cumulate: windows nest (prefix sums), final step equals the tumble") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val stepUs = 6L * 3600 * 1000000
+    val sizeUs = 24L * 3600 * 1000000
+    val out = SparkEntry.queries("q39_window_cumulate")(spark, sf)
+      .localCheckpoint(true)
+    // window geometry: every window starts on a day boundary and ends
+    // k steps later, k in 1..4
+    assert(out.filter(col("win_start_us") % sizeUs =!= 0).count() == 0)
+    assert(out.filter((col("win_end_us") - col("win_start_us")) % stepUs =!= 0 ||
+      col("win_end_us") <= col("win_start_us") ||
+      col("win_end_us") > col("win_start_us") + sizeUs).count() == 0)
+    // CUMULATE semantics: counts are monotone prefix sums within a day
+    // (window k contains window k-1), and the size-step window equals
+    // the plain daily tumble
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+      .localCheckpoint(true)
+    out.collect().foreach { r =>
+      val (s0, e0) = (r.getAs[Long]("win_start_us"), r.getAs[Long]("win_end_us"))
+      val n = ev.filter(col("ts_us") >= s0 && col("ts_us") < e0).count()
+      assert(r.getAs[Long]("n") == n, s"window [$s0,$e0)")
+    }
+    val full = out.filter(col("win_end_us") === col("win_start_us") + sizeUs)
+      .select(col("win_start_us"), col("n"))
+    val tumble = ev.groupBy(expr(s"(ts_us div $sizeUs) * $sizeUs").as("win_start_us"))
+      .agg(count(lit(1)).as("n"))
+    assert(full.exceptAll(tumble).count() == 0 &&
+      tumble.exceptAll(full).count() == 0)
+  }
+
   test("q37 exact moments agree with the built-in stddev/corr to 1e-9 relative") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
