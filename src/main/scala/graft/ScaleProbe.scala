@@ -141,7 +141,9 @@ object ScaleProbe {
       // dd17: a narrow string chain + one canonical-keyed window
       "dd17_url_dedup",
       // tx20: one bigram explode + doc-keyed agg + a narrow scoring map
-      "tx20_quality_classifier")
+      "tx20_quality_classifier",
+      // mm05: two bounded explodes + one (doc,band)-keyed join
+      "mm05_av_align")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap

@@ -289,5 +289,81 @@ object Multimodal {
         |""".stripMargin))
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04)
+  // -------------------------------------------------------------- mm05
+  /** AUDIO-VISUAL ALIGNMENT pairs (round 12) — the data-prep step
+    * contrastive A/V training runs (audio-visual correspondence:
+    * Arandjelović & Zisserman 2017 arXiv:1705.08168; AVID, Morgado et
+    * al. 2020 arXiv:2004.12943): each sampled VIDEO FRAME pairs with
+    * the AUDIO WINDOW covering the same timeline position, producing
+    * the positive (frame, window) training pairs. The two tracks tick
+    * at DIFFERENT rates (here: frames every 128 payload bytes — the
+    * mm02 grid — audio windows every 96), so the pairing is a RANGE
+    * condition (window.start ≤ frame.mid < window.end) — executed as
+    * the banded EQUI-join the range recipe reduces to when intervals
+    * tile: band = mid div WinStride, join on (doc_id, band). Frames
+    * whose midpoint falls past the last audio window (tail frames of
+    * a payload whose audio track is shorter — window count is capped)
+    * are dropped by the inner join, the honest "no audio coverage"
+    * accounting. Pairs carry both tracks' stub features and their
+    * absolute difference (the stand-in correspondence score; a real
+    * pipeline feeds the pair to the AV encoder). Scale: two bounded
+    * explodes (≤4 frames, ≤6 windows per doc) riding the scan, one
+    * (doc, band)-keyed join — corpus-linear, no range scan. */
+  private val mm05 = {
+    val frameStride = 128
+    val maxFrames = 4
+    val winStride = 96
+    val maxWins = 6
+    def f8Sql(off: String) = (1 to 8).map(j =>
+      s"(CASE WHEN length(text) >= $off + $j THEN ascii(substr(text, $off + $j, 1)) ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef(
+      "mm05_av_align",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val nF = s"least($maxFrames, length(text) div $frameStride + 1)"
+        val frames = docs
+          .select(col("doc_id"), col("text"),
+            explode(expr(s"sequence(0, $nF - 1)")).as("frame_idx"))
+          .select(col("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            expr(s"CAST(frame_idx * $frameStride + ${frameStride / 2} AS BIGINT)")
+              .as("mid"),
+            expr(f8Sql(s"frame_idx * $frameStride")).cast("long").as("v_f8"))
+          .withColumn("band", expr(s"mid div $winStride"))
+        val nW = s"least($maxWins, length(text) div $winStride + 1)"
+        val wins = docs
+          .select(col("doc_id"), col("text"),
+            explode(expr(s"sequence(0, $nW - 1)")).as("win_idx"))
+          .select(col("doc_id"),
+            col("win_idx").cast("long").as("win_idx"),
+            expr(s"CAST(win_idx * $winStride AS BIGINT)").as("win_start"),
+            expr(f8Sql(s"win_idx * $winStride")).cast("long").as("a_f8"))
+        frames
+          .join(wins, frames("doc_id") === wins("doc_id") &&
+            frames("band") === wins("win_idx"))
+          .select(frames("doc_id"), col("frame_idx"), col("mid"),
+            col("win_idx"), col("win_start"), col("v_f8"), col("a_f8"),
+            abs(col("v_f8") - col("a_f8")).as("av_gap"))
+      },
+      Some(s"""WITH frames AS (SELECT doc_id,
+        |    CAST(i AS BIGINT) AS frame_idx,
+        |    CAST(i * $frameStride + ${frameStride / 2} AS BIGINT) AS mid,
+        |    CAST(${f8Sql(s"i * $frameStride")} AS BIGINT) AS v_f8
+        |  FROM documents CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+        |    least($maxFrames, length(text) // $frameStride + 1) - 1)) AS i) t),
+        |wins AS (SELECT doc_id,
+        |    CAST(i AS BIGINT) AS win_idx,
+        |    CAST(i * $winStride AS BIGINT) AS win_start,
+        |    CAST(${f8Sql(s"i * $winStride")} AS BIGINT) AS a_f8
+        |  FROM documents CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+        |    least($maxWins, length(text) // $winStride + 1) - 1)) AS i) t)
+        |SELECT f.doc_id, f.frame_idx, f.mid, w.win_idx, w.win_start,
+        |  f.v_f8, w.a_f8, abs(f.v_f8 - w.a_f8) AS av_gap
+        |FROM frames f JOIN wins w
+        |  ON w.doc_id = f.doc_id AND w.win_idx = f.mid // $winStride""".stripMargin))
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05)
 }

@@ -1949,6 +1949,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.count(r => r.getAs[Double]("dup3_frac") > 0.1) > 0)
   }
 
+  test("mm05 av align: every pair's window covers the frame mid, tail drop non-vacuous") {
+    val out = SparkEntry.queries("mm05_av_align")(spark, sf)
+      .localCheckpoint(true)
+    // geometry: the paired window COVERS the frame midpoint — the
+    // range condition the banded equi-join implements
+    assert(out.filter(col("mid") < col("win_start") ||
+      col("mid") >= col("win_start") + 96).count() == 0)
+    assert(out.filter(col("win_start") =!= col("win_idx") * 96).count() == 0)
+    // exactly one window per frame (the tiling makes the range join
+    // one-to-one)
+    assert(out.groupBy("doc_id", "frame_idx").count()
+      .filter(col("count") > 1).count() == 0)
+    // driver recompute of pair counts per doc
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    val expected = docs.map { case (id, len) =>
+      val nF = math.min(4, len / 128 + 1)
+      val nW = math.min(6, len / 96 + 1)
+      id -> (0 until nF).count(i => (i * 128 + 64) / 96 < nW)
+    }
+    val got = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    expected.foreach { case (id, n) =>
+      assert(got.getOrElse(id, 0) == n, s"doc $id pairs")
+    }
+    // the no-audio-coverage drop actually fires somewhere
+    val nFrames = docs.values.map(len => math.min(4, len / 128 + 1)).sum
+    assert(out.count() < nFrames, "no tail frame was ever dropped")
+    // stub features: both tracks' f8 recompute on a sample doc
+    val sample = out.orderBy("doc_id", "frame_idx").head()
+    val text = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") === sample.getLong(0))
+      .head().getAs[String]("text")
+    def f8(off: Int) = (0 until 8).map { j =>
+      if (text.length >= off + j + 1) text.charAt(off + j).toInt else 0
+    }.sum.toLong
+    assert(sample.getAs[Long]("v_f8") ==
+      f8(sample.getAs[Long]("frame_idx").toInt * 128))
+    assert(sample.getAs[Long]("a_f8") ==
+      f8(sample.getAs[Long]("win_idx").toInt * 96))
+  }
+
   test("tx20 quality classifier: driver recompute matches, heavy tail actually fires") {
     val out = SparkEntry.queries("tx20_quality_classifier")(spark, sf)
       .localCheckpoint(true)
