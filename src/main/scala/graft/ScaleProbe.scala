@@ -143,7 +143,9 @@ object ScaleProbe {
       // tx20: one bigram explode + doc-keyed agg + a narrow scoring map
       "tx20_quality_classifier",
       // mm05: two bounded explodes + one (doc,band)-keyed join
-      "mm05_av_align")
+      "mm05_av_align",
+      // pk08: tx17's corpus-linear scoring + one (phase,shard) window
+      "pk08_curriculum_pack")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap

@@ -437,5 +437,74 @@ object Packing {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
       .stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(pk01, pk02, pk03, pk04, pk05, pk06, pk07)
+  // ------------------------------------------------------------- pk08
+  /** CURRICULUM PACKING MANIFEST (round 12; curriculum learning —
+    * Bengio et al. 2009; quality-phased pretraining schedules run
+    * exactly this: easy/clean data first, the tail last): the corpus'
+    * quality PHASE comes from tx17's CCNet perplexity terciles
+    * (head = closest to the clean reference), and WITHIN each phase
+    * documents deal into pk01's salted shards and token-budget bins —
+    * the manifest a phase-ordered dataloader consumes (read
+    * phase_rank 0, then 1, then 2; within a phase, any shard order —
+    * they're balanced by the salt). Chaining = the pk05 pattern: the
+    * ENTIRE tx17 pass (reference LM, integer-bits scores, bounded-
+    * histogram tercile rank) replays inside this oracle as the `t17`
+    * CTE, then pk01's window SQL runs per (phase, shard).
+    *
+    * Scale: tx17's cost (corpus-linear, no global sort) + one
+    * (phase, shard)-keyed window — 3·NShards partitions, each
+    * ~1/(3·NShards) of the corpus; the phase boundary adds no
+    * shuffle beyond pk01's. Deterministic throughout (salted md5
+    * order, integer cumsum, pinned ties) ⇒ hash-exact. */
+  private val pk08 = QueryDef(
+    "pk08_curriculum_pack",
+    (s, dir) => {
+      val phased = TextAnalysis.pplBuckets(s, dir)
+        .select(col("doc_id"), col("n_tokens").as("n_tok"),
+          col("bucket").as("phase"))
+        .withColumn("phase_rank",
+          when(col("phase") === "head", 0)
+            .when(col("phase") === "middle", 1)
+            .otherwise(2).cast("int"))
+        .withColumn("pick",
+          md5(concat(col("doc_id").cast("string"), lit(":curr"))
+            .cast("binary")))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substring(pick, 1, 1))") - 1)
+            % NShards).cast("int"))
+      val w = Window.partitionBy(col("phase"), col("shard"))
+        .orderBy(col("pick").asc, col("doc_id").asc)
+      phased
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("cum_tok",
+          sum(col("n_tok")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("bin",
+          greatest(lit(0L),
+            floor((col("cum_tok") - 1) / TokenBudget)).cast("long"))
+        .select(col("doc_id"), col("phase"), col("phase_rank"),
+          col("shard"), col("pos"), col("n_tok"), col("bin"))
+    },
+    Some(s"""WITH ${TextAnalysis.Tx17Ctes},
+      |t17 AS (${TextAnalysis.Tx17Select}),
+      |d AS (SELECT doc_id, n_tokens AS n_tok, bucket AS phase,
+      |  CASE WHEN bucket = 'head' THEN 0
+      |       WHEN bucket = 'middle' THEN 1 ELSE 2 END AS phase_rank,
+      |  md5(CAST(doc_id AS VARCHAR) || ':curr') AS pick FROM t17),
+      |sh2 AS (SELECT doc_id, phase, phase_rank, n_tok, pick,
+      |  CAST((instr('0123456789abcdef', substr(pick, 1, 1)) - 1)
+      |    % $NShards AS INT) AS shard FROM d),
+      |win AS (SELECT doc_id, phase, phase_rank, shard, n_tok,
+      |  CAST(ROW_NUMBER() OVER o AS BIGINT) AS pos,
+      |  SUM(n_tok) OVER (PARTITION BY phase, shard
+      |    ORDER BY pick ASC, doc_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM sh2
+      |  WINDOW o AS (PARTITION BY phase, shard ORDER BY pick ASC, doc_id ASC))
+      |SELECT doc_id, phase, phase_rank, shard, pos, n_tok,
+      |  CAST(greatest(0, floor((cum_tok - 1) / $TokenBudget)) AS BIGINT) AS bin
+      |FROM win""".stripMargin))
+
+  val defs: Seq[QueryDef] =
+    Seq(pk01, pk02, pk03, pk04, pk05, pk06, pk07, pk08)
 }

@@ -1025,76 +1025,87 @@ object TextAnalysis {
     * score RANGE (≤ ~40·2²⁰ ≫ shifted to ~hundreds of buckets),
     * never the corpus; NO global sort anywhere. */
   private val Tx17RefSrcs = Seq("src0", "src1", "src2", "src3")
-  private val tx17 = {
-    val refIn = Tx17RefSrcs.map(s => s"'$s'").mkString(", ")
-    QueryDef(
-      "tx17_ppl_buckets",
-      (s, dir) => {
-        val tok = TextShingles.words(s, dir)
-          .select(col("doc_id"), explode(col("ws")).as("term"))
-        val refTok = Tables.load(s, dir, "documents")
-          .filter(col("source").isin(Tx17RefSrcs: _*))
-          .select(col("doc_id"))
-          .join(tok, "doc_id")
-        val ctf = refTok.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
-        val n = refTok.agg(count(lit(1)).as("n_ref"))
-        val scored = tok.join(ctf, Seq("term"), "left")
-          .crossJoin(broadcast(n))
-          .select(col("doc_id"),
-            when(col("ctf").isNotNull,
-              (length(expr("bin(n_ref div ctf)")) - 1).cast("long"))
-              .otherwise(length(expr("bin(n_ref)")).cast("long"))
-              .as("bits"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
-        val base = Tables.load(s, dir, "documents").select(col("doc_id"))
-          .join(scored, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-            coalesce(col("sum_bits"), lit(0L)).as("sum_bits"))
-          .withColumn("ppl_q",
-            when(col("n_tokens") > 0,
-              expr("(sum_bits * 1048576L) div n_tokens"))
-              .otherwise(lit(0L)))
-        val nDocs = Tables.rowCount(s, dir, "documents")
-        val pos = Ranking.integerRank(base, "ppl_q", "doc_id", 15)
-        base.join(pos, "doc_id")
-          .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
-            col("ppl_q"),
-            when(col("pos") * 3 < nDocs, "head")
-              .when(col("pos") * 3 < 2L * nDocs, "middle")
-              .otherwise("tail").as("bucket"))
-      },
-      Some(s"""WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
-        |  FROM documents),
-        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
-        |rtok AS (SELECT t.doc_id, t.term FROM tok t
-        |  JOIN documents d ON t.doc_id = d.doc_id
-        |  WHERE d.source IN ($refIn)),
-        |ctf AS (SELECT term, COUNT(*) AS ctf FROM rtok GROUP BY term),
-        |n AS (SELECT COUNT(*) AS n_ref FROM rtok),
-        |sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
-        |    SUM(CASE WHEN c.ctf IS NOT NULL
-        |      THEN length(bin(n.n_ref // c.ctf)) - 1
-        |      ELSE length(bin(n.n_ref)) END) AS sum_bits
-        |  FROM tok t LEFT JOIN ctf c USING (term) CROSS JOIN n
-        |  GROUP BY t.doc_id),
-        |b AS (SELECT d.doc_id,
-        |  CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  CAST(COALESCE(sc.sum_bits, 0) AS BIGINT) AS sum_bits,
-        |  CASE WHEN COALESCE(sc.n_tokens, 0) > 0
-        |    THEN (sc.sum_bits * 1048576) // sc.n_tokens ELSE 0 END AS ppl_q
-        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
-        |rk AS (SELECT *,
-        |  ROW_NUMBER() OVER (ORDER BY ppl_q ASC, doc_id ASC) - 1 AS pos,
-        |  COUNT(*) OVER () AS n_docs FROM b)
-        |SELECT doc_id, n_tokens, sum_bits, CAST(ppl_q AS BIGINT) AS ppl_q,
-        |  CASE WHEN pos * 3 < n_docs THEN 'head'
-        |       WHEN pos * 3 < 2 * n_docs THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM rk""".stripMargin))
+  /** tx17's scoring + tercile pass as a reusable frame — pk08's
+    * curriculum phases consume it (the pk05 chaining pattern). */
+  private[pipelines] def pplBuckets(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = TextShingles.words(s, dir)
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+    val refTok = Tables.load(s, dir, "documents")
+      .filter(col("source").isin(Tx17RefSrcs: _*))
+      .select(col("doc_id"))
+      .join(tok, "doc_id")
+    val ctf = refTok.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+    val n = refTok.agg(count(lit(1)).as("n_ref"))
+    val scored = tok.join(ctf, Seq("term"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        when(col("ctf").isNotNull,
+          (length(expr("bin(n_ref div ctf)")) - 1).cast("long"))
+          .otherwise(length(expr("bin(n_ref)")).cast("long"))
+          .as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+    val base = Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"))
+      .withColumn("ppl_q",
+        when(col("n_tokens") > 0,
+          expr("(sum_bits * 1048576L) div n_tokens"))
+          .otherwise(lit(0L)))
+    val nDocs = Tables.rowCount(s, dir, "documents")
+    val pos = Ranking.integerRank(base, "ppl_q", "doc_id", 15)
+    base.join(pos, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        col("ppl_q"),
+        when(col("pos") * 3 < nDocs, "head")
+          .when(col("pos") * 3 < 2L * nDocs, "middle")
+          .otherwise("tail").as("bucket"))
   }
+
+  /** DuckDB twin of [[pplBuckets]]: the CTE chain and the final
+    * select, split so pk08 can chain the whole pass as `t17`. */
+  private[pipelines] val Tx17Select: String =
+    """SELECT doc_id, n_tokens, sum_bits, CAST(ppl_q AS BIGINT) AS ppl_q,
+      |  CASE WHEN pos * 3 < n_docs THEN 'head'
+      |       WHEN pos * 3 < 2 * n_docs THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM rk""".stripMargin
+
+  private[pipelines] val Tx17Ctes: String = {
+    val refIn = Tx17RefSrcs.map(s => s"'$s'").mkString(", ")
+    s"""w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      |rtok AS (SELECT t.doc_id, t.term FROM tok t
+      |  JOIN documents d ON t.doc_id = d.doc_id
+      |  WHERE d.source IN ($refIn)),
+      |ctf AS (SELECT term, COUNT(*) AS ctf FROM rtok GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_ref FROM rtok),
+      |sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |    SUM(CASE WHEN c.ctf IS NOT NULL
+      |      THEN length(bin(n.n_ref // c.ctf)) - 1
+      |      ELSE length(bin(n.n_ref)) END) AS sum_bits
+      |  FROM tok t LEFT JOIN ctf c USING (term) CROSS JOIN n
+      |  GROUP BY t.doc_id),
+      |b AS (SELECT d.doc_id,
+      |  CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(sc.sum_bits, 0) AS BIGINT) AS sum_bits,
+      |  CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+      |    THEN (sc.sum_bits * 1048576) // sc.n_tokens ELSE 0 END AS ppl_q
+      |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+      |rk AS (SELECT *,
+      |  ROW_NUMBER() OVER (ORDER BY ppl_q ASC, doc_id ASC) - 1 AS pos,
+      |  COUNT(*) OVER () AS n_docs FROM b)""".stripMargin
+  }
+
+  private val tx17 = QueryDef(
+    "tx17_ppl_buckets",
+    (s, dir) => pplBuckets(s, dir),
+    Some(s"WITH $Tx17Ctes\n$Tx17Select"))
 
   // ------------------------------------------------------------- tx18
   /** GOPHER REPETITION FILTERS (round 12; Rae et al. 2021,

@@ -1949,6 +1949,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.count(r => r.getAs[Double]("dup3_frac") > 0.1) > 0)
   }
 
+  test("pk08 curriculum: phases are tx17's terciles, per-phase packing is pk01's") {
+    val out = SparkEntry.queries("pk08_curriculum_pack")(spark, sf)
+      .localCheckpoint(true)
+    val t17 = SparkEntry.queries("tx17_ppl_buckets")(spark, sf)
+      .select(col("doc_id"), col("bucket"), col("n_tokens"))
+      .localCheckpoint(true)
+    // phase = tx17's bucket, doc for doc; phase_rank encodes the
+    // reading order head -> middle -> tail
+    assert(out.count() == t17.count())
+    assert(out.join(t17, "doc_id")
+      .filter(col("phase") =!= col("bucket") ||
+        col("n_tok") =!= col("n_tokens")).count() == 0)
+    assert(out.filter(
+      (col("phase") === "head" && col("phase_rank") =!= 0) ||
+      (col("phase") === "middle" && col("phase_rank") =!= 1) ||
+      (col("phase") === "tail" && col("phase_rank") =!= 2)).count() == 0)
+    // within each (phase, shard): positions dense from 1, cumsum/bin
+    // arithmetic matches a driver recompute
+    val groups = out.collect().groupBy(r =>
+      (r.getAs[String]("phase"), r.getAs[Int]("shard")))
+    groups.foreach { case ((ph, sh), g) =>
+      val sorted = g.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq ==
+        (1L to g.length.toLong), s"positions $ph/$sh")
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("n_tok")
+        val bin = math.max(0L, (cum - 1) / 256)
+        assert(r.getAs[Long]("bin") == bin, s"bin $ph/$sh pos ${r.getAs[Long]("pos")}")
+      }
+    }
+    // non-vacuous: all three phases and several shards in play
+    assert(out.select("phase").distinct().count() == 3)
+    assert(out.select("shard").distinct().count() >= 4)
+  }
+
   test("mm05 av align: every pair's window covers the frame mid, tail drop non-vacuous") {
     val out = SparkEntry.queries("mm05_av_align")(spark, sf)
       .localCheckpoint(true)
