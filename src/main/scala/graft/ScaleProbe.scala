@@ -145,7 +145,10 @@ object ScaleProbe {
       // mm05: two bounded explodes + one (doc,band)-keyed join
       "mm05_av_align",
       // pk08: tx17's corpus-linear scoring + one (phase,shard) window
-      "pk08_curriculum_pack")
+      "pk08_curriculum_pack",
+      // dd18: the shingle equi-join (output-bound on the replica
+      // fixture, like dd02/dd09 — true pairs grow ~k²)
+      "dd18_containment")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap

@@ -1469,7 +1469,97 @@ object Dedup {
       |  doc_id = MAX(doc_id) OVER (PARTITION BY canon) AS keep
       |FROM canon""".stripMargin))
 
+  // ------------------------------------------------------------- dd18
+  /** CONTAINMENT dedup (round 12) — the asymmetric-overlap case every
+    * Jaccard-only pass misses (Broder 1997 defined containment
+    * alongside resemblance for exactly this; the web-dedup failure
+    * mode: a snippet/quote page sits INSIDE a longer page — Jaccard ≈
+    * |snippet|/|page| stays far under any dedup threshold while the
+    * snippet is 100% duplicated content): per candidate pair, BOTH
+    * directed containments C(a→b) = |Sa∩Sb|/|Sa| and C(b→a), a pair
+    * flagged when either crosses [[Dd18Thresh]], typed mutual /
+    * a_in_b / b_in_a.
+    *
+    * The fixture's planted near-dups are all MUTUAL (measured ≈0.99
+    * both ways), so the gate INJECTS the asymmetric case (the
+    * ing02/tx19/dd17 pattern at the set level): every 25th doc
+    * contributes a SNIPPET pseudo-doc (its middle third of tokens,
+    * id+10⁶) whose shingle set is contained in its host's by
+    * construction while Jaccard ≈ 1/3 — below any dedup threshold;
+    * the oracle replays the injection. Candidates = pairs sharing ≥
+    * [[Dd18MinShared]] distinct shingles via the shingle equi-join
+    * (the dd04/dd09 shape — LSH banding is deliberately NOT the
+    * candidate generator here: minhash collision probability tracks
+    * JACCARD, so it misses exactly the asymmetric pairs this operator
+    * exists to find; at 100 TB the join buckets by shingle with a
+    * hot-shingle cap, the documented dd04 recipe). Containments are
+    * single exact-integer divisions — engine-identical comparisons,
+    * hash-exact. */
+  private val Dd18Thresh = 0.8
+  private val Dd18MinShared = 3
+  private val Dd18SnipMod = 25
+
+  private val dd18 = QueryDef(
+    "dd18_containment",
+    (s, dir) => {
+      val base = TextShingles.words(s, dir)
+      val snip = base
+        .filter(col("doc_id") % Dd18SnipMod === 0 && size(col("ws")) >= 9)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("slice(ws, size(ws) div 3 + 1, size(ws) div 3)").as("ws"))
+      val sh = base.unionByName(snip)
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(expr(TextShingles.shingleArray(3))).as("sg"))
+        .distinct()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("ida"), col("sg"))
+        .join(sh.select(col("doc_id").as("idb"), col("sg")), "sg")
+        .filter(col("ida") < col("idb"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+        .filter(col("inter") >= Dd18MinShared)
+      inter
+        .join(sz.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+        .join(sz.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+        .withColumn("c_ab", expr("CAST(inter AS DOUBLE) / na"))
+        .withColumn("c_ba", expr("CAST(inter AS DOUBLE) / nb"))
+        .filter(greatest(col("c_ab"), col("c_ba")) >= Dd18Thresh)
+        .withColumn("rel",
+          when(col("c_ab") >= Dd18Thresh && col("c_ba") >= Dd18Thresh,
+            "mutual")
+            .when(col("c_ab") >= Dd18Thresh, "a_in_b")
+            .otherwise("b_in_a"))
+        .select("ida", "idb", "inter", "na", "nb", "c_ab", "c_ba", "rel")
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |snip AS (SELECT doc_id + 1000000 AS doc_id,
+      |  list_slice(ws, len(ws) // 3 + 1, len(ws) // 3 + len(ws) // 3) AS ws
+      |  FROM w0 WHERE doc_id % $Dd18SnipMod = 0 AND len(ws) >= 9),
+      |w AS (SELECT * FROM w0 UNION ALL SELECT * FROM snip),
+      |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sg
+      |  FROM w CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+      |  WHERE len(ws) >= 3),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+      |  GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |    CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $Dd18MinShared),
+      |sc AS (SELECT ida, idb, inter, sa.n AS na, sb.n AS nb,
+      |    CAST(inter AS DOUBLE) / sa.n AS c_ab,
+      |    CAST(inter AS DOUBLE) / sb.n AS c_ba
+      |  FROM inter JOIN sz sa ON sa.doc_id = ida
+      |  JOIN sz sb ON sb.doc_id = idb)
+      |SELECT ida, idb, inter, na, nb, c_ab, c_ba,
+      |  CASE WHEN c_ab >= $Dd18Thresh AND c_ba >= $Dd18Thresh THEN 'mutual'
+      |       WHEN c_ab >= $Dd18Thresh THEN 'a_in_b'
+      |       ELSE 'b_in_a' END AS rel
+      |FROM sc WHERE greatest(c_ab, c_ba) >= $Dd18Thresh""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
-      dd12, dd13, dd14, dd15, dd16, dd17)
+      dd12, dd13, dd14, dd15, dd16, dd17, dd18)
 }

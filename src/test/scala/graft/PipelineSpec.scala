@@ -1949,6 +1949,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.count(r => r.getAs[Double]("dup3_frac") > 0.1) > 0)
   }
 
+  test("dd18 containment: snippet pairs one-way and Jaccard-invisible, mutual dups found") {
+    val out = SparkEntry.queries("dd18_containment")(spark, sf)
+      .localCheckpoint(true)
+    // driver recompute of the injection + shingle-set arithmetic
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+")
+        .filter(_.nonEmpty).toSeq).toMap
+    def shingles(ws: Seq[String]): Set[String] =
+      ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val rows = out.collect()
+    rows.foreach { r =>
+      def setOf(id: Long): Set[String] =
+        if (id >= 1000000L) {
+          val ws = docs(id - 1000000L)
+          shingles(ws.slice(ws.length / 3, ws.length / 3 * 2))
+        } else shingles(docs(id))
+      val (sa, sb) = (setOf(r.getAs[Long]("ida")), setOf(r.getAs[Long]("idb")))
+      val i = (sa & sb).size.toLong
+      assert(r.getAs[Long]("inter") == i, s"${r.getAs[Long]("ida")}/${r.getAs[Long]("idb")}")
+      assert(r.getAs[Long]("na") == sa.size.toLong)
+      assert(r.getAs[Long]("nb") == sb.size.toLong)
+    }
+    // every injected snippet is found CONTAINED in its host, one-way —
+    // and the same pair is INVISIBLE to a Jaccard-0.8 rule (the
+    // operator's reason to exist)
+    val hostSnip = rows.filter(r =>
+      r.getAs[Long]("idb") == r.getAs[Long]("ida") + 1000000L)
+    // a snippet pairs with its host iff it clears the MinShared=3
+    // candidate bound (its distinct shingles ARE the intersection)
+    val expectedSnips = docs.count { case (id, ws) =>
+      id % 25 == 0 && ws.length >= 9 &&
+        shingles(ws.slice(ws.length / 3, ws.length / 3 * 2)).size >= 3 }
+    assert(hostSnip.length == expectedSnips, "a snippet pair went missing")
+    hostSnip.foreach { r =>
+      assert(r.getAs[String]("rel") == "b_in_a")
+      val jac = r.getAs[Long]("inter").toDouble /
+        (r.getAs[Long]("na") + r.getAs[Long]("nb") - r.getAs[Long]("inter"))
+      assert(jac < 0.8, s"snippet pair visible to jaccard: $jac")
+    }
+    // the planted near-dups still surface, as mutual
+    assert(rows.count(_.getAs[String]("rel") == "mutual") > 0)
+  }
+
   test("pk08 curriculum: phases are tx17's terciles, per-phase packing is pk01's") {
     val out = SparkEntry.queries("pk08_curriculum_pack")(spark, sf)
       .localCheckpoint(true)
