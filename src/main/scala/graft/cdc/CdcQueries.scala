@@ -1915,10 +1915,21 @@ object CdcQueries {
           dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
-      // event-time terciles: one chunk per day-of-month third — the
-      // arrival order outer emission needs (see docstring)
-      val tercile = ((dayofmonth(timestamp_micros(col("tsUs"))) - 1) / 11)
-        .cast("int")
+      // event-time terciles: one chunk per third of the data's day
+      // span — the arrival order outer emission needs (see docstring).
+      // Pure integer µs arithmetic on tsUs (ADVICE r12: dayofmonth()
+      // is session-timezone-dependent — under a non-UTC session the
+      // first hours of January wrap to day 31 and arrive LAST, past
+      // the 24h watermark, dropping those inserts; q39's day-boundary
+      // recipe). Span endpoints are 1-row driver scalars.
+      val dayUs = 86400000000L
+      val (minDay, maxDay) = {
+        val r = asRecords.agg(min(col("tsUs")), max(col("tsUs"))).head()
+        (r.getLong(0) / dayUs, r.getLong(1) / dayUs)
+      }
+      val daySpan = maxDay - minDay + 1
+      val tercile =
+        expr(s"CAST((((tsUs div $dayUs) - $minDay) * 3) div $daySpan AS INT)")
       (0 until 3).foreach { b =>
         asRecords.filter(tercile === b).coalesce(1)
           .write.format("graft-cdc").mode("append")
@@ -2038,12 +2049,18 @@ object CdcQueries {
       child.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = graft.streaming.CdcStreaming
         .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+      // LEFT join (ADVICE r12): with non-dense dim keys (e.g. 1-based
+      // TPC-H custkeys) an inner join would silently drop every record
+      // whose ck misses — a lookup join must SURFACE unmatched records
+      // (null attributes), never shed them, exactly Flink's LEFT
+      // lookup-join contract. On this fixture's dense 0-based keys the
+      // output is identical to the inner form.
       val enriched = stream
         .select(col("id").as("record_id"),
           expr("CAST(coalesce(after['pk'], before['pk']) AS BIGINT)")
             .as("pk"))
         .withColumn("ck", pmod(col("pk"), lit(nCust)))
-        .join(broadcast(dim), col("ck") === col("c_custkey"))
+        .join(broadcast(dim), col("ck") === col("c_custkey"), "left")
         .select("record_id", "pk", "ck", "segment", "nation")
       runToParquetAndRead(s, enriched, chunkDir + "_out", complete = false,
         streamOutSchema("record_id" -> LongType, "pk" -> LongType,
@@ -2055,7 +2072,7 @@ object CdcQueries {
       |  l.pk % (SELECT MAX(c_custkey) + 1 FROM customer) AS ck,
       |  c.c_mktsegment AS segment,
       |  CAST(c.c_nationkey AS INTEGER) AS nation
-      |FROM changelog l JOIN customer c
+      |FROM changelog l LEFT JOIN customer c
       |  ON c.c_custkey = l.pk % (SELECT MAX(c_custkey) + 1 FROM customer)
       |WHERE l.op <> 'HEARTBEAT'""".stripMargin))
 

@@ -1487,40 +1487,68 @@ object Dedup {
     * id+10⁶) whose shingle set is contained in its host's by
     * construction while Jaccard ≈ 1/3 — below any dedup threshold;
     * the oracle replays the injection. Candidates = pairs sharing ≥
-    * [[Dd18MinShared]] distinct shingles via the shingle equi-join
-    * (the dd04/dd09 shape — LSH banding is deliberately NOT the
-    * candidate generator here: minhash collision probability tracks
-    * JACCARD, so it misses exactly the asymmetric pairs this operator
-    * exists to find; at 100 TB the join buckets by shingle with a
-    * hot-shingle cap, the documented dd04 recipe). Containments are
-    * single exact-integer divisions — engine-identical comparisons,
-    * hash-exact. */
+    * [[Dd18MinShared]] distinct SUB-CAP shingles via the shingle
+    * equi-join (the dd04/dd09 shape — LSH banding is deliberately NOT
+    * the candidate generator here: minhash collision probability
+    * tracks JACCARD, so it misses exactly the asymmetric pairs this
+    * operator exists to find). The join is guarded by the dd09
+    * hot-shingle recipe (round 13, VERDICT r12 #1): shingles present
+    * in more than [[Dd18MaxDf]] documents are template/boilerplate
+    * mass — one boilerplate 3-gram shared by 10⁶ docs is 10¹²
+    * candidate rows, a scale-killer in exactly the operator whose job
+    * is boilerplate-adjacent content — so they are anti-joined OUT of
+    * candidate generation (a broadcast anti-join: the hot list is tiny
+    * by definition), bounding the self-join at Σ_{df≤cap} df². The
+    * declared production contract: pairs sharing only ultra-common
+    * shingles are not candidates. On every surviving candidate the
+    * intersection is then computed EXACTLY from the stored per-doc
+    * shingle sets (dd15's array_intersect recipe) — hot shingles still
+    * count toward `inter`, so the answer is unchanged for every pair
+    * that shares ≥ [[Dd18MinShared]] sub-cap shingles. The cap is far
+    * above any genuine content shingle here (max df 25 at sf0.1), so
+    * the gate hashes are cap-invariant at all three SFs. Containments
+    * are single exact-integer divisions — engine-identical
+    * comparisons, hash-exact. */
   private val Dd18Thresh = 0.8
   private val Dd18MinShared = 3
   private val Dd18SnipMod = 25
+  private val Dd18MaxDf = 128
 
   private val dd18 = QueryDef(
     "dd18_containment",
     (s, dir) => {
       val base = TextShingles.words(s, dir)
+      // snippet ids offset past the real id domain (ADVICE r12: a
+      // fixed 10⁶ collides once the corpus passes 1M docs) — a 1-row
+      // driver scalar, the emb05 sanctioned pattern
+      val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val snip = base
         .filter(col("doc_id") % Dd18SnipMod === 0 && size(col("ws")) >= 9)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           expr("slice(ws, size(ws) div 3 + 1, size(ws) div 3)").as("ws"))
-      val sh = base.unionByName(snip)
+      val sets = base.unionByName(snip)
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"),
-          explode(expr(TextShingles.shingleArray(3))).as("sg"))
-        .distinct()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("ida"), col("sg"))
-        .join(sh.select(col("doc_id").as("idb"), col("sg")), "sg")
+          expr(s"array_distinct(${TextShingles.shingleArray(3)})").as("sgs"))
+      val sh = sets.select(col("doc_id"), explode(col("sgs")).as("sg"))
+      // per-doc-distinct rows make count(*) per sg the document
+      // frequency; dropping the hot tail is a broadcast anti-join
+      val hot = sh.groupBy("sg").agg(count(lit(1)).as("df"))
+        .filter(col("df") > Dd18MaxDf).select("sg")
+      val shc = sh.join(broadcast(hot), Seq("sg"), "left_anti")
+      val cand = shc.select(col("doc_id").as("ida"), col("sg"))
+        .join(shc.select(col("doc_id").as("idb"), col("sg")), "sg")
         .filter(col("ida") < col("idb"))
-        .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
-        .filter(col("inter") >= Dd18MinShared)
-      inter
-        .join(sz.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
-        .join(sz.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+        .groupBy("ida", "idb").agg(count(lit(1)).as("sub_cap"))
+        .filter(col("sub_cap") >= Dd18MinShared)
+        .select("ida", "idb")
+      cand
+        .join(sets.select(col("doc_id").as("ida"), col("sgs").as("sa")), "ida")
+        .join(sets.select(col("doc_id").as("idb"), col("sgs").as("sb")), "idb")
+        .select(col("ida"), col("idb"),
+          expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)").as("inter"),
+          expr("CAST(size(sa) AS BIGINT)").as("na"),
+          expr("CAST(size(sb) AS BIGINT)").as("nb"))
         .withColumn("c_ab", expr("CAST(inter AS DOUBLE) / na"))
         .withColumn("c_ba", expr("CAST(inter AS DOUBLE) / nb"))
         .filter(greatest(col("c_ab"), col("c_ba")) >= Dd18Thresh)
@@ -1534,7 +1562,8 @@ object Dedup {
     Some(s"""WITH w0 AS (SELECT doc_id,
       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
       |  FROM documents),
-      |snip AS (SELECT doc_id + 1000000 AS doc_id,
+      |snip AS (SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents)
+      |    AS doc_id,
       |  list_slice(ws, len(ws) // 3 + 1, len(ws) // 3 + len(ws) // 3) AS ws
       |  FROM w0 WHERE doc_id % $Dd18SnipMod = 0 AND len(ws) >= 9),
       |w AS (SELECT * FROM w0 UNION ALL SELECT * FROM snip),
@@ -1544,10 +1573,15 @@ object Dedup {
       |  WHERE len(ws) >= 3),
       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
       |  GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
-      |    CAST(COUNT(*) AS BIGINT) AS inter
-      |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |hot AS (SELECT sg FROM sh GROUP BY sg HAVING COUNT(*) > $Dd18MaxDf),
+      |shc AS (SELECT doc_id, sg FROM sh ANTI JOIN hot USING (sg)),
+      |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+      |  FROM shc a JOIN shc b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $Dd18MinShared),
+      |inter AS (SELECT c.ida, c.idb, CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM cand c JOIN sh a ON a.doc_id = c.ida
+      |  JOIN sh b ON b.doc_id = c.idb AND b.sg = a.sg
+      |  GROUP BY 1, 2),
       |sc AS (SELECT ida, idb, inter, sa.n AS na, sb.n AS nb,
       |    CAST(inter AS DOUBLE) / sa.n AS c_ab,
       |    CAST(inter AS DOUBLE) / sb.n AS c_ba

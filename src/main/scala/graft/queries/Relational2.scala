@@ -491,12 +491,19 @@ object Relational2 {
         sum(col("n_tok") * col("n_tok")).as("s2"))
       val salted = st.select(col("lang"), col("n"), col("s1"), col("s2"),
         explode(expr(s"sequence(0, ${Q38Salts - 1})")).as("salt"))
+      // degenerate-cohort guard (ADVICE r12): n = 1 makes both the
+      // (n - 1) divisor and the centered sum 0 — a 0/0 whose IEEE
+      // NaN the hash gate would have to trust both engines to agree
+      // on; a zero-variance cohort is 0/0 the same way. NULL z is the
+      // honest answer for a cohort with no spread to normalize by.
       d.withColumn("salt", pmod(hash(col("doc_id")), lit(Q38Salts)))
         .join(salted.hint("merge"), Seq("lang", "salt"))
         .select(col("doc_id"), col("lang"), col("n_tok"),
-          expr("""(n_tok - CAST(s1 AS DOUBLE) / n) /
+          expr("""CASE WHEN n > 1 AND
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) > 0
+            THEN (n_tok - CAST(s1 AS DOUBLE) / n) /
             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
-              / (n - 1))""").as("z"))
+              / (n - 1)) ELSE NULL END""").as("z"))
     },
     Some(s"""WITH d AS (SELECT doc_id, lang,
       |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
@@ -505,9 +512,11 @@ object Relational2 {
       |st AS (SELECT lang, COUNT(*) AS n, SUM(n_tok) AS s1,
       |  SUM(n_tok * n_tok) AS s2 FROM d GROUP BY lang)
       |SELECT doc_id, d.lang, n_tok,
-      |  (n_tok - CAST(s1 AS DOUBLE) / n) /
+      |  CASE WHEN n > 1 AND
+      |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) > 0
+      |    THEN (n_tok - CAST(s1 AS DOUBLE) / n) /
       |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
-      |      / (n - 1)) AS z
+      |      / (n - 1)) ELSE NULL END AS z
       |FROM d JOIN st ON d.lang = st.lang""".stripMargin))
 
   // ---------------------------------------------------------------- q39

@@ -251,6 +251,11 @@ object CdcStreaming {
       changes: DataFrame, leftOp: String, rightOp: String,
       toleranceUs: Long, watermark: String = "10 minutes",
       joinType: String = "inner"): DataFrame = {
+    // only these two modes carry the emission/flush contract the
+    // docstring documents (ADVICE r12: an unvalidated passthrough
+    // would hand e.g. "fullOuter" a liveness pattern nobody wrote)
+    require(joinType == "inner" || joinType == "leftOuter",
+      s"intervalJoin supports joinType inner|leftOuter, got '$joinType'")
     def side(op: String, prefix: String) =
       changes.filter(col("op") === op)
         .select(

@@ -1959,11 +1959,14 @@ class PipelineSpec extends AnyFunSuite {
         .filter(_.nonEmpty).toSeq).toMap
     def shingles(ws: Seq[String]): Set[String] =
       ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    // snippet ids sit past the real id domain (ADVICE r12: derived
+    // from max(doc_id)+1, not a fixed constant)
+    val off = docs.keys.max + 1L
     val rows = out.collect()
     rows.foreach { r =>
       def setOf(id: Long): Set[String] =
-        if (id >= 1000000L) {
-          val ws = docs(id - 1000000L)
+        if (id >= off) {
+          val ws = docs(id - off)
           shingles(ws.slice(ws.length / 3, ws.length / 3 * 2))
         } else shingles(docs(id))
       val (sa, sb) = (setOf(r.getAs[Long]("ida")), setOf(r.getAs[Long]("idb")))
@@ -1976,7 +1979,7 @@ class PipelineSpec extends AnyFunSuite {
     // and the same pair is INVISIBLE to a Jaccard-0.8 rule (the
     // operator's reason to exist)
     val hostSnip = rows.filter(r =>
-      r.getAs[Long]("idb") == r.getAs[Long]("ida") + 1000000L)
+      r.getAs[Long]("idb") == r.getAs[Long]("ida") + off)
     // a snippet pairs with its host iff it clears the MinShared=3
     // candidate bound (its distinct shingles ARE the intersection)
     val expectedSnips = docs.count { case (id, ws) =>

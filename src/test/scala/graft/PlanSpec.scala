@@ -412,4 +412,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the changelog side must not shuffle for the re-fetch:\n$p")
   }
+
+  test("dd18 containment: both self-join sides are hot-shingle-capped") {
+    // VERDICT r12 #1: the candidate generator must never run an
+    // uncapped shingle self-join (one boilerplate 3-gram in 10⁶ docs
+    // is 10¹² join rows). Pin on the OPTIMIZED LOGICAL plan, where the
+    // two self-join inputs are separate subtrees: each must contain
+    // the df-cap anti-join; exact verify then reads the stored sets.
+    val q = SparkEntry.queries("dd18_containment")(spark, sf)
+    val opt = q.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, Inner}
+    val selfJoins = opt.collect {
+      // the candidate self-join: the only Inner join whose BOTH sides
+      // contain a LeftAnti (the hot-shingle drop) below them
+      case j: Join if j.joinType == Inner &&
+        j.left.collect { case a: Join if a.joinType == LeftAnti => a }.nonEmpty &&
+        j.right.collect { case a: Join if a.joinType == LeftAnti => a }.nonEmpty => j
+    }
+    assert(selfJoins.nonEmpty,
+      s"no capped self-join found — the anti-join guard is gone:\n$opt")
+    val antis = opt.collect { case a: Join if a.joinType == LeftAnti => a }
+    assert(antis.size >= 2,
+      s"both self-join sides must anti-join the hot list:\n$opt")
+    // and the exact verify reads array_intersect over the stored sets
+    assert(opt.toString.contains("array_intersect"),
+      s"exact verify must come from stored shingle sets:\n$opt")
+  }
 }
