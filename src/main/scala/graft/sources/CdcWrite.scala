@@ -37,7 +37,7 @@ class CdcWriteBuilder(path: String) extends WriteBuilder {
 
 private class CdcBatchWrite(path: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new CdcWriterFactory(path)
+    new CdcWriterFactory(path, System.currentTimeMillis())
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -45,28 +45,39 @@ private class CdcBatchWrite(path: String) extends BatchWrite {
 private class CdcStreamingWrite(path: String) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new CdcWriterFactory(path)
+    new CdcWriterFactory(path, System.currentTimeMillis())
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private class CdcWriterFactory(path: String)
+/** `jobMillis` is captured ONCE on the driver at factory creation
+  * (round 13): with a per-task timestamp, the segments of one
+  * multi-task write job sorted by their commit wall-clocks — a
+  * nondeterministic interleaving — so a parallel N-segment encode
+  * could be admitted in a different order than it was range-dealt.
+  * A job-level prefix makes same-job segments sort by partition id
+  * (p00000 < p00001 …), so a time-range-partitioned write job is
+  * admitted in event-time order; cross-job ordering is unchanged
+  * (sequential jobs are more than a millisecond apart — the same
+  * clock guarantee the per-task form already leaned on). */
+private class CdcWriterFactory(path: String, jobMillis: Long)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   // batch path
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CdcDataWriter(path, -1L, partitionId, taskId)
+    new CdcDataWriter(path, -1L, partitionId, taskId, jobMillis)
 
   // streaming path (epoch-aware)
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new CdcDataWriter(path, epochId, partitionId, taskId)
+    new CdcDataWriter(path, epochId, partitionId, taskId, jobMillis)
 }
 
 private case class CdcCommit(chunk: Option[String]) extends WriterCommitMessage
 
 private class CdcDataWriter(
-    path: String, epochId: Long, partitionId: Int, taskId: Long)
+    path: String, epochId: Long, partitionId: Int, taskId: Long,
+    jobMillis: Long)
   extends DataWriter[InternalRow] {
 
   private val buf = ArrayBuffer.empty[ChangeRecord]
@@ -78,7 +89,7 @@ private class CdcDataWriter(
     Files.createDirectories(Paths.get(path))
     val e = if (epochId >= 0) f"e$epochId%010d-" else ""
     val name =
-      f"chunk-${System.currentTimeMillis()}%013d-$e" +
+      f"chunk-$jobMillis%013d-$e" +
         f"p$partitionId%05d${CdcChunkFile.Extension}"
     val tmp = Paths.get(path, s".$name.tmp")
     CdcChunkFile.write(tmp.toString, buf.toSeq)
