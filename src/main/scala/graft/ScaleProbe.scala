@@ -310,6 +310,11 @@ object ScaleProbe {
         // cdc27: stateless stream-static broadcast enrichment — rides
         // the record volume plus the per-micro-batch floor
         "cdc27_lookup_join",
+        // cdc28 (round 13): the tumble window join — state bounded by
+        // open windows × keys inside the watermark horizon; output =
+        // per-window insert×update pair mass (grows with key density
+        // per window, k× keys ⇒ ~k× pairs on this fixture)
+        "cdc28_window_join",
         // q39 (events-based, so it sweeps on this fixture): constant
         // ≤4-row explode riding the scan + one map-side-combined agg
         // over 120 window keys

@@ -2099,8 +2099,86 @@ object CdcQueries {
       |  ON c.c_custkey = l.pk % (SELECT MAX(c_custkey) + 1 FROM customer)
       |WHERE l.op <> 'HEARTBEAT'""".stripMargin))
 
+  // -------------------------------------------------------------- cdc28
+  /** STREAM-STREAM WINDOW JOIN under the oracle gate (round 13) — the
+    * one Flink-SQL windowing construct still absent after the window
+    * TVF family (q11/q12/q13/q39) and the interval joins (cdc14/cdc26):
+    * `TUMBLE(l) JOIN TUMBLE(r) ON l.window_start = r.window_start AND
+    * l.key = r.key`. Each key's INSERT records join its UPDATE records
+    * landing in the SAME UTC-day tumble, through
+    * [[graft.streaming.CdcStreaming.windowJoin]] — two watermarked
+    * sides of ONE wire stream, bucketed by `window()` and equi-joined
+    * on (window, key), so the state store evicts whole windows as the
+    * watermark passes (the Flink window-join state bound). The batches
+    * arrive deliberately OUT of timestamp order (cdc14's id-mod-3
+    * dealing): inner emission happens when the second row of a pair
+    * arrives, the watermark bounds eviction only, so with a 30-day
+    * watermark over the one-month changelog the emitted set equals
+    * the declarative per-window self-join exactly — whichever side
+    * arrived first. Oracle: the same join on integer-µs day buckets
+    * ((ts div 86.4e9)·86.4e9 — window() aligns at the epoch, so the
+    * buckets agree by construction). */
+  private val cdc28Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc28 = QueryDef(
+    "cdc28_window_join",
+    (s, dir) => {
+      val asRecords = dataOps(s, dir).select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), (col("record_id") / 100).cast("long").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"), lit("users").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE",
+          map_filter(
+            map(lit("pk"), col("pk").cast("string"),
+              lit("val"), col("val").cast("string"),
+              lit("k"), col("k").cast("string")),
+            (_, v) => v.isNotNull)).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      val n = cdc28Calls
+        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+        .getAndIncrement()
+      val chunkPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_cdc28_w7t3n9_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
+      graft.Fs.deleteRecursively(chunkPath)
+      val chunkDir = chunkPath.toString
+      (0L until 3L).foreach { b =>
+        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.CdcStreaming
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+      val joined = graft.streaming.CdcStreaming
+        .windowJoin(stream, "INSERT", "UPDATE", "24 hours",
+          watermark = "30 days")
+      runToParquetAndRead(s, joined, chunkDir + "_out", complete = false,
+        streamOutSchema("l_id" -> LongType, "r_id" -> LongType,
+          "key" -> StringType, "win_us" -> LongType))
+    },
+    Some(s"""$changelogSql
+      |SELECT i.record_id AS l_id, u.record_id AS r_id,
+      |  'app|users|' || CAST(i.pk AS VARCHAR) AS key,
+      |  (i.ts_us // ${86400L * 1000000}) * ${86400L * 1000000} AS win_us
+      |FROM changelog i JOIN changelog u ON u.pk = i.pk
+      |  AND (u.ts_us // ${86400L * 1000000}) = (i.ts_us // ${86400L * 1000000})
+      |WHERE i.op = 'INSERT' AND u.op = 'UPDATE'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
-    cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27)
+    cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28)
 }

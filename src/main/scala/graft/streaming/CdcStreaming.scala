@@ -272,6 +272,36 @@ object CdcStreaming {
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("delta_us"))
   }
 
+  /** Stream-stream WINDOW JOIN — Flink SQL's window join (round 13):
+    * both streams tumbled into the SAME window
+    * (`TUMBLE(TABLE l …) JOIN TUMBLE(TABLE r …) ON l.window_start =
+    * r.window_start AND l.key = r.key`), the windowed sibling of
+    * [[intervalJoin]]. Re-expressed Spark-first: `window()` buckets on
+    * both watermarked sides and an equi-join on (window, key) — the
+    * window column derives from event time, so Spark's state store
+    * evicts whole windows once the watermark passes their end: at
+    * 100 TB the join never holds more state than open-windows × keys
+    * within the disorder horizon, the same bound Flink's window join
+    * carries. Inner-join emission is on arrival (the watermark bounds
+    * EVICTION, not emission), so the final emitted set is
+    * arrival-order-free — exactly the property the oracle gate pins. */
+  def windowJoin(
+      changes: DataFrame, leftOp: String, rightOp: String,
+      windowDur: String, watermark: String = "10 minutes"): DataFrame = {
+    def side(op: String, prefix: String) =
+      changes.filter(col("op") === op)
+        .select(col("id").as(s"${prefix}_id"),
+          keyExpr.as(s"${prefix}_key"),
+          timestamp_micros(col("tsUs")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", watermark)
+        .withColumn(s"${prefix}_w",
+          window(col(s"${prefix}_ts"), windowDur))
+    side(leftOp, "l").join(side(rightOp, "r"),
+      expr("l_w = r_w AND l_key = r_key"))
+      .select(col("l_id"), col("r_id"), col("l_key").as("key"),
+        unix_micros(col("l_w.start")).as("win_us"))
+  }
+
   /** DDL records surfaced as a schema-change control stream (ref:
     * OperationType.java:8 includes DDL; the reference delivers them
     * in-band with the data records). The statement travels in the

@@ -1250,6 +1250,42 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("cdc28 window join: streamed set = per-window declarative join, tumble boundary real") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cdc28_window_join")(spark, sf).persist()
+    try {
+      val dayUs = 86400L * 1000000
+      val log = graft.cdc.CdcQueries.changelog(spark, sf)
+        .filter(col("op") =!= "HEARTBEAT").persist()
+      val ins = log.filter(col("op") === "INSERT")
+        .select(col("record_id").as("l_id"), col("pk").as("l_pk"),
+          col("ts_us").as("l_ts"))
+      val upd = log.filter(col("op") === "UPDATE")
+        .select(col("record_id").as("r_id"), col("pk").as("r_pk"),
+          col("ts_us").as("r_ts"))
+      // streamed multiset ≡ the declarative same-day-tumble join,
+      // window bucket column included (window() aligns at the epoch,
+      // so the integer-µs day bucket is the same boundary)
+      val decl = ins.join(upd, col("l_pk") === col("r_pk") &&
+          expr(s"l_ts div $dayUs") === expr(s"r_ts div $dayUs"))
+        .select(col("l_id"), col("r_id"),
+          expr(s"(l_ts div $dayUs) * $dayUs").as("win_us"))
+      val got = out.select("l_id", "r_id", "win_us")
+      assert(got.exceptAll(decl).count() == 0 &&
+        decl.exceptAll(got).count() == 0)
+      // non-vacuous: pairs exist, some (window, key) fans out past one
+      // pair, and the tumble boundary EXCLUDES real same-key pairs
+      // (there are cross-day insert/update pairs the join must drop)
+      assert(out.count() > 0, "no window-join pair - gate vacuous")
+      assert(out.groupBy("win_us", "key").count()
+        .filter(col("count") > 1).count() > 0, "join never fanned out")
+      val allPairs = ins.join(upd, col("l_pk") === col("r_pk")).count()
+      assert(out.count() < allPairs,
+        "window boundary never excluded a pair - tumble is vacuous")
+      log.unpersist()
+    } finally out.unpersist()
+  }
+
   test("cdc25 evolution: merge-on-read NULL backfill, old snapshot keeps old schema") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("cdc25_evolved_snapshots")(spark, sf)
