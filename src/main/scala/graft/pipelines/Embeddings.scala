@@ -208,11 +208,16 @@ object Embeddings {
     * the scan, the k×d matrix shipped as a 4 KB expression constant.
     * Two linear passes total; nothing shuffles but the moment row.
     *
-    * No SQL oracle BY DESIGN (DuckDB has no eigensolver) — rows-only
-    * at the driver gate, like ann03/ann04; PipelineSpec carries the
-    * correctness load instead: exact-integer moment checks against a
-    * sequential reference, repartition-invariance of the full output,
-    * eigen residuals, and whitened-covariance ≈ I. */
+    * HASH-ORACLED since round 13 (VERDICT r12 #6 — the last rows-only
+    * row): DuckDB has no eigensolver, so [[PcaSql]] REPLAYS
+    * [[graft.functions.SymEigen]]'s cyclic Jacobi rotation-by-rotation
+    * in one recursive CTE (16,128 rotations at the gate SF), measured
+    * bit-exact against the Scala trajectory — see PcaSql's scaladoc
+    * for the mechanics and the DuckDB findings the build surfaced.
+    * PipelineSpec still carries the structural load: exact-integer
+    * moment checks against a sequential reference,
+    * repartition-invariance of the full output, eigen residuals, and
+    * whitened-covariance ≈ I. */
   private val Emb04K = 8
   private val emb04 = QueryDef(
     "emb04_pca",
@@ -230,7 +235,7 @@ object Embeddings {
             (0 until k).map(r => element_at(col("y"), r + 1).as(s"y$r"))) :+
             lit(varKeptFrac).as("var_kept_frac"): _*)
     },
-    None)
+    Some(PcaSql.sql))
 
   /** Driver-side model fit from the one-pass integer moments:
     * (μ, row-major whitening matrix W (k×d), kept-variance fraction).
