@@ -1502,9 +1502,12 @@ object Dedup {
     * declared production contract: pairs sharing only ultra-common
     * shingles are not candidates. On every surviving candidate the
     * intersection is then computed EXACTLY from the stored per-doc
-    * shingle sets (dd15's array_intersect recipe) — hot shingles still
-    * count toward `inter`, so the answer is unchanged for every pair
-    * that shares ≥ [[Dd18MinShared]] sub-cap shingles. The cap is far
+    * shingle HASH sets (dd04's array_intersect recipe; shingle
+    * identity = the 64-bit hash, the dd02/dd04/dd09 convention — see
+    * [[containmentPairs]] for the measured reason strings lose) — hot
+    * shingles still count toward `inter`, so the answer is unchanged
+    * for every pair that shares ≥ [[Dd18MinShared]] sub-cap shingles.
+    * The cap is far
     * above any genuine content shingle here (max df 25 at sf0.1), so
     * the gate hashes are cap-invariant at all three SFs. Containments
     * are single exact-integer divisions — engine-identical
@@ -1514,51 +1517,76 @@ object Dedup {
   private val Dd18SnipMod = 25
   private val Dd18MaxDf = 128
 
+  /** The containment pipeline, factored so PlanSpec can inspect the
+    * LAZY plan (`materialize = false` skips the persist + eager
+    * checkpoint — a checkpointed result reads back as a LogicalRDD
+    * with no joins to pin). Shingle identity is the 64-bit hash set
+    * ([[graft.functions.ShingleHashSet]] — the dd02/dd04/dd09
+    * convention, and what a 100 TB pass stores: a round-13 first cut
+    * carried the raw STRING shingle arrays through the verify joins
+    * and ran 14× slower at sf0.1 — ~50-byte strings × 52/doc × every
+    * candidate row through two shuffles, vs 8-byte longs). The state
+    * is ONE corpus pass, persisted (the dd04 lesson: four consumers —
+    * df agg, both self-join sides, the per-pair set lookups — would
+    * each re-run the scan + native hash). */
+  private[graft] def containmentPairs(
+      s: SparkSession, dir: String,
+      materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val base = TextShingles.words(s, dir)
+    // snippet ids offset past the real id domain (ADVICE r12: a
+    // fixed 10⁶ collides once the corpus passes 1M docs) — a 1-row
+    // driver scalar, the emb05 sanctioned pattern
+    val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val snip = base
+      .filter(col("doc_id") % Dd18SnipMod === 0 && size(col("ws")) >= 9)
+      .select((col("doc_id") + off).as("doc_id"),
+        expr("slice(ws, size(ws) div 3 + 1, size(ws) div 3)").as("ws"))
+    val st0 = base.unionByName(snip)
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        column(graft.functions.ShingleHashSet(expression(col("ws")), 3))
+          .as("hset"))
+    val st = if (materialize) st0.persist() else st0
+    val sh = st.select(col("doc_id"), explode(col("hset")).as("h"))
+    // hset is per-doc distinct, so count(*) per h IS document
+    // frequency; dropping the hot tail is a broadcast anti-join
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dd18MaxDf).select("h")
+    val shc = sh.join(broadcast(hot), Seq("h"), "left_anti")
+    val cand = shc.select(col("doc_id").as("ida"), col("h"))
+      .join(shc.select(col("doc_id").as("idb"), col("h")), "h")
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("sub_cap"))
+      .filter(col("sub_cap") >= Dd18MinShared)
+      .select("ida", "idb")
+    val out = cand
+      .join(st.select(col("doc_id").as("ida"), col("hset").as("ha")), "ida")
+      .join(st.select(col("doc_id").as("idb"), col("hset").as("hb")), "idb")
+      .select(col("ida"), col("idb"),
+        expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)").as("inter"),
+        expr("CAST(size(ha) AS BIGINT)").as("na"),
+        expr("CAST(size(hb) AS BIGINT)").as("nb"))
+      .withColumn("c_ab", expr("CAST(inter AS DOUBLE) / na"))
+      .withColumn("c_ba", expr("CAST(inter AS DOUBLE) / nb"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= Dd18Thresh)
+      .withColumn("rel",
+        when(col("c_ab") >= Dd18Thresh && col("c_ba") >= Dd18Thresh,
+          "mutual")
+          .when(col("c_ab") >= Dd18Thresh, "a_in_b")
+          .otherwise("b_in_a"))
+      .select("ida", "idb", "inter", "na", "nb", "c_ab", "c_ba", "rel")
+    if (!materialize) out
+    else {
+      val r = out.localCheckpoint(true)
+      st.unpersist(blocking = false)
+      r
+    }
+  }
+
   private val dd18 = QueryDef(
     "dd18_containment",
-    (s, dir) => {
-      val base = TextShingles.words(s, dir)
-      // snippet ids offset past the real id domain (ADVICE r12: a
-      // fixed 10⁶ collides once the corpus passes 1M docs) — a 1-row
-      // driver scalar, the emb05 sanctioned pattern
-      val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
-      val snip = base
-        .filter(col("doc_id") % Dd18SnipMod === 0 && size(col("ws")) >= 9)
-        .select((col("doc_id") + off).as("doc_id"),
-          expr("slice(ws, size(ws) div 3 + 1, size(ws) div 3)").as("ws"))
-      val sets = base.unionByName(snip)
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"),
-          expr(s"array_distinct(${TextShingles.shingleArray(3)})").as("sgs"))
-      val sh = sets.select(col("doc_id"), explode(col("sgs")).as("sg"))
-      // per-doc-distinct rows make count(*) per sg the document
-      // frequency; dropping the hot tail is a broadcast anti-join
-      val hot = sh.groupBy("sg").agg(count(lit(1)).as("df"))
-        .filter(col("df") > Dd18MaxDf).select("sg")
-      val shc = sh.join(broadcast(hot), Seq("sg"), "left_anti")
-      val cand = shc.select(col("doc_id").as("ida"), col("sg"))
-        .join(shc.select(col("doc_id").as("idb"), col("sg")), "sg")
-        .filter(col("ida") < col("idb"))
-        .groupBy("ida", "idb").agg(count(lit(1)).as("sub_cap"))
-        .filter(col("sub_cap") >= Dd18MinShared)
-        .select("ida", "idb")
-      cand
-        .join(sets.select(col("doc_id").as("ida"), col("sgs").as("sa")), "ida")
-        .join(sets.select(col("doc_id").as("idb"), col("sgs").as("sb")), "idb")
-        .select(col("ida"), col("idb"),
-          expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)").as("inter"),
-          expr("CAST(size(sa) AS BIGINT)").as("na"),
-          expr("CAST(size(sb) AS BIGINT)").as("nb"))
-        .withColumn("c_ab", expr("CAST(inter AS DOUBLE) / na"))
-        .withColumn("c_ba", expr("CAST(inter AS DOUBLE) / nb"))
-        .filter(greatest(col("c_ab"), col("c_ba")) >= Dd18Thresh)
-        .withColumn("rel",
-          when(col("c_ab") >= Dd18Thresh && col("c_ba") >= Dd18Thresh,
-            "mutual")
-            .when(col("c_ab") >= Dd18Thresh, "a_in_b")
-            .otherwise("b_in_a"))
-        .select("ida", "idb", "inter", "na", "nb", "c_ab", "c_ba", "rel")
-    },
+    (s, dir) => containmentPairs(s, dir),
     Some(s"""WITH w0 AS (SELECT doc_id,
       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
       |  FROM documents),
@@ -1567,20 +1595,21 @@ object Dedup {
       |  list_slice(ws, len(ws) // 3 + 1, len(ws) // 3 + len(ws) // 3) AS ws
       |  FROM w0 WHERE doc_id % $Dd18SnipMod = 0 AND len(ws) >= 9),
       |w AS (SELECT * FROM w0 UNION ALL SELECT * FROM snip),
-      |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sg
+      |sh AS (SELECT DISTINCT doc_id,
+      |    ${hash64Sql("ws[i]||' '||ws[i+1]||' '||ws[i+2]")} AS h
       |  FROM w CROSS JOIN LATERAL
       |    (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
       |  WHERE len(ws) >= 3),
       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
       |  GROUP BY doc_id),
-      |hot AS (SELECT sg FROM sh GROUP BY sg HAVING COUNT(*) > $Dd18MaxDf),
-      |shc AS (SELECT doc_id, sg FROM sh ANTI JOIN hot USING (sg)),
+      |hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > $Dd18MaxDf),
+      |shc AS (SELECT doc_id, h FROM sh ANTI JOIN hot USING (h)),
       |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
-      |  FROM shc a JOIN shc b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $Dd18MinShared),
       |inter AS (SELECT c.ida, c.idb, CAST(COUNT(*) AS BIGINT) AS inter
       |  FROM cand c JOIN sh a ON a.doc_id = c.ida
-      |  JOIN sh b ON b.doc_id = c.idb AND b.sg = a.sg
+      |  JOIN sh b ON b.doc_id = c.idb AND b.h = a.h
       |  GROUP BY 1, 2),
       |sc AS (SELECT ida, idb, inter, sa.n AS na, sb.n AS nb,
       |    CAST(inter AS DOUBLE) / sa.n AS c_ab,

@@ -416,10 +416,13 @@ class PlanSpec extends AnyFunSuite {
   test("dd18 containment: both self-join sides are hot-shingle-capped") {
     // VERDICT r12 #1: the candidate generator must never run an
     // uncapped shingle self-join (one boilerplate 3-gram in 10⁶ docs
-    // is 10¹² join rows). Pin on the OPTIMIZED LOGICAL plan, where the
-    // two self-join inputs are separate subtrees: each must contain
-    // the df-cap anti-join; exact verify then reads the stored sets.
-    val q = SparkEntry.queries("dd18_containment")(spark, sf)
+    // is 10¹² join rows). Pin on the OPTIMIZED LOGICAL plan of the
+    // LAZY frame (the query itself returns an eager checkpoint, which
+    // reads back as a LogicalRDD with no joins to inspect): the two
+    // self-join inputs are separate subtrees, each must contain the
+    // df-cap anti-join; exact verify then reads the stored hash sets.
+    val q = graft.pipelines.Dedup
+      .containmentPairs(spark, sf, materialize = false)
     val opt = q.queryExecution.optimizedPlan
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, Inner}
