@@ -318,7 +318,12 @@ object ScaleProbe {
         // q39 (events-based, so it sweeps on this fixture): constant
         // ≤4-row explode riding the scan + one map-side-combined agg
         // over 120 window keys
-        "q39_window_cumulate")
+        "q39_window_cumulate",
+        // q40 (round 13, events-based): the MATCH_RECOGNIZE pattern
+        // scan — one user_id exchange carries every window, the run
+        // aggregation and the lead-based run adjacency; k× keys ⇒ k×
+        // rows and ~k× matches, linear by construction
+        "q40_match_recognize")
          if wanted(op); k <- mults) {
       val ts = time(op, evDirFor(k))
       println(f"SCALE $op%-22s x$k=${ts._1}%.2fs/${ts._2}r")

@@ -563,7 +563,125 @@ object Relational2 {
       |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
       |FROM x GROUP BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- q40
+  /** MATCH_RECOGNIZE (round 13) — Flink SQL's row-pattern matching
+    * (SQL:2016; the canonical Ticker example its docs open with):
+    * `PATTERN (START_ROW DOWN+ UP+)` per key over event time — a
+    * strictly falling run from a local max, then a strictly rising
+    * run: the V-shape. q34's CEP funnel covers fixed event-TYPE
+    * sequences; this is the VALUE-pattern half of the construct, with
+    * greedy quantifiers and AFTER MATCH SKIP PAST LAST ROW.
+    *
+    * Re-expressed as run algebra — declarative, shuffle-minimal, and
+    * exactly the semantics of greedy+skip-past: classify each row's
+    * direction vs its predecessor (1/-1/0; ties break runs — DOWN/UP
+    * are STRICT), cut maximal same-direction runs with one cumulative
+    * boundary sum, then a match is a DOWN run whose immediate
+    * successor run is UP. Greedy `DOWN+ UP+` = maximal runs by
+    * construction; SKIP PAST LAST ROW = runs partition the rows, so
+    * matches never overlap. START_ROW is the row preceding the DOWN
+    * run (the local max) — its ts/value ride the lag columns of the
+    * run's first row. Measures: start/bottom/end (ts µs + value),
+    * run lengths, depth = start−bottom and rise = end−bottom as one
+    * textually identical double subtraction per engine.
+    *
+    * Scale shape: ONE hash partition per key carries every window
+    * (lag, boundary sum, run first/last extraction — all on the same
+    * (user) partitioning, one exchange total, the cdc04/cdc19 plan),
+    * then a per-key run self-join on run_id+1 whose input is runs,
+    * not rows. Nothing is iterative; a 100 TB event log pattern-scans
+    * in one pass. */
+  private val q40 = QueryDef(
+    "q40_match_recognize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("prev_val", lag(col("value"), 1).over(w))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn("dir",
+          when(col("prev_val").isNull, lit(null).cast("int"))
+            .when(col("value") > col("prev_val"), 1)
+            .when(col("value") < col("prev_val"), -1)
+            .otherwise(0))
+      // run extraction rides monotonicity: within a strictly falling
+      // run prev_val is strictly falling too, so MAX(prev_val) IS the
+      // anchor (START_ROW's value) and MIN(value) the bottom — no
+      // positional lookups, plain aggregates. Runs of dir 0/null
+      // still get run ids (they must BREAK adjacency, a tie between
+      // a fall and a rise is not a V).
+      val runs = e
+        .withColumn("brk",
+          when(expr("dir IS DISTINCT FROM lag(dir, 1) OVER " +
+            "(PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)"),
+            1).otherwise(0))
+        .withColumn("run_id", sum(col("brk")).over(w))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("dir")).as("dir"),
+          count(lit(1)).as("n"),
+          min(col("prev_ts")).as("first_prev_ts"),
+          max(col("prev_val")).as("hi_prev"),
+          min(col("value")).as("lo_val"),
+          max(col("value")).as("hi_val"),
+          max(col("ts_us")).as("last_ts"))
+      // adjacency via lead() over the run sequence — runs get dense
+      // consecutive ids per key by construction, so the successor run
+      // IS the next row: no self-join, the whole match rides the one
+      // user_id partitioning the windows already established
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("run_id").asc)
+      runs
+        .withColumn("nxt_dir", lead(col("dir"), 1).over(wr))
+        .withColumn("end_us", lead(col("last_ts"), 1).over(wr))
+        .withColumn("end_val", lead(col("hi_val"), 1).over(wr))
+        .withColumn("n_up", lead(col("n"), 1).over(wr))
+        .filter(col("dir") === -1 && col("nxt_dir") === 1)
+        .select(col("user_id"),
+          col("first_prev_ts").as("start_us"), col("hi_prev").as("start_val"),
+          col("last_ts").as("bottom_us"), col("lo_val").as("bottom_val"),
+          col("end_us"), col("end_val"),
+          col("n").as("n_down"), col("n_up"),
+          expr("hi_prev - lo_val").as("depth"),
+          expr("end_val - lo_val").as("rise"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |    LAG(value) OVER w AS prev_val, LAG(epoch_us(ts)) OVER w AS prev_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+      |d AS (SELECT *, CASE WHEN prev_val IS NULL THEN NULL
+      |    WHEN value > prev_val THEN 1
+      |    WHEN value < prev_val THEN -1 ELSE 0 END AS dir
+      |  FROM e),
+      |b AS (SELECT *, CASE WHEN dir IS DISTINCT FROM LAG(dir) OVER w2
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM d
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+      |r AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us ASC, event_id ASC) AS run_id
+      |  FROM b),
+      |runs AS (SELECT user_id, run_id, MIN(dir) AS dir,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    MIN(prev_ts) AS first_prev_ts, MAX(prev_val) AS hi_prev,
+      |    MIN(value) AS lo_val, MAX(value) AS hi_val,
+      |    MAX(ts_us) AS last_ts
+      |  FROM r GROUP BY user_id, run_id),
+      |m AS (SELECT *,
+      |    LEAD(dir) OVER wr AS nxt_dir,
+      |    LEAD(last_ts) OVER wr AS end_us,
+      |    LEAD(hi_val) OVER wr AS end_val,
+      |    LEAD(n) OVER wr AS n_up
+      |  FROM runs WINDOW wr AS (PARTITION BY user_id ORDER BY run_id ASC))
+      |SELECT user_id,
+      |  first_prev_ts AS start_us, hi_prev AS start_val,
+      |  last_ts AS bottom_us, lo_val AS bottom_val,
+      |  end_us, end_val,
+      |  n AS n_down, n_up,
+      |  hi_prev - lo_val AS depth,
+      |  end_val - lo_val AS rise
+      |FROM m WHERE dir = -1 AND nxt_dir = 1""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-      q38, q39)
+      q38, q39, q40)
 }

@@ -413,6 +413,21 @@ class PlanSpec extends AnyFunSuite {
       s"the changelog side must not shuffle for the re-fetch:\n$p")
   }
 
+  test("q40 match_recognize: one key exchange carries windows, runs and the run join") {
+    // the pattern scan's scale claim: every window (lag, boundary sum,
+    // run cut), the run aggregation AND the down→up run self-join ride
+    // the ONE user_id hash partitioning — HashPartitioning(user_id)
+    // satisfies clustering on (user_id, run_id) (subset rule), so a
+    // 100 TB event log pattern-matches in a single shuffle pass.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q40_match_recognize")
+      assert(count(p, "Exchange hashpartitioning") == 1,
+        s"expected exactly one key exchange:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dd18 containment: both self-join sides are hot-shingle-capped") {
     // VERDICT r12 #1: the candidate generator must never run an
     // uncapped shingle self-join (one boilerplate 3-gram in 10⁶ docs

@@ -183,6 +183,67 @@ class RelationalSpec extends AnyFunSuite {
       tumble.exceptAll(full).count() == 0)
   }
 
+  test("q40 match_recognize: every match is a maximal V, complete and non-overlapping") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q40_match_recognize")(spark, sf)
+      .localCheckpoint(true)
+    // driver-side reference: per user the ordered value sequence,
+    // maximal strict runs, V = DOWN run immediately followed by UP run
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val expected = rows.toSeq.flatMap { case (uid, evs) =>
+      val s = evs.sortBy(e => (e._3, e._2))
+      // dir per adjacent pair; cut maximal runs; pair DOWN->UP
+      val dirs = s.sliding(2).map { case Array(a, b) =>
+        (a, b, if (b._4 > a._4) 1 else if (b._4 < a._4) -1 else 0)
+      }.toSeq
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Seq[(Long, Long, Long, Double)], (Long, Long, Long, Double))]
+      // each run: (dir, rows of the run, anchor = row before first)
+      var cur: List[(Long, Long, Long, Double)] = Nil
+      var curDir = Integer.MIN_VALUE
+      var anchor: (Long, Long, Long, Double) = null
+      dirs.foreach { case (a, b, d) =>
+        if (d == curDir) cur = cur :+ b
+        else {
+          if (curDir != Integer.MIN_VALUE) runs += ((curDir, cur, anchor))
+          curDir = d; cur = List(b); anchor = a
+        }
+      }
+      if (curDir != Integer.MIN_VALUE) runs += ((curDir, cur, anchor))
+      runs.toSeq.sliding(2).collect {
+        case Seq((-1, dn, anc), (1, upr, _)) =>
+          (uid, anc._3, anc._4, dn.last._3, dn.last._4,
+            upr.last._3, upr.last._4, dn.size.toLong, upr.size.toLong)
+      }.toSeq
+    }.toSet
+    val got = out.collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("start_us"), r.getAs[Double]("start_val"),
+      r.getAs[Long]("bottom_us"), r.getAs[Double]("bottom_val"),
+      r.getAs[Long]("end_us"), r.getAs[Double]("end_val"),
+      r.getAs[Long]("n_down"), r.getAs[Long]("n_up"))).toSet
+    assert(got == expected,
+      s"match sets differ: +${(got -- expected).take(3)} -${(expected -- got).take(3)}")
+    // the pattern's quantifiers are non-vacuous on this fixture:
+    // multi-row falls AND rises occur — and matches per user never
+    // overlap (runs partition rows = SKIP PAST LAST ROW)
+    assert(out.filter(col("n_down") > 1).count() > 0)
+    assert(out.filter(col("n_up") > 1).count() > 0)
+    out.collect().groupBy(_.getAs[Long]("user_id")).foreach { case (_, ms) =>
+      val sorted = ms.sortBy(_.getAs[Long]("start_us"))
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0).getAs[Long]("end_us") <= w(1).getAs[Long]("start_us"),
+            "overlapping matches")
+      }
+    }
+  }
+
   test("q37 exact moments agree with the built-in stddev/corr to 1e-9 relative") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -471,6 +471,46 @@ class SinkSpec extends AnyFunSuite {
       flat(feed).exceptAll(flat(post)).count() == 0)
   }
 
+  test("multi-task chunk write: segments share a job prefix and admit in partition order") {
+    // round 13 (the writeOrderedBatch contract): a range-partitioned
+    // write job's segments must be admitted in PARTITION-ID order —
+    // the per-task commit-millis prefix this replaced made same-job
+    // segment order a task-finish race, which would let a key's later
+    // record precede its earlier one in a time-range-dealt batch
+    val dir = Files.createTempDirectory("gcl_order").toString
+    import spark.implicits._
+    val recs = (0 until 300).map { i =>
+      (i.toLong, s"tx-$i", 1000000L * (i + 1), 1000000L * (i + 1) - 500L,
+        "INSERT", "db", "t")
+    }.toDF("id", "transactionId", "tsUs", "bornUs", "op", "db", "tbl")
+      .withColumn("pkNames", array(lit("pk")))
+      .withColumn("before", lit(null).cast("map<string,string>"))
+      .withColumn("after", map(lit("pk"), col("id").cast("string")))
+      .withColumn("props", lit(null).cast("map<string,string>"))
+      .withColumn("sourceType", lit("MySQL"))
+      .withColumn("sourceVersion", lit("5.7"))
+      .withColumn("ukNames", lit(null).cast("array<string>"))
+    recs.repartitionByRange(3, col("tsUs"), col("id"))
+      .write.format("graft-cdc").mode("append").option("path", dir).save()
+    val chunks = graft.sources.CdcChunkFile.listChunks(dir)
+    assert(chunks.size == 3, s"expected 3 segments, got $chunks")
+    // one shared job prefix, partition ids in listed (= name) order
+    val names = chunks.map(c => new java.io.File(c).getName)
+    val prefixes = names.map(_.split("-p").head).distinct
+    assert(prefixes.size == 1, s"segments did not share a job prefix: $names")
+    assert(names == names.sorted, s"listChunks not name-ordered: $names")
+    // admission order = event-time order: reading chunk by chunk in
+    // listed order yields globally ascending tsUs across boundaries
+    val maxima: Seq[(Long, Long)] = chunks.map { c =>
+      val ts = graft.sources.CdcChunkFile.readRecords(c).map(_.tsUs).toSeq
+      (ts.min, ts.max)
+    }
+    maxima.sliding(2).foreach { w =>
+      if (w.size == 2)
+        assert(w(0)._2 < w(1)._1, s"segment time ranges interleave: $maxima")
+    }
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val dir = Files.createTempDirectory("gcl").toString
     CdcFixtures.writeChunks(dir)
