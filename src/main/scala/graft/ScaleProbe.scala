@@ -144,6 +144,11 @@ object ScaleProbe {
       "tx20_quality_classifier",
       // mm05: two bounded explodes + one (doc,band)-keyed join
       "mm05_av_align",
+      // mm06 (round 13): ≤16-row frame explode riding the scan + the
+      // df-capped frame-hash vote join (Σdf² bounded, the dd18 shape);
+      // replicas share aligned frames, so true pairs grow ~k² —
+      // output-bound like dd02/dd09/dd18
+      "mm06_clip_dedup",
       // pk08: tx17's corpus-linear scoring + one (phase,shard) window
       "pk08_curriculum_pack",
       // dd18: the shingle equi-join (output-bound on the replica

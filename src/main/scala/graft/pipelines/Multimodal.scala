@@ -365,5 +365,115 @@ object Multimodal {
         |  ON w.doc_id = f.doc_id AND w.win_idx = f.mid // $winStride""".stripMargin))
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05)
+  // -------------------------------------------------------------- mm06
+  /** SEQUENCE-aware media dedup — duplicate CLIP detection (round 13):
+    * mm03/mm04 hash whole assets, but a re-uploaded video is usually a
+    * clip of another at a temporal OFFSET (trimmed intro, cut credits)
+    * — per-asset fingerprints can't see it, the frame SEQUENCE can.
+    * Each payload's frame grid (mm02's shape at a finer 32-byte
+    * stride, ≤16 full windows) yields per-frame 60-bit content hashes;
+    * two assets sharing a frame hash become an alignment VOTE at
+    * offset = idx_a − idx_b, votes are counted per (pair, offset) as
+    * DISTINCT matched a-frames, the best offset per pair wins, and a
+    * pair is a clip-duplicate when ≥ [[Mm06MinAligned]] frames align
+    * at one offset. Frames shared by more than [[Mm06MaxDf]] assets
+    * (blank/intro boilerplate — the media analogue of dd18's hot
+    * shingles) are anti-joined out of vote generation. The gate
+    * INJECTS the clip case (the dd18 snippet pattern at the frame
+    * level): every 25th eligible doc contributes a pseudo-asset whose
+    * payload drops the first [[Mm06ClipShift]] frames — its frames
+    * are byte-identical to its host's shifted by exactly ClipShift,
+    * so the pair MUST surface at that offset; ids offset past the
+    * real domain via a max(doc_id)+1 driver scalar. The codec is the
+    * standard stub (frame content = the byte window; a real frame
+    * pHash slots into the same hash slot); alignment math is exact
+    * integers + one final division. At 100 TB: frame table rides the
+    * scan (≤16 rows/asset), the vote join is bounded by Σ_{df≤cap}
+    * df² like dd18, votes collapse map-side per (pair, offset). */
+  private val mm06 = {
+    val Stride = 32
+    val MaxFrames = 16
+    val MinAligned = 4
+    val MaxDf = 64
+    val ClipMod = 25
+    val ClipShift = 2
+    QueryDef(
+      "mm06_clip_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val clips = docs
+          .filter(col("doc_id") % ClipMod === 0 &&
+            length(col("text")) >= (ClipShift + MinAligned) * Stride)
+          .select((col("doc_id") + off).as("doc_id"),
+            expr(s"substr(text, ${ClipShift * Stride} + 1)").as("text"))
+        val frames = docs.unionByName(clips)
+          .filter(length(col("text")) >= Stride)
+          .select(col("doc_id"), col("text"),
+            explode(expr(
+              s"sequence(0, least($MaxFrames, length(text) div $Stride) - 1)"))
+              .as("idx"))
+          .select(col("doc_id"), col("idx").cast("long").as("idx"),
+            expr(graft.OracleSafe.hash60(
+              s"substring(text, idx * $Stride + 1, $Stride)")).as("h"))
+        val hot = frames.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > MaxDf).select("h")
+        val fk = frames.join(broadcast(hot), Seq("h"), "left_anti")
+        val sz = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+        val votes = fk.select(col("doc_id").as("ida"), col("idx").as("ia"),
+            col("h"))
+          .join(fk.select(col("doc_id").as("idb"), col("idx").as("ib"),
+            col("h")), "h")
+          .filter(col("ida") < col("idb"))
+          .groupBy(col("ida"), col("idb"), (col("ia") - col("ib")).as("off"))
+          .agg(countDistinct(col("ia")).as("n_aligned"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ida"), col("idb"))
+          .orderBy(col("n_aligned").desc, col("off").asc)
+        votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("n_aligned") >= MinAligned)
+          .join(sz.select(col("doc_id").as("ida"), col("nf").as("na_frames")),
+            "ida")
+          .join(sz.select(col("doc_id").as("idb"), col("nf").as("nb_frames")),
+            "idb")
+          .select(col("ida"), col("idb"), col("off"), col("n_aligned"),
+            col("na_frames"), col("nb_frames"),
+            expr("CAST(n_aligned AS DOUBLE) / least(na_frames, nb_frames)")
+              .as("frac"))
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+        |clips AS (SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents)
+        |    AS doc_id,
+        |  substr(text, ${ClipShift * Stride} + 1) AS text
+        |  FROM d0 WHERE doc_id % $ClipMod = 0
+        |    AND length(text) >= ${(ClipShift + MinAligned) * Stride}),
+        |allv AS (SELECT * FROM d0 UNION ALL SELECT * FROM clips),
+        |fr AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    ${graft.OracleSafe.hash60Sql(s"substr(text, i * $Stride + 1, $Stride)")} AS h
+        |  FROM allv CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+        |    least($MaxFrames, length(text) // $Stride) - 1)) AS i) t
+        |  WHERE length(text) >= $Stride),
+        |hot AS (SELECT h FROM fr GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) > $MaxDf),
+        |fk AS (SELECT doc_id, idx, h FROM fr ANTI JOIN hot USING (h)),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fr
+        |  GROUP BY doc_id),
+        |votes AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    a.idx - b.idx AS off,
+        |    CAST(COUNT(DISTINCT a.idx) AS BIGINT) AS n_aligned
+        |  FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ida, idb
+        |    ORDER BY n_aligned DESC, off ASC) AS rn FROM votes)
+        |SELECT ida, idb, off, n_aligned, sa.nf AS na_frames,
+        |  sb.nf AS nb_frames,
+        |  CAST(n_aligned AS DOUBLE) / least(sa.nf, sb.nf) AS frac
+        |FROM best JOIN sz sa ON sa.doc_id = ida
+        |JOIN sz sb ON sb.doc_id = idb
+        |WHERE rn = 1 AND n_aligned >= $MinAligned""".stripMargin))
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
 }

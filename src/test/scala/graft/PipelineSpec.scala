@@ -2045,6 +2045,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.select("shard").distinct().count() >= 4)
   }
 
+  test("mm06 clip dedup: every injected clip surfaces at its shift, votes exact") {
+    val out = SparkEntry.queries("mm06_clip_dedup")(spark, sf)
+      .localCheckpoint(true)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val off = docs.keys.max + 1L
+    def frames(text: String): Seq[String] = {
+      val n = math.min(16, text.length / 32)
+      (0 until n).map(i => text.substring(i * 32, i * 32 + 32))
+    }
+    // every eligible injected clip (host mod 25, ≥ (2+4)·32 chars)
+    // surfaces against its host at offset = the injected 2-frame
+    // shift, with at least MinAligned aligned frames
+    val eligible = docs.filter { case (id, t) =>
+      id % 25 == 0 && t.length >= 6 * 32
+    }
+    assert(eligible.nonEmpty, "no eligible clip host - gate vacuous")
+    val rows = out.collect()
+    val byPair = rows.map(r => (r.getAs[Long]("ida"),
+      r.getAs[Long]("idb")) -> r).toMap
+    eligible.foreach { case (id, t) =>
+      val r = byPair.getOrElse((id, id + off),
+        fail(s"clip pair for host $id missing"))
+      assert(r.getAs[Long]("off") == 2L, s"host $id offset")
+      // exact vote recompute: distinct host frame positions whose
+      // window equals some clip frame at exactly that shift
+      val hf = frames(t)
+      val cf = frames(t.substring(64))
+      val aligned = hf.indices.count(j =>
+        j >= 2 && j - 2 < cf.length && hf(j) == cf(j - 2))
+      assert(r.getAs[Long]("n_aligned") >= 4)
+      assert(r.getAs[Long]("n_aligned") >= aligned.toLong,
+        s"host $id undercounts its own shift alignment")
+      assert(r.getAs[Long]("na_frames") == hf.length.toLong)
+      assert(r.getAs[Long]("nb_frames") == cf.length.toLong)
+    }
+    // alignment also fires between REAL documents (the planted
+    // near-dups share aligned frames at offset 0) — the detector is
+    // not just finding its own injection
+    assert(rows.exists(r => r.getAs[Long]("idb") < off),
+      "no real-document clip pair - only the injection fires")
+    // score sanity: frac = n_aligned / min(frames), one division
+    rows.foreach { r =>
+      val f = r.getAs[Long]("n_aligned").toDouble /
+        math.min(r.getAs[Long]("na_frames"), r.getAs[Long]("nb_frames"))
+      assert(r.getAs[Double]("frac") == f)
+    }
+  }
+
   test("mm05 av align: every pair's window covers the frame mid, tail drop non-vacuous") {
     val out = SparkEntry.queries("mm05_av_align")(spark, sf)
       .localCheckpoint(true)
