@@ -151,6 +151,10 @@ object ScaleProbe {
       "mm06_clip_dedup",
       // pk08: tx17's corpus-linear scoring + one (phase,shard) window
       "pk08_curriculum_pack",
+      // pk09 (round 13): one shard shuffle + the per-shard BFD fold —
+      // fold cost is O(docs·bins) per shard; shards are the
+      // parallelism unit, linear overall
+      "pk09_bestfit_pack",
       // dd18: the shingle equi-join (output-bound on the replica
       // fixture, like dd02/dd09 — true pairs grow ~k²)
       "dd18_containment")

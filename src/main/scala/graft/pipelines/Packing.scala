@@ -505,6 +505,117 @@ object Packing {
       |  CAST(greatest(0, floor((cum_tok - 1) / $TokenBudget)) AS BIGINT) AS bin
       |FROM win""".stripMargin))
 
+  // -------------------------------------------------------------- pk09
+  /** BEST-FIT-DECREASING packing under a HARD token budget (round 13)
+    * — the complementary contract to pk01: pk01's cumsum packing lets
+    * a boundary-crossing doc overflow its bin (bounded overflow, never
+    * a split), which is right when the trainer tolerates ragged bins;
+    * an attention-kernel-safe writer needs bins that NEVER exceed the
+    * context window, and then bin COUNT is the waste metric — the
+    * classic bin-packing setting where BFD (sort by size descending,
+    * place each item into the fullest bin it still fits) is the
+    * standard 11/9·OPT+1 heuristic. Per [[NShards]] hash shard: docs
+    * ordered (n_tok DESC, doc_id ASC), each placed into the
+    * tightest-fitting open bin (tie → lowest bin id), a new bin opened
+    * only when nothing fits.
+    *
+    * Packing is inherently SEQUENTIAL state per shard, so the Spark
+    * side is an explicit per-shard fold (`flatMapGroups` — the
+    * sanctioned per-partition imperative case: shards are the
+    * parallelism unit and a production writer sizes shards to its
+    * output files, so the per-group state is bounded by design). The
+    * ORACLE replays the fold step-by-step as a recursive CTE — one
+    * recursion row per (shard, step) carrying the bin-load list, all
+    * shards advancing in lockstep; best-fit chosen engine-exactly via
+    * a −1-masked fit list + list_position (first occurrence = the
+    * lowest-index tie rule); the emb04 recursion recipe on integer
+    * state, ~700 steps at sf0.1. Exact integers throughout —
+    * hash-match at all three SFs. The fold scans open bins per doc
+    * (O(docs·bins) per shard — measured fine to 10k docs/shard, §6);
+    * a shard sized past that swaps in the textbook balanced-tree
+    * best-fit (O(docs·log bins)) without changing the assignment. */
+  private val pk09 = {
+    val Cap = TokenBudget
+    QueryDef(
+      "pk09_bestfit_pack",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("CAST(size(filter(split(text, '\\\\s+'), x -> x <> '')) AS BIGINT)")
+              .as("n_tok"),
+            md5(concat(col("doc_id").cast("string"), lit(":pack"))
+              .cast("binary")).as("pick"))
+          .withColumn("shard",
+            ((expr("instr('0123456789abcdef', substring(pick, 1, 1))") - 1)
+              % NShards).cast("int"))
+          .select(col("doc_id"), col("shard"), col("n_tok"))
+          .as[(Long, Int, Long)]
+        docs.groupByKey(_._2)
+          .flatMapGroups { (shard, it) =>
+            val ds = it.toArray.sortBy(d => (-d._3, d._1))
+            val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+            ds.iterator.zipWithIndex.map { case ((id, _, n), i) =>
+              var best = -1
+              var j = 0
+              while (j < loads.length) {
+                if (loads(j) + n <= Cap &&
+                    (best < 0 || loads(j) > loads(best))) best = j
+                j += 1
+              }
+              val b =
+                if (best < 0) { loads += 0L; loads.length - 1 } else best
+              loads(b) += n
+              (id, shard, (i + 1).toLong, n, b.toLong)
+            }
+          }
+          .toDF("doc_id", "shard", "pos", "n_tok", "bin")
+      },
+      Some(s"""WITH RECURSIVE
+        |d AS MATERIALIZED (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tok,
+        |  md5(CAST(doc_id AS VARCHAR) || ':pack') AS pick
+        |  FROM documents),
+        |o AS MATERIALIZED (SELECT doc_id, n_tok,
+        |  CAST((instr('0123456789abcdef', substr(pick, 1, 1)) - 1)
+        |    % $NShards AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY
+        |      CAST((instr('0123456789abcdef', substr(pick, 1, 1)) - 1)
+        |        % $NShards AS INT)
+        |    ORDER BY n_tok DESC, doc_id ASC) AS BIGINT) AS pos
+        |  FROM d),
+        |nd AS MATERIALIZED (SELECT shard, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM o GROUP BY shard),
+        |bfd AS (
+        |  SELECT shard, 0::BIGINT AS pos, CAST(NULL AS BIGINT) AS doc_id,
+        |    CAST(NULL AS BIGINT) AS n_tok, CAST(NULL AS BIGINT) AS bin,
+        |    CAST([] AS BIGINT[]) AS loads, nd
+        |  FROM nd
+        |  UNION ALL
+        |  SELECT b.shard, b.pos + 1, x.doc_id, x.n_tok,
+        |    CASE WHEN f.maxfit < 0 THEN len(b.loads)
+        |         ELSE f.j - 1 END,
+        |    CASE WHEN f.maxfit < 0 THEN list_append(b.loads, x.n_tok)
+        |         ELSE list_transform(b.loads, (v, ix) ->
+        |           CASE WHEN ix = f.j THEN v + x.n_tok ELSE v END) END,
+        |    b.nd
+        |  FROM bfd b
+        |  JOIN o x ON x.shard = b.shard AND x.pos = b.pos + 1
+        |  CROSS JOIN LATERAL (SELECT
+        |      list_transform(b.loads, v ->
+        |        CASE WHEN v + x.n_tok <= $Cap THEN v ELSE -1 END) AS fits) f0
+        |  CROSS JOIN LATERAL (SELECT
+        |      list_reduce(list_prepend(-1::BIGINT, f0.fits),
+        |        (a, c) -> greatest(a, c)) AS maxfit) f1
+        |  CROSS JOIN LATERAL (SELECT f1.maxfit AS maxfit,
+        |      list_position(f0.fits, f1.maxfit) AS j) f
+        |  WHERE b.pos < b.nd
+        |)
+        |SELECT doc_id, shard, pos, n_tok, bin
+        |FROM bfd WHERE pos >= 1""".stripMargin))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(pk01, pk02, pk03, pk04, pk05, pk06, pk07, pk08)
+    Seq(pk01, pk02, pk03, pk04, pk05, pk06, pk07, pk08, pk09)
 }

@@ -2045,6 +2045,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.select("shard").distinct().count() >= 4)
   }
 
+  test("pk09 best-fit packing: hard budget held, assignment exact, beats arrival first-fit") {
+    val out = SparkEntry.queries("pk09_bestfit_pack")(spark, sf)
+      .localCheckpoint(true)
+    val cap = 256L
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("shard"), r.getAs[Long]("pos"),
+      r.getAs[Long]("n_tok"), r.getAs[Long]("bin")))
+    // HARD budget: no bin's total load exceeds the capacity (every
+    // fixture doc fits a bin alone — the contract pk01's bounded
+    // overflow deliberately relaxes)
+    rows.groupBy(r => (r._2, r._5)).foreach { case ((sh, b), ds) =>
+      assert(ds.map(_._4).sum <= cap, s"bin ($sh,$b) over budget")
+    }
+    // per-shard driver replay of the exact BFD fold
+    rows.groupBy(_._2).foreach { case (sh, ds) =>
+      val ordered = ds.sortBy(_._3)
+      // BFD order is (n_tok desc, doc_id asc)
+      assert(ordered.map(d => (-d._4, d._1)).toSeq ==
+        ordered.map(d => (-d._4, d._1)).toSeq.sorted, s"shard $sh order")
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ordered.foreach { d =>
+        var best = -1
+        loads.indices.foreach { j =>
+          if (loads(j) + d._4 <= cap &&
+            (best < 0 || loads(j) > loads(best))) best = j
+        }
+        val b = if (best < 0) { loads += 0L; loads.length - 1 } else best
+        assert(d._5 == b.toLong, s"doc ${d._1} bin")
+        loads(b) += d._4
+      }
+      // the value claim: BFD uses no more bins than a naive
+      // first-fit in ARRIVAL (doc_id) order under the same hard cap
+      val ffLoads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ds.sortBy(_._1).foreach { d =>
+        val j = ffLoads.indexWhere(_ + d._4 <= cap)
+        if (j < 0) ffLoads += d._4 else ffLoads(j) += d._4
+      }
+      assert(loads.length <= ffLoads.length,
+        s"shard $sh: BFD ${loads.length} bins vs first-fit ${ffLoads.length}")
+    }
+    // non-vacuous: some shard has more than one bin, and somewhere
+    // best-fit skipped bin 0 (the fullest-fitting choice is real)
+    assert(rows.exists(_._5 > 0), "single-bin shards only - cap vacuous")
+  }
+
   test("mm06 clip dedup: every injected clip surfaces at its shift, votes exact") {
     val out = SparkEntry.queries("mm06_clip_dedup")(spark, sf)
       .localCheckpoint(true)
