@@ -155,6 +155,10 @@ object ScaleProbe {
       // fold cost is O(docs·bins) per shard; shards are the
       // parallelism unit, linear overall
       "pk09_bestfit_pack",
+      // px01 (round 13): the chained curation plan — dedup's hash agg
+      // is the one corpus-wide exchange, funnel rides the scan, pack
+      // windows per shard; linear end to end
+      "px01_curation_pipeline",
       // dd18: the shingle equi-join (output-bound on the replica
       // fixture, like dd02/dd09 — true pairs grow ~k²)
       "dd18_containment")

@@ -23,55 +23,72 @@ object Packing {
   private val TokenBudget = 256
   private val NShards = 8
 
+  /** pk01's salted-shard token-budget pack over any (doc_id, n_tok)
+    * frame — factored (round 13) so px01 can chain packing after
+    * dedup + filtering with ONE definition (the pk08/tx17 precedent).
+    * Shard note: the hex-digit VALUE, not its ascii code —
+    * ascii('0'..'9','a'..'f') mod 8 lands 3 chars on one shard and 1
+    * on another (a fixed 3:1 structural skew); the 16 digit values
+    * mod 8 give exactly 2 digits per shard, identically in both
+    * engines. Bin clamp: a zero-token doc at shard position 1 has
+    * cum_tok=0 → floor(-1/budget) = -1 leaking a negative bin
+    * (ADVICE r4); both engines clamp identically. */
+  private[pipelines] def seqPack(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = docs
+      .withColumn("pick",
+        md5(concat(col("doc_id").cast("string"), lit(":pack"))
+          .cast("binary")))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(pick, 1, 1))") - 1)
+          % NShards).cast("int"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("pick").asc, col("doc_id").asc)
+    d.withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum_tok",
+        sum(col("n_tok")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin",
+        greatest(lit(0L),
+          floor((col("cum_tok") - 1) / TokenBudget)).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"),
+        col("cum_tok"), col("bin"))
+  }
+
+  /** DuckDB twin ending in CTE `winpk`; the caller's final SELECT
+    * derives `bin` (see [[seqPackSelect]]). `from` must expose
+    * (doc_id, n_tok). */
+  private[pipelines] def seqPackCtes(from: String): String =
+    s"""dpk AS (SELECT doc_id, n_tok,
+       |  md5(CAST(doc_id AS VARCHAR) || ':pack') AS pick FROM $from),
+       |shpk AS (SELECT doc_id, n_tok, pick,
+       |  CAST((instr('0123456789abcdef', substr(pick, 1, 1)) - 1)
+       |    % $NShards AS INT) AS shard FROM dpk),
+       |winpk AS (SELECT doc_id, shard, n_tok,
+       |  CAST(ROW_NUMBER() OVER o AS BIGINT) AS pos,
+       |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY pick ASC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |  FROM shpk
+       |  WINDOW o AS (PARTITION BY shard ORDER BY pick ASC, doc_id ASC))""".stripMargin
+
+  private[pipelines] val seqPackSelect: String =
+    s"""SELECT doc_id, shard, pos, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+       |  CAST(greatest(0, floor((cum_tok - 1) / $TokenBudget)) AS BIGINT) AS bin
+       |FROM winpk""".stripMargin
+
   private val pk01 = QueryDef(
     "pk01_seq_pack",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+    (s, dir) => seqPack(
+      Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           expr("CAST(size(filter(split(text, '\\\\s+'), x -> x <> '')) AS BIGINT)")
-            .as("n_tok"),
-          md5(concat(col("doc_id").cast("string"), lit(":pack"))
-            .cast("binary")).as("pick"))
-        // hex-digit VALUE, not its ascii code: ascii('0'..'9','a'..'f')
-        // mod 8 lands 3 chars on one shard and 1 on another (a fixed
-        // 3:1 structural skew); the 16 digit values mod 8 give exactly
-        // 2 digits per shard — uniform, and identical in both engines
-        .withColumn("shard",
-          ((expr("instr('0123456789abcdef', substring(pick, 1, 1))") - 1)
-            % NShards).cast("int"))
-      val w = Window.partitionBy(col("shard"))
-        .orderBy(col("pick").asc, col("doc_id").asc)
-      docs
-        .withColumn("pos", row_number().over(w).cast("long"))
-        .withColumn("cum_tok",
-          sum(col("n_tok")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        // clamp: a zero-token doc at shard position 1 has cum_tok=0 →
-        // floor(-1/budget) = -1, a negative bin id leaking to packing
-        // consumers (ADVICE r4); both engines clamp identically
-        .withColumn("bin",
-          greatest(lit(0L),
-            floor((col("cum_tok") - 1) / TokenBudget)).cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"),
-          col("cum_tok"), col("bin"))
-    },
-    Some(s"""WITH d AS (SELECT doc_id,
+            .as("n_tok"))),
+    Some(s"""WITH dsrc AS (SELECT doc_id,
       |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
-      |    x -> x <> '')) AS BIGINT) AS n_tok,
-      |  md5(CAST(doc_id AS VARCHAR) || ':pack') AS pick
+      |    x -> x <> '')) AS BIGINT) AS n_tok
       |  FROM documents),
-      |sh AS (SELECT doc_id, n_tok, pick,
-      |  CAST((instr('0123456789abcdef', substr(pick, 1, 1)) - 1)
-      |    % $NShards AS INT) AS shard FROM d),
-      |win AS (SELECT doc_id, shard, n_tok,
-      |  CAST(ROW_NUMBER() OVER o AS BIGINT) AS pos,
-      |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY pick ASC, doc_id ASC
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
-      |  FROM sh
-      |  WINDOW o AS (PARTITION BY shard ORDER BY pick ASC, doc_id ASC))
-      |SELECT doc_id, shard, pos, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
-      |  CAST(greatest(0, floor((cum_tok - 1) / $TokenBudget)) AS BIGINT) AS bin
-      |FROM win""".stripMargin))
+      |${seqPackCtes("dsrc")}
+      |$seqPackSelect""".stripMargin))
 
   // -------------------------------------------------------------- pk02
   /** Context-window CHUNKING (the step before packing): split each
@@ -616,6 +633,47 @@ object Packing {
         |FROM bfd WHERE pos >= 1""".stripMargin))
   }
 
+  // -------------------------------------------------------------- px01
+  /** The CURATION PIPELINE end-to-end under ONE hash (round 13) — the
+    * three stages every corpus build runs, chained as one declarative
+    * plan: exact dedup (dd01's keeper rule: min doc_id per content
+    * hash) → quality funnel (tx10's C4/Gopher cascade — ONE
+    * definition, [[TextAnalysis.filterFunnel]]) → sequence packing
+    * (pk01's salted-shard token-budget pack — ONE definition,
+    * [[seqPack]]). Each stage is individually oracle-gated (dd01 /
+    * tx10 / pk01); this key pins their COMPOSITION: the packed
+    * manifest of the deduped, quality-filtered corpus, the artifact a
+    * training run actually reads. The whole pipeline is one Catalyst
+    * plan — dedup's aggregate, the funnel's narrow pass, and the
+    * per-shard pack windows fuse without materialization boundaries,
+    * the point of declaring curation instead of scripting it: at
+    * 100 TB the optimizer sees all three stages at once (the funnel's
+    * column pruning reaches the scan; dedup's shuffle is the only
+    * corpus-wide exchange before the shard windows). Oracle = the
+    * same three stages as chained CTEs, each reusing the factored
+    * single-definition SQL. */
+  private val px01 = QueryDef(
+    "px01_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = docs.join(keepers, "doc_id")
+      val survivors = TextAnalysis.filterFunnel(kept)
+        .filter(col("keep") === 1L)
+        .select(col("doc_id"), col("n_tok"))
+      seqPack(survivors)
+    },
+    Some(s"""WITH keepers AS (SELECT MIN(doc_id) AS doc_id
+      |  FROM documents GROUP BY md5(text)),
+      |kept AS (SELECT d.doc_id, d.text FROM documents d
+      |  JOIN keepers USING (doc_id)),
+      |${TextAnalysis.tx10Ctes("kept")},
+      |surv AS (SELECT doc_id, n_tok FROM f10 WHERE keep = 1),
+      |${seqPackCtes("surv")}
+      |$seqPackSelect""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(pk01, pk02, pk03, pk04, pk05, pk06, pk07, pk08, pk09)
+    Seq(pk01, pk02, pk03, pk04, pk05, pk06, pk07, pk08, pk09, px01)
 }

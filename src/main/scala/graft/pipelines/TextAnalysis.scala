@@ -435,51 +435,68 @@ object TextAnalysis {
     *   4 low_diversity   distinct-token ratio < 0.4
     *   5 no_stopwords    zero stopword hits
     */
-  private val tx10 = {
-    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-    val stopArrSpark = stops.map(s => s"'$s'").mkString("array(", ", ", ")")
-    val stopArrSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
-    val firstFail =
-      """CASE WHEN n_tok < 20 THEN 'too_short'
-        |  WHEN n_tok > 1000 THEN 'too_long'
-        |  WHEN sum_wlen < 3 * n_tok OR sum_wlen > 5 * n_tok THEN 'word_len'
-        |  WHEN 10 * n_distinct < 4 * n_tok THEN 'low_diversity'
-        |  WHEN n_stop = 0 THEN 'no_stopwords'
-        |  ELSE 'pass' END""".stripMargin
-    QueryDef(
-      "tx10_filter_funnel",
-      (s, dir) =>
-        Tables.load(s, dir, "documents")
-          .selectExpr("doc_id",
-            "filter(split(text, '\\\\s+'), x -> x <> '') AS ws")
-          .selectExpr("doc_id",
-            "CAST(size(ws) AS BIGINT) AS n_tok",
-            "CAST(size(array_distinct(ws)) AS BIGINT) AS n_distinct",
-            "CAST(aggregate(transform(ws, x -> length(x)), 0," +
-              " (a, x) -> a + x) AS BIGINT) AS sum_wlen",
-            s"CAST(size(filter(ws, x -> array_contains($stopArrSpark, x)))" +
-              " AS BIGINT) AS n_stop")
-          .selectExpr("doc_id", "n_tok", "n_distinct", "sum_wlen", "n_stop",
-            s"$firstFail AS first_fail",
-            s"CAST(CASE WHEN ($firstFail) = 'pass' THEN 1 ELSE 0 END" +
-              " AS BIGINT) AS keep"),
-      Some(s"""WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
-        |  FROM documents),
-        |m AS (SELECT doc_id,
-        |  CAST(len(ws) AS BIGINT) AS n_tok,
-        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
-        |  CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
-        |    AS BIGINT) AS sum_wlen,
-        |  CAST(len(list_filter(ws, x -> list_contains($stopArrSql, x)))
-        |    AS BIGINT) AS n_stop
-        |  FROM w)
-        |SELECT doc_id, n_tok, n_distinct, sum_wlen, n_stop,
-        |  $firstFail AS first_fail,
-        |  CAST(CASE WHEN ($firstFail) = 'pass' THEN 1 ELSE 0 END AS BIGINT)
-        |    AS keep
-        |FROM m""".stripMargin))
+  private val Tx10Stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** tx10's rule cascade, factored (round 13) so px01 can chain the
+    * funnel between dedup and packing with ONE definition of the
+    * rules (the pk08/tx17 single-definition precedent). */
+  private[pipelines] val Tx10FirstFail: String =
+    """CASE WHEN n_tok < 20 THEN 'too_short'
+      |  WHEN n_tok > 1000 THEN 'too_long'
+      |  WHEN sum_wlen < 3 * n_tok OR sum_wlen > 5 * n_tok THEN 'word_len'
+      |  WHEN 10 * n_distinct < 4 * n_tok THEN 'low_diversity'
+      |  WHEN n_stop = 0 THEN 'no_stopwords'
+      |  ELSE 'pass' END""".stripMargin
+
+  /** The funnel frame over any (doc_id, text) input. */
+  private[pipelines] def filterFunnel(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stopArrSpark = Tx10Stops.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs
+      .selectExpr("doc_id",
+        "filter(split(text, '\\\\s+'), x -> x <> '') AS ws")
+      .selectExpr("doc_id",
+        "CAST(size(ws) AS BIGINT) AS n_tok",
+        "CAST(size(array_distinct(ws)) AS BIGINT) AS n_distinct",
+        "CAST(aggregate(transform(ws, x -> length(x)), 0," +
+          " (a, x) -> a + x) AS BIGINT) AS sum_wlen",
+        s"CAST(size(filter(ws, x -> array_contains($stopArrSpark, x)))" +
+          " AS BIGINT) AS n_stop")
+      .selectExpr("doc_id", "n_tok", "n_distinct", "sum_wlen", "n_stop",
+        s"$Tx10FirstFail AS first_fail",
+        s"CAST(CASE WHEN ($Tx10FirstFail) = 'pass' THEN 1 ELSE 0 END" +
+          " AS BIGINT) AS keep")
   }
+
+  /** DuckDB twin as WITH-clause members `w10`, `m10`, `f10` over the
+    * named source relation (must expose doc_id, text). */
+  private[pipelines] def tx10Ctes(from: String): String = {
+    val stopArrSql = Tx10Stops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""w10 AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       |  FROM $from),
+       |m10 AS (SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_tok,
+       |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       |  CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+       |    AS BIGINT) AS sum_wlen,
+       |  CAST(len(list_filter(ws, x -> list_contains($stopArrSql, x)))
+       |    AS BIGINT) AS n_stop
+       |  FROM w10),
+       |f10 AS (SELECT doc_id, n_tok, n_distinct, sum_wlen, n_stop,
+       |  $Tx10FirstFail AS first_fail,
+       |  CAST(CASE WHEN ($Tx10FirstFail) = 'pass' THEN 1 ELSE 0 END
+       |    AS BIGINT) AS keep
+       |  FROM m10)""".stripMargin
+  }
+
+  private val tx10 = QueryDef(
+    "tx10_filter_funnel",
+    (s, dir) => filterFunnel(
+      Tables.load(s, dir, "documents").select("doc_id", "text")),
+    Some(s"""WITH ${tx10Ctes("documents")}
+      |SELECT doc_id, n_tok, n_distinct, sum_wlen, n_stop, first_fail, keep
+      |FROM f10""".stripMargin))
 
   // -------------------------------------------------------------- tx11
   /** Shannon-surprise fluency score in INTEGER BITS — the log-scale

@@ -2045,6 +2045,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.select("shard").distinct().count() >= 4)
   }
 
+  test("px01 curation pipeline: packed set = dd01 keepers ∩ tx10 passers, both stages bite") {
+    val out = SparkEntry.queries("px01_curation_pipeline")(spark, sf)
+      .localCheckpoint(true)
+    val keepers = SparkEntry.queries("dd01_dedup_exact")(spark, sf)
+      .select(col("keeper").as("doc_id"))
+    val funneled = SparkEntry.queries("tx10_filter_funnel")(spark, sf)
+    val passers = funneled.filter(col("keep") === 1L).select("doc_id")
+    val expected = keepers.join(passers, "doc_id")
+    // the packed manifest covers EXACTLY the composed survivor set
+    assert(out.select("doc_id").exceptAll(expected).count() == 0 &&
+      expected.exceptAll(out.select("doc_id")).count() == 0)
+    // token counts come from the funnel stage unchanged
+    assert(out.join(funneled.select(col("doc_id"),
+        col("n_tok").as("f_tok")), "doc_id")
+      .filter(col("n_tok") =!= col("f_tok")).count() == 0)
+    // positions are dense per shard (pk01's pack ran on the survivor
+    // set, not on a stale corpus)
+    out.collect().groupBy(_.getAs[Int]("shard")).foreach { case (sh, rs) =>
+      val pos = rs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.toSeq == (1L to pos.length).toSeq, s"shard $sh positions")
+    }
+    // the funnel stage bites at the gate SF; exact duplicates only
+    // exist at sf0.1 (the smaller fixtures have none — measured), so
+    // the dedup stage's bite is checked there
+    assert(out.count() < keepers.count(), "funnel stage vacuous")
+    val sfBig = "/root/testdata/sf0.1"
+    val nDocsBig = Tables.load(spark, sfBig, "documents").count()
+    val nKeepBig = SparkEntry.queries("dd01_dedup_exact")(spark, sfBig)
+      .count()
+    assert(nKeepBig < nDocsBig, "dedup stage vacuous even at sf0.1")
+  }
+
   test("pk09 best-fit packing: hard budget held, assignment exact, beats arrival first-fit") {
     val out = SparkEntry.queries("pk09_bestfit_pack")(spark, sf)
       .localCheckpoint(true)
