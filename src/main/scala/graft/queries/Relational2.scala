@@ -564,33 +564,53 @@ object Relational2 {
       |FROM x GROUP BY 1, 2""".stripMargin))
 
   // ---------------------------------------------------------------- q40
-  /** MATCH_RECOGNIZE (round 13) — Flink SQL's row-pattern matching
-    * (SQL:2016; the canonical Ticker example its docs open with):
-    * `PATTERN (START_ROW DOWN+ UP+)` per key over event time — a
-    * strictly falling run from a local max, then a strictly rising
-    * run: the V-shape. q34's CEP funnel covers fixed event-TYPE
-    * sequences; this is the VALUE-pattern half of the construct, with
-    * greedy quantifiers and AFTER MATCH SKIP PAST LAST ROW.
+  /** MATCH_RECOGNIZE (round 13; true-SKIP semantics round 14) — Flink
+    * SQL's row-pattern matching (SQL:2016; the canonical Ticker
+    * example its docs open with): `PATTERN (START_ROW DOWN+ UP+)` per
+    * key over event time — a strictly falling run from a local max,
+    * then a strictly rising run: the V-shape. q34's CEP funnel covers
+    * fixed event-TYPE sequences; this is the VALUE-pattern half of
+    * the construct, with greedy quantifiers and AFTER MATCH SKIP PAST
+    * LAST ROW.
     *
-    * Re-expressed as run algebra — declarative, shuffle-minimal, and
-    * exactly the semantics of greedy+skip-past: classify each row's
-    * direction vs its predecessor (1/-1/0; ties break runs — DOWN/UP
-    * are STRICT), cut maximal same-direction runs with one cumulative
-    * boundary sum, then a match is a DOWN run whose immediate
-    * successor run is UP. Greedy `DOWN+ UP+` = maximal runs by
-    * construction; SKIP PAST LAST ROW = runs partition the rows, so
-    * matches never overlap. START_ROW is the row preceding the DOWN
-    * run (the local max) — its ts/value ride the lag columns of the
-    * run's first row. Measures: start/bottom/end (ts µs + value),
-    * run lengths, depth = start−bottom and rise = end−bottom as one
-    * textually identical double subtraction per engine.
+    * Re-expressed as run algebra: classify each row's direction vs
+    * its predecessor (1/-1/0; ties break runs — DOWN/UP are STRICT),
+    * cut maximal same-direction runs with one cumulative boundary
+    * sum; a CANDIDATE match is a DOWN run whose immediate successor
+    * run is UP (greedy `+` = maximal runs by construction).
     *
-    * Scale shape: ONE hash partition per key carries every window
-    * (lag, boundary sum, run first/last extraction — all on the same
-    * (user) partitioning, one exchange total, the cdc04/cdc19 plan),
-    * then a per-key run self-join on run_id+1 whose input is runs,
-    * not rows. Nothing is iterative; a 100 TB event log pattern-scans
-    * in one pass. */
+    * TRUE SKIP PAST LAST ROW (ADVICE r13): a candidate's anchor row
+    * (the last row of the preceding run) may be the final UP row of
+    * the PREVIOUS emitted match — consumed, so it cannot anchor
+    * again. Two candidates are chained when their down-run ids differ
+    * by exactly 2 (the previous match's UP run sits between). Within
+    * a chain the sequential engine's emission obeys the recurrence
+    * emitted(i) = strong(i) OR NOT emitted(i-1), where strong = the
+    * down run has ≥ 2 rows (when its anchor is consumed the engine
+    * resumes INSIDE the down run: the first down row becomes
+    * START_ROW, one fall is spent anchoring — start/depth/n_down
+    * adjust; a 1-row down run consumed this way has nothing left and
+    * is suppressed). The recurrence closes into window algebra:
+    * emitted = strong OR parity-since-last-strong (alternating
+    * emit/suppress between strong posts), so no iteration — two
+    * running maxes + one lag, all on the key partitioning. W-shapes
+    * (back-to-back V's sharing a peak) now emit exactly what Flink's
+    * engine emits: 3,2,5,1,6 is ONE match, not two.
+    *
+    * Extraction rides monotonicity: within a strictly falling run
+    * prev_val falls too, so MAX(prev_val) IS the anchor value and
+    * MIN(value) the bottom — plain aggregates. Measures: start/
+    * bottom/end (ts µs + value), run lengths, depth = start−bottom
+    * and rise = end−bottom as one textually identical double
+    * subtraction per engine.
+    *
+    * Scale shape: ONE hash partition per key carries every window —
+    * rows (lag, boundary sum), runs (adjacency lead), and matches
+    * (chain cut, parity maxes, consumed lag): every window partitions
+    * by user_id or a superset, so HashPartitioning(user_id) satisfies
+    * them all and the plan keeps exactly one exchange (PlanSpec pins
+    * it). Nothing is iterative; a 100 TB event log pattern-scans in
+    * one pass. */
   private val q40 = QueryDef(
     "q40_match_recognize",
     (s, dir) => {
@@ -621,6 +641,7 @@ object Relational2 {
         .groupBy(col("user_id"), col("run_id"))
         .agg(min(col("dir")).as("dir"),
           count(lit(1)).as("n"),
+          min(col("ts_us")).as("first_ts"),
           min(col("prev_ts")).as("first_prev_ts"),
           max(col("prev_val")).as("hi_prev"),
           min(col("value")).as("lo_val"),
@@ -631,18 +652,49 @@ object Relational2 {
       // IS the next row: no self-join, the whole match rides the one
       // user_id partitioning the windows already established
       val wr = Window.partitionBy(col("user_id")).orderBy(col("run_id").asc)
-      runs
+      val cand = runs
         .withColumn("nxt_dir", lead(col("dir"), 1).over(wr))
         .withColumn("end_us", lead(col("last_ts"), 1).over(wr))
         .withColumn("end_val", lead(col("hi_val"), 1).over(wr))
         .withColumn("n_up", lead(col("n"), 1).over(wr))
         .filter(col("dir") === -1 && col("nxt_dir") === 1)
+      // SKIP PAST LAST ROW emission: chain candidates whose down-run
+      // ids step by exactly 2 (anchor = previous match's last UP
+      // row), then close the emitted(i) = strong(i) OR !emitted(i-1)
+      // recurrence with running maxes: cs = chain-start match index,
+      // ls = last strong match index. Weak candidates alternate —
+      // emitted iff an ODD number of steps since the chain start
+      // (emitted head) or an EVEN number since the last strong
+      // (emitted, consuming) post.
+      val wm = Window.partitionBy(col("user_id")).orderBy(col("run_id").asc)
+      val wmRun = wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val em = cand
+        .withColumn("mrow", row_number().over(wm))
+        .withColumn("adj",
+          (col("run_id") - lag(col("run_id"), 1).over(wm)) === 2)
+        .withColumn("cs", max(when(!coalesce(col("adj"), lit(false)),
+          col("mrow"))).over(wmRun))
+        .withColumn("ls", max(when(col("n") >= 2, col("mrow"))).over(wmRun))
+        .withColumn("emitted", (col("n") >= 2) ||
+          when(col("ls").isNull || col("ls") < col("cs"),
+            (col("mrow") - col("cs")) % 2 === 0)
+            .otherwise((col("mrow") - col("ls")) % 2 === 0))
+      em
+        .withColumn("consumed", coalesce(col("adj"), lit(false)) &&
+          coalesce(lag(col("emitted"), 1).over(wm), lit(false)))
+        .filter(col("emitted"))
         .select(col("user_id"),
-          col("first_prev_ts").as("start_us"), col("hi_prev").as("start_val"),
+          when(col("consumed"), col("first_ts"))
+            .otherwise(col("first_prev_ts")).as("start_us"),
+          when(col("consumed"), col("hi_val"))
+            .otherwise(col("hi_prev")).as("start_val"),
           col("last_ts").as("bottom_us"), col("lo_val").as("bottom_val"),
           col("end_us"), col("end_val"),
-          col("n").as("n_down"), col("n_up"),
-          expr("hi_prev - lo_val").as("depth"),
+          when(col("consumed"), col("n") - 1)
+            .otherwise(col("n")).as("n_down"),
+          col("n_up"),
+          expr("CASE WHEN consumed THEN hi_val - lo_val " +
+            "ELSE hi_prev - lo_val END").as("depth"),
           expr("end_val - lo_val").as("rise"))
     },
     Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
@@ -662,6 +714,7 @@ object Relational2 {
       |  FROM b),
       |runs AS (SELECT user_id, run_id, MIN(dir) AS dir,
       |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    MIN(ts_us) AS first_ts,
       |    MIN(prev_ts) AS first_prev_ts, MAX(prev_val) AS hi_prev,
       |    MIN(value) AS lo_val, MAX(value) AS hi_val,
       |    MAX(ts_us) AS last_ts
@@ -671,15 +724,34 @@ object Relational2 {
       |    LEAD(last_ts) OVER wr AS end_us,
       |    LEAD(hi_val) OVER wr AS end_val,
       |    LEAD(n) OVER wr AS n_up
-      |  FROM runs WINDOW wr AS (PARTITION BY user_id ORDER BY run_id ASC))
+      |  FROM runs WINDOW wr AS (PARTITION BY user_id ORDER BY run_id ASC)),
+      |cand AS (SELECT * FROM m WHERE dir = -1 AND nxt_dir = 1),
+      |cm AS (SELECT *,
+      |    ROW_NUMBER() OVER wm AS mrow,
+      |    (run_id - LAG(run_id) OVER wm = 2) AS adj
+      |  FROM cand WINDOW wm AS (PARTITION BY user_id ORDER BY run_id ASC)),
+      |cg AS (SELECT *,
+      |    MAX(CASE WHEN NOT COALESCE(adj, FALSE) THEN mrow END) OVER wru AS cs,
+      |    MAX(CASE WHEN n >= 2 THEN mrow END) OVER wru AS ls
+      |  FROM cm WINDOW wru AS (PARTITION BY user_id ORDER BY mrow ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |ce AS (SELECT *, (n >= 2) OR
+      |    (CASE WHEN ls IS NULL OR ls < cs THEN (mrow - cs) % 2 = 0
+      |          ELSE (mrow - ls) % 2 = 0 END) AS emitted
+      |  FROM cg),
+      |cf AS (SELECT *, COALESCE(adj, FALSE)
+      |      AND COALESCE(LAG(emitted) OVER wm, FALSE) AS consumed
+      |  FROM ce WINDOW wm AS (PARTITION BY user_id ORDER BY run_id ASC))
       |SELECT user_id,
-      |  first_prev_ts AS start_us, hi_prev AS start_val,
+      |  CASE WHEN consumed THEN first_ts ELSE first_prev_ts END AS start_us,
+      |  CASE WHEN consumed THEN hi_val ELSE hi_prev END AS start_val,
       |  last_ts AS bottom_us, lo_val AS bottom_val,
       |  end_us, end_val,
-      |  n AS n_down, n_up,
-      |  hi_prev - lo_val AS depth,
+      |  CASE WHEN consumed THEN n - 1 ELSE n END AS n_down, n_up,
+      |  CASE WHEN consumed THEN hi_val - lo_val
+      |       ELSE hi_prev - lo_val END AS depth,
       |  end_val - lo_val AS rise
-      |FROM m WHERE dir = -1 AND nxt_dir = 1""".stripMargin))
+      |FROM cf WHERE emitted""".stripMargin))
 
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,

@@ -183,44 +183,49 @@ class RelationalSpec extends AnyFunSuite {
       tumble.exceptAll(full).count() == 0)
   }
 
-  test("q40 match_recognize: every match is a maximal V, complete and non-overlapping") {
+  test("q40 match_recognize: matches the sequential greedy SKIP PAST LAST ROW engine") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q40_match_recognize")(spark, sf)
       .localCheckpoint(true)
-    // driver-side reference: per user the ordered value sequence,
-    // maximal strict runs, V = DOWN run immediately followed by UP run
+    // driver-side GOLD reference: the sequential NFA a MATCH_RECOGNIZE
+    // engine runs — scan each key's ordered rows, try START_ROW at
+    // every position, greedy DOWN+ (strict falls) then greedy UP+
+    // (strict rises), emit, resume AFTER the match's last row (SKIP
+    // PAST LAST ROW). Independent of the run algebra under test — in
+    // particular it consumes the peak row of a W shape, so the second
+    // V of 3,2,5,1,6 must NOT re-anchor at 5 (ADVICE r13).
     val rows = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .groupBy(_._1)
+    var nAdjusted = 0   // matches whose START_ROW is itself a falling row
     val expected = rows.toSeq.flatMap { case (uid, evs) =>
       val s = evs.sortBy(e => (e._3, e._2))
-      // dir per adjacent pair; cut maximal runs; pair DOWN->UP
-      val dirs = s.sliding(2).map { case Array(a, b) =>
-        (a, b, if (b._4 > a._4) 1 else if (b._4 < a._4) -1 else 0)
-      }.toSeq
-      val runs = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, Seq[(Long, Long, Long, Double)], (Long, Long, Long, Double))]
-      // each run: (dir, rows of the run, anchor = row before first)
-      var cur: List[(Long, Long, Long, Double)] = Nil
-      var curDir = Integer.MIN_VALUE
-      var anchor: (Long, Long, Long, Double) = null
-      dirs.foreach { case (a, b, d) =>
-        if (d == curDir) cur = cur :+ b
-        else {
-          if (curDir != Integer.MIN_VALUE) runs += ((curDir, cur, anchor))
-          curDir = d; cur = List(b); anchor = a
+      val ms = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Long, Double, Long, Double, Long, Long)]
+      var i = 0
+      while (i < s.length - 2) {
+        var j = i + 1
+        while (j < s.length && s(j)._4 < s(j - 1)._4) j += 1
+        val d = j - (i + 1)
+        var advanced = false
+        if (d >= 1 && j < s.length) {
+          var k = j
+          while (k < s.length && s(k)._4 > s(k - 1)._4) k += 1
+          val u = k - j
+          if (u >= 1) {
+            if (i > 0 && s(i)._4 < s(i - 1)._4) nAdjusted += 1
+            ms += ((uid, s(i)._3, s(i)._4, s(j - 1)._3, s(j - 1)._4,
+              s(k - 1)._3, s(k - 1)._4, d.toLong, u.toLong))
+            i = k; advanced = true
+          }
         }
+        if (!advanced) i += 1
       }
-      if (curDir != Integer.MIN_VALUE) runs += ((curDir, cur, anchor))
-      runs.toSeq.sliding(2).collect {
-        case Seq((-1, dn, anc), (1, upr, _)) =>
-          (uid, anc._3, anc._4, dn.last._3, dn.last._4,
-            upr.last._3, upr.last._4, dn.size.toLong, upr.size.toLong)
-      }.toSeq
+      ms.toSeq
     }.toSet
     val got = out.collect().map(r => (r.getAs[Long]("user_id"),
       r.getAs[Long]("start_us"), r.getAs[Double]("start_val"),
@@ -229,19 +234,53 @@ class RelationalSpec extends AnyFunSuite {
       r.getAs[Long]("n_down"), r.getAs[Long]("n_up"))).toSet
     assert(got == expected,
       s"match sets differ: +${(got -- expected).take(3)} -${(expected -- got).take(3)}")
-    // the pattern's quantifiers are non-vacuous on this fixture:
-    // multi-row falls AND rises occur — and matches per user never
-    // overlap (runs partition rows = SKIP PAST LAST ROW)
+    // non-vacuity: the fixture exercises the consumed-anchor path —
+    // some match re-anchors INSIDE a down run (its START_ROW falls
+    // vs its predecessor, only possible after a consumed peak), and
+    // the quantifiers see multi-row falls and rises
+    assert(nAdjusted > 0, "fixture never exercised a consumed anchor")
     assert(out.filter(col("n_down") > 1).count() > 0)
     assert(out.filter(col("n_up") > 1).count() > 0)
+    // matches per user never share a row (SKIP PAST LAST ROW): each
+    // match ends strictly before the next one's start
     out.collect().groupBy(_.getAs[Long]("user_id")).foreach { case (_, ms) =>
       val sorted = ms.sortBy(_.getAs[Long]("start_us"))
       sorted.sliding(2).foreach { w =>
         if (w.length == 2)
-          assert(w(0).getAs[Long]("end_us") <= w(1).getAs[Long]("start_us"),
-            "overlapping matches")
+          assert(w(0).getAs[Long]("end_us") < w(1).getAs[Long]("start_us"),
+            "matches share rows")
       }
     }
+  }
+
+  test("q40 W-shape: a peak consumed by one match cannot anchor the next") {
+    import org.apache.spark.sql.functions._
+    // 3,2,5,1,6 — the ADVICE r13 counterexample: Flink emits ONE
+    // match (rows 3,2,5); row 5 is consumed and cannot re-anchor.
+    // 3,2,5,4,1,6 — two matches, the second re-anchored INSIDE its
+    // down run: start=4 (not the consumed 5), n_down=1, depth=3.
+    val dir = java.nio.file.Files
+      .createTempDirectory("q40w").toString
+    def mk(vals: Seq[Double], uid: Long) = vals.zipWithIndex.map {
+      case (v, i) => (uid, (i + 1).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), v)
+    }
+    val df = spark.createDataFrame(
+      mk(Seq(3d, 2d, 5d, 1d, 6d), 1L) ++ mk(Seq(3d, 2d, 5d, 4d, 1d, 6d), 2L))
+      .toDF("user_id", "event_id", "ts", "value")
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q40_match_recognize")(spark, dir)
+      .orderBy(col("user_id"), col("start_us")).collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 1, s"W shape must emit ONE match, got ${u1.length}")
+    assert(u1(0).getAs[Double]("start_val") == 3d &&
+      u1(0).getAs[Double]("end_val") == 5d)
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 2)
+    assert(u2(1).getAs[Double]("start_val") == 4d &&
+      u2(1).getAs[Long]("n_down") == 1L &&
+      u2(1).getAs[Double]("depth") == 3d &&
+      u2(1).getAs[Double]("end_val") == 6d)
   }
 
   test("q37 exact moments agree with the built-in stddev/corr to 1e-9 relative") {
