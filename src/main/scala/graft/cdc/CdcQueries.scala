@@ -2112,12 +2112,18 @@ object CdcQueries {
     * watermark passes (the Flink window-join state bound). The batches
     * arrive deliberately OUT of timestamp order (cdc14's id-mod-3
     * dealing): inner emission happens when the second row of a pair
-    * arrives, the watermark bounds eviction only, so with a 30-day
-    * watermark over the one-month changelog the emitted set equals
-    * the declarative per-window self-join exactly — whichever side
-    * arrived first. Oracle: the same join on integer-µs day buckets
-    * ((ts div 86.4e9)·86.4e9 — window() aligns at the epoch, so the
-    * buckets agree by construction). */
+    * arrives, the watermark bounds eviction only — and because the
+    * dealing makes the watermark race the data, the delay must cover
+    * the WHOLE changelog span or late chunks silently lose pairs
+    * (ADVICE r13: 30 days left no margin over a one-month fixture).
+    * The query now asserts span < watermark from the data's own
+    * min/max event time and runs with a 400-day delay, so the emitted
+    * set equals the declarative per-window self-join for ANY fixture
+    * the gate generates — whichever side arrived first. (A production
+    * deployment sets the delay to its real lateness bound instead;
+    * the eviction mechanics are identical.) Oracle: the same join on
+    * integer-µs day buckets ((ts div 86.4e9)·86.4e9 — window() aligns
+    * at the epoch, so the buckets agree by construction). */
   private val cdc28Calls =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
@@ -2162,9 +2168,19 @@ object CdcQueries {
       child.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = graft.streaming.CdcStreaming
         .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+      // the gate replays history, so the watermark delay must exceed
+      // the changelog's full event-time span (out-of-order dealing
+      // means the first batch can carry max_ts) — enforced, not hoped
+      val span = asRecords.agg(
+        (max(col("tsUs")) - min(col("tsUs"))).as("span"))
+        .head.getLong(0)
+      val wmDays = 400L
+      require(span < wmDays * 86400L * 1000000L,
+        s"changelog span ${span}us >= $wmDays-day watermark - " +
+          "late chunks would silently drop pairs")
       val joined = graft.streaming.CdcStreaming
         .windowJoin(stream, "INSERT", "UPDATE", "24 hours",
-          watermark = "30 days")
+          watermark = s"$wmDays days")
       runToParquetAndRead(s, joined, chunkDir + "_out", complete = false,
         streamOutSchema("l_id" -> LongType, "r_id" -> LongType,
           "key" -> StringType, "win_us" -> LongType))

@@ -534,7 +534,10 @@ object Packing {
     * standard 11/9·OPT+1 heuristic. Per [[NShards]] hash shard: docs
     * ordered (n_tok DESC, doc_id ASC), each placed into the
     * tightest-fitting open bin (tie → lowest bin id), a new bin opened
-    * only when nothing fits.
+    * only when nothing fits. A doc LARGER than the budget fits no bin
+    * at all (ADVICE r13): it is flagged `bin = −1` — route it to
+    * pk02's chunk-split — so every real bin provably holds the cap
+    * (the fold asserts it; no over-cap singleton can slip through).
     *
     * Packing is inherently SEQUENTIAL state per shard, so the Spark
     * side is an explicit per-shard fold (`flatMapGroups` — the
@@ -573,17 +576,25 @@ object Packing {
             val ds = it.toArray.sortBy(d => (-d._3, d._1))
             val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
             ds.iterator.zipWithIndex.map { case ((id, _, n), i) =>
-              var best = -1
-              var j = 0
-              while (j < loads.length) {
-                if (loads(j) + n <= Cap &&
-                    (best < 0 || loads(j) > loads(best))) best = j
-                j += 1
+              if (n > Cap) {
+                // oversize: fits NO bin — flagged bin −1 (route to
+                // pk02's chunk-split), never an over-cap singleton,
+                // so the hard budget holds for every real bin
+                (id, shard, (i + 1).toLong, n, -1L)
+              } else {
+                var best = -1
+                var j = 0
+                while (j < loads.length) {
+                  if (loads(j) + n <= Cap &&
+                      (best < 0 || loads(j) > loads(best))) best = j
+                  j += 1
+                }
+                val b =
+                  if (best < 0) { loads += 0L; loads.length - 1 } else best
+                loads(b) += n
+                assert(loads(b) <= Cap)
+                (id, shard, (i + 1).toLong, n, b.toLong)
               }
-              val b =
-                if (best < 0) { loads += 0L; loads.length - 1 } else best
-              loads(b) += n
-              (id, shard, (i + 1).toLong, n, b.toLong)
             }
           }
           .toDF("doc_id", "shard", "pos", "n_tok", "bin")
@@ -611,9 +622,11 @@ object Packing {
         |  FROM nd
         |  UNION ALL
         |  SELECT b.shard, b.pos + 1, x.doc_id, x.n_tok,
-        |    CASE WHEN f.maxfit < 0 THEN len(b.loads)
+        |    CASE WHEN x.n_tok > $Cap THEN -1
+        |         WHEN f.maxfit < 0 THEN len(b.loads)
         |         ELSE f.j - 1 END,
-        |    CASE WHEN f.maxfit < 0 THEN list_append(b.loads, x.n_tok)
+        |    CASE WHEN x.n_tok > $Cap THEN b.loads
+        |         WHEN f.maxfit < 0 THEN list_append(b.loads, x.n_tok)
         |         ELSE list_transform(b.loads, (v, ix) ->
         |           CASE WHEN ix = f.j THEN v + x.n_tok ELSE v END) END,
         |    b.nd

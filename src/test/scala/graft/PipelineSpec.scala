@@ -2084,11 +2084,17 @@ class PipelineSpec extends AnyFunSuite {
     val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
       r.getAs[Int]("shard"), r.getAs[Long]("pos"),
       r.getAs[Long]("n_tok"), r.getAs[Long]("bin")))
-    // HARD budget: no bin's total load exceeds the capacity (every
-    // fixture doc fits a bin alone — the contract pk01's bounded
-    // overflow deliberately relaxes)
-    rows.groupBy(r => (r._2, r._5)).foreach { case ((sh, b), ds) =>
-      assert(ds.map(_._4).sum <= cap, s"bin ($sh,$b) over budget")
+    // HARD budget: no real bin's total load exceeds the capacity —
+    // an oversize doc (n_tok > cap) is flagged bin = −1, never an
+    // over-cap singleton (the contract pk01's bounded overflow
+    // deliberately relaxes)
+    rows.filter(_._5 >= 0).groupBy(r => (r._2, r._5))
+      .foreach { case ((sh, b), ds) =>
+        assert(ds.map(_._4).sum <= cap, s"bin ($sh,$b) over budget")
+      }
+    rows.foreach { r =>
+      assert((r._4 > cap) == (r._5 == -1L),
+        s"doc ${r._1}: oversize flag and bin disagree")
     }
     // per-shard driver replay of the exact BFD fold
     rows.groupBy(_._2).foreach { case (sh, ds) =>
@@ -2098,19 +2104,22 @@ class PipelineSpec extends AnyFunSuite {
         ordered.map(d => (-d._4, d._1)).toSeq.sorted, s"shard $sh order")
       val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
       ordered.foreach { d =>
-        var best = -1
-        loads.indices.foreach { j =>
-          if (loads(j) + d._4 <= cap &&
-            (best < 0 || loads(j) > loads(best))) best = j
+        if (d._4 > cap) assert(d._5 == -1L, s"doc ${d._1} oversize bin")
+        else {
+          var best = -1
+          loads.indices.foreach { j =>
+            if (loads(j) + d._4 <= cap &&
+              (best < 0 || loads(j) > loads(best))) best = j
+          }
+          val b = if (best < 0) { loads += 0L; loads.length - 1 } else best
+          assert(d._5 == b.toLong, s"doc ${d._1} bin")
+          loads(b) += d._4
         }
-        val b = if (best < 0) { loads += 0L; loads.length - 1 } else best
-        assert(d._5 == b.toLong, s"doc ${d._1} bin")
-        loads(b) += d._4
       }
       // the value claim: BFD uses no more bins than a naive
       // first-fit in ARRIVAL (doc_id) order under the same hard cap
       val ffLoads = scala.collection.mutable.ArrayBuffer.empty[Long]
-      ds.sortBy(_._1).foreach { d =>
+      ds.sortBy(_._1).filter(_._4 <= cap).foreach { d =>
         val j = ffLoads.indexWhere(_ + d._4 <= cap)
         if (j < 0) ffLoads += d._4 else ffLoads(j) += d._4
       }
@@ -2120,6 +2129,27 @@ class PipelineSpec extends AnyFunSuite {
     // non-vacuous: some shard has more than one bin, and somewhere
     // best-fit skipped bin 0 (the fullest-fitting choice is real)
     assert(rows.exists(_._5 > 0), "single-bin shards only - cap vacuous")
+  }
+
+  test("pk09 oversize doc: flagged bin -1, never an over-cap singleton") {
+    // the fixture's docs all fit the 256-token budget alone, so the
+    // oversize path needs its own corpus: one 300-token doc among
+    // packable ones (ADVICE r13 — the hard cap must hold for ANY
+    // corpus, not by fixture luck)
+    val dir = java.nio.file.Files.createTempDirectory("pk09big").toString
+    val docs = (1L to 40L).map(i => (i, Seq.fill(20)("w").mkString(" "))) :+
+      (99L, Seq.fill(300)("tok").mkString(" "))
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("pk09_bestfit_pack")(spark, dir).collect()
+    val big = out.filter(_.getAs[Long]("doc_id") == 99L)
+    assert(big.length == 1 && big(0).getAs[Long]("bin") == -1L,
+      "300-token doc must be flagged -1")
+    out.filter(_.getAs[Long]("bin") >= 0L)
+      .groupBy(r => (r.getAs[Int]("shard"), r.getAs[Long]("bin")))
+      .foreach { case (_, ds) =>
+        assert(ds.map(_.getAs[Long]("n_tok")).sum <= 256L)
+      }
   }
 
   test("mm06 clip dedup: every injected clip surfaces at its shift, votes exact") {
