@@ -31,10 +31,45 @@ final case class ChangeRecord(
       * getUniqueIndexInfo / RecordIndexInfo.isFirstUniqueIndex):
       * pk-less tables key on their unique index downstream. null =
       * none declared; codec v1/v2 records decode into null. */
-    ukNames: Seq[String] = null)
+    ukNames: Seq[String] = null,
+    /** Intra-transaction sequence (ref DtsRecord.getTransSeq:
+      * DtsRecord.java:88): the wire-guaranteed statement order WITHIN
+      * a transaction — multi-statement transactions touching the same
+      * key apply in this order, not in record-id order (record ids
+      * are a transport artifact). −1 = not carried; codec v1-v3
+      * records decode into −1. */
+    transSeq: Long = -1L,
+    /** Foreign-key index metadata (ref RecordSchema
+      * getForeignIndexInfo / ForeignKeyIndexInfo.java:8-30): the
+      * parent tables this record's table references, so a consumer
+      * can order applies by referential dependency (parents before
+      * children). null = none declared / not carried (v1-v3). */
+    fkParents: Seq[FkParent] = null)
+
+/** One foreign-key constraint of the record's table (ref:
+  * ForeignKeyIndexInfo.java — parentSchema/parentDatabase/parentTable
+  * plus the referenced-column map). `parentCols(i)` is referenced by
+  * this table's `childCols(i)`; the reference keeps the map sorted by
+  * parent column (a TreeMap), so the codec canonicalizes pair order
+  * the same way on encode. */
+final case class FkParent(
+    parentSchema: String,
+    parentDb: String,
+    parentTbl: String,
+    parentCols: Seq[String],
+    childCols: Seq[String]) {
+  require(parentCols.length == childCols.length,
+    "fk parent/child column lists must align positionally")
+}
 
 /** Operation vocabulary (ref: OperationType.java — the subset with
-  * data-plane meaning plus the control records the fetcher surfaces).
+  * data-plane meaning plus the control records the fetcher surfaces;
+  * ROLLBACK/ABORT are first-class since round 14 because a
+  * transactional consumer MUST see them — a rolled-back transaction's
+  * records contribute nothing, OperationType.java:11-12. The
+  * remaining fetch-protocol markers — FILL/FINISH/CONTROL/RDB/NOOP/
+  * INIT/EOF/MANUAL_GENERATED — stay folded to UNKNOWN: they carry no
+  * data-plane or transaction-boundary meaning Spark-side).
   */
 object Op {
   val Insert = "INSERT"
@@ -46,11 +81,15 @@ object Op {
   val Heartbeat = "HEARTBEAT"
   val Checkpoint = "CHECKPOINT"
   val Unknown = "UNKNOWN"
+  val Rollback = "ROLLBACK"
+  val Abort = "ABORT"
 
-  /** Stable wire codes for the binary codec. */
+  /** Stable wire codes for the binary codec: positions are the codes,
+    * so new ops APPEND (Rollback=9, Abort=10) — v1-v3 bytes decode
+    * unchanged. */
   val all: IndexedSeq[String] = IndexedSeq(
     Insert, Update, Delete, Ddl, Begin, Commit, Heartbeat, Checkpoint,
-    Unknown)
+    Unknown, Rollback, Abort)
   private val index: Map[String, Int] = all.zipWithIndex.toMap
   def code(op: String): Byte = index.getOrElse(op, index(Unknown)).toByte
   def fromCode(c: Byte): String =
@@ -59,4 +98,9 @@ object Op {
   /** Data-changing operations (what a materializer consumes). */
   def isDml(op: String): Boolean =
     op == Insert || op == Update || op == Delete
+
+  /** Transaction-discarding closers: a transaction whose boundary
+    * record carries one of these contributes NOTHING to applied
+    * state (ref OperationType ROLLBACK/ABORT). */
+  def discardsTxn(op: String): Boolean = op == Rollback || op == Abort
 }

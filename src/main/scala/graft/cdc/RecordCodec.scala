@@ -18,13 +18,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Layout (little-endian):
   * {{{
-  *   0  u8   magic 'G'      1  u8   version (1-3)
+  *   0  u8   magic 'G'      1  u8   version (1-4)
   *   2  i64  id             10 i64  tsUs
   *   18 i64  bornUs         26 u8   opCode
   *   27 ...  varlen tail: txId, db, tbl, pkNames, before, after
   *   v2 adds: props map, sourceType str, sourceVersion str
   *   v3 adds: ukNames (i32 count, -1 = none declared, + str*) — the
   *     first unique-key index (ref RecordSchema.getUniqueIndexInfo)
+  *   v4 adds: transSeq i64 (ref DtsRecord.getTransSeq, −1 = not
+  *     carried) + fkParents (i32 count, -1 = none; per entry:
+  *     str parentSchema, str parentDb, str parentTbl, i32 nCols +
+  *     (str parentCol, str childCol)* sorted by parentCol — the
+  *     reference's TreeMap order, ForeignKeyIndexInfo.java:12)
   * }}}
   * str := i32 byteLen (-1 = null) + utf8; map := i32 n + (str,str)*.
   * Version evolution: the header is fixed across versions (lazy
@@ -36,7 +41,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object RecordCodec {
 
   val Magic: Byte = 'G'
-  val Version: Byte = 3
+  val Version: Byte = 4
   val HeaderLen: Int = 27
 
   // ------------------------------------------------------------ encode
@@ -72,7 +77,29 @@ object RecordCodec {
         r.ukNames.foreach(writeStr(out, _))
       }
     }
+    if (version >= 4) {
+      writeI64(out, r.transSeq)
+      if (r.fkParents == null) writeI32(out, -1)
+      else {
+        writeI32(out, r.fkParents.length)
+        r.fkParents.foreach { fk =>
+          writeStr(out, fk.parentSchema)
+          writeStr(out, fk.parentDb)
+          writeStr(out, fk.parentTbl)
+          // canonical pair order = sorted by parent column (the
+          // reference keeps referencedColumn in a TreeMap)
+          val pairs = fk.parentCols.zip(fk.childCols).sortBy(_._1)
+          writeI32(out, pairs.length)
+          pairs.foreach { case (p, c) => writeStr(out, p); writeStr(out, c) }
+        }
+      }
+    }
     bos.toByteArray
+  }
+
+  private def writeI64(out: DataOutputStream, v: Long): Unit = {
+    writeI32(out, (v & 0xffffffffL).toInt)
+    writeI32(out, (v >>> 32).toInt)
   }
 
   private def writeI32(out: DataOutputStream, v: Int): Unit = {
@@ -163,8 +190,23 @@ object RecordCodec {
         val n = buf.getInt
         if (n < 0) null else (0 until n).map(_ => readStr(buf))
       }
+    val (transSeq, fks) =
+      if (version < 4) (-1L, null)
+      else {
+        val seq = buf.getLong
+        val n = buf.getInt
+        val fk =
+          if (n < 0) null
+          else (0 until n).map { _ =>
+            val ps = readStr(buf); val pd = readStr(buf); val pt = readStr(buf)
+            val nc = buf.getInt
+            val pairs = (0 until nc).map(_ => (readStr(buf), readStr(buf)))
+            FkParent(ps, pd, pt, pairs.map(_._1), pairs.map(_._2))
+          }
+        (seq, fk)
+      }
     ChangeRecord(id, tx, ts, born, op, db, tbl, pks, before, after,
-      props, srcType, srcVer, uks)
+      props, srcType, srcVer, uks, transSeq, fks)
   }
 
   // ----------------------------------------------- direct-to-row decode
@@ -172,13 +214,14 @@ object RecordCodec {
   /** Column-pruned decode plan: `ordinals(i)` = source-schema ordinal
     * of output column i (CdcSource.schema order: 0 id, 1 txId, 2 tsUs,
     * 3 bornUs, 4 op, 5 db, 6 tbl, 7 pkNames, 8 before, 9 after,
-    * 10 props, 11 sourceType, 12 sourceVersion, 13 ukNames). Precomputed once per
+    * 10 props, 11 sourceType, 12 sourceVersion, 13 ukNames,
+    * 14 transSeq, 15 fkParents). Precomputed once per
     * scan so the per-record loop allocates nothing extra. */
   final class RowProjection(val ordinals: Array[Int]) extends Serializable {
-    val need: Array[Int] = Array.fill(14)(-1)
+    val need: Array[Int] = Array.fill(16)(-1)
     ordinals.zipWithIndex.foreach { case (src, i) => need(src) = i }
     /** Wire order of the variable-length tail sections. */
-    val wire: Array[Int] = Array(1, 5, 6, 7, 8, 9, 10, 11, 12, 13)
+    val wire: Array[Int] = Array(1, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
     /** Index into [[wire]] of the last section we must parse; -1 if
       * the header alone satisfies the projection. */
     val lastWire: Int = {
@@ -221,10 +264,13 @@ object RecordCodec {
       var w = 0
       while (w <= proj.lastWire) {
         val ord = proj.wire(w)
-        val absent = (version < 2 && ord >= 10) || (version < 3 && ord >= 13)
+        val absent = (version < 2 && ord >= 10) ||
+          (version < 3 && ord >= 13) || (version < 4 && ord >= 14)
         val slot = need(ord)
         if (absent) {
-          if (slot >= 0) out(slot) = null
+          // a missing transSeq surfaces as its −1 sentinel (the
+          // column is non-null, matching the model's default)
+          if (slot >= 0) out(slot) = if (ord == 14) -1L else null
         } else ord match {
           case 1 | 5 | 6 | 11 | 12 =>
             if (slot >= 0) out(slot) = readUtf8(bytes, buf) else skipStr(buf)
@@ -243,6 +289,44 @@ object RecordCodec {
               var i = 0
               while (i < n) { skipStr(buf); i += 1 }
             }
+          case 14 =>
+            if (slot >= 0) out(slot) = buf.getLong
+            else buf.position(buf.position() + 8)
+          case 15 =>
+            val n = buf.getInt
+            if (slot >= 0 && n >= 0) {
+              val arr = new Array[Any](n)
+              var i = 0
+              while (i < n) {
+                val ps = readUtf8(bytes, buf)
+                val pd = readUtf8(bytes, buf)
+                val pt = readUtf8(bytes, buf)
+                val nc = buf.getInt
+                val pc = new Array[Any](nc)
+                val cc = new Array[Any](nc)
+                var j = 0
+                while (j < nc) {
+                  pc(j) = readUtf8(bytes, buf)
+                  cc(j) = readUtf8(bytes, buf)
+                  j += 1
+                }
+                arr(i) = new GenericInternalRow(Array[Any](ps, pd, pt,
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(pc),
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(cc)))
+                i += 1
+              }
+              out(slot) =
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+            } else if (n >= 0) {
+              var i = 0
+              while (i < n) {
+                skipStr(buf); skipStr(buf); skipStr(buf)
+                val nc = buf.getInt
+                var j = 0
+                while (j < nc) { skipStr(buf); skipStr(buf); j += 1 }
+                i += 1
+              }
+            } else if (slot >= 0) out(slot) = null
           case _ => // 8, 9, 10: the maps
             if (slot >= 0) out(slot) = readMapData(bytes, buf)
             else skipMap(buf)

@@ -89,12 +89,19 @@ case class HeaderFilters(
 }
 
 object CdcSource {
-  /** `db.tbl` → (db, tbl); the tbl part may itself contain dots. */
+  /** Compressed `db.tbl` selector → (db, tbl). Segments containing
+    * dots travel in [[graft.cdc.ObjectNames]]'s escaped form (the
+    * reference's ObjectNameUtils contract), so a database or table
+    * whose NAME contains a dot resolves correctly instead of
+    * splitting at the wrong boundary — build selectors with
+    * `ObjectNames.compress(Seq(db, tbl))`. */
   def parseTableSelector(s: String): (String, String) = {
-    val i = s.indexOf('.')
-    require(i > 0 && i < s.length - 1,
-      s"graft-cdc 'table' must be 'db.tbl', got '$s'")
-    (s.substring(0, i), s.substring(i + 1))
+    val parts = graft.cdc.ObjectNames.uncompress(s)
+    require(parts != null && parts.length == 2 &&
+      parts.forall(p => p != null && p.nonEmpty),
+      s"graft-cdc 'table' must be 'db.tbl' (dots inside a name " +
+        s"escaped per ObjectNames.compress), got '$s'")
+    (parts(0), parts(1))
   }
 
   /** The session catalog rewrites a `path` option into a location URI
@@ -120,6 +127,15 @@ object CdcSource {
     * JVM (observable in specs and ops dashboards; monotone). */
   val corruptSkipped = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** One FK constraint as SQL: parent coordinates + aligned
+    * parent/child column lists (ref ForeignKeyIndexInfo.java). */
+  val fkParentType: StructType = StructType(Seq(
+    StructField("parentSchema", StringType),
+    StructField("parentDb", StringType),
+    StructField("parentTbl", StringType),
+    StructField("parentCols", ArrayType(StringType)),
+    StructField("childCols", ArrayType(StringType))))
+
   /** Output schema == [[graft.cdc.ChangeRecord]]. */
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -135,7 +151,15 @@ object CdcSource {
     StructField("props", MapType(StringType, StringType)),
     StructField("sourceType", StringType),
     StructField("sourceVersion", StringType),
-    StructField("ukNames", ArrayType(StringType))))
+    StructField("ukNames", ArrayType(StringType)),
+    StructField("transSeq", LongType, nullable = false),
+    StructField("fkParents", ArrayType(fkParentType))))
+
+  /** Writable column layouts: the full v4 shape, or the legacy v3
+    * 14-column prefix (a relay built against the older transport) —
+    * missing trailing fields encode as their absent sentinels, the
+    * same evolution rule the codec's version byte gives readers. */
+  val writableArities: Set[Int] = Set(schema.length, 14)
 }
 
 class CdcTable(
@@ -150,8 +174,14 @@ class CdcTable(
   override def name(): String = s"graft-cdc:$path"
   override def schema(): StructType = CdcSource.schema
   override def capabilities(): util.Set[TableCapability] =
+    // ACCEPT_ANY_SCHEMA: writers ship the v4 16-column shape OR the
+    // legacy 14-column prefix (schema evolution at the sink); the
+    // write builder validates the prefix itself — without this the
+    // analyzer would demand every table column (transSeq is
+    // non-nullable) from legacy relays
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
@@ -205,9 +235,12 @@ class CdcTable(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(info.schema().fieldNames.sameElements(CdcSource.schema.fieldNames),
-      s"graft-cdc write schema must be ${CdcSource.schema.fieldNames.mkString(",")}, " +
-        s"got ${info.schema().fieldNames.mkString(",")}")
+    val got = info.schema().fieldNames
+    require(CdcSource.writableArities.contains(got.length) &&
+      got.sameElements(CdcSource.schema.fieldNames.take(got.length)),
+      s"graft-cdc write schema must be a ${CdcSource.writableArities}-column " +
+        s"prefix of ${CdcSource.schema.fieldNames.mkString(",")}, " +
+        s"got ${got.mkString(",")}")
     new CdcWriteBuilder(path)
   }
 }

@@ -129,7 +129,30 @@ private class CdcDataWriter(
         (0 until a.numElements()).map(j =>
           if (a.isNullAt(j)) null else a.getUTF8String(j).toString)
       }
+    // legacy 14-column writers (pre-v4 relays) carry no transSeq /
+    // fkParents — encode their absent sentinels
+    val transSeq =
+      if (r.numFields < 15 || r.isNullAt(14)) -1L else r.getLong(14)
+    val fks =
+      if (r.numFields < 16 || r.isNullAt(15)) null
+      else {
+        val a = r.getArray(15)
+        (0 until a.numElements()).map { j =>
+          val fk = a.getStruct(j, 5)
+          def fstr(i: Int): String =
+            if (fk.isNullAt(i)) null else fk.getUTF8String(i).toString
+          def farr(i: Int): Seq[String] =
+            if (fk.isNullAt(i)) Nil
+            else {
+              val c = fk.getArray(i)
+              (0 until c.numElements()).map(x =>
+                if (c.isNullAt(x)) null else c.getUTF8String(x).toString)
+            }
+          graft.cdc.FkParent(fstr(0), fstr(1), fstr(2), farr(3), farr(4))
+        }
+      }
     ChangeRecord(r.getLong(0), str(1), r.getLong(2), r.getLong(3), str(4),
-      str(5), str(6), pks, map(8), map(9), map(10), str(11), str(12), uks)
+      str(5), str(6), pks, map(8), map(9), map(10), str(11), str(12), uks,
+      transSeq, fks)
   }
 }

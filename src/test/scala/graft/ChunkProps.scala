@@ -81,4 +81,39 @@ object ChunkProps extends Properties("CdcChunkFile") {
     f.splits.length >= 3 && viaSplits == recs &&
       f.nRecords == n && f.tables.contains(Set(("db", "t0"), ("db", "t1"), ("db", "t2")))
   }
+
+  // ---- multi-part object names (ref ObjectNameUtils contract) ----
+
+  /** Segments that stress the escape: dots anywhere (leading,
+    * trailing, doubled), brackets, unicode, empties. */
+  private val genSegment: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.const("a.b"), Gen.const(".lead"), Gen.const("trail."),
+    Gen.const("do..uble"), Gen.const("br[ack]et"),
+    Gen.const("東京.db"),
+    Gen.listOfN(6, Gen.oneOf(Gen.alphaChar, Gen.const('.'))).map(_.mkString))
+
+  property("object-name compress/uncompress round-trips dotted segments") =
+    forAll(Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genSegment))) { segs =>
+      val nonEmpty = segs.map(s => if (s.isEmpty) "x" else s)
+      graft.cdc.ObjectNames.uncompress(
+        graft.cdc.ObjectNames.compress(nonEmpty)).toSeq == nonEmpty
+    }
+
+  property("table selector recovers (db, tbl) whatever the names hold") =
+    forAll(genSegment, genSegment) { (db0, tbl0) =>
+      val db = if (db0.isEmpty) "d" else db0
+      val tbl = if (tbl0.isEmpty) "t" else tbl0
+      val sel = graft.cdc.ObjectNames.compress(Seq(db, tbl))
+      graft.sources.CdcSource.parseTableSelector(sel) == ((db, tbl))
+    }
+
+  property("a dotted table name never collides with an undotted pair") =
+    forAll(Gen.alphaNumStr.map("d" + _.take(6)),
+      Gen.alphaNumStr.map("t" + _.take(6))) { (d, t) =>
+      // ("a", "b.c") and ("a.b", "c") style pairs must compress apart
+      val c1 = graft.cdc.ObjectNames.compress(Seq(d, s"$t.x"))
+      val c2 = graft.cdc.ObjectNames.compress(Seq(s"$d.$t", "x"))
+      c1 != c2
+    }
 }

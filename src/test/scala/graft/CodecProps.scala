@@ -58,8 +58,31 @@ object CodecProps extends Properties("RecordCodec") {
     uks <- Gen.oneOf(Gen.const(null: Seq[String]),
       Gen.const(Seq.empty[String]),
       Gen.listOfN(2, Gen.alphaNumStr.map("u" + _.take(6))).map(_.toSeq))
+    seq <- Gen.chooseNum(-1L, Long.MaxValue)
+    fks <- genFks
   } yield ChangeRecord(id, tx, ts, born, op, db, tbl, pks, before, after,
-    props, st, sv, uks)
+    props, st, sv, uks, seq, fks)
+
+  /** fk constraints in CANONICAL pair order (sorted by parent column,
+    * the reference's TreeMap) — what encode/decode round-trips as the
+    * identity; the canonicalization property below covers unsorted
+    * input separately. */
+  private lazy val genFk: Gen[graft.cdc.FkParent] = for {
+    ps <- Gen.oneOf(genStr, Gen.const(null: String))
+    pd <- genStr
+    pt <- genStr
+    n <- Gen.chooseNum(0, 3)
+    pcols <- Gen.listOfN(n, Gen.alphaNumStr.map("fp" + _.take(5)))
+    ccols <- Gen.listOfN(n, Gen.alphaNumStr.map("fc" + _.take(5)))
+  } yield {
+    val pairs = pcols.zip(ccols).sortBy(_._1)
+    graft.cdc.FkParent(ps, pd, pt, pairs.map(_._1), pairs.map(_._2))
+  }
+
+  private lazy val genFks: Gen[Seq[graft.cdc.FkParent]] = Gen.oneOf(
+    Gen.const(null: Seq[graft.cdc.FkParent]),
+    Gen.const(Seq.empty[graft.cdc.FkParent]),
+    Gen.listOfN(2, genFk).map(_.toSeq))
 
   implicit private val arbRecord: Arbitrary[ChangeRecord] = Arbitrary(genRecord)
 
@@ -87,21 +110,49 @@ object CodecProps extends Properties("RecordCodec") {
   property("v1 encoding still decodes (extended fields null out)") = forAll {
     (r: ChangeRecord) =>
       val v1 = r.copy(props = null, sourceType = null, sourceVersion = null,
-        ukNames = null)
+        ukNames = null, transSeq = -1L, fkParents = null)
       RecordCodec.decode(RecordCodec.encode(v1, 1.toByte)) == v1
   }
 
   property("v2 encoding still decodes (ukNames nulls out)") = forAll {
     (r: ChangeRecord) =>
-      val v2 = r.copy(ukNames = null)
+      val v2 = r.copy(ukNames = null, transSeq = -1L, fkParents = null)
       RecordCodec.decode(RecordCodec.encode(v2, 2.toByte)) == v2
   }
+
+  property("v3 encoding still decodes (transSeq/fkParents sentinel out)") =
+    forAll { (r: ChangeRecord) =>
+      val v3 = r.copy(transSeq = -1L, fkParents = null)
+      RecordCodec.decode(RecordCodec.encode(v3, 3.toByte)) == v3
+    }
+
+  property("fk pair order canonicalizes to parent-column sort on the wire") =
+    forAll(genRecord) { r =>
+      val unsorted = graft.cdc.FkParent(null, "d", "t",
+        Seq("zz", "aa", "mm"), Seq("c1", "c2", "c3"))
+      val rr = r.copy(fkParents = Seq(unsorted))
+      val got = RecordCodec.decode(RecordCodec.encode(rr)).fkParents.head
+      got == graft.cdc.FkParent(null, "d", "t",
+        Seq("aa", "mm", "zz"), Seq("c2", "c3", "c1"))
+    }
 
   // ---- pruned decode (the column-pruning hot path) vs full decode ----
 
   private def plain(v: Any): Any = v match {
     case null => null
     case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case r: org.apache.spark.sql.catalyst.expressions.GenericInternalRow =>
+      // fkParents entries: struct row back to the model case class
+      graft.cdc.FkParent(
+        plain(r.values(0)).asInstanceOf[String],
+        plain(r.values(1)).asInstanceOf[String],
+        plain(r.values(2)).asInstanceOf[String],
+        plain(r.values(3)).asInstanceOf[Seq[String]],
+        plain(r.values(4)).asInstanceOf[Seq[String]])
+    case a: org.apache.spark.sql.catalyst.util.GenericArrayData =>
+      // element type varies (strings, fk struct rows) — read the
+      // backing array directly instead of a typed conversion
+      a.array.map(plain).toSeq
     case a: org.apache.spark.sql.catalyst.util.ArrayData =>
       a.toObjectArray(org.apache.spark.sql.types.StringType)
         .map(plain).toSeq
@@ -127,10 +178,12 @@ object CodecProps extends Properties("RecordCodec") {
     case 11 => r.sourceType
     case 12 => r.sourceVersion
     case 13 => r.ukNames
+    case 14 => r.transSeq
+    case 15 => r.fkParents
   }
 
   private val genOrdinals: Gen[Array[Int]] =
-    Gen.someOf(0 to 13).map(_.toArray.sorted)
+    Gen.someOf(0 to 15).map(_.toArray.sorted)
       .suchThat(_.nonEmpty)
 
   property("pruned decode matches the full decode on every projected column") =
@@ -151,5 +204,14 @@ object CodecProps extends Properties("RecordCodec") {
       val proj = new RecordCodec.RowProjection(Array(10, 11, 12, 13))
       val row = RecordCodec.decodeProjected(bytes, proj)
       row.values.forall(_ == null)
+    }
+
+  property("pruned decode of v3 bytes: transSeq sentinel, fkParents null") =
+    forAll(genRecord) { r =>
+      val bytes = RecordCodec.encode(r.copy(transSeq = -1L, fkParents = null),
+        3.toByte)
+      val proj = new RecordCodec.RowProjection(Array(14, 15))
+      val row = RecordCodec.decodeProjected(bytes, proj)
+      row.values(0) == -1L && row.values(1) == null
     }
 }
