@@ -193,7 +193,14 @@ class CdcTable(
       private var hdr: HeaderFilters = HeaderFilters()
 
       override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
+        // top-level pruning only: Catalyst may also prune NESTED
+        // fields (fkParents struct narrowed to the one field a query
+        // touches), but the decoder emits full wire structs — serving
+        // them under a narrowed schema would misalign field ordinals
+        // (parentTbl read from the parentSchema slot). Re-widen each
+        // kept column to its full source type.
+        required = StructType(
+          requiredSchema.fieldNames.map(n => CdcSource.schema(n)))
 
       // header-field predicates evaluate EXACTLY on the fixed header /
       // prefix (op: one byte; db/tbl: prefix read; tsUs: header long +

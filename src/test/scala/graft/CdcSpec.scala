@@ -1386,4 +1386,129 @@ class CdcSourceSpec extends AnyFunSuite {
       .count() == 0)
     assert(good.filter(col("err_class").isNotNull).count() == 0)
   }
+
+  test("cdc29 rollback apply: rolled txns contribute nothing, non-vacuously") {
+    val sf = "/root/testdata/sf0.001"
+    val ckptUs = unix_micros(lit("2024-01-15 00:00:00").cast("timestamp"))
+    val out = SparkEntry.queries("cdc29_txn_rollback")(spark, sf)
+      .localCheckpoint(true)
+    val d = CdcQueries.changelog(spark, sf)
+      .filter(col("op") =!= "HEARTBEAT")
+      .withColumn("txn", expr("record_id div 100"))
+    // the exclusion is non-vacuous: rolled txns (txn mod 7 = 3) that
+    // COMMITTED before the checkpoint exist — cdc21's commit-time rule
+    // alone would have applied them
+    val rolled = d.filter(pmod(col("txn"), lit(7)) === 3)
+    val rolledCommitted = rolled.groupBy("txn")
+      .agg(max(col("ts_us")).as("c")).filter(col("c") <= ckptUs)
+    assert(rolledCommitted.count() >= 1, "no committed rolled txn - vacuous")
+    // no rolled txn's record ever surfaces
+    assert(out.filter(pmod(col("txn"), lit(7)) === 3).count() == 0)
+    // and the discard CHANGES the applied state vs the rollback-blind
+    // rule: at least one key's winner differs
+    val blind = SparkEntry.queries("cdc21_txn_apply")(spark, sf)
+      .select(col("pk"), col("record_id").as("blind_id"))
+    val j = out.select(col("pk"), col("record_id")).join(blind, "pk")
+    assert(j.filter(col("record_id") =!= col("blind_id")).count() > 0 ||
+      blind.count() != out.count(),
+      "rollback exclusion changed nothing - fixture too weak")
+  }
+
+  test("txn apply: trans_seq order beats record-id order within a txn") {
+    import spark.implicits._
+    val ts = 1000000000L
+    // one txn (id div 100 = 2 for both), same key, same timestamp:
+    // the wire says statement transSeq=9 ran LAST even though its
+    // record id is LOWER — a transport that re-ordered ids. A
+    // record-id tiebreak would pick id 205; the wire order picks 201.
+    val rows = Seq(
+      (205L, "tx-2", ts, ts - 5L, "UPDATE", Map("pk" -> "7", "k" -> "111"), 1L),
+      (201L, "tx-2", ts, ts - 5L, "UPDATE", Map("pk" -> "7", "k" -> "222"), 9L))
+      .toDF("id", "transactionId", "tsUs", "bornUs", "op", "after", "transSeq")
+      .withColumn("before", lit(null).cast("map<string,string>"))
+    val out = CdcQueries.txnConsistentApply(rows, lit(ts + 1L)).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("record_id") == 201L,
+      s"winner must follow trans_seq, got ${out(0)}")
+    assert(out(0).getAs[Int]("k") == 222)
+    // ABORT discards like ROLLBACK
+    val aborted = rows.unionByName(
+      Seq((299L, "tx-2", ts + 1L, ts, "ABORT",
+        null.asInstanceOf[Map[String, String]], 99L))
+        .toDF("id", "transactionId", "tsUs", "bornUs", "op", "after",
+          "transSeq")
+        .withColumn("before", lit(null).cast("map<string,string>")))
+    assert(CdcQueries.txnConsistentApply(aborted, lit(ts + 2L)).count() == 0)
+  }
+
+  test("fkParents survive the DSv2 scan under nested column pruning") {
+    val dir = Files.createTempDirectory("gcl_fk").toString
+    val fk = graft.cdc.FkParent(null, "app", "region",
+      Seq("r_id"), Seq("region_id"))
+    val recs = (0 until 8).map(i =>
+      CdcFixtures.rec(i.toLong, 1000000L * (i + 1), Op.Insert, s"k$i", "v")
+        .copy(fkParents = if (i % 2 == 0) Seq(fk) else null,
+          transSeq = i.toLong))
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", recs)
+    // selecting ONLY a nested field once mis-read parentTbl from the
+    // parentSchema slot (Catalyst prunes the struct to one field; the
+    // decoder emits full wire structs) — pin the re-widening fix
+    val got = CdcStreaming.readBatch(spark, dir)
+      .select(explode(col("fkParents")).as("fk"))
+      .select(col("fk.parentTbl")).collect().map(_.getString(0))
+    assert(got.length == 4 && got.forall(_ == "region"), got.toSeq.toString)
+    val seqs = CdcStreaming.readBatch(spark, dir)
+      .select(col("id"), col("transSeq")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 8).forall(i => seqs(i.toLong) == i.toLong))
+  }
+
+  test("idle partition does not stall the global watermark (withIdleness contract)") {
+    // the reference tracks PER-PARTITION watermarks with idle
+    // detection (ref: DtsKafkaTopicPartitionStateWithWatermarkGenerator
+    // .java) because Flink's global watermark is the MIN over
+    // partitions — one idle partition stalls every window. Structured
+    // Streaming's watermark is the global MAX of observed event time
+    // minus the delay, so an idle table's windows still finalize as
+    // long as ANY partition moves: the withIdleness contract holds by
+    // construction. This pins it — db 'b' goes silent after its first
+    // minute, db 'a' keeps producing; b's early window must EMIT in
+    // append mode (= its state finalized past the watermark).
+    val dir = Files.createTempDirectory("gcl_idle").toString
+    val minUs = 60L * 1000000L
+    def r(id: Long, db: String, tsUs: Long) =
+      ChangeRecord(id, s"tx-$id", tsUs, tsUs - 1000L, Op.Insert,
+        db, "t", Seq("uid"), null, Map("uid" -> s"k$id"))
+    // chunk 0: both dbs active in minute 0; chunks 1-2: only 'a',
+    // advancing event time 20+ minutes
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}",
+      (0 until 6).map(i => r(i.toLong, if (i % 2 == 0) "a" else "b",
+        minUs / 2 + i.toLong * 1000000L)))
+    CdcChunkFile.write(s"$dir/chunk-00001${CdcChunkFile.Extension}",
+      (10 until 16).map(i => r(i.toLong, "a", 10L * minUs + i * 1000000L)))
+    CdcChunkFile.write(s"$dir/chunk-00002${CdcChunkFile.Extension}",
+      (20 until 26).map(i => r(i.toLong, "a", 20L * minUs + i * 1000000L)))
+    val stream = CdcStreaming.readStream(spark, dir,
+      maxChunksPerTrigger = Some(1))
+    val counts = stream
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("db"), window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("db"), col("window.start").cast("long").as("w"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("idle_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("idle_t").collect()
+        .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+      // b's only window finalized although b was idle for 20+ minutes
+      // of event time — a per-partition-min watermark would never
+      // have closed it without idleness detection
+      assert(got.contains(("b", 0L)), s"idle db's window never closed: $got")
+      assert(got(("b", 0L)) == 3L)
+      assert(got.contains(("a", 0L)) && got(("a", 0L)) == 3L)
+      assert(got.exists(_._1._1 == "a"), got.toString)
+    } finally q.stop()
+  }
 }
