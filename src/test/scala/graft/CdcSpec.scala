@@ -1463,6 +1463,35 @@ class CdcSourceSpec extends AnyFunSuite {
     assert((0 until 8).forall(i => seqs(i.toLong) == i.toLong))
   }
 
+  test("dotted db/table names resolve end-to-end (selector + catalog)") {
+    val dir = Files.createTempDirectory("gcl_dots").toString
+    // an Oracle-style dotted database name and a dotted table name —
+    // without escaping, the selector would split 'ora.pdb1.my.table'
+    // at the wrong boundary (ref ObjectNameUtils contract)
+    val recs = (0 until 6).map { i =>
+      val (db, tbl) =
+        if (i % 2 == 0) ("ora.pdb1", "my.table") else ("plain", "users")
+      CdcFixtures.rec(i.toLong, 1000000L * (i + 1), Op.Insert, s"k$i", "v")
+        .copy(db = db, tbl = tbl)
+    }
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", recs)
+    val sel = graft.cdc.ObjectNames.compress(Seq("ora.pdb1", "my.table"))
+    val picked = CdcStreaming.readBatch(spark, dir, table = Some(sel))
+    assert(picked.count() == 3)
+    assert(picked.select("db", "tbl").distinct().collect().toSeq
+      .map(r => (r.getString(0), r.getString(1))) == Seq(("ora.pdb1", "my.table")))
+    // the catalog surface discovers and loads the dotted identifiers
+    spark.conf.set("spark.sql.catalog.cdcdots", "graft.sources.CdcCatalog")
+    spark.conf.set("spark.sql.catalog.cdcdots.path", dir)
+    // SHOW NAMESPACES renders a dotted identifier backquoted — the
+    // quoting IS the proof the dot survived as part of ONE segment
+    val nss = spark.sql("SHOW NAMESPACES IN cdcdots").collect()
+      .map(_.getString(0)).sorted
+    assert(nss.contains("`ora.pdb1`"), nss.toSeq.toString)
+    val viaSql = spark.sql("SELECT * FROM cdcdots.`ora.pdb1`.`my.table`")
+    assert(viaSql.count() == 3)
+  }
+
   test("idle partition does not stall the global watermark (withIdleness contract)") {
     // the reference tracks PER-PARTITION watermarks with idle
     // detection (ref: DtsKafkaTopicPartitionStateWithWatermarkGenerator
