@@ -88,7 +88,8 @@ object CdcQueries {
           .option("path", outDir)
           .option("checkpointLocation", outDir + "_ck")
           .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { graft.StreamStats.record(q.recentProgress); q.stop() }
     outer.read.schema(schema).parquet(outDir)
   }
 
@@ -1204,7 +1205,8 @@ object CdcQueries {
         .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
       val q = graft.sinks.CdcParquetSink.start(
         stream, tableDir, ckptDir, nBuckets = 4, maxDeltas = 2)
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable()
+      finally { graft.StreamStats.record(q.recentProgress); q.stop() }
       // read back on the OUTER session (ADVICE r10 pattern)
       graft.sinks.CdcParquetSink.readTable(s, tableDir).get
         .select(

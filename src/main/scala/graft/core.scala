@@ -127,6 +127,29 @@ object Fs {
   }
 }
 
+/** Process-wide streaming state-store telemetry (round 14, VERDICT
+  * r13 #6): the §6 sweeps claim the streaming topologies' state is
+  * watermark-bounded — this records the MEASURED peak so the claim
+  * has a number. Every streaming gate run folds its query's
+  * recentProgress state-operator totals into the peak; harnesses
+  * reset before a run and read after (streams run inside the query
+  * functions, possibly on child sessions, so a listener on the
+  * harness session would miss them — a global max does not). */
+object StreamStats {
+  private val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+  def reset(): Unit = peak.set(0L)
+  def peakStateRows: Long = peak.get
+  def record(
+      ps: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): Unit = {
+    var m = 0L
+    ps.foreach(p => p.stateOperators.foreach(s =>
+      if (s.numRowsTotal > m) m = s.numRowsTotal))
+    val snap = m
+    var cur = peak.get
+    while (snap > cur && !peak.compareAndSet(cur, snap)) cur = peak.get
+  }
+}
+
 /** Oracle-parity helpers (SURVEY.md §3): double sums are
   * order-dependent under parallel aggregation, so money-ish columns are
   * accumulated as exact DECIMAL(28,6) and emitted as double — Spark and
