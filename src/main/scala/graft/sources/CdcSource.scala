@@ -242,12 +242,24 @@ class CdcTable(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val got = info.schema().fieldNames
+    // ACCEPT_ANY_SCHEMA skips the analyzer's output resolution, so the
+    // builder owns validation: names AND types of the written prefix
+    // (a mistyped column would otherwise surface as a task-time cast
+    // failure deep in the encode path)
+    val got = info.schema().fields
     require(CdcSource.writableArities.contains(got.length) &&
-      got.sameElements(CdcSource.schema.fieldNames.take(got.length)),
+      got.map(_.name).sameElements(
+        CdcSource.schema.fieldNames.take(got.length)),
       s"graft-cdc write schema must be a ${CdcSource.writableArities}-column " +
         s"prefix of ${CdcSource.schema.fieldNames.mkString(",")}, " +
-        s"got ${got.mkString(",")}")
+        s"got ${got.map(_.name).mkString(",")}")
+    got.zip(CdcSource.schema.fields).foreach { case (g, e) =>
+      // catalogString comparison: nullability-blind (writers
+      // legitimately produce non-null literals for nullable columns)
+      require(g.dataType.catalogString == e.dataType.catalogString,
+        s"graft-cdc write column '${g.name}' must be " +
+          s"${e.dataType.catalogString}, got ${g.dataType.catalogString}")
+    }
     new CdcWriteBuilder(path)
   }
 }
