@@ -37,10 +37,29 @@ package graft.pipelines
   *  - `1.0`/`0.0` literals in a bare `list(...)` type as DECIMAL(2,1)
   *    and silently quantize the identity matrix — the accumulator's
   *    anchor casts every element to DOUBLE explicitly.
-  *  - Runtime is ~3 min at the gate SF — the price of 16,128 sequential
+  *  - Runtime is ~2.2 min at the gate SF (round 14: 157.6 → 131.5 s
+  *    measured, bit-identical) — the price of 16,128 sequential
   *    rotations through a SQL engine; corpus-size-independent (the
   *    matrix is d×d regardless of rows), and the moments/projection
-  *    stages are the only corpus-touching passes.
+  *    stages are the only corpus-touching passes. This is the ONE
+  *    oracle over check_oracle.py's 60 s single-query budget — the
+  *    committed per-round correctness artifact is the mitigation if a
+  *    driver-side timeout ever zeroes the round again.
+  *  - Round-14 optimization findings (what worked and what
+  *    exploded, measured at 2016 rotations/sweep):
+  *      the per-step floor is the LATERAL/join machinery (~8 ms),
+  *      not the list math (the two 4096-element transforms cost
+  *      ~1.5 ms together; carrying two 32 KB lists through the
+  *      recursion costs 0.4 ms). Replacing the 2016-row pq JOIN with
+  *      a 1-row MATERIALIZED array lookup saved ~20%. Everything
+  *      more aggressive REGRESSED: inlining the theta→t→c/s chain
+  *      into the lambdas (DuckDB inlines lateral projections into
+  *      every reference, so the sqrt chain re-evaluates per element),
+  *      merging the two scalar laterals (the inlined theta tree costs
+  *      more than a lateral), and a single 9-arm analytic transform
+  *      with scalar-index extracts in the arms (123 ms/step — CASE
+  *      arms evaluate over the full vector, so heavy corner arms pay
+  *      4096×). The laterals ARE the engine's only CSE — keep them.
   *
   * The moment pass replays [[graft.functions.GramMatrixAgg]] exactly:
   * `CAST(floor(x·2^16 + 0.5) AS BIGINT)` is Math.round, the per-cell
@@ -87,6 +106,11 @@ private[pipelines] object PcaSql {
     val tt =
       s"""(CASE WHEN cs0.theta >= 0 THEN 1.0 / (cs0.theta + sqrt(cs0.theta * cs0.theta + 1.0))
          |      ELSE -1.0 / (-cs0.theta + sqrt(cs0.theta * cs0.theta + 1.0)) END)""".stripMargin
+    // rotation coordinates via a 1-row MATERIALIZED array pair instead
+    // of a per-step 2016-row join (round 14: measured ~0.7 ms/step —
+    // ~12 s over the 16k rotations; arithmetic untouched)
+    val pa = s"pqx.pl[(j.step % $NP)::INT + 1]::BIGINT"
+    val qa = s"pqx.ql[(j.step % $NP)::INT + 1]::BIGINT"
     val ys = (0 until K8)
       .map(r => s"MAX(CASE WHEN rnk = ${r + 1} THEN y END) AS y$r")
       .mkString(",\n  ")
@@ -115,6 +139,8 @@ private[pipelines] object PcaSql {
        |pq AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY a.i, b.i) - 1 AS r,
        |    a.i AS p, b.i AS q
        |  FROM rng a JOIN rng b ON b.i > a.i),
+       |pqarr AS MATERIALIZED (SELECT list(p ORDER BY r) AS pl,
+       |    list(q ORDER BY r) AS ql FROM pq),
        |jac AS (
        |  SELECT 0::BIGINT AS step, m, vm,
        |    1e-14 * greatest(1.0, $frobexpr) AS tol
@@ -122,11 +148,12 @@ private[pipelines] object PcaSql {
        |  UNION ALL
        |  SELECT j.step + 1, $mfin, $vtrans, j.tol
        |  FROM jac j
-       |  JOIN pq ON pq.r = j.step % $NP
-       |  CROSS JOIN LATERAL (SELECT abs(j.m[pq.p*$D + pq.q + 1]) = 0.0 AS skip,
-       |      ((j.m[pq.q*$D + pq.q + 1] - j.m[pq.p*$D + pq.p + 1]) /
-       |       (2.0 * j.m[pq.p*$D + pq.q + 1])) AS theta) cs0
-       |  CROSS JOIN LATERAL (SELECT pq.p::BIGINT AS p, pq.q::BIGINT AS q, cs0.skip AS skip,
+       |  CROSS JOIN pqarr pqx
+       |  CROSS JOIN LATERAL (SELECT $pa AS p0, $qa AS q0,
+       |      abs(j.m[($pa)*$D + ($qa) + 1]) = 0.0 AS skip,
+       |      ((j.m[($qa)*$D + ($qa) + 1] - j.m[($pa)*$D + ($pa) + 1]) /
+       |       (2.0 * j.m[($pa)*$D + ($qa) + 1])) AS theta) cs0
+       |  CROSS JOIN LATERAL (SELECT cs0.p0 AS p, cs0.q0 AS q, cs0.skip AS skip,
        |      (1.0 / sqrt($tt * $tt + 1.0)) AS c,
        |      ($tt * (1.0 / sqrt($tt * $tt + 1.0))) AS s) cs
        |  CROSS JOIN LATERAL (SELECT $pass1m AS v) m1
