@@ -6,60 +6,66 @@ package graft.pipelines
   *
   * The hard part is [[graft.functions.SymEigen]]'s cyclic Jacobi: 2016
   * rotations per sweep, each reading the matrix the previous rotation
-  * wrote — inherently sequential state. It replays as ONE RECURSIVE CTE
-  * whose working row carries the 64×64 matrix and the eigenvector
-  * accumulator as flat DOUBLE[4096] lists; each recursion step applies
-  * exactly one (p,q) rotation with the same IEEE ops in the same order
-  * as the Scala loop (theta → t → c → s with correctly-rounded
-  * sqrt/divide; column pass, then row pass reading the column pass's
-  * values, then the accumulator's column pass), and the sweep gate
-  * re-evaluates the off-diagonal fold only at sweep boundaries (the
-  * WHERE's CASE — Scala's `while (sweep < 30 && off > tol)`). Measured
-  * bit-exact: the full final matrix AND accumulator match a reference
-  * replay 4096/4096 elements at sf0.001 and sf0.01 (16,128 rotations =
-  * 8 data-dependent sweeps), and the emitted (vec_id, y0..y7,
-  * var_kept_frac) table matches Spark's output bit-for-bit at both
-  * gate SFs.
+  * wrote — inherently sequential state. Since round 14 it replays as a
+  * RECURSIVE CTE over SWEEPS whose step folds the sweep's 2016
+  * rotations with `list_reduce` over the (p,q) schedule; the fold
+  * accumulator is ONE FLAT DOUBLE[8192] list (matrix ‖ eigenvector
+  * accumulator). Each fold application is exactly one rotation with
+  * the same IEEE ops in the same order as the Scala loop (theta → t →
+  * c → s with correctly-rounded sqrt/divide; column pass over both
+  * halves in one indexed transform, then the row pass reading the
+  * column pass's values via contiguous row slices), and the sweep
+  * boundary re-evaluates the off-diagonal fold in the recursion's
+  * WHERE — Scala's `while (sweep < 30 && off > tol)` literally.
+  * Measured bit-exact: full final matrix AND accumulator match the
+  * sequential reference 4096+4096/8192 elements through 9 data-
+  * dependent sweeps on an SPD probe, and the emitted
+  * (vec_id, y0..y7, var_kept_frac) table matches Spark's output
+  * bit-for-bit at both gate SFs.
   *
-  * Engineering notes from the build (kept here so the next recursive
-  * oracle doesn't rediscover them):
-  *  - DuckDB inlines plain CTEs — every consumer of `fin` would re-run
-  *    the 16k-step recursion; all non-recursive CTEs are MATERIALIZED
-  *    (the ann03 lesson, again).
-  *  - LATERAL joins inside the recursive term cost ~1.7 ms each per
-  *    step (~27 s per lateral over 16k steps); the rotation keeps only
-  *    three (theta; c/s; the column-pass intermediate) and the row
-  *    pass is list-slice surgery (contiguous rows p and q), not a
-  *    4096-element lambda.
+  * Why a fold instead of the round-13 per-rotation recursion: a
+  * recursive-CTE step pays row materialization, the cross joins and
+  * (worst) ~0.2-0.5 ms per `[x]`-binding level EVERY rotation — the
+  * measured floor was ~8 ms/rotation, 131-148 s per oracle run at
+  * 16,128 rotations, the ONE oracle over check_oracle.py's 60 s
+  * budget and the prime suspect for the driver's empty
+  * CORRECTNESS_r13.json. Folding a whole sweep into one recursion
+  * step amortizes all of that: ~3.5 ms/rotation, ~55 s per run —
+  * inside the budget with the SAME Scala trajectory (hashes
+  * unchanged).
+  *
+  * Engineering notes from the build (kept so the next recursive
+  * oracle doesn't rediscover them — the round-13 lateral notes are in
+  * git history; these supersede them):
+  *  - DuckDB 1.0.0 `list_reduce` has no initial-value overload: the
+  *    accumulator TYPE must equal the element type. The (p,q)
+  *    schedule therefore rides as 2-element DOUBLE lists prepended
+  *    after the 8192-double state (list_prepend(state, els)).
+  *  - `list_reduce` accumulators MUST stay flat lists of scalars: a
+  *    STRUCT-of-nested-lists accumulator silently zeroes after the
+  *    second application and segfaults at ~500; a DOUBLE[][] (nested
+  *    rows) accumulator corrupts as soon as `[x]`-binding levels wrap
+  *    transforms of it once total child data crosses the 2048 vector
+  *    size (bit-exact at d=16/32, zeroed at d=48/64). Flat DOUBLE[]
+  *    accumulators with struct `[x]`-bindings are solid — verified
+  *    through 18k+ fold applications.
+  *  - Binding levels inside the fold lambda cost ~0.3-0.5 ms each
+  *    (the captured 8192-list appears to be re-materialized per
+  *    level): five bare-scalar levels measured 7.4 ms/rotation vs
+  *    3.45 ms for the two-level shape (one struct for p/q/skip/c/s,
+  *    one for the column-pass intermediate). Keep exactly two.
+  *  - LATERAL joins are NOT the only CSE: a 1-element
+  *    `list_transform([expr], x -> body)` binds expr once. Inside
+  *    recursive-CTE steps laterals cost ~5 ms each; inside folds they
+  *    are unavailable — the [x]-binding is the only option and it is
+  *    cheap enough at two levels.
+  *  - `list_dot_product(a, b)` is a plain in-order fold — bit-equal
+  *    to `acc += a(i)*b(i)` loops (verified at 64/65/1000 elements) —
+  *    usable wherever a sequential dot is replayed.
   *  - A lambda body can only reference outer columns when the list
-  *    argument itself is correlated (hence the (el, ix) form over the
-  *    state list instead of `range(...)`).
-  *  - `1.0`/`0.0` literals in a bare `list(...)` type as DECIMAL(2,1)
-  *    and silently quantize the identity matrix — the accumulator's
-  *    anchor casts every element to DOUBLE explicitly.
-  *  - Runtime is ~2.2 min at the gate SF (round 14: 157.6 → 131.5 s
-  *    measured, bit-identical) — the price of 16,128 sequential
-  *    rotations through a SQL engine; corpus-size-independent (the
-  *    matrix is d×d regardless of rows), and the moments/projection
-  *    stages are the only corpus-touching passes. This is the ONE
-  *    oracle over check_oracle.py's 60 s single-query budget — the
-  *    committed per-round correctness artifact is the mitigation if a
-  *    driver-side timeout ever zeroes the round again.
-  *  - Round-14 optimization findings (what worked and what
-  *    exploded, measured at 2016 rotations/sweep):
-  *      the per-step floor is the LATERAL/join machinery (~8 ms),
-  *      not the list math (the two 4096-element transforms cost
-  *      ~1.5 ms together; carrying two 32 KB lists through the
-  *      recursion costs 0.4 ms). Replacing the 2016-row pq JOIN with
-  *      a 1-row MATERIALIZED array lookup saved ~20%. Everything
-  *      more aggressive REGRESSED: inlining the theta→t→c/s chain
-  *      into the lambdas (DuckDB inlines lateral projections into
-  *      every reference, so the sqrt chain re-evaluates per element),
-  *      merging the two scalar laterals (the inlined theta tree costs
-  *      more than a lateral), and a single 9-arm analytic transform
-  *      with scalar-index extracts in the arms (123 ms/step — CASE
-  *      arms evaluate over the full vector, so heavy corner arms pay
-  *      4096×). The laterals ARE the engine's only CSE — keep them.
+  *    argument itself is correlated, and `1.0`/`0.0` literals in a
+  *    bare `list(...)` type as DECIMAL(2,1) and silently quantize —
+  *    both still true from round 13.
   *
   * The moment pass replays [[graft.functions.GramMatrixAgg]] exactly:
   * `CAST(floor(x·2^16 + 0.5) AS BIGINT)` is Math.round, the per-cell
@@ -71,46 +77,58 @@ package graft.pipelines
   */
 private[pipelines] object PcaSql {
   private val D = 64
+  private val DD = D * D
   private val NP = D * (D - 1) / 2 // 2016 rotations per sweep
   private val K8 = 8
   private val Scale = "65536.0"
   private val Scale2 = "4294967296.0"
 
   val sql: String = {
-    val pass1m =
-      s"""CASE WHEN cs.skip THEN j.m ELSE
-         |    list_transform(j.m, (el, ix) ->
-         |      CASE WHEN ((ix - 1) % $D) = cs.p THEN cs.c * el - cs.s * j.m[ix - cs.p + cs.q]
-         |      WHEN ((ix - 1) % $D) = cs.q THEN cs.s * j.m[ix - cs.q + cs.p] + cs.c * el
-         |      ELSE el END) END""".stripMargin
-    val mfin =
-      s"""CASE WHEN cs.skip THEN j.m ELSE
-         |    m1.v[1 : cs.p*$D] ||
-         |    list_transform(m1.v[cs.p*$D + 1 : cs.p*$D + $D], (el, ix) -> cs.c * el - cs.s * m1.v[cs.q*$D + ix]) ||
-         |    m1.v[cs.p*$D + $D + 1 : cs.q*$D] ||
-         |    list_transform(m1.v[cs.q*$D + 1 : cs.q*$D + $D], (el, ix) -> cs.s * m1.v[cs.p*$D + ix] + cs.c * el) ||
-         |    m1.v[cs.q*$D + $D + 1 : ${D * D}] END""".stripMargin
-    val vtrans =
-      s"""CASE WHEN cs.skip THEN j.vm ELSE
-         |    list_transform(j.vm, (el, ix) ->
-         |      CASE WHEN ((ix - 1) % $D) = cs.p THEN cs.c * el - cs.s * j.vm[ix - cs.p + cs.q]
-         |      WHEN ((ix - 1) % $D) = cs.q THEN cs.s * j.vm[ix - cs.q + cs.p] + cs.c * el
-         |      ELSE el END) END""".stripMargin
+    // one rotation inside the fold: acc[1..4096] = matrix (row-major),
+    // acc[4097..8192] = eigenvector accumulator. Two binding levels:
+    // cs (p/q/skip/c/s — theta and t inlined, pure scalar recompute)
+    // and m1 (the column pass, applied to BOTH halves in one indexed
+    // transform: an element at local column p/q combines with its
+    // row-mate at offset q-p in the same row of the same half).
+    val pp = "el[1]::BIGINT"
+    val qq = "el[2]::BIGINT"
+    val apq = s"acc[($pp) * $D + ($qq) + 1]"
+    val theta =
+      s"((acc[($qq) * $D + ($qq) + 1] - acc[($pp) * $D + ($pp) + 1])" +
+        s" / (2.0 * $apq))"
+    val tt =
+      s"""(CASE WHEN $theta >= 0
+         |      THEN 1.0 / ($theta + sqrt($theta * $theta + 1.0))
+         |      ELSE -1.0 / (-$theta + sqrt($theta * $theta + 1.0)) END)""".stripMargin
+    val cs =
+      s"""struct_pack(p := $pp, q := $qq, skip := abs($apq) = 0.0,
+         |      c := 1.0 / sqrt($tt * $tt + 1.0),
+         |      s := $tt * (1.0 / sqrt($tt * $tt + 1.0)))""".stripMargin
+    val colpass =
+      s"""list_transform(acc, (x, ix) ->
+         |      CASE WHEN ((ix - 1) % $D) = cs.p THEN cs.c * x - cs.s * acc[ix - cs.p + cs.q]
+         |      WHEN ((ix - 1) % $D) = cs.q THEN cs.s * acc[ix - cs.q + cs.p] + cs.c * x
+         |      ELSE x END)""".stripMargin
+    // row pass touches only matrix rows p and q (contiguous slices of
+    // the first half); the accumulator half rides through untouched
+    val rot =
+      s"""list_transform([$cs], cs ->
+         |      CASE WHEN cs.skip THEN acc ELSE
+         |      list_transform([$colpass], m1 ->
+         |        m1[1 : cs.p * $D] ||
+         |        list_transform(m1[cs.p * $D + 1 : cs.p * $D + $D], (x, jx) ->
+         |          cs.c * x - cs.s * m1[cs.q * $D + jx]) ||
+         |        m1[cs.p * $D + $D + 1 : cs.q * $D] ||
+         |        list_transform(m1[cs.q * $D + 1 : cs.q * $D + $D], (x, jx) ->
+         |          cs.s * m1[cs.p * $D + jx] + cs.c * x) ||
+         |        m1[cs.q * $D + $D + 1 : ${2 * DD}])[1] END)[1]""".stripMargin
     val offexpr =
-      s"""sqrt(list_reduce(list_prepend(0.0, list_transform(j.m, (ov, ix) ->
+      s"""sqrt(list_reduce(list_prepend(0.0, list_transform(j.acc[1 : $DD], (ov, ix) ->
          |      CASE WHEN ((ix - 1) % $D) > ((ix - 1) // $D) THEN ov * ov ELSE 0.0 END)),
-         |      (acc, x) -> acc + x))""".stripMargin
+         |      (a2, x) -> a2 + x))""".stripMargin
     val frobexpr =
       s"""sqrt(list_reduce(list_prepend(0.0, list_transform(m, fv -> fv * fv)),
          |      (acc, x) -> acc + x))""".stripMargin
-    val tt =
-      s"""(CASE WHEN cs0.theta >= 0 THEN 1.0 / (cs0.theta + sqrt(cs0.theta * cs0.theta + 1.0))
-         |      ELSE -1.0 / (-cs0.theta + sqrt(cs0.theta * cs0.theta + 1.0)) END)""".stripMargin
-    // rotation coordinates via a 1-row MATERIALIZED array pair instead
-    // of a per-step 2016-row join (round 14: measured ~0.7 ms/step —
-    // ~12 s over the 16k rotations; arithmetic untouched)
-    val pa = s"pqx.pl[(j.step % $NP)::INT + 1]::BIGINT"
-    val qa = s"pqx.ql[(j.step % $NP)::INT + 1]::BIGINT"
     val ys = (0 until K8)
       .map(r => s"MAX(CASE WHEN rnk = ${r + 1} THEN y END) AS y$r")
       .mkString(",\n  ")
@@ -139,28 +157,22 @@ private[pipelines] object PcaSql {
        |pq AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY a.i, b.i) - 1 AS r,
        |    a.i AS p, b.i AS q
        |  FROM rng a JOIN rng b ON b.i > a.i),
-       |pqarr AS MATERIALIZED (SELECT list(p ORDER BY r) AS pl,
-       |    list(q ORDER BY r) AS ql FROM pq),
+       |els AS MATERIALIZED (SELECT list([CAST(p AS DOUBLE), CAST(q AS DOUBLE)]
+       |    ORDER BY r) AS e FROM pq),
        |jac AS (
-       |  SELECT 0::BIGINT AS step, m, vm,
+       |  SELECT 0::BIGINT AS sweep, m || vm AS acc,
        |    1e-14 * greatest(1.0, $frobexpr) AS tol
        |  FROM a0
        |  UNION ALL
-       |  SELECT j.step + 1, $mfin, $vtrans, j.tol
+       |  SELECT j.sweep + 1,
+       |    list_reduce(list_prepend(j.acc, elx.e), (acc, el) -> $rot),
+       |    j.tol
        |  FROM jac j
-       |  CROSS JOIN pqarr pqx
-       |  CROSS JOIN LATERAL (SELECT $pa AS p0, $qa AS q0,
-       |      abs(j.m[($pa)*$D + ($qa) + 1]) = 0.0 AS skip,
-       |      ((j.m[($qa)*$D + ($qa) + 1] - j.m[($pa)*$D + ($pa) + 1]) /
-       |       (2.0 * j.m[($pa)*$D + ($qa) + 1])) AS theta) cs0
-       |  CROSS JOIN LATERAL (SELECT cs0.p0 AS p, cs0.q0 AS q, cs0.skip AS skip,
-       |      (1.0 / sqrt($tt * $tt + 1.0)) AS c,
-       |      ($tt * (1.0 / sqrt($tt * $tt + 1.0))) AS s) cs
-       |  CROSS JOIN LATERAL (SELECT $pass1m AS v) m1
-       |  WHERE CASE WHEN j.step % $NP <> 0 THEN j.step < $NP*30
-       |        ELSE $offexpr > j.tol AND j.step < $NP*30 END
+       |  CROSS JOIN els elx
+       |  WHERE j.sweep < 30 AND $offexpr > j.tol
        |),
-       |fin AS MATERIALIZED (SELECT m, vm FROM jac ORDER BY step DESC LIMIT 1),
+       |fin AS MATERIALIZED (SELECT acc[1 : $DD] AS m, acc[$DD + 1 : ${2 * DD}] AS vm
+       |  FROM jac ORDER BY sweep DESC LIMIT 1),
        |eig AS MATERIALIZED (SELECT r.i AS src,
        |    (SELECT m FROM fin)[r.i * $D + r.i + 1] AS lam FROM rng r),
        |ord AS MATERIALIZED (SELECT src, lam,
