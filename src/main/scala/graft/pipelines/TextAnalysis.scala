@@ -1392,7 +1392,140 @@ object TextAnalysis {
         |FROM sc""".stripMargin))
   }
 
+  // -------------------------------------------------------------- tx21
+  /** DSIR-style data selection via importance resampling (round 14) —
+    * the hashed-n-gram importance weighting of Xie et al. 2023
+    * ("Data Selection for Language Models via Importance Resampling"),
+    * the standard pretraining-corpus selection recipe: score every
+    * raw document by how target-like its hashed n-gram distribution
+    * is, keep the target-leaning mass. Target here is the `lang='en'`
+    * slice (a stand-in for the paper's Wikipedia+books formal-text
+    * target); features are word unigrams AND bigrams hashed into
+    * [[Tx21Buckets]] buckets, exactly the paper's feature space.
+    *
+    * The importance weight is INTEGER-EXACT in the tx11/tx12 bit
+    * convention (no libm, no float log): per occurrence of a feature
+    * in bucket b the score is
+    *   [bitlen(t_b+1) − bitlen(T+B)] − [bitlen(r_b+1) − bitlen(R+B)]
+    * — floor-log₂ of the +1-smoothed target probability minus
+    * floor-log₂ of the raw probability, each term a bin() bit-length
+    * on a BIGINT. No product ever forms (the naive
+    * bitlen((t+1)·(R+B)) form overflows BIGINT once a corpus passes
+    * ~3·10⁹ features; the term-by-term form is scale-safe to 2⁶³
+    * features), at ≤2 bits quantization per occurrence, identical in
+    * both engines. `selected` keeps the docs whose PER-FEATURE score
+    * beats the corpus mean (DSIR's keep-the-target-leaning-mass, at
+    * the natural threshold — a flat ≥0 cut is vacuous because the
+    * floor-log smoothing bias shifts every sum negative):
+    * sum_score·F ≥ S·n_feat, cross-multiplied with both sides as
+    * products of exact integers cast to DOUBLE — the same two
+    * correctly-rounded multiplies in both engines, overflow-free at
+    * any corpus size (past 2⁵³ it quantizes, identically on both
+    * sides of the compare).
+    *
+    * Scale shape (SURVEY §5): the corpus explodes ONCE to
+    * (doc, bucket) feature rows riding the scan (is_target is read
+    * from the doc row BEFORE exploding, so no join touches the
+    * exploded table except the final broadcast); the two bucket
+    * histograms are map-side-combined aggregates producing ≤B rows
+    * each; the score table is B rows and BROADCAST back onto the
+    * feature rows; the per-doc sum is the query's ONE shuffle. At
+    * 100 TB: one wide-table pass, one broadcast hash join, one
+    * map-side-combined per-doc aggregate.
+    *
+    * Fixture non-vacuity: the generator gives each lang a distinct
+    * token-frequency profile over a shared vocabulary ('order'/
+    * 'table' hot in en; 'slow'/'agg' in es; 'scan'/'data' in fr), so
+    * en docs genuinely score higher — PipelineSpec pins the mean-gap
+    * plus a crafted two-vocabulary corpus where selection is exact.
+    */
+  private val Tx21Buckets = 1024L
+  private val tx21 = QueryDef(
+    "tx21_dsir",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").as("is_tgt"),
+          expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("ws"))
+      val uni = docs.select(col("doc_id"), col("is_tgt"),
+        explode(col("ws")).as("f"))
+        .select(col("doc_id"), col("is_tgt"),
+          concat(lit("u|"), col("f")).as("f"))
+      val big = docs.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("is_tgt"),
+          explode(expr(TextShingles.shingleArray(2))).as("g"))
+        .select(col("doc_id"), col("is_tgt"),
+          concat(lit("b|"), col("g")).as("f"))
+      val feats = uni.union(big).select(col("doc_id"), col("is_tgt"),
+        pmod(expr(graft.OracleSafe.hash60("f")), lit(Tx21Buckets)).as("b"))
+      val rb = feats.groupBy(col("b")).agg(count(lit(1)).as("r"))
+      val tb = feats.filter(col("is_tgt"))
+        .groupBy(col("b")).agg(count(lit(1)).as("t"))
+      val totals = feats
+        .agg(count(lit(1)).as("rtot"),
+          sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ttot"))
+      val bits = (e: String) => s"CAST(length(bin($e)) - 1 AS BIGINT)"
+      val sc = rb.join(tb, Seq("b"), "left")
+        .select(col("b"), col("r"), coalesce(col("t"), lit(0L)).as("t"))
+        .crossJoin(broadcast(totals))
+        .selectExpr("b",
+          s"(${bits("t + 1")} - ${bits(s"ttot + $Tx21Buckets")})" +
+            s" - (${bits("r + 1")} - ${bits(s"rtot + $Tx21Buckets")})" +
+            " AS score")
+      val perDoc = feats.join(broadcast(sc), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feat"), sum(col("score")).as("sum_score"))
+      val corpus = perDoc.agg(sum(col("n_feat")).as("ftot"),
+        sum(col("sum_score")).as("stot"))
+      Tables.load(s, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .crossJoin(broadcast(corpus))
+        .select(col("doc_id"),
+          coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+          coalesce(col("sum_score"), lit(0L)).as("sum_score"),
+          (coalesce(col("n_feat"), lit(0L)) > 0 &&
+            coalesce(col("sum_score"), lit(0L)).cast("double") *
+              col("ftot").cast("double") >=
+              col("stot").cast("double") *
+                coalesce(col("n_feat"), lit(0L)).cast("double"))
+            .as("selected"))
+    },
+    Some {
+      val bits = (e: String) => s"CAST(length(bin($e)) - 1 AS BIGINT)"
+      s"""WITH w AS (SELECT doc_id, lang = 'en' AS is_tgt,
+        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |uni AS (SELECT doc_id, is_tgt, 'u|' || t AS f FROM
+        |  (SELECT doc_id, is_tgt, unnest(ws) AS t FROM w)),
+        |big AS (SELECT doc_id, is_tgt, 'b|' || ws[i] || ' ' || ws[i+1] AS f
+        |  FROM w CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+        |  WHERE len(ws) >= 2),
+        |feats AS (SELECT doc_id, is_tgt,
+        |    ${graft.OracleSafe.hash60Sql("f")} % $Tx21Buckets AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        |rb AS (SELECT b, COUNT(*) AS r FROM feats GROUP BY b),
+        |tb AS (SELECT b, COUNT(*) AS t FROM feats WHERE is_tgt GROUP BY b),
+        |tot AS (SELECT COUNT(*) AS rtot,
+        |    SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ttot FROM feats),
+        |sc AS (SELECT rb.b,
+        |    (${bits("COALESCE(tb.t, 0) + 1")} - ${bits(s"tot.ttot + $Tx21Buckets")})
+        |    - (${bits("rb.r + 1")} - ${bits(s"tot.rtot + $Tx21Buckets")}) AS score
+        |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tot),
+        |pd AS (SELECT f.doc_id, COUNT(*) AS n_feat, SUM(sc.score) AS sum_score
+        |  FROM feats f JOIN sc USING (b) GROUP BY f.doc_id),
+        |corp AS (SELECT SUM(n_feat) AS ftot, SUM(sum_score) AS stot FROM pd)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.n_feat, 0) AS BIGINT) AS n_feat,
+        |  CAST(COALESCE(pd.sum_score, 0) AS BIGINT) AS sum_score,
+        |  COALESCE(pd.n_feat, 0) > 0 AND
+        |    CAST(COALESCE(pd.sum_score, 0) AS DOUBLE) * CAST(corp.ftot AS DOUBLE)
+        |    >= CAST(corp.stot AS DOUBLE) * CAST(COALESCE(pd.n_feat, 0) AS DOUBLE)
+        |    AS selected
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN corp
+        |""".stripMargin
+    })
+
   val defs: Seq[QueryDef] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11,
-      tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20)
+      tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20, tx21)
 }

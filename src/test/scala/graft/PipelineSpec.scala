@@ -2202,6 +2202,75 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm07 scene cut: driver recompute exact, static injection one scene, " +
+      "both classes fire") {
+    val out = SparkEntry.queries("mm07_scene_cut")(spark, sf)
+      .localCheckpoint(true)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val off = docs.keys.max + 1L
+    // driver-side scene segmentation replica
+    def scenesOf(text: String): Seq[(Long, Long, Long, Long, Long)] = {
+      val n = math.min(16, text.length / 32)
+      val feats = (0 until n).map { i =>
+        val w = text.substring(i * 32, i * 32 + 32)
+        (0 until 8).map(j => w.substring(j * 4, j * 4 + 4)
+          .map(_.toLong).sum)
+      }
+      var scene = 0L
+      val rows = feats.indices.map { i =>
+        val delta = if (i == 0) 0L
+          else (0 until 8).map(j => math.abs(feats(i)(j) - feats(i - 1)(j))).sum
+        val cut = i > 0 && delta > 400L
+        if (cut) scene += 1
+        (scene, i.toLong, delta, cut)
+      }
+      rows.groupBy(_._1).toSeq.map { case (sc, g) =>
+        (sc, g.map(_._2).min, g.map(_._2).max, g.size.toLong,
+          g.filter(_._4).map(_._3).maxOption.getOrElse(0L))
+      }
+    }
+    def expectAll(id: Long, text: String) =
+      scenesOf(text).map { case (sc, st, en, nf, od) =>
+        (id, sc) -> (st, en, nf, od)
+      }
+    val statics = docs.filter { case (id, t) =>
+      id % 20 == 0 && t.length >= 32
+    }
+    val expect = (docs.filter(_._2.length >= 32).toSeq.flatMap {
+      case (id, t) => expectAll(id, t)
+    } ++ statics.toSeq.flatMap { case (id, t) =>
+      expectAll(id + off, t.substring(0, 32) * 4 + t.substring(32))
+    }).toMap
+    val rows = out.collect()
+    assert(rows.length == expect.size, "scene-row count")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("scene_id"))
+      val (st, en, nf, od) = expect.getOrElse(key, fail(s"unexpected $key"))
+      assert(r.getAs[Long]("start_idx") == st, s"start $key")
+      assert(r.getAs[Long]("end_idx") == en, s"end $key")
+      assert(r.getAs[Long]("n_frames") == nf, s"n_frames $key")
+      assert(r.getAs[Long]("open_delta") == od, s"open_delta $key")
+    }
+    // the injected static repeats are byte-identical frames: their
+    // deltas are exactly 0, so scene 0 of every injected asset spans
+    // at least the 4 repeated frames
+    assert(statics.nonEmpty, "no injected static asset - gate vacuous")
+    statics.keys.foreach { id =>
+      val s0 = rows.find(r => r.getLong(0) == id + off &&
+        r.getAs[Long]("scene_id") == 0L)
+        .getOrElse(fail(s"static asset ${id + off} lost scene 0"))
+      assert(s0.getAs[Long]("n_frames") >= 4L,
+        s"static scene broke early for ${id + off}")
+    }
+    // non-vacuity both ways: multi-scene assets exist AND multi-frame
+    // scenes exist (the threshold separates, not rubber-stamps)
+    assert(rows.exists(r => r.getAs[Long]("scene_id") > 0L), "no cut fired")
+    assert(rows.exists(r => r.getAs[Long]("n_frames") > 1L),
+      "every frame its own scene")
+  }
+
   test("mm05 av align: every pair's window covers the frame mid, tail drop non-vacuous") {
     val out = SparkEntry.queries("mm05_av_align")(spark, sf)
       .localCheckpoint(true)
@@ -2499,5 +2568,86 @@ class PipelineSpec extends AnyFunSuite {
       .select(explode(col("ws")).as("t")).groupBy("t").count()
       .agg(max("count")).head().getLong(0)
     assert(r.getDouble(1) <= maxCtf.toDouble)
+  }
+
+  test("tx21 dsir: driver recompute matches, en skews positive, " +
+      "crafted two-vocabulary corpus selects exactly") {
+    val out = SparkEntry.queries("tx21_dsir")(spark, sf)
+      .localCheckpoint(true)
+    val docRows = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.count() == docRows.length)
+    // driver-side recompute of the full scoring pipeline
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val B = 1024L
+    def featsOf(text: String): Seq[Long] = {
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      val uni = ws.map(t => h60(s"u|$t") % B)
+      val big = ws.sliding(2).filter(_.length == 2)
+        .map(g => h60(s"b|${g.mkString(" ")}") % B).toSeq
+      (uni ++ big).toSeq
+    }
+    val all = docRows.map { case (id, lang, text) =>
+      (id, lang == "en", featsOf(text))
+    }
+    val rCnt = all.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tCnt = all.filter(_._2).flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rTot = all.map(_._3.size.toLong).sum
+    val tTot = all.filter(_._2).map(_._3.size.toLong).sum
+    def bitlen(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    def score(b: Long): Long =
+      (bitlen(tCnt.getOrElse(b, 0L) + 1) - bitlen(tTot + B)) -
+        (bitlen(rCnt(b) + 1) - bitlen(rTot + B))
+    val expect = all.map { case (id, _, fs) =>
+      id -> (fs.size.toLong, fs.map(score).sum)
+    }.toMap
+    val fTot = expect.values.map(_._1).sum
+    val sTot = expect.values.map(_._2).sum
+    out.collect().foreach { r =>
+      val id = r.getLong(0)
+      val (n, s) = expect(id)
+      assert(r.getAs[Long]("n_feat") == n, s"n_feat doc $id")
+      assert(r.getAs[Long]("sum_score") == s, s"sum_score doc $id")
+      // above-corpus-mean selection, same double cross-multiply
+      val sel = n > 0 && s.toDouble * fTot.toDouble >= sTot.toDouble * n.toDouble
+      assert(r.getAs[Boolean]("selected") == sel, s"selected doc $id")
+    }
+    // non-vacuity on the fixture: the generator gives langs distinct
+    // token-frequency profiles, so en's mean per-feature score must
+    // exceed the non-en mean (the signal DSIR selects on)
+    val mean = (rows: Seq[(Long, Boolean, Seq[Long])]) => {
+      val withF = rows.filter(_._3.nonEmpty)
+      withF.map { case (_, _, fs) =>
+        fs.map(score).sum.toDouble / fs.size
+      }.sum / withF.size
+    }
+    val (en, other) = all.partition(_._2)
+    assert(mean(en.toSeq) > mean(other.toSeq),
+      "en does not skew target-positive on the fixture")
+    // crafted corpus: two disjoint vocabularies; target docs use only
+    // vocab A — every A-doc must be selected, every B-doc rejected
+    import spark.implicits._
+    val crafted = Seq(
+      (0L, "en", "alpha beta gamma alpha beta"),
+      (1L, "en", "beta gamma alpha beta gamma"),
+      (2L, "de", "zeta eta theta zeta eta"),
+      (3L, "de", "eta theta zeta eta theta"),
+      (4L, "en", "alpha gamma beta alpha gamma"))
+      .toDF("doc_id", "lang", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("tx21").toString
+    try {
+      crafted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = SparkEntry.queries("tx21_dsir")(spark, tmp).collect()
+        .map(r => r.getLong(0) -> r.getAs[Boolean]("selected")).toMap
+      assert(Seq(0L, 1L, 4L).forall(got(_)), "target-vocab doc rejected")
+      assert(Seq(2L, 3L).forall(!got(_)), "non-target-vocab doc selected")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
 }

@@ -364,6 +364,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected join in SCD2 plan:\n$p")
   }
 
+  test("tx21 dsir: score table broadcasts onto the feature rows") {
+    val p = plan("tx21_dsir")
+    // the B-bucket score table and the 1-row corpus totals must reach
+    // the exploded feature table as broadcasts — a shuffle join there
+    // re-partitions the corpus' whole n-gram explosion at 100 TB
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"score join must broadcast:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin|BroadcastExchange") >= 2,
+      s"corpus totals must broadcast:\n$p")
+    // only the final per-doc assembly may merge-join; the feature
+    // path itself must never sort-merge
+    assert(count(p, "SortMergeJoin") <= 1,
+      s"feature-path join degraded to a shuffle join:\n$p")
+  }
+
   test("tx19 pii redaction is shuffle-free") {
     val p = plan("tx19_pii_redact")
     assert(count(p, "Exchange") == 0,
