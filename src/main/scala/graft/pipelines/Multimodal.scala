@@ -475,5 +475,137 @@ object Multimodal {
         |WHERE rn = 1 AND n_aligned >= $MinAligned""".stripMargin))
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
+  // -------------------------------------------------------------- mm07
+  /** Scene-cut detection / shot segmentation (round 14) — the video
+    * stage that runs BEFORE frame dedup and captioning in a
+    * multimodal curation pipeline: split each asset's frame sequence
+    * into scenes at hard cuts, where a cut is a frame whose feature
+    * distance to its predecessor exceeds a threshold (the classic
+    * histogram-difference shot detector). Per frame the stub codec
+    * yields an 8-bin pseudo-histogram (sums of the window's four-byte
+    * sub-blocks — a real pixel histogram slots into the same eight
+    * columns); the frame-to-frame distance is the INTEGER L1 between
+    * consecutive histograms, a cut is distance > [[Mm07CutT]] (≈ the
+    * corpus' 74th percentile — both scenes and continuations are
+    * plentiful), and scenes are the running count of cuts. Output is
+    * one row per (asset, scene): start/end frame, length, and the
+    * opening cut's distance (0 for the first scene).
+    *
+    * The gate INJECTS the static-scene case (mm06's injection
+    * pattern): every [[Mm07StaticMod]]-th doc contributes a
+    * pseudo-asset whose payload repeats its first frame
+    * [[Mm07StaticReps]] times before the organic tail — the repeats
+    * are byte-identical so their deltas are exactly 0, and scene 0
+    * MUST span at least those frames; ids offset past the real
+    * domain via the max(doc_id)+1 driver scalar.
+    *
+    * Scale shape: the frame explode is bounded (≤[[Mm07MaxFrames]]
+    * rows/asset) and rides the scan; the lag window and the
+    * per-(asset, scene) aggregate share the SAME doc_id partitioning
+    * — one exchange end to end. All arithmetic is integer-exact;
+    * the only engine-shared text op is ascii() on the verified
+    * all-ASCII corpus. */
+  private val Mm07Stride = 32
+  private val Mm07MaxFrames = 16
+  private val Mm07CutT = 400L
+  private val Mm07StaticMod = 20
+  private val Mm07StaticReps = 4
+  private val mm07 = {
+    // per-frame 8-bin pseudo-histogram, bin j = sum of 4 byte values;
+    // `POS` is the 1-based offset expression of the frame's window
+    def binTxt(j: Int, pos: String): String = (1 to 4).map(k =>
+      s"(CASE WHEN length(text) >= $pos + ${j * 4 + k - 1}" +
+        s" THEN ascii(substr(text, $pos + ${j * 4 + k - 1}, 1))" +
+        " ELSE 0 END)").mkString("(", " + ", ")")
+    val deltaTxt = (0 until 8)
+      .map(j => s"abs(f$j - lf$j)").mkString(" + ")
+    QueryDef(
+      "mm07_scene_cut",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val statics = docs
+          .filter(col("doc_id") % Mm07StaticMod === 0 &&
+            length(col("text")) >= Mm07Stride)
+          .select((col("doc_id") + off).as("doc_id"),
+            concat(expr(s"repeat(substr(text, 1, $Mm07Stride), $Mm07StaticReps)"),
+              expr(s"substr(text, ${Mm07Stride + 1})")).as("text"))
+        val frames = docs.unionByName(statics)
+          .filter(length(col("text")) >= Mm07Stride)
+          .select(col("doc_id"), col("text"),
+            explode(expr(s"sequence(0, least($Mm07MaxFrames," +
+              s" length(text) div $Mm07Stride) - 1)")).as("idx"))
+          .select(Seq(col("doc_id"), col("idx").cast("long").as("idx")) ++
+            (0 until 8).map(j =>
+              expr(binTxt(j, s"(idx * $Mm07Stride + 1)"))
+                .cast("long").as(s"f$j")): _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("idx"))
+        val lagged = frames.select(
+          Seq(col("doc_id"), col("idx")) ++
+            (0 until 8).map(j => col(s"f$j")) ++
+            (0 until 8).map(j =>
+              lag(col(s"f$j"), 1).over(w).as(s"lf$j")): _*)
+        val scored = lagged
+          .withColumn("delta",
+            when(col("lf0").isNull, lit(0L))
+              .otherwise(expr(deltaTxt).cast("long")))
+          .withColumn("is_cut",
+            col("lf0").isNotNull && col("delta") > Mm07CutT)
+        val scene = scored.withColumn("scene_id",
+          sum(when(col("is_cut"), 1L).otherwise(0L)).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        scene.groupBy(col("doc_id"), col("scene_id"))
+          .agg(min(col("idx")).as("start_idx"),
+            max(col("idx")).as("end_idx"),
+            count(lit(1)).as("n_frames"),
+            max(when(col("is_cut"), col("delta")).otherwise(0L))
+              .as("open_delta"))
+      },
+      Some {
+        val bins = (0 until 8).map(j =>
+          s"${binTxt(j, s"(i * $Mm07Stride + 1)")} AS f$j").mkString(",\n  ")
+        val lags = (0 until 8).map(j =>
+          s"lag(f$j) OVER (PARTITION BY doc_id ORDER BY idx) AS lf$j")
+          .mkString(",\n  ")
+        s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+          |statics AS (SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents)
+          |    AS doc_id,
+          |  repeat(substr(text, 1, $Mm07Stride), $Mm07StaticReps)
+          |    || substr(text, ${Mm07Stride + 1}) AS text
+          |  FROM d0 WHERE doc_id % $Mm07StaticMod = 0
+          |    AND length(text) >= $Mm07Stride),
+          |allv AS (SELECT * FROM d0 UNION ALL SELECT * FROM statics),
+          |fr AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+          |  $bins
+          |  FROM allv CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+          |    least($Mm07MaxFrames, length(text) // $Mm07Stride) - 1)) AS i) t
+          |  WHERE length(text) >= $Mm07Stride),
+          |lg AS (SELECT doc_id, idx, ${(0 until 8).map(j => s"f$j").mkString(", ")},
+          |  $lags
+          |  FROM fr),
+          |sc AS (SELECT doc_id, idx,
+          |    CASE WHEN lf0 IS NULL THEN 0
+          |         ELSE CAST($deltaTxt AS BIGINT) END AS delta,
+          |    lf0 IS NOT NULL AND
+          |      (CASE WHEN lf0 IS NULL THEN 0
+          |            ELSE CAST($deltaTxt AS BIGINT) END) > $Mm07CutT AS is_cut
+          |  FROM lg),
+          |sn AS (SELECT doc_id, idx, delta, is_cut,
+          |    SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+          |      PARTITION BY doc_id ORDER BY idx
+          |      ROWS UNBOUNDED PRECEDING) AS scene_id
+          |  FROM sc)
+          |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+          |  MIN(idx) AS start_idx, MAX(idx) AS end_idx,
+          |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+          |  CAST(MAX(CASE WHEN is_cut THEN delta ELSE 0 END) AS BIGINT)
+          |    AS open_delta
+          |FROM sn GROUP BY doc_id, scene_id
+          |""".stripMargin
+      })
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)
 }
