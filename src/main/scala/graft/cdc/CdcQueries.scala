@@ -2450,8 +2450,144 @@ object CdcQueries {
       |    ORDER BY record_id ASC) AS seq
       |FROM changelog WHERE op <> 'HEARTBEAT'""".stripMargin))
 
+  // -------------------------------------------------------------- cdc31
+  /** FETCH-PROTOCOL MARKERS first-class (round 14) — the LAST
+    * un-mapped slice of the reference's OperationType vocabulary
+    * (FILL/FINISH/CONTROL/RDB/NOOP/INIT/EOF/MANUAL_GENERATED,
+    * OperationType.java): the fetcher brackets each fetch session
+    * with INIT and EOF/FINISH, keeps the pipe warm with FILL/NOOP,
+    * and passes CONTROL/RDB/MANUAL_GENERATED administrative records
+    * through. Rounds ≤13 folded all eight to UNKNOWN — losing the
+    * COMPLETENESS signal: data arriving in a session that never
+    * closed is a torn fetch (the connection died mid-chunk) and a
+    * protocol-correct consumer quarantines it instead of applying a
+    * partial batch.
+    *
+    * The fixture brackets the changelog's data records into fetch
+    * sessions of 50 (`record_id div 50`) and injects, PER SESSION
+    * and through the REAL transport (codec v4 encode → chunk
+    * segments → DSv2 decode): an INIT opener, one keepalive whose
+    * kind cycles FILL/NOOP/CONTROL/RDB by session mod 4, a
+    * MANUAL_GENERATED administrative record every 3rd session, and a
+    * closer — EOF for even sessions, FINISH for odd — WITHHELD every
+    * 5th-mod-2 session (the torn fetch). The audit groups the
+    * DECODED stream per session and emits marker counts BY KIND,
+    * bracket flags, and the visible/quarantined data split. The
+    * oracle replays the session conventions declaratively — the
+    * hashes agree only if every one of the eight codes survived the
+    * wire byte-exactly.
+    *
+    * Scale shape: markers are O(sessions) ≪ O(records); the audit is
+    * one map-side-combined aggregate on the session key (the ONE
+    * exchange), and the session id rides the record — no join
+    * anywhere. At 100 TB the completeness audit costs one pass over
+    * the decoded chunk scan. */
+  private val cdc31Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc31 = QueryDef(
+    "cdc31_protocol_markers",
+    (s, dir) => {
+      import graft.cdc.Op
+      val base = asV4Records(s, dir)
+      val nullMap = lit(null).cast("map<string,string>")
+      val spans = dataOps(s, dir)
+        .withColumn("session", expr("record_id div 50"))
+        .groupBy(col("session"))
+        .agg(min(col("ts_us")).as("minTs"), max(col("ts_us")).as("maxTs"))
+      def marker(slot: Int, opC: Column, tsC: Column) =
+        spans.select(
+          (-col("session") * 10 - slot).as("id"),
+          concat(lit("fs-"), col("session").cast("string"))
+            .as("transactionId"),
+          tsC.as("tsUs"), (tsC - 1L).as("bornUs"), opC.as("op"),
+          lit("app").as("db"), lit("users").as("tbl"),
+          array(lit("pk")).as("pkNames"),
+          nullMap.as("before"), nullMap.as("after"),
+          map(lit("session"), col("session").cast("string")).as("props"),
+          lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+          lit(null).cast("array<string>").as("ukNames"),
+          lit(Long.MaxValue).as("transSeq"),
+          lit(null).cast(org.apache.spark.sql.types.ArrayType(
+            graft.sources.CdcSource.fkParentType)).as("fkParents"))
+      val inits = marker(1, lit(Op.Init), col("minTs") - 2L)
+      val keeps = marker(2,
+        element_at(array(lit(Op.Fill), lit(Op.Noop), lit(Op.Control),
+          lit(Op.Rdb)), (pmod(col("session"), lit(4)) + 1).cast("int")),
+        expr("(minTs + maxTs) div 2"))
+      val manuals = marker(3, lit(Op.ManualGenerated), col("maxTs") + 1L)
+        .filter(expr("(-id div 10) % 3 = 0"))
+      val closers = marker(4,
+        when(pmod(col("session"), lit(2)) === 0, Op.Eof).otherwise(Op.Finish),
+        col("maxTs") + 2L)
+        .filter(expr("(-id div 10) % 5 <> 2"))
+      val chunkDir = writeV4Fixture(s, dir, "cdc31", cdc31Calls,
+        base.unionByName(inits).unionByName(keeps)
+          .unionByName(manuals).unionByName(closers))
+      val r = graft.streaming.CdcStreaming.readBatch(s, chunkDir)
+      val dml = col("op").isin("INSERT", "UPDATE", "DELETE")
+      def nOf(opName: String) =
+        sum(when(col("op") === opName, 1L).otherwise(0L))
+      r.withColumn("session",
+          when(dml, expr("id div 50"))
+            .otherwise(element_at(col("props"), "session").cast("long")))
+        .groupBy(col("session"))
+        .agg(
+          sum(when(dml, 1L).otherwise(0L)).as("n_data"),
+          nOf(Op.Fill).as("n_fill"), nOf(Op.Noop).as("n_noop"),
+          nOf(Op.Control).as("n_control"), nOf(Op.Rdb).as("n_rdb"),
+          nOf(Op.ManualGenerated).as("n_manual"),
+          max(when(col("op") === Op.Init, 1L).otherwise(0L)).as("i_init"),
+          max(when(col("op") === Op.Eof, 1L).otherwise(0L)).as("i_eof"),
+          max(when(col("op") === Op.Finish, 1L).otherwise(0L)).as("i_fin"),
+          min(when(dml, col("tsUs"))).as("first_data_us"),
+          max(when(dml, col("tsUs"))).as("last_data_us"))
+        .select(col("session"), col("n_data"),
+          col("n_fill"), col("n_noop"), col("n_control"), col("n_rdb"),
+          col("n_manual"),
+          (col("i_init") === 1).as("has_init"),
+          when(col("i_eof") === 1, "EOF").when(col("i_fin") === 1, "FINISH")
+            .otherwise("none").as("closer"),
+          (col("i_init") === 1 && (col("i_eof") === 1 || col("i_fin") === 1))
+            .as("complete"),
+          when(col("i_init") === 1 &&
+              (col("i_eof") === 1 || col("i_fin") === 1), col("n_data"))
+            .otherwise(0L).as("visible_n"),
+          when(col("i_init") === 1 &&
+              (col("i_eof") === 1 || col("i_fin") === 1), 0L)
+            .otherwise(col("n_data")).as("quarantined_n"),
+          col("first_data_us"), col("last_data_us"))
+    },
+    Some(s"""$changelogSql
+      |SELECT record_id // 50 AS session,
+      |  CAST(COUNT(*) AS BIGINT) AS n_data,
+      |  CAST(CASE WHEN (record_id // 50) % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_fill,
+      |  CAST(CASE WHEN (record_id // 50) % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_noop,
+      |  CAST(CASE WHEN (record_id // 50) % 4 = 2 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_control,
+      |  CAST(CASE WHEN (record_id // 50) % 4 = 3 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_rdb,
+      |  CAST(CASE WHEN (record_id // 50) % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_manual,
+      |  true AS has_init,
+      |  CASE WHEN (record_id // 50) % 5 = 2 THEN 'none'
+      |       WHEN (record_id // 50) % 2 = 0 THEN 'EOF'
+      |       ELSE 'FINISH' END AS closer,
+      |  (record_id // 50) % 5 <> 2 AS complete,
+      |  CAST(CASE WHEN (record_id // 50) % 5 <> 2 THEN COUNT(*) ELSE 0 END
+      |    AS BIGINT) AS visible_n,
+      |  CAST(CASE WHEN (record_id // 50) % 5 <> 2 THEN 0 ELSE COUNT(*) END
+      |    AS BIGINT) AS quarantined_n,
+      |  MIN(ts_us) AS first_data_us,
+      |  MAX(ts_us) AS last_data_us
+      |FROM changelog WHERE op <> 'HEARTBEAT'
+      |GROUP BY record_id // 50""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
-    cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30)
+    cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30,
+    cdc31)
 }

@@ -62,14 +62,20 @@ final case class FkParent(
     "fk parent/child column lists must align positionally")
 }
 
-/** Operation vocabulary (ref: OperationType.java — the subset with
-  * data-plane meaning plus the control records the fetcher surfaces;
-  * ROLLBACK/ABORT are first-class since round 14 because a
-  * transactional consumer MUST see them — a rolled-back transaction's
-  * records contribute nothing, OperationType.java:11-12. The
-  * remaining fetch-protocol markers — FILL/FINISH/CONTROL/RDB/NOOP/
-  * INIT/EOF/MANUAL_GENERATED — stay folded to UNKNOWN: they carry no
-  * data-plane or transaction-boundary meaning Spark-side).
+/** Operation vocabulary (ref: OperationType.java — complete since
+  * round 14): the data-plane subset, the transaction-boundary records
+  * (ROLLBACK/ABORT first-class because a transactional consumer MUST
+  * see them — a rolled-back transaction's records contribute nothing,
+  * OperationType.java:11-12), and the fetch-protocol markers the
+  * fetcher surfaces — FILL/FINISH/CONTROL/RDB/NOOP/INIT/EOF/
+  * MANUAL_GENERATED. Markers carry no row data, but a
+  * protocol-correct consumer USES them: INIT/EOF (or FINISH)
+  * delimit a fetch session — data from a session that never closed
+  * is a torn fetch and must quarantine, not apply (cdc31 gates
+  * this); FILL/NOOP are keepalives (liveness without data, the
+  * HEARTBEAT family); CONTROL/RDB/MANUAL_GENERATED pass through
+  * counted. Folding them to UNKNOWN (rounds ≤13) lost the
+  * completeness signal.
   */
 object Op {
   val Insert = "INSERT"
@@ -83,13 +89,23 @@ object Op {
   val Unknown = "UNKNOWN"
   val Rollback = "ROLLBACK"
   val Abort = "ABORT"
+  val Fill = "FILL"
+  val Finish = "FINISH"
+  val Control = "CONTROL"
+  val Rdb = "RDB"
+  val Noop = "NOOP"
+  val Init = "INIT"
+  val Eof = "EOF"
+  val ManualGenerated = "MANUAL_GENERATED"
 
   /** Stable wire codes for the binary codec: positions are the codes,
-    * so new ops APPEND (Rollback=9, Abort=10) — v1-v3 bytes decode
+    * so new ops APPEND (Rollback=9, Abort=10 in round 14's first
+    * tranche; the fetch markers take 11-18) — v1-v3 bytes decode
     * unchanged. */
   val all: IndexedSeq[String] = IndexedSeq(
     Insert, Update, Delete, Ddl, Begin, Commit, Heartbeat, Checkpoint,
-    Unknown, Rollback, Abort)
+    Unknown, Rollback, Abort,
+    Fill, Finish, Control, Rdb, Noop, Init, Eof, ManualGenerated)
   private val index: Map[String, Int] = all.zipWithIndex.toMap
   def code(op: String): Byte = index.getOrElse(op, index(Unknown)).toByte
   def fromCode(c: Byte): String =
@@ -103,4 +119,10 @@ object Op {
     * record carries one of these contributes NOTHING to applied
     * state (ref OperationType ROLLBACK/ABORT). */
   def discardsTxn(op: String): Boolean = op == Rollback || op == Abort
+
+  /** Fetch-protocol markers (no row payload; ref OperationType FILL/
+    * FINISH/CONTROL/RDB/NOOP/INIT/EOF/MANUAL_GENERATED). */
+  def isMarker(op: String): Boolean =
+    op == Fill || op == Finish || op == Control || op == Rdb ||
+      op == Noop || op == Init || op == Eof || op == ManualGenerated
 }

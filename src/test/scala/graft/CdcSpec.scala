@@ -1540,4 +1540,60 @@ class CdcSourceSpec extends AnyFunSuite {
       assert(got.exists(_._1._1 == "a"), got.toString)
     } finally q.stop()
   }
+
+  test("cdc31 protocol markers: all eight codes survive the wire, " +
+      "torn fetch quarantines non-vacuously") {
+    val sf = "/root/testdata/sf0.001"
+    // every marker code round-trips the codec individually
+    import graft.cdc.{ChangeRecord, Op, RecordCodec}
+    Seq(Op.Fill, Op.Finish, Op.Control, Op.Rdb, Op.Noop, Op.Init,
+      Op.Eof, Op.ManualGenerated).foreach { op =>
+      val rec = ChangeRecord(1L, "t", 2L, 3L, op, "db", "tbl",
+        Seq("pk"), null, null, null, "MySQL", "5.7")
+      val back = RecordCodec.decode(RecordCodec.encode(rec))
+      assert(back.op == op, s"$op lost on the wire (got ${back.op})")
+      assert(Op.isMarker(back.op))
+    }
+    // appended codes: v1-era codes below are untouched
+    assert(Op.code(Op.Fill) == 11 && Op.code(Op.ManualGenerated) == 18)
+    val out = SparkEntry.queries("cdc31_protocol_markers")(spark, sf)
+      .localCheckpoint(true)
+    val rows = out.collect()
+    val sessions = CdcQueries.changelog(spark, sf)
+      .filter(col("op") =!= "HEARTBEAT")
+      .select(expr("record_id div 50").as("s")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == sessions, "session coverage")
+    rows.foreach { r =>
+      val s = r.getLong(0)
+      // keepalive kind cycles by session mod 4 — decoded counts agree
+      assert(r.getAs[Long]("n_fill") == (if (s % 4 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_noop") == (if (s % 4 == 1) 1L else 0L))
+      assert(r.getAs[Long]("n_control") == (if (s % 4 == 2) 1L else 0L))
+      assert(r.getAs[Long]("n_rdb") == (if (s % 4 == 3) 1L else 0L))
+      assert(r.getAs[Long]("n_manual") == (if (s % 3 == 0) 1L else 0L))
+      assert(r.getAs[Boolean]("has_init"))
+      val closer = r.getAs[String]("closer")
+      if (s % 5 == 2) assert(closer == "none")
+      else assert(closer == (if (s % 2 == 0) "EOF" else "FINISH"))
+      // the quarantine split is exact and two-sided
+      val n = r.getAs[Long]("n_data")
+      if (r.getAs[Boolean]("complete")) {
+        assert(r.getAs[Long]("visible_n") == n &&
+          r.getAs[Long]("quarantined_n") == 0L)
+      } else {
+        assert(r.getAs[Long]("visible_n") == 0L &&
+          r.getAs[Long]("quarantined_n") == n)
+      }
+    }
+    // non-vacuity: torn sessions exist AND quarantine real data
+    assert(rows.exists(r => !r.getAs[Boolean]("complete") &&
+      r.getAs[Long]("quarantined_n") > 0L),
+      "no torn fetch with data - quarantine gate vacuous")
+    assert(rows.exists(r => r.getAs[Boolean]("complete")))
+    // every keepalive kind fired somewhere in the fixture
+    Seq("n_fill", "n_noop", "n_control", "n_rdb", "n_manual").foreach { c =>
+      assert(rows.exists(_.getAs[Long](c) > 0L), s"$c never fired")
+    }
+  }
 }
