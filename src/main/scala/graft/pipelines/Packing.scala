@@ -55,26 +55,30 @@ object Packing {
         col("cum_tok"), col("bin"))
   }
 
-  /** DuckDB twin ending in CTE `winpk`; the caller's final SELECT
-    * derives `bin` (see [[seqPackSelect]]). `from` must expose
-    * (doc_id, n_tok). */
-  private[pipelines] def seqPackCtes(from: String): String =
-    s"""dpk AS (SELECT doc_id, n_tok,
+  /** DuckDB twin ending in CTE `winpk$sfx`; the caller's final SELECT
+    * derives `bin` (see [[seqPackSelect]]/[[seqPackSelectFrom]]).
+    * `from` must expose (doc_id, n_tok); `sfx` disambiguates CTE
+    * names when one oracle packs two corpora (px02 packs the day-1
+    * base and the day-2 increment in a single statement). */
+  private[pipelines] def seqPackCtes(from: String, sfx: String = ""): String =
+    s"""dpk$sfx AS (SELECT doc_id, n_tok,
        |  md5(CAST(doc_id AS VARCHAR) || ':pack') AS pick FROM $from),
-       |shpk AS (SELECT doc_id, n_tok, pick,
+       |shpk$sfx AS (SELECT doc_id, n_tok, pick,
        |  CAST((instr('0123456789abcdef', substr(pick, 1, 1)) - 1)
-       |    % $NShards AS INT) AS shard FROM dpk),
-       |winpk AS (SELECT doc_id, shard, n_tok,
+       |    % $NShards AS INT) AS shard FROM dpk$sfx),
+       |winpk$sfx AS (SELECT doc_id, shard, n_tok,
        |  CAST(ROW_NUMBER() OVER o AS BIGINT) AS pos,
        |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY pick ASC, doc_id ASC
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
-       |  FROM shpk
+       |  FROM shpk$sfx
        |  WINDOW o AS (PARTITION BY shard ORDER BY pick ASC, doc_id ASC))""".stripMargin
 
-  private[pipelines] val seqPackSelect: String =
+  private[pipelines] def seqPackSelectFrom(sfx: String): String =
     s"""SELECT doc_id, shard, pos, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
        |  CAST(greatest(0, floor((cum_tok - 1) / $TokenBudget)) AS BIGINT) AS bin
-       |FROM winpk""".stripMargin
+       |FROM winpk$sfx""".stripMargin
+
+  private[pipelines] val seqPackSelect: String = seqPackSelectFrom("")
 
   private val pk01 = QueryDef(
     "pk01_seq_pack",
@@ -687,6 +691,108 @@ object Packing {
       |${seqPackCtes("surv")}
       |$seqPackSelect""".stripMargin))
 
+  // -------------------------------------------------------------- px02
+  /** INCREMENTAL curation (round 14) — the PRODUCTION shape of px01:
+    * corpora are not built once, they grow by daily crawl increments,
+    * and the economic contract of an incremental pipeline is that
+    * day-2 cost is proportional to the INCREMENT, never the corpus —
+    * the base manifest is immutable (already-shipped training shards
+    * are never repacked). The fixture splits `documents` into a day-1
+    * base (doc_id mod 3 ≠ 0) and a day-2 increment (mod 3 = 0) and
+    * runs the increment through:
+    *
+    *  1. INCREMENTAL DEDUP — within-increment keepers (dd01's min-id
+    *     rule) anti-joined against the base content-hash index (the
+    *     dd15 stored-index pattern: the probe touches the increment
+    *     and the index, not the base corpus);
+    *  2. the tx10 quality funnel ([[TextAnalysis.filterFunnel]] — the
+    *     same single definition px01 chains);
+    *  3. APPEND-ONLY packing — [[seqPack]] over the increment's
+    *     survivors, with each shard's bins renumbered to start AFTER
+    *     the base pack's high-water mark (base_max_bin + 1, read in
+    *     production from the stored day-1 manifest; re-derived
+    *     declaratively here so the oracle can replay it), so the
+    *     day-1 shards are untouched and the increment lands in fresh
+    *     bins.
+    *
+    * Incremental ≠ repack, by design: a full repack would interleave
+    * old and new docs into different shard fills; the append-only
+    * contract trades that packing efficiency for immutability of
+    * shipped shards — PipelineSpec pins both the contract (increment
+    * bins strictly after base bins per shard; base manifest equal to
+    * the standalone base pack) and the dedup (no surviving increment
+    * doc's content hash appears in the base). The fixture corpus has
+    * NO organic exact duplicates, so the gate INJECTS the re-crawl
+    * case (the mm06/mm07 pattern): the increment also carries a
+    * byte-identical copy of every 10th base doc (ids offset past the
+    * real domain) — each MUST be dropped by the cross-corpus probe,
+    * spec-pinned non-vacuously. Scale: the base touches the pipeline
+    * ONLY through its hash index and its NShards-row high-water
+    * frame — the day-2 exchanges move increment-sized data. */
+  private val px02 = QueryDef(
+    "px02_incremental_curation",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      // day-2 arrivals: the organic mod-3 slice plus injected
+      // re-crawls of every 10th base doc (exact content copies)
+      val inc = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(base.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
+      // day-1 pipeline (production: the stored manifest) → per-shard
+      // high-water mark
+      val baseKeepers = base.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val baseSurv = TextAnalysis.filterFunnel(base.join(baseKeepers, "doc_id"))
+        .filter(col("keep") === 1L).select(col("doc_id"), col("n_tok"))
+      val hwm = seqPack(baseSurv).groupBy(col("shard"))
+        .agg(max(col("bin")).as("base_max_bin"))
+      // day-2: within-increment keepers, anti-joined on the base index
+      val baseIdx = base.select(md5(col("text")).as("h")).distinct()
+      val incKeepers = inc.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(baseIdx, Seq("h"), "left_anti").select("doc_id")
+      val incSurv = TextAnalysis.filterFunnel(inc.join(incKeepers, "doc_id"))
+        .filter(col("keep") === 1L).select(col("doc_id"), col("n_tok"))
+      seqPack(incSurv)
+        .join(broadcast(hwm), Seq("shard"), "left")
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"),
+          col("cum_tok"),
+          (col("bin") + coalesce(col("base_max_bin") + 1L, lit(0L)))
+            .as("bin"),
+          coalesce(col("base_max_bin"), lit(-1L)).as("base_max_bin"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 3 <> 0),
+      |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+      |    text
+      |  FROM base WHERE doc_id % 10 = 0),
+      |bk AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+      |bkept AS (SELECT b.doc_id, b.text FROM base b JOIN bk USING (doc_id)),
+      |${TextAnalysis.tx10Ctes("bkept", "b")},
+      |bsurv AS (SELECT doc_id, n_tok FROM f10b WHERE keep = 1),
+      |${seqPackCtes("bsurv", "b")},
+      |bpack AS (${seqPackSelectFrom("b")}),
+      |hwm AS (SELECT shard, MAX(bin) AS base_max_bin FROM bpack
+      |  GROUP BY shard),
+      |bidx AS (SELECT DISTINCT md5(text) AS h FROM base),
+      |ik AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM inc
+      |  GROUP BY 1),
+      |ik2 AS (SELECT doc_id FROM ik ANTI JOIN bidx USING (h)),
+      |ikept AS (SELECT i.doc_id, i.text FROM inc i JOIN ik2 USING (doc_id)),
+      |${TextAnalysis.tx10Ctes("ikept", "i")},
+      |isurv AS (SELECT doc_id, n_tok FROM f10i WHERE keep = 1),
+      |${seqPackCtes("isurv", "i")},
+      |ipack AS (${seqPackSelectFrom("i")})
+      |SELECT p.doc_id, p.shard, p.pos, p.n_tok, p.cum_tok,
+      |  p.bin + COALESCE(h.base_max_bin + 1, 0) AS bin,
+      |  COALESCE(h.base_max_bin, -1) AS base_max_bin
+      |FROM ipack p LEFT JOIN hwm h USING (shard)""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(pk01, pk02, pk03, pk04, pk05, pk06, pk07, pk08, pk09, px01)
+    Seq(pk01, pk02, pk03, pk04, pk05, pk06, pk07, pk08, pk09, px01, px02)
 }

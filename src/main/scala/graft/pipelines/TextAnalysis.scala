@@ -470,24 +470,24 @@ object TextAnalysis {
 
   /** DuckDB twin as WITH-clause members `w10`, `m10`, `f10` over the
     * named source relation (must expose doc_id, text). */
-  private[pipelines] def tx10Ctes(from: String): String = {
+  private[pipelines] def tx10Ctes(from: String, sfx: String = ""): String = {
     val stopArrSql = Tx10Stops.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""w10 AS (SELECT doc_id,
+    s"""w10$sfx AS (SELECT doc_id,
        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
        |  FROM $from),
-       |m10 AS (SELECT doc_id,
+       |m10$sfx AS (SELECT doc_id,
        |  CAST(len(ws) AS BIGINT) AS n_tok,
        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
        |  CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
        |    AS BIGINT) AS sum_wlen,
        |  CAST(len(list_filter(ws, x -> list_contains($stopArrSql, x)))
        |    AS BIGINT) AS n_stop
-       |  FROM w10),
-       |f10 AS (SELECT doc_id, n_tok, n_distinct, sum_wlen, n_stop,
+       |  FROM w10$sfx),
+       |f10$sfx AS (SELECT doc_id, n_tok, n_distinct, sum_wlen, n_stop,
        |  $Tx10FirstFail AS first_fail,
        |  CAST(CASE WHEN ($Tx10FirstFail) = 'pass' THEN 1 ELSE 0 END
        |    AS BIGINT) AS keep
-       |  FROM m10)""".stripMargin
+       |  FROM m10$sfx)""".stripMargin
   }
 
   private val tx10 = QueryDef(
