@@ -2465,6 +2465,59 @@ object Similarity {
   // restricted truth), ann14's [[recallRoutedMaxSim]] (the exact
   // MaxSim ranking as truth), the rest [[recallAtK]] (full-corpus
   // truth).
+  // -------------------------------------------------------------- ann16
+  /** RANGE SEARCH with a per-pair index audit (round 14) — the FAISS
+    * `range_search` surface the ladder was missing: instead of top-k,
+    * return EVERY neighbor within a similarity radius (cos ≥
+    * [[Ann16Tau]]) of each query — the call a dedup pipeline makes
+    * ("all near-duplicates of this item"), where k is unknowable in
+    * advance. The baseline leg is the brute radius scan (broadcast
+    * queries riding the corpus scan — corpus-linear, the ann01
+    * shape); alongside the exact answer, every returned pair carries
+    * `bucket_hit`: whether ann02's sign-bucket multiprobe generator
+    * (Hamming ≤ 3 on the 8-bit sign pattern — popcount(q XOR n) ≤ 3,
+    * exactly the flip-mask set ann02 probes) would have surfaced this
+    * pair. At 100 TB the bucketed generator is what actually runs,
+    * and this key IS its range-completeness audit: the measured
+    * fraction of true in-radius pairs the index catches, per pair,
+    * hash-gated. All math is the shared VectorOps in-order fold plus
+    * an integer popcount — bit-identical in both engines. */
+  private val Ann16Tau = "0.3"
+  private val ann16 = {
+    val bucketSpark = (0 until BucketBits)
+      .map(j => s"(CASE WHEN v[$j] > 0D THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bucketSql = (0 until BucketBits)
+      .map(j => s"(CASE WHEN v[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef(
+      "ann16_range_search",
+      (s, dir) => {
+        val e = vecs(s, dir)
+          .withColumn("bucket", expr(bucketSpark).cast("bigint"))
+        val q = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nn").as("qn"), col("bucket").as("qb"))
+        broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            VectorOps.cosine("qv", "v", "qn", "nn").as("cos"),
+            expr("bit_count(qb ^ bucket) <= 3").as("bucket_hit"))
+          .filter(col("cos") >= expr(Ann16Tau))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+        |  ${VectorOps.castSql("embedding")} AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, ${VectorOps.dotSql("v", "v")} AS nn,
+        |  CAST($bucketSql AS BIGINT) AS bucket FROM e)
+        |SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
+        |  ${VectorOps.cosineSql("q.v", "e2.v", "q.nn", "e2.nn")} AS cos,
+        |  bit_count(xor(q.bucket, e2.bucket)) <= 3 AS bucket_hit
+        |FROM n q JOIN n e2 ON e2.vec_id <> q.vec_id
+        |WHERE q.vec_id < $NQueries
+        |  AND ${VectorOps.cosineSql("q.v", "e2.v", "q.nn", "e2.nn")}
+        |    >= $Ann16Tau""".stripMargin))
+  }
+
   val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06,
-    ann07, ann08, ann09, ann10, ann11, ann12, ann13, ann14, ann15)
+    ann07, ann08, ann09, ann10, ann11, ann12, ann13, ann14, ann15, ann16)
 }
+
