@@ -357,7 +357,11 @@ object ScaleProbe {
         // cdc31 (round 14): the fetch-session completeness audit —
         // markers are O(sessions) = records/50, the audit one
         // map-side-combined aggregate riding the decoded scan
-        "cdc31_protocol_markers")
+        "cdc31_protocol_markers",
+        // cdc32 (round 14): streaming top-N — aggregate state =
+        // windows × keys in the horizon, the per-trigger re-rank
+        // touches each window's ≤ keys rows
+        "cdc32_stream_topn")
          if wanted(op); k <- mults) {
       graft.StreamStats.reset()
       val ts = time(op, evDirFor(k))

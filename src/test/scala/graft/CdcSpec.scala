@@ -1596,4 +1596,56 @@ class CdcSourceSpec extends AnyFunSuite {
       assert(rows.exists(_.getAs[Long](c) > 0L), s"$c never fired")
     }
   }
+
+  test("cdc32 streaming top-n: final ranks exact, displacement real " +
+      "across triggers") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cdc32_stream_topn")(spark, sf)
+      .localCheckpoint(true)
+    // driver-side truth: per-day counts over data ops, rank <= 3
+    val DayUs = 86400L * 1000000L
+    val data = CdcQueries.changelog(spark, sf)
+      .filter(col("op") =!= "HEARTBEAT")
+      .select("ts_us", "pk").collect()
+      .map(r => (r.getLong(0) / DayUs * DayUs, r.getLong(1)))
+    val counts = data.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val truth = counts.keys.map(_._1).toSet.toSeq.flatMap { w: Long =>
+      counts.filter(_._1._1 == w).toSeq
+        .map { case ((_, pk), n) => (pk, n) }
+        .sortBy { case (pk, n) => (-n, pk) }.take(3).zipWithIndex
+        .map { case ((pk, n), i) => (w, pk) -> (n, i.toLong + 1) }
+    }.toMap
+    val rows = out.collect()
+    assert(rows.length == truth.size, s"${rows.length} vs ${truth.size}")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (n, rnk) = truth.getOrElse(key, fail(s"unexpected $key"))
+      assert(r.getAs[Long]("n") == n, s"count $key")
+      assert(r.getAs[Long]("rnk") == rnk, s"rank $key")
+    }
+    // displacement: the epoch trail must show some window whose top-3
+    // MEMBERSHIP at the first populated trigger differs from the
+    // final — the re-rank on later-arriving counts is load-bearing
+    val tmp = System.getProperty("java.io.tmpdir")
+    val pid = ProcessHandle.current().pid()
+    val trails = Fs.listDir(java.nio.file.Paths.get(tmp))
+      .filter(_.getFileName.toString
+        .matches(s"graft_cdc32_t3n_${pid}_.*_trail"))
+      .sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    assert(trails.nonEmpty, "no cdc32 epoch trail found")
+    val trail = spark.read.parquet(trails.last.toString)
+      .select("epoch", "win_start_us", "pk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val epochs = trail.map(_._1).distinct.sorted
+    assert(epochs.length >= 2, s"only ${epochs.length} populated triggers")
+    def topSets(e: Long): Map[Long, Set[Long]] =
+      trail.filter(_._1 == e).groupBy(_._2).view
+        .mapValues(_.map(_._3).toSet).toMap
+    val first = topSets(epochs.head)
+    val last = topSets(epochs.last)
+    val displaced = last.keys.count(w =>
+      first.contains(w) && first(w) != last(w))
+    assert(displaced > 0,
+      "no window's top-3 changed across triggers - displacement vacuous")
+  }
 }
