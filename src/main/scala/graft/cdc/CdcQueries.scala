@@ -2136,6 +2136,11 @@ object CdcQueries {
     * at the epoch, so the buckets agree by construction). */
   private val cdc28Calls =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  // the changelog's event-time span per fixture dir is constant —
+  // memoized so the watermark guard costs one aggregate per dir, not
+  // one corpus scan per bench rep (round-14 review)
+  private val cdc28Spans =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private val cdc28 = QueryDef(
     "cdc28_window_join",
@@ -2160,15 +2165,7 @@ object CdcQueries {
         lit(null).cast("map<string,string>").as("props"),
         lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
         lit(null).cast("array<string>").as("ukNames"))
-      val n = cdc28Calls
-        .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
-        .getAndIncrement()
-      val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_cdc28_w7t3n9_" + ProcessHandle.current().pid() + "_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
-      graft.Fs.deleteRecursively(chunkPath)
-      val chunkDir = chunkPath.toString
+      val chunkDir = ringDir("cdc28_w7t3n9", cdc28Calls, dir)
       (0L until 3L).foreach { b =>
         asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
           .write.format("graft-cdc").mode("append")
@@ -2181,9 +2178,10 @@ object CdcQueries {
       // the gate replays history, so the watermark delay must exceed
       // the changelog's full event-time span (out-of-order dealing
       // means the first batch can carry max_ts) — enforced, not hoped
-      val span = asRecords.agg(
-        (max(col("tsUs")) - min(col("tsUs"))).as("span"))
-        .head.getLong(0)
+      val span: Long = cdc28Spans.computeIfAbsent(dir, _ =>
+        asRecords.agg(
+          (max(col("tsUs")) - min(col("tsUs"))).as("span"))
+          .head.getLong(0))
       val wmDays = 400L
       require(span < wmDays * 86400L * 1000000L,
         s"changelog span ${span}us >= $wmDays-day watermark - " +
@@ -2296,22 +2294,37 @@ object CdcQueries {
       pmod(col("record_id"), lit(100)).cast("long").as("transSeq"),
       fkFor(col("pk")).as("fkParents"))
 
-  /** Write a v4 fixture chunk dir (two-slot ring, the cdc22 pattern). */
-  private def writeV4Fixture(s: SparkSession, dir: String, tag: String,
+  /** Two-slot tmp RING dir per (tag, fixture dir) — the shared
+    * fixture-isolation scheme (cdc22's pattern): parity alternates
+    * per call so a fresh write never races a reader of the previous
+    * invocation's output, the pid discriminates concurrent suites,
+    * and the previous slot is wiped before reuse. One definition
+    * (round-14 review) — writeV4Fixture, cdc28 and cdc32 each carried
+    * an inline copy before. */
+  private def ringDir(tag: String,
       calls: java.util.concurrent.ConcurrentHashMap[String,
         java.util.concurrent.atomic.AtomicLong],
-      frame: DataFrame): String = {
+      dir: String): String = {
     val parity = calls
       .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
       .getAndIncrement() % 2
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_" + tag + "_v4x7q_" + ProcessHandle.current().pid() + "_" +
+      "graft_" + tag + "_" + ProcessHandle.current().pid() + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + parity)
     graft.Fs.deleteRecursively(p)
-    frame.coalesce(2).write.format("graft-cdc").mode("append")
-      .option("path", p.toString).save()
     p.toString
+  }
+
+  /** Write a v4 fixture chunk dir (two-slot ring, the cdc22 pattern). */
+  private def writeV4Fixture(s: SparkSession, dir: String, tag: String,
+      calls: java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.atomic.AtomicLong],
+      frame: DataFrame): String = {
+    val p = ringDir(tag + "_v4x7q", calls, dir)
+    frame.coalesce(2).write.format("graft-cdc").mode("append")
+      .option("path", p).save()
+    p
   }
 
   private val cdc29 = QueryDef(
@@ -2422,10 +2435,24 @@ object CdcQueries {
       val parentsOf = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val allTables = r.select(col("tbl")).distinct().collect()
         .map(_.getString(0)).toSeq
+      // cycle guard (round 14 review): the edge set comes off the
+      // WIRE, and real schemas carry self-referencing FKs
+      // (employee.manager_id → employee.id) or mutual cycles — a
+      // topological depth does not exist there, and the unguarded
+      // recursion would stack-overflow the driver. Fail with a clear
+      // error naming the cycle instead; a consumer with cyclic FKs
+      // must break the cycle (deferred-constraint apply) explicitly.
       val memo = scala.collection.mutable.Map.empty[String, Int]
-      def depthOf(t: String): Int = memo.getOrElseUpdate(t,
-        parentsOf.get(t).filter(_.nonEmpty)
-          .map(ps => 1 + ps.map(depthOf).max).getOrElse(0))
+      val inProgress = scala.collection.mutable.Set.empty[String]
+      def depthOf(t: String): Int = memo.getOrElseUpdate(t, {
+        require(inProgress.add(t),
+          s"FK metadata contains a cycle through table '$t' — no " +
+            "dependency order exists; break the cycle (deferred " +
+            "constraints) before FK-ordered apply")
+        try parentsOf.get(t).filter(_.nonEmpty)
+          .map(ps => 1 + ps.map(depthOf).max).getOrElse(0)
+        finally inProgress.remove(t)
+      })
       val depthDf = broadcast(s.createDataFrame(
         allTables.map(t => (t, depthOf(t)))).toDF("tbl", "depth"))
       val wB = Window.partitionBy(col("batch"), col("tbl"))
@@ -2620,21 +2647,11 @@ object CdcQueries {
     "cdc32_stream_topn",
     (s, dir) => {
       val base = asV4Records(s, dir)
-      val chunkDir = {
-        val n = cdc32Calls
-          .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
-          .getAndIncrement() % 2
-        val p = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft_cdc32_t3n_" + ProcessHandle.current().pid() + "_" +
-            dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + n)
-        graft.Fs.deleteRecursively(p)
-        (0L until 3L).foreach { b =>
-          base.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
-            .write.format("graft-cdc").mode("append")
-            .option("path", p.toString).save()
-        }
-        p.toString
+      val chunkDir = ringDir("cdc32_t3n", cdc32Calls, dir)
+      (0L until 3L).foreach { b =>
+        base.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+          .write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
       }
       val child = s.newSession()
       child.conf.set("spark.sql.shuffle.partitions", "8")

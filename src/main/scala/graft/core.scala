@@ -141,9 +141,17 @@ object StreamStats {
   def peakStateRows: Long = peak.get
   def record(
       ps: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): Unit = {
+    // the state store holds the SUM of rows across a query's stateful
+    // operators at one instant — summing per progress then taking the
+    // max over progresses is the true peak; a per-operator max
+    // (round-14 review) under-reports multi-operator topologies
+    // (dedup feeding an aggregate, join feeding an aggregate)
     var m = 0L
-    ps.foreach(p => p.stateOperators.foreach(s =>
-      if (s.numRowsTotal > m) m = s.numRowsTotal))
+    ps.foreach { p =>
+      var tot = 0L
+      p.stateOperators.foreach(s => tot += s.numRowsTotal)
+      if (tot > m) m = tot
+    }
     val snap = m
     var cur = peak.get
     while (snap > cur && !peak.compareAndSet(cur, snap)) cur = peak.get

@@ -157,8 +157,12 @@ object IngestDedup {
       schema: graft.cdc.TypedSchema.TableSchema,
       index: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
+    // selector built via ObjectNames.compress: a db or table whose
+    // NAME contains a dot must travel escaped, or the strict
+    // two-segment parse (CdcSource.parseTableSelector) rejects it
     val changes = CdcStreaming
-      .readStream(spark, path, table = Some(s"${schema.db}.${schema.tbl}"))
+      .readStream(spark, path, table = Some(
+        graft.cdc.ObjectNames.compress(Seq(schema.db, schema.tbl))))
       .filter(col("op").isin(graft.cdc.Op.Insert, graft.cdc.Op.Update))
     val docs = graft.cdc.TypedSchema.project(changes, schema)
       .select(col("doc_id"),

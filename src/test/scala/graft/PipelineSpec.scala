@@ -2597,6 +2597,45 @@ class PipelineSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("cdc subscription ingest dedup resolves a DOTTED table name") {
+    // regression (round-14 review): fromCdcSubscription built its
+    // selector by raw "db.tbl" concatenation, which the strict
+    // two-segment parse rejects when the table NAME contains a dot —
+    // the selector must travel in ObjectNames' escaped form
+    import spark.implicits._
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val index = graft.streaming.IngestDedup.corpusIndex(corpus).cache()
+    try {
+      val dupText = corpus.orderBy("doc_id").limit(1).head().getString(1)
+      val dir = java.nio.file.Files.createTempDirectory("gcl_dotted").toString
+      graft.sources.CdcChunkFile.write(
+        s"$dir/chunk-00000${graft.sources.CdcChunkFile.Extension}",
+        Seq(
+          cdc.ChangeRecord(7000L, "tx", 1000000L, 0L, cdc.Op.Insert,
+            "app", "docs.v2", Seq("doc_id"), null,
+            Map("doc_id" -> "7000", "text" -> dupText)),
+          // same-prefix sibling table must NOT match the selector
+          cdc.ChangeRecord(7001L, "tx", 2000000L, 0L, cdc.Op.Insert,
+            "app", "docs", Seq("doc_id"), null,
+            Map("doc_id" -> "7001", "text" -> dupText))))
+      val schema = cdc.TypedSchema.TableSchema("app", "docs.v2",
+        Seq("doc_id"),
+        Seq(cdc.TypedSchema.RecordField("doc_id", "bigint"),
+          cdc.TypedSchema.RecordField("text", "string")))
+      val q = graft.streaming.IngestDedup
+        .fromCdcSubscription(spark, dir, schema, index)
+        .writeStream.format("memory").queryName("cdc_dotted_t")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("cdc_dotted_t").select("doc_id")
+          .as[Long].collect().toSet
+        assert(got == Set(7000L),
+          s"dotted-table selector routed wrong rows: $got")
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("tx09 unigram score: totals covered, means within corpus bounds") {
     val df = SparkEntry.queries("tx09_unigram_lm")(spark, sf)
     val docs = Tables.load(spark, sf, "documents")
