@@ -277,14 +277,19 @@ object Bench {
       catch { case e: Throwable => errors(s"recall:$name") =
         Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }
     // recall@5 vs brute truth, FIXED order [ann02, ann03, ann04,
-    // ann05, ann06, ann07, ann11, ann14, ann15] (an array, not per-key
-    // fields — byte budget, see above; append-only, matching
-    // Similarity.defs order). ann07's slot is vs the member-only
-    // truth — its index cannot contain the other held-out queries by
-    // construction; ann11's is vs the label-restricted truth
-    // (filtered search is graded against what the filter allows);
-    // ann14's is vs the exact MaxSim ranking (the routed rung
-    // approximates ann13, not single-vector cosine).
+    // ann05, ann06, ann07, ann11, ann14, ann15, ann16-range] (an
+    // array, not per-key fields — byte budget, see above; append-only,
+    // matching Similarity.defs order). ann07's slot is vs the
+    // member-only truth — its index cannot contain the other held-out
+    // queries by construction; ann11's is vs the label-restricted
+    // truth (filtered search is graded against what the filter
+    // allows); ann14's is vs the exact MaxSim ranking (the routed rung
+    // approximates ann13, not single-vector cosine). The LAST slot
+    // (round 15, VERDICT r14 #6) is RANGE recall, not top-k: the
+    // fraction of ann16's true in-radius pairs the ann02 sign-bucket
+    // multiprobe surfaces — range-completeness regressions of the
+    // index that runs at 100 TB are now visible across rounds like
+    // top-k recall already was.
     val recalls = Seq("ann02_knn_bucket", "ann03_knn_ivf",
       "ann04_knn_ivfpq", "ann05_knn_sq8", "ann06_knn_graph").map(recallOf) :+
       (try graft.pipelines.Similarity.recallHeldOutAtK(spark, sfDir)
@@ -296,7 +301,10 @@ object Bench {
       (try graft.pipelines.Similarity.recallRoutedMaxSim(spark, sfDir)._1
       catch { case e: Throwable => errors("recall:ann14") =
         Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 }) :+
-      recallOf("ann15_binary_quant")
+      recallOf("ann15_binary_quant") :+
+      (try graft.pipelines.Similarity.rangeRecall(spark, sfDir)
+      catch { case e: Throwable => errors("recall:ann16") =
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(300); -1.0 })
     val errJson =
       if (errors.isEmpty) "" // empty map costs 12 bytes of the window
       else ""","errors":""" + errors.map { case (k, v) =>

@@ -361,7 +361,18 @@ object ScaleProbe {
         // cdc32 (round 14): streaming top-N — aggregate state =
         // windows × keys in the horizon, the per-trigger re-rank
         // touches each window's ≤ keys rows
-        "cdc32_stream_topn")
+        "cdc32_stream_topn",
+        // cdc33 (round 15): the real-Avro wire round trip riding the
+        // changelog scan — per-record encode+decode, no state, linear
+        "cdc33_avro_wire",
+        // cdc34 (round 15): update-mode top-N — counts store =
+        // windows × keys (the Flink rank-state bound); per-trigger
+        // work = Σ keys of CHANGED windows only
+        "cdc34_stream_topn_update",
+        // cdc35 (round 15): idleness topology — append windows whose
+        // state is open windows × tables; heartbeats advance the
+        // watermark, so state FALLS as windows finalize (cdc24's curve)
+        "cdc35_idle_partition")
          if wanted(op); k <- mults) {
       graft.StreamStats.reset()
       val ts = time(op, evDirFor(k))

@@ -259,6 +259,11 @@ object CdcQueries {
         col("record_id"),
         col("val").cast("decimal(18,4)").cast("double").as("val_dec"),
         date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("day"),
+        // time-only projection (round 15): the MySQL TIME shape —
+        // the segment-mask DateTime value ([[DtsDateTime]], ref
+        // DateTime.java SEG_TIME) whose wire decode cdc33 gates;
+        // here the same rendering derived declaratively
+        date_format(timestamp_micros(col("ts_us")), "HH:mm:ss").as("tod"),
         (col("k").cast("long") % 16).as("k_lo4"),
         expr("k div 4").as("k_shift2"),
         lower(col("op")).as("op_lc"),
@@ -267,6 +272,7 @@ object CdcQueries {
       |SELECT record_id,
       | CAST(CAST(val AS DECIMAL(18,4)) AS DOUBLE) AS val_dec,
       | strftime(make_timestamp(ts_us), '%Y-%m-%d') AS day,
+      | strftime(make_timestamp(ts_us), '%H:%M:%S') AS tod,
       | CAST(k AS BIGINT) % 16 AS k_lo4,
       | CAST(k AS BIGINT) // 4 AS k_shift2,
       | lower(op) AS op_lc,
@@ -2138,9 +2144,21 @@ object CdcQueries {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   // the changelog's event-time span per fixture dir is constant —
   // memoized so the watermark guard costs one aggregate per dir, not
-  // one corpus scan per bench rep (round-14 review)
+  // one corpus scan per bench rep (round-14 review). Keyed on
+  // (dir, events.parquet mtime), not dir alone (ADVICE r14): a
+  // fixture regenerated in place mid-process invalidates the cached
+  // span instead of letting the require() validate against stale data.
   private val cdc28Spans =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Memo key carrying the fixture's last-modified time. */
+  private def spanKey(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "events.parquet")
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(p).toMillis
+      catch { case _: Exception => -1L }
+    s"$dir@$mtime"
+  }
 
   private val cdc28 = QueryDef(
     "cdc28_window_join",
@@ -2178,7 +2196,7 @@ object CdcQueries {
       // the gate replays history, so the watermark delay must exceed
       // the changelog's full event-time span (out-of-order dealing
       // means the first batch can carry max_ts) — enforced, not hoped
-      val span: Long = cdc28Spans.computeIfAbsent(dir, _ =>
+      val span: Long = cdc28Spans.computeIfAbsent(spanKey(dir), _ =>
         asRecords.agg(
           (max(col("tsUs")) - min(col("tsUs"))).as("span"))
           .head.getLong(0))
@@ -2643,6 +2661,12 @@ object CdcQueries {
   private val cdc32Calls =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
+  /** Last run's epoch-trail dir per input dir — the deterministic
+    * handle the displacement spec reads (ADVICE r14: globbing tmpdir
+    * by mtime could pick another run's trail in a shared JVM). */
+  private[graft] val cdc32Trails =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val cdc32 = QueryDef(
     "cdc32_stream_topn",
     (s, dir) => {
@@ -2667,6 +2691,7 @@ object CdcQueries {
         .agg(count(lit(1)).as("n"))
       val outDir = chunkDir + "_out"
       val trailDir = chunkDir + "_trail"
+      cdc32Trails.put(dir, trailDir)
       Seq(outDir, outDir + "_ck", trailDir).foreach(d =>
         graft.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
       val q = counts.writeStream.outputMode("complete")
@@ -2706,9 +2731,352 @@ object CdcQueries {
       |    GROUP BY 1, 2))
       |WHERE rnk <= 3""".stripMargin))
 
+  // -------------------------------------------------------------- cdc34
+  /** UPDATE-MODE streaming Top-N (round 15, VERDICT r14 #2 — the
+    * production shape cdc32's docstring claimed identical; now gated):
+    * the same live per-day top-3, but the rank maintainer is fed by
+    * UPDATE-MODE DELTAS — each trigger emits only the (window, pk)
+    * groups whose counts changed, and the re-rank touches ONLY those
+    * windows. This is Flink's actual retraction-fed rank operator
+    * shape, and the only one whose per-trigger output scales with the
+    * delta rather than the full rank state at 100 TB.
+    *
+    * Topology: counts aggregate in `update` output mode → foreachBatch
+    * maintains two partitioned parquet stores, the analogue of the
+    * rank operator's keyed state: a per-window COUNTS store (upserted
+    * with the delta — Spark's state store already merged, so the
+    * emitted row IS the new total) and a per-window RANKS store
+    * holding each window's current top-3. Both are partitioned by
+    * window and written with DYNAMIC partition overwrite, so a
+    * trigger rewrites exactly the changed windows' partitions and no
+    * others — unchanged windows' ranks persist untouched, the
+    * delta-scoped contract made literal in storage. The dealing is
+    * three time-contiguous batches plus a held-back 1% slice admitted
+    * LAST (ids ≡ 0 mod 97), so early triggers touch only their time
+    * range's windows (the spec pins touched ⊊ total) and the final
+    * trigger's stragglers displace already-ranked rows across old
+    * windows (displacement through the delta path, pinned
+    * non-vacuous). No watermark in the gate — the held-back slice
+    * must still count (a production deployment sets its real lateness
+    * bound; the store mechanics are identical).
+    *
+    * Scale: counts-store size = windows × keys in the horizon (the
+    * Flink rank-state bound, measured for this machinery in the cdc24/
+    * cdc26 sweeps); per-trigger work = Σ keys of CHANGED windows; the
+    * driver-side collect is the changed-window ID LIST (bounded by
+    * windows per trigger, never keys or rows). Oracle: identical SQL
+    * to cdc32 — the update-mode path must land the exact complete-mode
+    * answer. */
+  private val cdc34Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Last run's trail dir per input dir (the cdc32 exposure pattern). */
+  private[graft] val cdc34Trails =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val cdc34 = QueryDef(
+    "cdc34_stream_topn_update",
+    (s, dir) => {
+      val base = asV4Records(s, dir)
+      val chunkDir = ringDir("cdc34_t3nu", cdc34Calls, dir)
+      val bounds = base.agg(min(col("tsUs")), max(col("tsUs"))).head()
+      val tmin = bounds.getLong(0)
+      val third = (bounds.getLong(1) - tmin) / 3 + 1
+      val hold = pmod(col("id"), lit(97)) === 0
+      (0L until 3L).foreach { b =>
+        base.filter(!hold && ((col("tsUs") - tmin) / third).cast("long") === b)
+          .coalesce(2).write.format("graft-cdc").mode("append")
+          .option("path", chunkDir).save()
+      }
+      base.filter(hold).coalesce(1).write.format("graft-cdc")
+        .mode("append").option("path", chunkDir).save()
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      child.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val stream = graft.streaming.CdcStreaming
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+      val counts = stream
+        .filter(col("op").isin("INSERT", "UPDATE", "DELETE"))
+        .withColumn("pk",
+          coalesce(element_at(col("after"), "pk"),
+            element_at(col("before"), "pk")).cast("bigint"))
+        .withColumn("ts", timestamp_micros(col("tsUs")))
+        .groupBy(window(col("ts"), "1 day"), col("pk"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("pk"), col("n"))
+      val countsDir = chunkDir + "_counts"
+      val ranksDir = chunkDir + "_ranks"
+      val trailDir = chunkDir + "_trail"
+      cdc34Trails.put(dir, trailDir)
+      Seq(countsDir, ranksDir, trailDir, chunkDir + "_ck").foreach(d =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
+      val q = counts.writeStream.outputMode("update")
+        .option("checkpointLocation", chunkDir + "_ck")
+        .foreachBatch { (b: DataFrame, epoch: Long) =>
+          val ss = b.sparkSession
+          val delta = b.localCheckpoint(true)
+          // changed-window id list: bounded by windows/trigger, not rows
+          val wins = delta.select("win_start_us").distinct()
+            .collect().map(_.getLong(0))
+          if (wins.nonEmpty) {
+            val haveStore =
+              java.nio.file.Files.exists(java.nio.file.Paths.get(countsDir))
+            // merge = store rows of CHANGED windows (partition-pruned
+            // read) minus delta keys, plus delta (the new totals) —
+            // materialized before the dynamic overwrite rewrites
+            // exactly those windows' partitions
+            val merged = {
+              val d = delta.select(col("win_start_us"), col("pk"), col("n"))
+              if (!haveStore) d
+              else ss.read.parquet(countsDir)
+                .filter(col("win").isin(wins.map(_.asInstanceOf[AnyRef]): _*))
+                .select(col("win_start_us"), col("pk"), col("n"))
+                .join(d.select("win_start_us", "pk"),
+                  Seq("win_start_us", "pk"), "left_anti")
+                .unionByName(d)
+            }.localCheckpoint(true)
+            merged.withColumn("win", col("win_start_us"))
+              .write.partitionBy("win").mode("overwrite").parquet(countsDir)
+            val w = Window.partitionBy(col("win_start_us"))
+              .orderBy(col("n").desc, col("pk").asc)
+            val ranked = merged
+              .withColumn("rnk", row_number().over(w).cast("long"))
+              .filter(col("rnk") <= 3)
+              .localCheckpoint(true)
+            ranked.withColumn("win", col("win_start_us"))
+              .write.partitionBy("win").mode("overwrite").parquet(ranksDir)
+            ranked.withColumn("epoch", lit(epoch))
+              .withColumn("n_delta_wins", lit(wins.length))
+              .write.mode("append").parquet(trailDir)
+          }
+        }
+        .start()
+      try q.processAllAvailable()
+      finally { graft.StreamStats.record(q.recentProgress); q.stop() }
+      s.read.parquet(ranksDir).select(
+        col("win_start_us").cast("long"),
+        col("pk").cast("long"), col("n").cast("long"),
+        col("rnk").cast("long"))
+    },
+    Some(s"""$changelogSql
+      |SELECT win_start_us, pk, n, rnk FROM (
+      |  SELECT win_start_us, pk, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY win_start_us
+      |      ORDER BY n DESC, pk ASC) AS BIGINT) AS rnk
+      |  FROM (
+      |    SELECT (ts_us // ${86400L * 1000000}) * ${86400L * 1000000}
+      |        AS win_start_us,
+      |      pk, CAST(COUNT(*) AS BIGINT) AS n
+      |    FROM changelog WHERE op <> 'HEARTBEAT'
+      |    GROUP BY 1, 2))
+      |WHERE rnk <= 3""".stripMargin))
+
+  // -------------------------------------------------------------- cdc35
+  /** PER-PARTITION IDLENESS under the oracle gate (round 15, VERDICT
+    * r14 #8 — promoting the CdcSpec withIdleness pin to a hash-gated
+    * key): one table goes SILENT after the first sixth of the event
+    * span while another keeps producing, and every window of BOTH
+    * tables still finalizes in append mode. The reference needs
+    * idle-detection machinery for this (ref:
+    * DtsKafkaTopicPartitionStateWithWatermarkGenerator.java — Flink's
+    * watermark is the MIN over partitions, so one quiet partition
+    * stalls every window); Structured Streaming's watermark is the
+    * global max minus delay, so liveness from ANY partition — here
+    * the changelog's heartbeat records, which advance the watermark
+    * through [[graft.streaming.CdcStreaming.withHeartbeatWatermark]]
+    * and are then dropped — closes the idle table's windows too. A
+    * terminal heartbeat past the horizon flushes the tail (the cdc24
+    * in-band liveness pattern). Oracle: the same day-bucket counts
+    * with the idle cutoff stated declaratively. */
+  private val cdc35Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc35 = QueryDef(
+    "cdc35_idle_partition",
+    (s, dir) => {
+      val log = changelog(s, dir)
+      val bounds = log.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val tmin = bounds.getLong(0)
+      val tmax = bounds.getLong(1)
+      val cutoff = tmin + (tmax - tmin) / 6
+      val recs = log.select(
+        col("record_id").as("id"),
+        concat(lit("tx-"), expr("record_id div 100").cast("string"))
+          .as("transactionId"),
+        col("ts_us").as("tsUs"),
+        (col("ts_us") - 500L).as("bornUs"),
+        col("op"),
+        lit("app").as("db"),
+        when(col("op") === "HEARTBEAT", "hb")
+          .when(pmod(col("pk"), lit(4)) === 0, "idle")
+          .otherwise("hot").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        when(col("op") === "DELETE",
+          map(lit("pk"), col("pk").cast("string"))).as("before"),
+        when(col("op") =!= "DELETE" && col("op") =!= "HEARTBEAT",
+          map(lit("pk"), col("pk").cast("string"))).as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+        // the idle table's data stops at the cutoff; its key space
+        // contributes nothing for the remaining 5/6 of the span
+        .filter(col("op") === "HEARTBEAT" ||
+          !(col("tbl") === "idle" && col("tsUs") >= cutoff))
+      val terminal = s.range(1).select(
+        lit(-1L).as("id"), lit("tx-hb").as("transactionId"),
+        lit(tmax + 3L * 86400L * 1000000L).as("tsUs"),
+        lit(tmax).as("bornUs"), lit("HEARTBEAT").as("op"),
+        lit("app").as("db"), lit("hb").as("tbl"),
+        array(lit("pk")).as("pkNames"),
+        lit(null).cast("map<string,string>").as("before"),
+        lit(null).cast("map<string,string>").as("after"),
+        lit(null).cast("map<string,string>").as("props"),
+        lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
+        lit(null).cast("array<string>").as("ukNames"))
+      val chunkDir = ringDir("cdc35_idle", cdc35Calls, dir)
+      writeOrderedBatch(recs.unionByName(terminal), chunkDir,
+        approxRows = 2L * graft.Tables.rowCount(s, dir, "events"))
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.CdcStreaming
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+      val counts = graft.streaming.CdcStreaming
+        .windowedOnTimeCounts(stream, col("tbl"), win = "1 day",
+          watermark = "1 day")
+        .select(col("value").as("tbl"), col("win_us"), col("n"))
+      runToParquetAndRead(s, counts, chunkDir + "_out", complete = false,
+        streamOutSchema("tbl" -> StringType, "win_us" -> LongType,
+          "n" -> LongType))
+    },
+    Some(s"""$changelogSql,
+      |b AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM changelog)
+      |SELECT CASE WHEN pk % 4 = 0 THEN 'idle' ELSE 'hot' END AS tbl,
+      |  (ts_us // ${86400L * 1000000}) * ${86400L * 1000000} AS win_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM changelog, b
+      |WHERE op <> 'HEARTBEAT'
+      |  AND NOT (pk % 4 = 0 AND ts_us >= b.tmin + (b.tmax - b.tmin) // 6)
+      |GROUP BY 1, 2""".stripMargin))
+
+  // -------------------------------------------------------------- cdc33
+  /** THE REAL WIRE FORMAT under the oracle gate (round 15, VERDICT r14
+    * #1 — the last interop gap): the changelog is encoded as genuine
+    * DTS Avro records — the public layout the reference lazily parses
+    * (ref LazyRecordDeserializer.java / LazyParseRecordImpl.java) —
+    * and decoded back through `fromKafkaRecords(wire = "dts-avro")`
+    * with a table selector, so the gate exercises [[AvroWire]]'s
+    * whole read path: header laziness (selection reads the prefix
+    * only), the operation/source enums, the ObjectNameUtils name
+    * split, the pk_uk_info tag JSON, and SEVEN value-union branches —
+    * Integer, Decimal, Timestamp, date-only DateTime, time-only
+    * DateTime WITH the MySQL micros→nanos fraction upscale
+    * ([[DtsDateTime]] partial segments, VERDICT r14 #3), Float,
+    * charset-decoded Character (latin1 → cp1252) and WKB
+    * BinaryGeometry. The fixture encode is a per-row map riding the
+    * changelog scan (distributed — no driver collect); decode runs
+    * STRICT, so a single mis-parsed byte fails the gate instead of
+    * dropping rows. DELETEs carry their values in the BEFORE image,
+    * heartbeats carry none — the oracle mirrors with CASE. */
+  private val cdc33 = QueryDef(
+    "cdc33_avro_wire",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val fixture = changelog(s, dir).select(
+        col("record_id"), col("ts_us"), col("op"), col("pk"),
+        col("val").cast("decimal(18,4)").cast("string").as("val_str"),
+        col("k"))
+        .as[(Long, Long, String, Long, String, Option[Int])]
+      val wire = fixture.map { case (id, tsUs, op, pk, valStr, kOpt) =>
+        val heart = op == "HEARTBEAT"
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(tsUs, 1000000L),
+          (Math.floorMod(tsUs, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        import AvroWire._
+        import DtsDateTime._
+        val values: Seq[WireValue] =
+          if (heart) null
+          else Seq(
+            WInteger(20, pk.toString),
+            WDecimal(valStr, 18, 4),
+            WTimestamp(Math.floorDiv(tsUs, 1000000L),
+              Math.floorMod(tsUs, 1000000L).toInt),
+            WDateTime(DtsDateTime(SegDate,
+              ldt.getYear, ldt.getMonthValue, ldt.getDayOfMonth)),
+            // time-only + fraction: the MySQL TIME shape — the wire
+            // carries MICROS for a MySQL source; decode upscales ×1000
+            WDateTime(DtsDateTime(SegTime | SegNanos,
+              hour = ldt.getHour, minute = ldt.getMinute,
+              second = ldt.getSecond, nanos = ldt.getNano)),
+            kOpt.fold[WireValue](WNull)(k => WFloat(k.toDouble, 10, 0)),
+            WString("latin1",
+              s"ev-$id".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+            kOpt.fold[WireValue](WNull)(k => WBinGeometry("POINT",
+              Values.pointToWkb((pk % 1000).toDouble, (k % 1000).toDouble))))
+        val fields =
+          if (heart) null
+          else Seq("uid" -> 8, "val" -> 246, "seen" -> 7, "day" -> 10,
+            "tod" -> 11, "fk" -> 5, "note" -> 253, "pt" -> 255)
+        AvroWire.encodeRecord(WireRecord(
+          version = 2, id = id, timestampSec = Math.floorDiv(tsUs, 1000000L),
+          sourcePosition = s"$tsUs@1", safeSourcePosition = s"$tsUs@0",
+          transactionId = s"tx-${tsUs / 60000000L}",
+          sourceTypeCode = 0, sourceVersion = "8.0", op = op,
+          objectName = "app.events",
+          tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+          fields = fields,
+          before = if (op == "DELETE") values else null,
+          after = if (heart || op == "DELETE") null else values,
+          bornTimestamp = tsUs - 1000L))
+      }(Encoders.BINARY).toDF("value")
+      val recs = graft.streaming.CdcStreaming.fromKafkaRecords(
+        wire, table = Some("app.events"), permissive = false,
+        wire = "dts-avro")
+      val img = when(col("op") === "DELETE", col("before"))
+        .otherwise(col("after"))
+      val ptRe = "^POINT \\((\\S+) (\\S+)\\)$"
+      recs.select(
+        col("id").as("record_id"),
+        col("op"),
+        col("tsUs").as("ts_floor_us"),
+        element_at(img, "uid").cast("bigint").as("uid"),
+        element_at(img, "val").cast("double").as("val_dec"),
+        element_at(img, "seen").cast("bigint").as("seen_us"),
+        element_at(img, "day").as("day"),
+        element_at(img, "tod").as("tod"),
+        element_at(img, "fk").cast("double").as("fkv"),
+        element_at(img, "note").as("note"),
+        regexp_extract(element_at(img, "pt"), ptRe, 1).cast("double").as("gx"),
+        regexp_extract(element_at(img, "pt"), ptRe, 2).cast("double").as("gy"))
+    },
+    Some(s"""$changelogSql
+      |SELECT record_id, op,
+      |  (ts_us // 1000000) * 1000000 AS ts_floor_us,
+      |  CASE WHEN op <> 'HEARTBEAT' THEN pk END AS uid,
+      |  CASE WHEN op <> 'HEARTBEAT'
+      |    THEN CAST(CAST(val AS DECIMAL(18,4)) AS DOUBLE) END AS val_dec,
+      |  CASE WHEN op <> 'HEARTBEAT' THEN ts_us END AS seen_us,
+      |  CASE WHEN op <> 'HEARTBEAT'
+      |    THEN strftime(make_timestamp(ts_us), '%Y-%m-%d') END AS day,
+      |  CASE WHEN op <> 'HEARTBEAT'
+      |    THEN strftime(make_timestamp(ts_us), '%H:%M:%S') || '.' ||
+      |      CASE WHEN ts_us % 1000000 = 0 THEN '0'
+      |           ELSE rtrim(printf('%06d', ts_us % 1000000), '0') END
+      |    END AS tod,
+      |  CASE WHEN op <> 'HEARTBEAT' AND k IS NOT NULL
+      |    THEN CAST(k AS DOUBLE) END AS fkv,
+      |  CASE WHEN op <> 'HEARTBEAT' THEN 'ev-' || record_id END AS note,
+      |  CASE WHEN op <> 'HEARTBEAT' AND k IS NOT NULL
+      |    THEN CAST(pk % 1000 AS DOUBLE) END AS gx,
+      |  CASE WHEN op <> 'HEARTBEAT' AND k IS NOT NULL
+      |    THEN CAST(k % 1000 AS DOUBLE) END AS gy
+      |FROM changelog""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
     cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30,
-    cdc31, cdc32)
+    cdc31, cdc32, cdc33, cdc34, cdc35)
 }

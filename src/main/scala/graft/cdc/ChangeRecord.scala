@@ -63,7 +63,8 @@ final case class FkParent(
 }
 
 /** Operation vocabulary (ref: OperationType.java — complete since
-  * round 14): the data-plane subset, the transaction-boundary records
+  * round 15, when COMMAND landed as the last enum member graft still
+  * folded to UNKNOWN): the data-plane subset, the transaction-boundary records
   * (ROLLBACK/ABORT first-class because a transactional consumer MUST
   * see them — a rolled-back transaction's records contribute nothing,
   * OperationType.java:11-12), and the fetch-protocol markers the
@@ -97,15 +98,21 @@ object Op {
   val Init = "INIT"
   val Eof = "EOF"
   val ManualGenerated = "MANUAL_GENERATED"
+  /** Source-issued command record (ref OperationType.COMMAND — e.g.
+    * a replicated administrative statement). Not a marker (it is a
+    * statement, not fetch-protocol liveness) and not DML (it changes
+    * no row images); consumers count it the way they count DDL. */
+  val Command = "COMMAND"
 
   /** Stable wire codes for the binary codec: positions are the codes,
     * so new ops APPEND (Rollback=9, Abort=10 in round 14's first
-    * tranche; the fetch markers take 11-18) — v1-v3 bytes decode
-    * unchanged. */
+    * tranche; the fetch markers take 11-18; COMMAND=19 in round 15)
+    * — v1-v4 bytes decode unchanged. */
   val all: IndexedSeq[String] = IndexedSeq(
     Insert, Update, Delete, Ddl, Begin, Commit, Heartbeat, Checkpoint,
     Unknown, Rollback, Abort,
-    Fill, Finish, Control, Rdb, Noop, Init, Eof, ManualGenerated)
+    Fill, Finish, Control, Rdb, Noop, Init, Eof, ManualGenerated,
+    Command)
   private val index: Map[String, Int] = all.zipWithIndex.toMap
   def code(op: String): Byte = index.getOrElse(op, index(Unknown)).toByte
   def fromCode(c: Byte): String =
@@ -121,8 +128,9 @@ object Op {
   def discardsTxn(op: String): Boolean = op == Rollback || op == Abort
 
   /** Fetch-protocol markers (no row payload; ref OperationType FILL/
-    * FINISH/CONTROL/RDB/NOOP/INIT/EOF/MANUAL_GENERATED). */
-  def isMarker(op: String): Boolean =
-    op == Fill || op == Finish || op == Control || op == Rdb ||
-      op == Noop || op == Init || op == Eof || op == ManualGenerated
+    * FINISH/CONTROL/RDB/NOOP/INIT/EOF/MANUAL_GENERATED). COMMAND is
+    * NOT a marker: it is a replicated statement, like DDL. */
+  val markers: Seq[String] =
+    Seq(Fill, Finish, Control, Rdb, Noop, Init, Eof, ManualGenerated)
+  def isMarker(op: String): Boolean = markers.contains(op)
 }

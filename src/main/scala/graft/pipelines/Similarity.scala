@@ -2517,6 +2517,18 @@ object Similarity {
         |    >= $Ann16Tau""".stripMargin))
   }
 
+  /** RANGE-completeness of the sign-bucket multiprobe index (round 15,
+    * VERDICT r14 #6): the fraction of ann16's true in-radius pairs
+    * whose `bucket_hit` audit bit is set — i.e. what share of genuine
+    * near-duplicates the ann02 Hamming ≤ 3 generator would surface at
+    * 100 TB. Tracked in the bench recalls array per SF so a
+    * range-recall regression is as visible as a top-k one. */
+  def rangeRecall(s: SparkSession, dir: String): Double = {
+    val r = ann16.run(s, dir)
+      .agg(avg(col("bucket_hit").cast("double"))).head()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+
   val defs: Seq[QueryDef] = Seq(ann01, ann02, ann03, ann04, ann05, ann06,
     ann07, ann08, ann09, ann10, ann11, ann12, ann13, ann14, ann15, ann16)
 }

@@ -61,14 +61,34 @@ object CdcStreaming {
     * parse their row-image tail (the reference's lazy-parse claim on
     * the Kafka path). Undecodable payloads are dropped under
     * `permissive` (the source's corrupt-record mode), rethrown
-    * otherwise. */
+    * otherwise.
+    *
+    * `wire` selects the payload format: "graft" (default) is the
+    * engine's own [[graft.cdc.RecordCodec]]; "dts-avro" decodes the
+    * REAL subscription layout — the public DTS Avro record the
+    * reference lazily parses ([[graft.cdc.AvroWire]], ref
+    * LazyRecordDeserializer.java) — so pointing `toKafkaOptions` at a
+    * genuine subscription endpoint yields the same typed columns.
+    * Both formats keep the prefix-only claim: table selection reads
+    * the header, never the row-image tail. */
   def fromKafkaRecords(
       kafka: DataFrame,
       table: Option[String] = None,
-      permissive: Boolean = true): DataFrame = {
+      permissive: Boolean = true,
+      wire: String = "graft"): DataFrame = {
     val spark = kafka.sparkSession
     import spark.implicits._
     val sel = table.map(graft.sources.CdcSource.parseTableSelector)
+    val (headerTableOf, decodeOf) = wire match {
+      case "graft" =>
+        ((b: Array[Byte]) => graft.cdc.RecordCodec.headerTable(b),
+          (b: Array[Byte]) => graft.cdc.RecordCodec.decode(b))
+      case "dts-avro" =>
+        ((b: Array[Byte]) => graft.cdc.AvroWire.headerTable(b),
+          (b: Array[Byte]) => graft.cdc.AvroWire.decode(b))
+      case other => throw new IllegalArgumentException(
+        s"fromKafkaRecords wire must be graft|dts-avro, got '$other'")
+    }
     kafka.select(col("value")).as[Array[Byte]]
       .flatMap { bytes =>
         // null values are log-compaction tombstones (key-only deletion
@@ -76,8 +96,8 @@ object CdcStreaming {
         // strict mode must not kill the stream on routine compaction
         if (bytes == null) None
         else try {
-          if (!sel.forall(graft.cdc.RecordCodec.headerTable(bytes) == _)) None
-          else Some(graft.cdc.RecordCodec.decode(bytes))
+          if (!sel.forall(headerTableOf(bytes) == _)) None
+          else Some(decodeOf(bytes))
         } catch {
           case e: Exception => if (permissive) None else throw e
         }
@@ -165,8 +185,12 @@ object CdcStreaming {
       // that ignores `ts` (e.g. `op IN (...)`) will itself push below
       // the watermark and re-starve the stats — use [[guardedFilter]]
       // / [[dmlOnly]] for row filters on a heartbeat-watermarked
-      // stream.
-      .filter(guard(col("op") =!= Op.Heartbeat))
+      // stream. Fetch-protocol markers (FILL/NOOP/... — ADVICE r14)
+      // are the same keepalive family: they advance the watermark
+      // here and are then dropped with the heartbeats, so a
+      // marker-bearing chunk never counts liveness records as data.
+      .filter(guard(col("op") =!= Op.Heartbeat &&
+        !col("op").isin(Op.markers: _*)))
 
   /** Wrap `cond` so the optimizer cannot push it below an
     * EventTimeWatermark node (it references the event-time column

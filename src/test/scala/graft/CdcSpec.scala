@@ -244,6 +244,59 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(spark.table("kafka_bridge_t").count() == 21)
   }
 
+  test("dts-avro wire: fromKafkaRecords decodes the REAL layout with " +
+      "prefix-only selection, strict mode and tombstones") {
+    import spark.implicits._
+    import graft.cdc.AvroWire
+    import graft.cdc.AvroWire._
+    def wrec(id: Long, op: String, db: String, tbl: String, v: String) =
+      AvroWire.encodeRecord(WireRecord(
+        version = 2, id = id, timestampSec = 1700000000L + id,
+        sourcePosition = s"$id@1", safeSourcePosition = s"$id@0",
+        transactionId = s"tx-${id / 10}", sourceTypeCode = 0,
+        sourceVersion = "8.0", op = op,
+        objectName = graft.cdc.ObjectNames.compress(Seq(db, tbl)),
+        tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+        fields = Seq("uid" -> 8, "v" -> 253),
+        before = if (op == Op.Delete)
+          Seq(WInteger(20, id.toString), WString("utf8", v.getBytes("UTF-8")))
+          else null,
+        after = if (op == Op.Delete) null
+          else Seq(WInteger(20, id.toString),
+            WString("utf8", v.getBytes("UTF-8"))),
+        bornTimestamp = id))
+    val values = (0 until 10).map(i => wrec(i.toLong,
+        if (i % 9 == 8) Op.Delete else Op.Insert, "appdb", "users", s"v$i")) :+
+      wrec(99L, Op.Insert, "otherdb", "t2", "y") :+
+      Array[Byte](1, 2, 3) :+ (null: Array[Byte])
+    val kafka = values.toDF("value")
+    val decoded = CdcStreaming.fromKafkaRecords(kafka, wire = "dts-avro")
+    // schema parity with the file source — downstream runs unchanged
+    assert(decoded.schema.map(f => (f.name, f.dataType)) ==
+      graft.sources.CdcSource.schema.map(f => (f.name, f.dataType)))
+    val got = decoded.as[ChangeRecord].collect().sortBy(_.id)
+    assert(got.length == 11)
+    assert(got.head.tsUs == 1700000000L * 1000000L &&
+      got.head.pkNames == Seq("uid") &&
+      got.head.after("uid") == "0" && got.head.after("v") == "v0" &&
+      got.head.sourceType == "MySQL")
+    assert(got.filter(_.op == Op.Delete).forall(r =>
+      r.after == null && r.before("v").startsWith("v")))
+    // prefix-only table selection on the Avro header
+    val sel = CdcStreaming.fromKafkaRecords(kafka, Some("otherdb.t2"),
+      wire = "dts-avro")
+    assert(sel.as[ChangeRecord].collect().map(_.id).toSeq == Seq(99L))
+    // strict mode surfaces corruption; tombstones never trip it
+    intercept[Exception] {
+      CdcStreaming.fromKafkaRecords(kafka, permissive = false,
+        wire = "dts-avro").count()
+    }
+    val tombOnly = Seq(wrec(1L, Op.Insert, "a", "b", "v"),
+      null: Array[Byte]).toDF("value")
+    assert(CdcStreaming.fromKafkaRecords(tombOnly, permissive = false,
+      wire = "dts-avro").count() == 1)
+  }
+
   test("footer stats prune chunks on timestamp reposition") {
     val dir = Files.createTempDirectory("gcl").toString
     CdcFixtures.writeChunks(dir)
@@ -1556,6 +1609,12 @@ class CdcSourceSpec extends AnyFunSuite {
     }
     // appended codes: v1-era codes below are untouched
     assert(Op.code(Op.Fill) == 11 && Op.code(Op.ManualGenerated) == 18)
+    // COMMAND (round 15, ADVICE r14): last enum member, appended not
+    // folded to UNKNOWN; a statement record, not a liveness marker
+    assert(Op.code(Op.Command) == 19 && !Op.isMarker(Op.Command))
+    assert(RecordCodec.decode(RecordCodec.encode(
+      ChangeRecord(9L, "t", 2L, 3L, Op.Command, "db", "tbl",
+        Seq("pk"), null, null))).op == Op.Command)
     val out = SparkEntry.queries("cdc31_protocol_markers")(spark, sf)
       .localCheckpoint(true)
     val rows = out.collect()
@@ -1625,15 +1684,12 @@ class CdcSourceSpec extends AnyFunSuite {
     }
     // displacement: the epoch trail must show some window whose top-3
     // MEMBERSHIP at the first populated trigger differs from the
-    // final — the re-rank on later-arriving counts is load-bearing
-    val tmp = System.getProperty("java.io.tmpdir")
-    val pid = ProcessHandle.current().pid()
-    val trails = Fs.listDir(java.nio.file.Paths.get(tmp))
-      .filter(_.getFileName.toString
-        .matches(s"graft_cdc32_t3n_${pid}_.*_trail"))
-      .sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-    assert(trails.nonEmpty, "no cdc32 epoch trail found")
-    val trail = spark.read.parquet(trails.last.toString)
+    // final — the re-rank on later-arriving counts is load-bearing.
+    // The query exposes its exact trail dir (ADVICE r14: a tmpdir
+    // mtime glob could select another run's trail in a shared JVM).
+    val trailDir = CdcQueries.cdc32Trails.get(sf)
+    assert(trailDir != null, "no cdc32 epoch trail recorded")
+    val trail = spark.read.parquet(trailDir)
       .select("epoch", "win_start_us", "pk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val epochs = trail.map(_._1).distinct.sorted
@@ -1647,5 +1703,66 @@ class CdcSourceSpec extends AnyFunSuite {
       first.contains(w) && first(w) != last(w))
     assert(displaced > 0,
       "no window's top-3 changed across triggers - displacement vacuous")
+  }
+
+  test("cdc34 update-mode top-n: delta-scoped re-rank (touched ⊊ total), " +
+      "straggler displacement, exact final ranks") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cdc34_stream_topn_update")(spark, sf)
+      .localCheckpoint(true)
+    // truth: identical to cdc32's — the update-mode path must land the
+    // exact complete-mode answer
+    val DayUs = 86400L * 1000000L
+    val data = CdcQueries.changelog(spark, sf)
+      .filter(col("op") =!= "HEARTBEAT")
+      .select("ts_us", "pk").collect()
+      .map(r => (r.getLong(0) / DayUs * DayUs, r.getLong(1)))
+    val counts = data.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val truth = counts.keys.map(_._1).toSet.toSeq.flatMap { w: Long =>
+      counts.filter(_._1._1 == w).toSeq
+        .map { case ((_, pk), n) => (pk, n) }
+        .sortBy { case (pk, n) => (-n, pk) }.take(3).zipWithIndex
+        .map { case ((pk, n), i) => (w, pk) -> (n, i.toLong + 1) }
+    }.toMap
+    val rows = out.collect()
+    assert(rows.length == truth.size, s"${rows.length} vs ${truth.size}")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (n, rnk) = truth.getOrElse(key, fail(s"unexpected $key"))
+      assert(r.getAs[Long]("n") == n, s"count $key")
+      assert(r.getAs[Long]("rnk") == rnk, s"rank $key")
+    }
+    val trailDir = CdcQueries.cdc34Trails.get(sf)
+    assert(trailDir != null, "no cdc34 trail recorded")
+    val trail = spark.read.parquet(trailDir)
+      .select("epoch", "win_start_us", "pk", "n_delta_wins").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val totalWins = truth.keys.map(_._1).toSet.size
+    val byEpoch = trail.groupBy(_._1)
+    // the load-bearing update-mode claim: a trigger's re-rank touches
+    // exactly its delta's windows, and for the time-contiguous early
+    // batches that is a STRICT subset of all windows
+    byEpoch.foreach { case (e, rs) =>
+      val touched = rs.map(_._2).distinct.length
+      assert(touched == rs.head._4,
+        s"epoch $e re-ranked $touched windows vs ${rs.head._4} in its delta")
+    }
+    assert(byEpoch.values.exists(rs => rs.map(_._2).distinct.length < totalWins),
+      s"every trigger touched all $totalWins windows - delta scoping vacuous")
+    // displacement through the delta path: the held-back straggler
+    // slice (ids ≡ 0 mod 97, admitted last) must change some already-
+    // ranked window's top-3 membership
+    val epochs = byEpoch.keys.toSeq.sorted
+    assert(epochs.length >= 2, s"only ${epochs.length} populated triggers")
+    def topSets(e: Long): Map[Long, Set[Long]] =
+      trail.filter(_._1 == e).groupBy(_._2).view
+        .mapValues(_.map(_._3).toSet).toMap
+    val finalTop = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val displaced = epochs.init.flatMap { e =>
+      topSets(e).collect { case (w, s) if finalTop.get(w).exists(_ != s) => w }
+    }.distinct
+    assert(displaced.nonEmpty,
+      "no ranked window changed after its first ranking - stragglers vacuous")
   }
 }
