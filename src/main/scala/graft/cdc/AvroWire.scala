@@ -141,7 +141,14 @@ object AvroWire {
     * producer is DTS itself) — but it writes the layout faithfully, so
     * its bytes are exactly what [[decode]] and the reference's own
     * deserializer read. */
-  def encodeRecord(w: WireRecord): Array[Byte] = {
+  def encodeRecord(w: WireRecord): Array[Byte] = encodeRecord(w, writeBorn = true)
+
+  /** `writeBorn = false` omits the trailing bornTimestamp — older
+    * producers end the record at the after-image, and the reference
+    * reads born only `if (!decoder.isEnd())`
+    * (LazyRecordDeserializer.deserializePayload); the decode's isEnd
+    * branch needs bytes that actually stop there to be testable. */
+  def encodeRecord(w: WireRecord, writeBorn: Boolean): Array[Byte] = {
     val bos = new ByteArrayOutputStream(512)
     val enc = EncoderFactory.get().binaryEncoder(bos, null)
     enc.writeInt(w.version)
@@ -178,7 +185,7 @@ object AvroWire {
     }
     writeImage(enc, w.before, w.sourceTypeCode)
     writeImage(enc, w.after, w.sourceTypeCode)
-    enc.writeLong(w.bornTimestamp)
+    if (writeBorn) enc.writeLong(w.bornTimestamp)
     enc.flush()
     bos.toByteArray
   }

@@ -22,7 +22,12 @@ object TypedSchema {
     * `sqlType` is any Spark cast target (`bigint`, `double`,
     * `decimal(18,4)`, `date`, …) or the extensions:
     * `timestamp_us` (string epoch-micros → TimestampType),
-    * `bit(n)` (integer string → low n bits as bigint). */
+    * `bit(n)` (integer string → low n bits as bigint),
+    * `time_us` (round 15: a TIME-only JDBC string — the
+    * [[DtsDateTime]] time-only rendering the real wire delivers for
+    * MySQL TIME columns, sign and >24 h hours included — → BIGINT
+    * micros since midnight; Spark has no TIME type, so the micros
+    * integer is the lossless, comparable carrier). */
   final case class RecordField(name: String, sqlType: String)
 
   /** Declared table schema (db/tbl select which records it applies to,
@@ -36,6 +41,23 @@ object TypedSchema {
   private def convert(raw: Column, sqlType: String): Column = sqlType match {
     case "timestamp_us" => timestamp_micros(raw.cast("long"))
     case BitRe(n)       => raw.cast("long").bitwiseAND(lit((1L << n.toInt) - 1))
+    case "time_us"      =>
+      // "[-]H+:mm:ss[.frac]" → signed micros since midnight, pure
+      // Catalyst (codegen'd): split on ':', hours unbounded (MySQL
+      // TIME reaches ±838), fractional seconds ride a decimal cast.
+      // The rlike guard makes malformed input NULL under ANSI mode
+      // too (CaseWhen only evaluates the parse on matching rows —
+      // unguarded element_at/cast would THROW on junk instead of
+      // honoring the lenient-conversion contract)
+      val ok = raw.rlike("^-?\\d+:\\d{1,2}:\\d{1,2}(\\.\\d{1,6})?$")
+      val sign = when(raw.startsWith("-"), lit(-1L)).otherwise(lit(1L))
+      val parts = split(regexp_replace(raw, "^-", ""), ":")
+      val h = element_at(parts, 1).cast("long")
+      val m = element_at(parts, 2).cast("long")
+      val secUs = (element_at(parts, 3).cast("decimal(16,6)") *
+        lit(1000000)).cast("long")
+      when(ok, sign * ((h * 3600L + m * 60L) * 1000000L + secUs))
+        .otherwise(lit(null).cast("long"))
     case t              => raw.cast(t)
   }
 

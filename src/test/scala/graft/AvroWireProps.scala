@@ -259,6 +259,15 @@ object AvroWireProps extends Properties("AvroWire") {
     Prop.all(bad ++ good: _*)
   }
 
+  property("a record ending at the after-image (no bornTimestamp) " +
+      "still decodes — the reference's isEnd branch") =
+    forAll(Gen.chooseNum(0L, 1000000L)) { id =>
+      val w = rec(Op.Insert, Seq("c" -> 1), null, Seq(WInteger(10, "5")))
+        .copy(id = id)
+      val r = AvroWire.decode(AvroWire.encodeRecord(w, writeBorn = false))
+      Prop(r.id == id && r.bornUs == 0L && r.after("c") == "5")
+    }
+
   property("images: DELETE keeps before, heartbeat carries none, DDL " +
       "text rides the synthesized ddl field") = {
     val del = AvroWire.decode(AvroWire.encodeRecord(rec(

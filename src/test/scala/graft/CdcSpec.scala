@@ -422,6 +422,47 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("typed schema time_us: TIME-only strings become micros since " +
+      "midnight, sign and >24h hours included") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("gcl").toString
+    // the DtsDateTime time-only renderings the real wire delivers for
+    // MySQL TIME columns (cdc33's tod column shape)
+    val times = Seq("07:05:09", "00:00:00", "23:59:59.25",
+      "838:59:59", "-01:30:00", "12:00:00.000001", "junk")
+    val recs = times.zipWithIndex.map { case (t, i) =>
+      ChangeRecord(i.toLong, "tx", 1000000L * (i + 1), 0L, Op.Insert,
+        "app", "m", Seq("id"), null, Map("id" -> i.toString, "t" -> t))
+    }
+    CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", recs)
+    val schema = TypedSchema.TableSchema("app", "m", Seq("id"), Seq(
+      TypedSchema.RecordField("id", "bigint"),
+      TypedSchema.RecordField("t", "time_us")))
+    val got = TypedSchema.project(CdcStreaming.readBatch(spark, dir), schema)
+    assert(got.schema("t").dataType == LongType)
+    val byId = got.select("id", "t").collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null
+                       else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    def us(h: Long, m: Long, s: Long, frac: Long = 0L) =
+      (h * 3600L + m * 60L + s) * 1000000L + frac
+    assert(byId(0L) == us(7, 5, 9))
+    assert(byId(1L) == 0L)
+    assert(byId(2L) == us(23, 59, 59, 250000L))
+    assert(byId(3L) == us(838, 59, 59)) // MySQL TIME's far edge
+    assert(byId(4L) == -us(1, 30, 0))
+    assert(byId(5L) == us(12, 0, 0, 1L))
+    assert(byId(6L) == null) // malformed → NULL, the conversion contract
+    // agreement with the value layer: DtsDateTime parse → toMicros
+    // computes the same duration for the well-formed shapes
+    times.init.foreach { t =>
+      val dt = graft.cdc.DtsDateTime.parse(t,
+        graft.cdc.DtsDateTime.SegTime | graft.cdc.DtsDateTime.SegNanos)
+      val i = times.indexOf(t)
+      assert(dt.toMicros == byId(i.toLong),
+        s"DtsDateTime and time_us disagree on [$t]")
+    }
+  }
+
   test("typed schema projection of the BEFORE image (delete auditing)") {
     val dir = Files.createTempDirectory("gcl").toString
     CdcChunkFile.write(s"$dir/chunk-00000${CdcChunkFile.Extension}", Seq(
