@@ -2836,6 +2836,15 @@ object CdcQueries {
                   Seq("win_start_us", "pk"), "left_anti")
                 .unionByName(d)
             }.localCheckpoint(true)
+            // file-count note (round 15, MEASURED before "optimizing"):
+            // partitionBy fans each task across every window it holds
+            // (up to tasks × windows small files per trigger), but
+            // coalescing before the write timed WORSE here — Timeit
+            // 3-rep bands 12.7-14.0 s coalesced vs 10.3-12.5 s as-is
+            // at sf0.1: the store is tiny at gate SFs and the fan-in
+            // serializes the write tasks. At production scale the
+            // store is a real table format whose writer owns
+            // compaction; left uncoalesced on the evidence.
             merged.withColumn("win", col("win_start_us"))
               .write.partitionBy("win").mode("overwrite").parquet(countsDir)
             val w = Window.partitionBy(col("win_start_us"))

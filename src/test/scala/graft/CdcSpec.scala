@@ -295,6 +295,15 @@ class CdcSourceSpec extends AnyFunSuite {
       null: Array[Byte]).toDF("value")
     assert(CdcStreaming.fromKafkaRecords(tombOnly, permissive = false,
       wire = "dts-avro").count() == 1)
+    // and the Avro decode is stream-capable: same plan over MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Array[Byte]]
+    mem.addData(values: _*)
+    val q = CdcStreaming.fromKafkaRecords(mem.toDF(), wire = "dts-avro")
+      .writeStream.format("memory").queryName("avro_bridge_t").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("avro_bridge_t").count() == 11)
   }
 
   test("footer stats prune chunks on timestamp reposition") {
