@@ -2968,6 +2968,115 @@ object CdcQueries {
       |  AND NOT (pk % 4 = 0 AND ts_us >= b.tmin + (b.tmax - b.tmin) // 6)
       |GROUP BY 1, 2""".stripMargin))
 
+  // -------------------------------------------------------------- cdc36
+  /** THE WHOLE SUBSCRIPTION PATH under one oracle gate (round 15):
+    * `CdcSubscription.toKafkaOptions` → a kafka-protocol endpoint
+    * ([[graft.sources.KafkaSimBroker]] — SASL/PLAIN handshake with
+    * parsed jaas credentials, per-partition logs, admission via the
+    * option map's own `maxOffsetsPerTrigger`) → STREAMING micro-batch
+    * fetch → [[AvroWire]] decode of the REAL record layout in strict
+    * mode → the upsert materializer's keyed state machine
+    * ([[graft.streaming.CdcStreaming.materialize]]) → file sink →
+    * final state. This is the topology a production consumer of the
+    * reference runs end to end (DtsKafkaConsumerThread fetch →
+    * LazyRecordDeserializer → keyed materialization), each stage of
+    * which was previously gated separately; the hash passes only if
+    * the option mapping, the broker fetch, the Avro decode AND the
+    * state machine all compose.
+    *
+    * The broker registration is driver-side fixture transport
+    * (the cdc08 pattern — records already sit in the subscription in
+    * production; the shim is an in-JVM test double, which local[32]
+    * shares with every executor). Messages partition by pk mod 4 with
+    * partition-local offsets in record-id order; the admission cap
+    * forces ~5 micro-batches, so keys evolve ACROSS triggers and the
+    * materializer's cross-batch monotone guard is load-bearing. The
+    * wire carries SECONDS timestamps (the real layout), so last-wins
+    * ties break on (floor-second, record id) — the oracle states
+    * exactly that. */
+  private val cdc36Calls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private val cdc36 = QueryDef(
+    "cdc36_avro_subscription",
+    (s, dir) => {
+      import s.implicits._
+      val rows = changelog(s, dir)
+        .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
+          col("val").cast("decimal(18,4)").cast("string"))
+        .as[(Long, Long, String, Long, String)]
+        .collect()
+      val msgs = rows.map { case (id, tsUs, op, pk, valStr) =>
+        import AvroWire._
+        val heart = op == "HEARTBEAT"
+        val values: Seq[WireValue] =
+          if (heart) null
+          else Seq(WInteger(20, pk.toString), WDecimal(valStr, 18, 4))
+        val bytes = AvroWire.encodeRecord(WireRecord(
+          version = 2, id = id,
+          timestampSec = Math.floorDiv(tsUs, 1000000L),
+          sourcePosition = s"$tsUs@1", safeSourcePosition = s"$tsUs@0",
+          transactionId = s"tx-${tsUs / 60000000L}",
+          sourceTypeCode = 0, sourceVersion = "8.0", op = op,
+          objectName = "app.events",
+          tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+          fields = if (heart) null else Seq("uid" -> 8, "val" -> 246),
+          before = if (op == "DELETE") values else null,
+          after = if (heart || op == "DELETE") null else values,
+          bornTimestamp = tsUs - 1000L))
+        ((pk % 4).toInt, tsUs, id, bytes)
+      }
+      val byPart = msgs.groupBy(_._1).toSeq.flatMap { case (p, ms) =>
+        ms.sortBy(_._3).zipWithIndex.map { case ((_, tsUs, _, bytes), off) =>
+          graft.sources.KafkaSimBroker.Msg(p, off.toLong, tsUs / 1000L,
+            null, bytes)
+        }
+      }
+      val server = s"sim://cdc36-${math.abs(dir.hashCode)}"
+      graft.sources.KafkaSimBroker.register(server,
+        Map("dts-events" -> byPart), creds = Some(("subscriber", "s3cr3t")))
+      val sub = graft.sources.CdcSubscription(
+        server = server, topic = "dts-events", group = Some("g-cdc36"),
+        user = Some("subscriber"), password = Some("s3cr3t"))
+      val outBase = ringDir("cdc36_avro", cdc36Calls, dir)
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      val cap = math.max(1L, rows.length / 5L)
+      val wire = child.readStream.format("graft-kafka-sim")
+        .options(sub.toKafkaOptions +
+          ("maxOffsetsPerTrigger" -> cap.toString))
+        .load()
+      val recs = graft.streaming.CdcStreaming.fromKafkaRecords(
+        wire, table = Some("app.events"), permissive = false,
+        wire = "dts-avro")
+      val st = graft.streaming.CdcStreaming.materialize(recs)(child).toDF()
+      val changes = runToParquetAndRead(
+        s, st, outBase + "_out", complete = false,
+        streamOutSchema("key" -> StringType, "tsUs" -> LongType,
+          "recordId" -> LongType, "op" -> StringType,
+          "alive" -> org.apache.spark.sql.types.BooleanType))
+      // final state = each key's maximal (tsUs, recordId) emission —
+      // the materializer emits monotonically per key, so the last
+      // update IS the state
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("tsUs").desc, col("recordId").desc)
+      changes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("alive"))
+        .select(
+          element_at(split(col("key"), "\\|"), 3).cast("bigint").as("pk"),
+          col("recordId").as("record_id"),
+          col("tsUs").as("ts_floor_us"),
+          col("op"))
+    },
+    Some(s"""$changelogSql
+      |SELECT pk, record_id, ts_floor_us, op FROM (
+      |  SELECT pk, record_id,
+      |    (ts_us // 1000000) * 1000000 AS ts_floor_us, op,
+      |    ROW_NUMBER() OVER (PARTITION BY pk
+      |      ORDER BY ts_us // 1000000 DESC, record_id DESC) AS rn
+      |  FROM changelog WHERE op <> 'HEARTBEAT')
+      |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
+
   // -------------------------------------------------------------- cdc33
   /** THE REAL WIRE FORMAT under the oracle gate (round 15, VERDICT r14
     * #1 — the last interop gap): the changelog is encoded as genuine
@@ -3087,5 +3196,5 @@ object CdcQueries {
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
     cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30,
-    cdc31, cdc32, cdc33, cdc34, cdc35)
+    cdc31, cdc32, cdc33, cdc34, cdc35, cdc36)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -152,29 +153,86 @@ class KafkaSimProvider extends TableProvider with DataSourceRegister {
     // getTable, like the real source's driver-side validation)
     val parts = KafkaSimBroker.fetch(
       servers, topic, opt("startingTimestamp").map(_.toLong), auth)
-    new KafkaSimTable(topic, parts)
+    new KafkaSimTable(topic, parts,
+      opt("maxOffsetsPerTrigger").map(_.toLong))
   }
+}
+
+/** Streaming offset: messages admitted so far, counted in the
+  * canonical (partition, offset) flattened order — the log is a fixed
+  * post-seek snapshot, so one cursor suffices (the real source tracks
+  * per-partition offsets because its log grows; a growing sim would
+  * too). */
+private case class KafkaSimOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
 }
 
 class KafkaSimTable(
     topic: String,
-    parts: Map[Int, IndexedSeq[KafkaSimBroker.Msg]])
+    parts: Map[Int, IndexedSeq[KafkaSimBroker.Msg]],
+    maxOffsetsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"kafka-sim:$topic"
   override def schema(): StructType = KafkaSimBroker.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  private def flat: IndexedSeq[KafkaSimBroker.Msg] =
+    parts.toSeq.sortBy(_._1).flatMap(_._2).toIndexedSeq
+
+  private def toPartitions(
+      msgs: Seq[KafkaSimBroker.Msg]): Array[InputPartition] =
+    msgs.groupBy(_.partition).toSeq.sortBy(_._1)
+      .map { case (p, ms) => KafkaSimPartition(topic, p, ms.toArray) }
+      .toArray[InputPartition]
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = KafkaSimBroker.schema
       override def toBatch: Batch = new Batch {
         override def planInputPartitions(): Array[InputPartition] =
-          parts.toSeq.sortBy(_._1)
-            .map { case (p, ms) => KafkaSimPartition(topic, p, ms.toArray) }
-            .toArray[InputPartition]
+          toPartitions(flat)
         override def createReaderFactory(): PartitionReaderFactory =
           new KafkaSimReaderFactory
       }
+      /** Streaming read with the kafka source's admission option:
+        * `maxOffsetsPerTrigger` caps RECORDS per micro-batch (the
+        * option `toKafkaOptions` emits), via the same
+        * SupportsAdmissionControl end-offset capping the graft-cdc
+        * source uses — capped at latestOffset, never at planning. */
+      override def toMicroBatchStream(
+          checkpointLocation: String): MicroBatchStream =
+        new MicroBatchStream with SupportsAdmissionControl {
+          private val all = flat
+          override def initialOffset(): Offset = KafkaSimOffset(0L)
+          override def deserializeOffset(json: String): Offset =
+            KafkaSimOffset(json.toLong)
+          override def latestOffset(): Offset =
+            KafkaSimOffset(all.length.toLong)
+          override def getDefaultReadLimit: ReadLimit =
+            maxOffsetsPerTrigger.map(ReadLimit.maxRows)
+              .getOrElse(ReadLimit.allAvailable())
+          override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+            val s = start.asInstanceOf[KafkaSimOffset].n
+            limit match {
+              case mr: ReadMaxRows =>
+                KafkaSimOffset(math.min(all.length.toLong, s + mr.maxRows))
+              case _ => KafkaSimOffset(all.length.toLong)
+            }
+          }
+          override def reportLatestOffset(): Offset = latestOffset()
+          override def planInputPartitions(
+              start: Offset, end: Offset): Array[InputPartition] = {
+            val s = start.asInstanceOf[KafkaSimOffset].n.toInt
+            val e = end.asInstanceOf[KafkaSimOffset].n.toInt
+            toPartitions(all.slice(s, e))
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new KafkaSimReaderFactory
+          override def commit(end: Offset): Unit = ()
+          override def stop(): Unit = ()
+        }
     }
 }
 
