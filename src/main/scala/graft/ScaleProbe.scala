@@ -372,7 +372,13 @@ object ScaleProbe {
         // cdc35 (round 15): idleness topology — append windows whose
         // state is open windows × tables; heartbeats advance the
         // watermark, so state FALLS as windows finalize (cdc24's curve)
-        "cdc35_idle_partition")
+        "cdc35_idle_partition",
+        // cdc36 (round 15): the composed subscription path — sweep at
+        // 1×/16× only: the kafka-protocol SHIM keeps its log in driver
+        // heap (an in-JVM test double, not a transport), so 64× would
+        // measure the double's registry, not the operator; the decode
+        // is cdc33's (linear) and the state machine cdc11's (measured)
+        "cdc36_avro_subscription")
          if wanted(op); k <- mults) {
       graft.StreamStats.reset()
       val ts = time(op, evDirFor(k))

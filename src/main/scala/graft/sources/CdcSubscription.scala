@@ -41,17 +41,29 @@ final case class CdcSubscription(
 
   /** Start position in epoch micros, parsed from either a raw number
     * or a datetime string (checkpoint repositioning,
-    * ref fetcher/ClusterSwitchListener.java). An empty or junk value
-    * fails here with a clear message, not a bare NumberFormatException
-    * downstream. */
+    * ref fetcher/ClusterSwitchListener.java). Round 15: a trailing
+    * zone is honored — "2024-01-15 00:00:00 +08:00" or
+    * "... Asia/Shanghai" reposition at that wall time IN that zone
+    * (the [[graft.cdc.DtsDateTime]] zoned path); zoneless strings
+    * stay UTC as before. An empty or junk value fails here with a
+    * clear message, not a bare NumberFormatException downstream. */
   def checkpointUs: Option[Long] = checkpoint.map { c =>
     if (c.matches("\\d+")) c.toLong
     else
       try Values.dateTimeToMicros(c)
       catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"cdc subscription: bad 'checkpoint' value '$c' — expected " +
-            "epoch micros or a datetime string", e)
+        case _: Exception =>
+          try {
+            import graft.cdc.DtsDateTime
+            val dt = DtsDateTime.parse(c,
+              DtsDateTime.SegDateTimeNanos | DtsDateTime.SegTimezone)
+            require(dt.timeZone != null && dt.year > 0)
+            dt.toMicros
+          } catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"cdc subscription: bad 'checkpoint' value '$c' — expected " +
+                "epoch micros or a datetime string (optionally zoned)", e)
+          }
       }
   }
 

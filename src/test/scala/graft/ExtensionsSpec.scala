@@ -311,6 +311,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sub.readBatch(spark).count() == 16)
     val dtSub = sub.copy(checkpoint = Some("1970-01-01 00:00:15"))
     assert(dtSub.checkpointUs.contains(15000000L))
+    // round 15: a zoned checkpoint repositions at that wall time IN
+    // that zone — 08:00 in +08:00 is midnight UTC
+    val zoned = sub.copy(checkpoint = Some("1970-01-02 08:00:00 +08:00"))
+    assert(zoned.checkpointUs.contains(86400L * 1000000L), zoned.checkpointUs)
+    val region = sub.copy(checkpoint = Some("1970-01-02 08:00:00 Asia/Shanghai"))
+    assert(region.checkpointUs.contains(86400L * 1000000L), region.checkpointUs)
+    // junk still fails loudly
+    assertThrows[IllegalArgumentException] {
+      sub.copy(checkpoint = Some("not a time")).checkpointUs
+    }
   }
 
   test("subscription maps onto spark-sql-kafka options (ref DtsOptions surface)") {

@@ -472,4 +472,17 @@ class PlanSpec extends AnyFunSuite {
     assert(opt.toString.contains("array_intersect"),
       s"exact verify must come from stored shingle sets:\n$opt")
   }
+
+  test("cdc33 avro wire: encode and decode both ride the scan, zero exchanges") {
+    // the real-wire round trip is per-record map work — at 100 TB its
+    // cost must be the scan, never a shuffle; an Exchange appearing
+    // here means someone materialized or repartitioned the wire frame
+    val p = plan("cdc33_avro_wire")
+    assert(count(p, "Exchange") == 0,
+      s"wire encode+decode must ride the scan:\n$p")
+    // both object boundaries are present: the fixture encode's
+    // serialize and the decode flatMap's deserialize
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"expected the object-codec stages in the plan:\n$p")
+  }
 }
