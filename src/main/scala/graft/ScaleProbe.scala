@@ -116,6 +116,12 @@ object ScaleProbe {
       // fixture nearly every position is duplicated, so time should
       // track the exploded row count like dd13's
       "dd16_exact_substr_removal",
+      // dd19 (round 15): the LSH completeness audit — truth is the
+      // variant-side shingle equi-join (cost ∝ shingle mass × the
+      // 1/19 sample), verdicts dd02's banding restricted to variants;
+      // on this replica fixture the variants collide with every
+      // replica of their source, so output grows ~k× per k× corpus
+      "dd19_lsh_audit",
       // ann15's hamming pass is ann01's linear broadcast-probe shape
       // over two longs per vector (queries fixed); rerank touches
       // Depth rows per query — the slope is the code-table scan's

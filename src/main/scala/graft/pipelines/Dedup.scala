@@ -36,17 +36,22 @@ object Dedup {
     * at 100 TB nothing row-multiplies before a shuffle (SURVEY §5) —
     * and nothing depends on lambda-interpretation JIT luck (the
     * declarative transform(...) form swung 4s..49s per run). */
-  private def docShingleState(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** Per-doc shingle state over any (doc_id, ws) frame — factored out
+    * (round 15) so dd19's injected-variant corpus rides the exact
+    * machinery the organic corpus does. */
+  private def shingleStateOf(w: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val sigCols = (0 until Bands).map(b =>
       element_at(col("sigs"), b + 1).as(s"sig$b"))
-    TextShingles.words(s, dir)
-      .withColumn("sigs",
+    w.withColumn("sigs",
         column(graft.functions.MinHashSigs(expression(col("ws")), ShingleK, Bands)))
       .withColumn("hset",
         column(graft.functions.ShingleHashSet(expression(col("ws")), ShingleK)))
       .select(Seq(col("doc_id"), col("hset")) ++ sigCols: _*)
   }
+
+  private def docShingleState(s: org.apache.spark.sql.SparkSession, dir: String) =
+    shingleStateOf(TextShingles.words(s, dir))
 
   /** (doc_id, b, sig) unpivoted signatures; docs with no shingles have
     * null sigs, which never join. */
@@ -1622,7 +1627,119 @@ object Dedup {
       |       ELSE 'b_in_a' END AS rel
       |FROM sc WHERE greatest(c_ab, c_ba) >= $Dd18Thresh""".stripMargin))
 
+  // -------------------------------------------------------------- dd19
+  /** MINHASH-LSH COMPLETENESS AUDIT (round 15) — the dedup-side
+    * analogue of ann16's range audit: measure, pair by pair, whether
+    * dd02's band generator — the candidate machinery that actually
+    * runs at 100 TB — surfaces the near-duplicates that EXACTLY
+    * qualify. The corpus has almost no organic near-dups (3 pairs at
+    * j ≥ 0.2 corpus-wide at sf0.01 — an audit over them is vacuous),
+    * so the gate INJECTS the case (the mm06/px02 pattern): every 19th
+    * document contributes a PREFIX variant keeping 40-94% of its
+    * words (the fraction varies per doc_id, 12-94%), which pins a known
+    * Jaccard ladder — a prefix's shingles are a subset of its
+    * source's, so j ≈ kept/total, spanning every decile from ~0.1 up.
+    * With 4 one-hash bands P(hit) = 1-(1-s)⁴: ≈99% at s=0.7 but only
+    * ≈42% at s=0.13 — the audited cut is j ≥ 0.1 precisely so BOTH
+    * verdict classes fire (the miss tail is where a production dedup
+    * quietly loses near-dups; measuring it is the operator's point).
+    *
+    * Truth is complete by construction: Jaccard > 0 ⟺ the pair shares
+    * a shingle, so the variant-side shingle equi-join finds every
+    * qualifying pair exactly (no banding, no cap); its cost is the
+    * corpus' shingle mass × the variant fraction — the brute leg
+    * priced the way ann16 prices its radius scan, affordable BECAUSE
+    * it is sampled. All comparisons are integer-exact (10·|∩| ≥ |∪|
+    * for the j ≥ 0.1 cut, (10·|∩|) div |∪| for the decile), so both
+    * engines agree bit-for-bit. Scale shape: one shuffle on the
+    * shingle hash for truth, dd02's (band, sig) join restricted to
+    * the variants for the verdicts, one pair-keyed left join. */
+  private val Dd19Offset = 1000000000L
+
+  private val dd19 = QueryDef(
+    "dd19_lsh_audit",
+    (s, dir) => {
+      val w0 = TextShingles.words(s, dir)
+      val variants = w0.filter(pmod(col("doc_id"), lit(19)) === 0)
+        .select((col("doc_id") + Dd19Offset).as("doc_id"),
+          expr("slice(ws, 1, greatest(3, cast(size(ws) * " +
+            "(12 + doc_id % 83) div 100 as int)))").as("ws"))
+      val st = shingleStateOf(w0.unionAll(variants)).persist()
+      val sh = st.select(col("doc_id"), explode(col("hset")).as("h"))
+      val cand = sh.filter(col("doc_id") >= Dd19Offset)
+        .select(col("doc_id").as("d1"), col("h"))
+        .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("h"))
+        .filter(col("d1") =!= col("d2"))
+        .select("d1", "d2").distinct()
+      val sets = st.select(col("doc_id"), col("hset"))
+      val truth = cand
+        .join(sets.as("a"), col("d1") === col("a.doc_id"))
+        .join(sets.as("b"), col("d2") === col("b.doc_id"))
+        .select(col("d1"), col("d2"),
+          expr("size(array_intersect(a.hset, b.hset))").cast("long")
+            .as("n_inter"),
+          (expr("size(a.hset)").cast("long") +
+            expr("size(b.hset)").cast("long")).as("n_ab"))
+        .withColumn("n_union", col("n_ab") - col("n_inter"))
+        .filter(col("n_inter") * 10 >= col("n_union"))
+        .drop("n_ab")
+      val sig = signatures(st)
+      val hits = sig.as("s1").filter(col("s1.doc_id") >= Dd19Offset)
+        .join(sig.as("s2"),
+          col("s1.b") === col("s2.b") && col("s1.sig") === col("s2.sig") &&
+            col("s1.doc_id") =!= col("s2.doc_id"))
+        .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
+        .distinct()
+        .withColumn("hit", lit(true))
+      val out = truth.join(hits, Seq("d1", "d2"), "left")
+        .select(col("d1"), col("d2"), col("n_inter"), col("n_union"),
+          expr("n_inter * 10 div n_union").as("j_decile"),
+          coalesce(col("hit"), lit(false)).as("lsh_hit"))
+        .localCheckpoint(true)
+      st.unpersist(blocking = false)
+      out
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |w AS (SELECT doc_id, ws FROM w0
+      |  UNION ALL
+      |  SELECT doc_id + $Dd19Offset,
+      |    ws[1 : greatest(3, CAST(len(ws) * (12 + doc_id % 83) // 100
+      |      AS INT))]
+      |  FROM w0 WHERE doc_id % 19 = 0),
+      |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+      |    AS sg
+      |  FROM w CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t),
+      |shd AS (SELECT DISTINCT doc_id, ${hash64Sql("sg")} AS h FROM sh),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      |$signaturesSql,
+      |cand AS (SELECT DISTINCT q.doc_id AS d1, s.doc_id AS d2
+      |  FROM shd q JOIN shd s ON q.h = s.h AND s.doc_id <> q.doc_id
+      |  WHERE q.doc_id >= $Dd19Offset),
+      |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN shd a ON c.d1 = a.doc_id
+      |  JOIN shd b ON c.d2 = b.doc_id AND a.h = b.h
+      |  GROUP BY c.d1, c.d2),
+      |truth AS (SELECT i.d1, i.d2, i.n_inter,
+      |    za.n + zb.n - i.n_inter AS n_union
+      |  FROM inter i
+      |  JOIN sizes za ON i.d1 = za.doc_id
+      |  JOIN sizes zb ON i.d2 = zb.doc_id
+      |  WHERE 10 * i.n_inter >= za.n + zb.n - i.n_inter),
+      |hits AS (SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2
+      |  FROM sig s1 JOIN sig s2
+      |    ON s1.b = s2.b AND s1.sig = s2.sig AND s1.doc_id <> s2.doc_id
+      |  WHERE s1.doc_id >= $Dd19Offset)
+      |SELECT t.d1, t.d2, t.n_inter, t.n_union,
+      |  (t.n_inter * 10) // t.n_union AS j_decile,
+      |  h.d1 IS NOT NULL AS lsh_hit
+      |FROM truth t LEFT JOIN hits h ON t.d1 = h.d1 AND t.d2 = h.d2
+      |""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11,
-      dd12, dd13, dd14, dd15, dd16, dd17, dd18)
+      dd12, dd13, dd14, dd15, dd16, dd17, dd18, dd19)
 }

@@ -2792,4 +2792,33 @@ class PipelineSpec extends AnyFunSuite {
       assert(cums.zip(cums.drop(1)).forall { case (a, b) => a <= b })
     }
   }
+
+  test("dd19 lsh audit: both verdict classes fire, misses sit in the " +
+      "low-similarity tail, the cut and decile math hold row-wise") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("dd19_lsh_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // row-wise invariants: the audited side is the injected variants,
+    // every pair passes the exact j >= 0.1 cut, and the decile is the
+    // integer form of the same ratio
+    rows.foreach { r =>
+      val (nI, nU) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))
+      assert(r.getAs[Long]("d1") >= 1000000000L)
+      assert(10 * nI >= nU, s"cut violated: $r")
+      assert(r.getAs[Long]("j_decile") == nI * 10 / nU, s"decile: $r")
+    }
+    // the audit's POINT: the band generator misses real near-dups and
+    // the audit catches it — both classes non-vacuous on the fixture
+    val (hits, misses) = rows.partition(_.getAs[Boolean]("lsh_hit"))
+    assert(hits.nonEmpty && misses.nonEmpty,
+      s"audit vacuous: ${hits.length} hits / ${misses.length} misses")
+    // misses concentrate where 1-(1-s)^4 is genuinely lossy: on this
+    // deterministic fixture every miss sits below decile 6 (s < 0.6,
+    // where a single-band collision is no longer near-certain), and
+    // the strong-similarity deciles (>= 6) are fully surfaced
+    assert(misses.forall(_.getAs[Long]("j_decile") < 6L),
+      misses.map(_.getAs[Long]("j_decile")).mkString(","))
+    val strong = rows.filter(_.getAs[Long]("j_decile") >= 6L)
+    assert(strong.nonEmpty && strong.forall(_.getAs[Boolean]("lsh_hit")))
+  }
 }
