@@ -246,6 +246,38 @@ object AvroWireProps extends Properties("AvroWire") {
           true) // full decode may or may not survive; selection must
     }
 
+  property("junk bytes never hang or corrupt: decode/headerTable " +
+      "throw or return, in bounded time") = {
+    // the permissive wire mode drops what it cannot decode — that
+    // contract needs decode to FAIL CLEANLY on arbitrary bytes (no
+    // infinite loops on adversarial varint block counts, no OOM on
+    // claimed-huge arrays). Avro's BinaryDecoder bounds reads by the
+    // buffer; this pins that our layer on top inherits the property.
+    forAll(Gen.chooseNum(0, 512), Gen.long) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val junk = Array.fill(n)(rnd.nextInt().toByte)
+      val d = scala.util.Try(AvroWire.decode(junk))
+      val h = scala.util.Try(AvroWire.headerTable(junk))
+      // either outcome is fine; surviving means it terminated
+      Prop(d.isSuccess || d.isFailure) && Prop(h.isSuccess || h.isFailure)
+    }
+  }
+
+  property("a valid record with a truncated tail decodes the header " +
+      "or fails cleanly — never garbage header fields") =
+    forAll(Gen.chooseNum(1, 40)) { cut =>
+      val w = rec(Op.Update, Seq("c" -> 1), null,
+        Seq(WString("utf8", "abcdefghij".getBytes("UTF-8"))))
+      val bytes = AvroWire.encodeRecord(w)
+      val trunc = bytes.take(math.max(1, bytes.length - cut))
+      scala.util.Try(AvroWire.decode(trunc)) match {
+        case scala.util.Success(r) =>
+          // if it decodes at all, the header fields are the real ones
+          Prop(r.id == 7L && r.op == Op.Update) :| r.toString
+        case scala.util.Failure(_) => Prop(true)
+      }
+    }
+
   property("consumer-only ops are rejected at encode, decoded ops " +
       "cover the enum") = {
     val bad = Seq(Op.Eof, Op.ManualGenerated, Op.Unknown).map { op =>
