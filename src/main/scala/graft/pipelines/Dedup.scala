@@ -1635,8 +1635,8 @@ object Dedup {
     * qualify. The corpus has almost no organic near-dups (3 pairs at
     * j ≥ 0.2 corpus-wide at sf0.01 — an audit over them is vacuous),
     * so the gate INJECTS the case (the mm06/px02 pattern): every 19th
-    * document contributes a PREFIX variant keeping 40-94% of its
-    * words (the fraction varies per doc_id, 12-94%), which pins a known
+    * document contributes a PREFIX variant keeping 12-94% of its
+    * words (the fraction varies per doc_id), which pins a known
     * Jaccard ladder — a prefix's shingles are a subset of its
     * source's, so j ≈ kept/total, spanning every decile from ~0.1 up.
     * With 4 one-hash bands P(hit) = 1-(1-s)⁴: ≈99% at s=0.7 but only

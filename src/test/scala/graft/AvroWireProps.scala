@@ -292,13 +292,92 @@ object AvroWireProps extends Properties("AvroWire") {
   }
 
   property("a record ending at the after-image (no bornTimestamp) " +
-      "still decodes — the reference's isEnd branch") =
+      "still decodes — the reference's isEnd branch, with born falling " +
+      "back to the header timestamp (getBornTimestamp's born<=0 path)") =
     forAll(Gen.chooseNum(0L, 1000000L)) { id =>
       val w = rec(Op.Insert, Seq("c" -> 1), null, Seq(WInteger(10, "5")))
         .copy(id = id)
       val r = AvroWire.decode(AvroWire.encodeRecord(w, writeBorn = false))
-      Prop(r.id == id && r.bornUs == 0L && r.after("c") == "5")
+      Prop(r.id == id && r.bornUs == 1700000123L && r.after("c") == "5")
     }
+
+  property("a present-but-non-positive bornTimestamp also falls back " +
+      "to the header timestamp, like getBornTimestamp") =
+    forAll(Gen.oneOf(0L, -1L, -42L)) { born =>
+      val w = rec(Op.Insert, Seq("c" -> 1), null, Seq(WInteger(10, "5")))
+        .copy(bornTimestamp = born)
+      val r = AvroWire.decode(AvroWire.encodeRecord(w))
+      Prop(r.bornUs == 1700000123L) :| s"born=$born decoded ${r.bornUs}"
+    }
+
+  property("a ZERO-LENGTH image array decodes to a null image, not an " +
+      "empty map — the reference builds DefaultRowImage only when " +
+      "chunkLen > 0") = {
+    val r = AvroWire.decode(AvroWire.encodeRecord(rec(
+      Op.Insert, Seq("c" -> 1), Seq.empty, Seq.empty)))
+    Prop(r.before == null && r.after == null) :| r.toString
+  }
+
+  // --------------------------------------- wire field types (round 16)
+
+  private val genFieldName: Gen[String] = for {
+    base <- genName
+    decor <- Gen.oneOf("", ":", ",", "%", "%2C", "日時", ":a,b%")
+  } yield base + decor
+
+  property("the wire field list with its dataTypeNumbers round-trips " +
+      "through the props rendering — names with ':'/','/'%' included") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(genFieldName,
+        Gen.chooseNum(0, 255)))) { fields =>
+      val s = graft.cdc.RawDataTypes.fieldsToProp(fields)
+      Prop(graft.cdc.RawDataTypes.fieldsFromProp(s) == fields) :| s
+    }
+
+  property("decode stashes the EXACT encoded field list (names + type " +
+      "ids) under PropWireFieldTypes — VERDICT r15 #1, ids kept not " +
+      "discarded") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(genName, Gen.chooseNum(0, 255)))) {
+      fieldsRaw =>
+        // field names must be unique for the image map; dedupe by name
+        val fields = fieldsRaw.distinctBy(_._1)
+        val w = rec(Op.Insert, fields, null,
+          fields.map(_ => WInteger(10, "1")))
+        val r = AvroWire.decode(AvroWire.encodeRecord(w))
+        val got = graft.cdc.RawDataTypes.fieldsFromProp(
+          r.props(AvroWire.PropWireFieldTypes))
+        Prop(got == fields) :| s"got $got want $fields"
+    }
+
+  property("a record with no field list stashes nothing; DDL stashes " +
+      "the synthesized ddl:0 field like the reference") = {
+    val hb = AvroWire.decode(AvroWire.encodeRecord(rec(
+      Op.Heartbeat, null, null, null)))
+    val ddl = AvroWire.decode(AvroWire.encodeRecord(rec(
+      Op.Ddl, null, null,
+      Seq(WTextObject("SQL", "ALTER TABLE t ADD c INT")))))
+    Prop(!hb.props.contains(AvroWire.PropWireFieldTypes)) :| hb.toString &&
+      Prop(graft.cdc.RawDataTypes.fieldsFromProp(
+        ddl.props(AvroWire.PropWireFieldTypes)) == Seq("ddl" -> 0)) :|
+      ddl.toString
+  }
+
+  property("RawDataTypes maps every MySQL protocol id to a usable " +
+      "sqlType (pinned table rows + closed default)") = {
+    import graft.cdc.RawDataTypes.sqlTypeOf
+    Prop(sqlTypeOf(0) == "decimal(38,10)" && sqlTypeOf(246) == "decimal(38,10)" &&
+      sqlTypeOf(1) == "tinyint" && sqlTypeOf(2) == "smallint" &&
+      sqlTypeOf(3) == "int" && sqlTypeOf(9) == "int" &&
+      sqlTypeOf(4) == "float" && sqlTypeOf(5) == "double" &&
+      sqlTypeOf(7) == "timestamp_us" && sqlTypeOf(17) == "timestamp_us" &&
+      sqlTypeOf(8) == "bigint" && sqlTypeOf(16) == "bigint" &&
+      sqlTypeOf(10) == "date" && sqlTypeOf(14) == "date" &&
+      sqlTypeOf(11) == "time_us" && sqlTypeOf(19) == "time_us" &&
+      sqlTypeOf(12) == "timestamp" && sqlTypeOf(18) == "timestamp" &&
+      sqlTypeOf(13) == "int" &&
+      sqlTypeOf(245) == "string" && sqlTypeOf(253) == "string" &&
+      sqlTypeOf(254) == "string" && sqlTypeOf(255) == "string" &&
+      sqlTypeOf(250) == "string" && sqlTypeOf(9999) == "string")
+  }
 
   property("images: DELETE keeps before, heartbeat carries none, DDL " +
       "text rides the synthesized ddl field") = {

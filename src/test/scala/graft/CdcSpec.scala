@@ -306,6 +306,68 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(spark.table("avro_bridge_t").count() == 11)
   }
 
+  test("wire-derived typing: deriveSchema types columns from the wire " +
+      "field list alone — no declared TypedSchema (VERDICT r15 #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.cdc.{AvroWire, RawDataTypes}
+    import graft.cdc.AvroWire._
+    def wrec(id: Long, op: String) = AvroWire.encodeRecord(WireRecord(
+      version = 2, id = id, timestampSec = 1700000000L + id,
+      sourcePosition = s"$id@1", safeSourcePosition = s"$id@0",
+      transactionId = "tx-1", sourceTypeCode = 0,
+      sourceVersion = "8.0", op = op,
+      objectName = "appdb.m",
+      tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+      fields = if (op == Op.Heartbeat) null
+        else Seq("uid" -> 8, "price" -> 246, "seen" -> 7, "d" -> 10,
+          "t" -> 11, "note" -> 253),
+      before = null,
+      after = if (op == Op.Heartbeat) null
+        else Seq(WInteger(20, id.toString),
+          WDecimal(s"$id.2500", 18, 4),
+          WTimestamp(1700000000L + id, 123456),
+          WDateTime(graft.cdc.DtsDateTime(
+            graft.cdc.DtsDateTime.SegDate, 2024, 2, 3)),
+          WDateTime(graft.cdc.DtsDateTime(
+            graft.cdc.DtsDateTime.SegTime, hour = 1, minute = 2,
+            second = 3)),
+          WString("utf8", s"n$id".getBytes("UTF-8"))),
+      bornTimestamp = id))
+    // a heartbeat FIRST: the schema probe must skip field-list-less
+    // records, not crash on them
+    val kafka = (wrec(0, Op.Heartbeat) +: (1L to 5L).map(i =>
+      wrec(i, Op.Insert))).toDF("value")
+    val decoded = CdcStreaming.fromKafkaRecords(kafka, wire = "dts-avro")
+    val schema = RawDataTypes.deriveSchema(decoded, "appdb", "m")
+    assert(schema.pkNames == Seq("uid"))
+    assert(schema.fields == Seq(
+      TypedSchema.RecordField("uid", "bigint"),
+      TypedSchema.RecordField("price", "decimal(38,10)"),
+      TypedSchema.RecordField("seen", "timestamp_us"),
+      TypedSchema.RecordField("d", "date"),
+      TypedSchema.RecordField("t", "time_us"),
+      TypedSchema.RecordField("note", "string")))
+    val typed = TypedSchema.project(decoded, schema)
+    assert(typed.schema("uid").dataType == LongType)
+    assert(typed.schema("price").dataType == DecimalType(38, 10))
+    assert(typed.schema("seen").dataType == TimestampType)
+    assert(typed.schema("d").dataType == DateType)
+    assert(typed.schema("t").dataType == LongType)
+    assert(typed.schema("note").dataType == StringType)
+    val r3 = typed.filter(col("uid") === 3L).head()
+    assert(r3.getAs[java.math.BigDecimal]("price").toPlainString ==
+      "3.2500000000")
+    assert(r3.getAs[java.sql.Timestamp]("seen").getTime ==
+      1700000003L * 1000L + 123L)
+    assert(r3.getAs[java.sql.Date]("d").toString == "2024-02-03")
+    assert(r3.getAs[Long]("t") == (1 * 3600L + 2 * 60L + 3) * 1000000L)
+    assert(r3.getAs[String]("note") == "n3")
+    // heartbeats of the same table project as typed NULL rows
+    assert(typed.filter(col("record_op") === Op.Heartbeat)
+      .head().isNullAt(typed.columns.indexOf("uid")))
+  }
+
   test("footer stats prune chunks on timestamp reposition") {
     val dir = Files.createTempDirectory("gcl").toString
     CdcFixtures.writeChunks(dir)
@@ -396,6 +458,23 @@ class CdcSourceSpec extends AnyFunSuite {
       val deadKeys = byKey.filter(!_._2._2)
       assert(deadKeys.values.map(_._1).toSet == Set(29L))
     } finally q.stop()
+  }
+
+  test("dataOps is marker-proof: an injected fetch marker or heartbeat " +
+      "never counts as a data row (ADVICE r14 #4)") {
+    import spark.implicits._
+    // a shared-fixture clone grown every marker op + the DML trio: the
+    // CASE in CdcQueries.changelog emits only four ops today, but
+    // cdc31-style marker-bearing chunks must stay excluded by
+    // construction, not by fixture accident
+    val ops = Seq(Op.Insert, Op.Update, Op.Delete, Op.Heartbeat) ++
+      Op.markers
+    val log = ops.zipWithIndex
+      .map { case (op, i) => (i.toLong, 1000000L * i, op) }
+      .toDF("record_id", "ts_us", "op")
+    val kept = graft.cdc.CdcQueries.dataOpsOf(log)
+      .select("op").as[String].collect().toSet
+    assert(kept == Set(Op.Insert, Op.Update, Op.Delete))
   }
 
   test("typed schema projection yields typed columns on the stream") {
@@ -1814,5 +1893,42 @@ class CdcSourceSpec extends AnyFunSuite {
     }.distinct
     assert(displaced.nonEmpty,
       "no ranked window changed after its first ranking - stragglers vacuous")
+    // --- retraction changelog (round 16, VERDICT r15 #7): replaying
+    // the per-trigger (+I/-D) emissions must land EXACTLY the final
+    // rank state — every displacement is one retract + one insert
+    val retractDir = CdcQueries.cdc34Retracts.get(sf)
+    assert(retractDir != null, "no cdc34 retract changelog recorded")
+    val emissions = spark.read.parquet(retractDir)
+      .select("epoch", "rank_op", "win_start_us", "pk", "n", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val state = scala.collection.mutable.Map.empty[
+      (Long, Long, Long, Long), Int]
+    emissions.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (e, ems) =>
+      ems.filter(_._2 == "-D").foreach { case (_, _, row) =>
+        val c = state.getOrElse(row, 0)
+        assert(c > 0, s"epoch $e retracts $row which is not live")
+        if (c == 1) state.remove(row) else state(row) = c - 1
+      }
+      ems.filter(_._2 == "+I").foreach { case (_, _, row) =>
+        state(row) = state.getOrElse(row, 0) + 1
+      }
+    }
+    assert(state.values.forall(_ == 1), "duplicate live rank rows")
+    val replayed = state.keySet.toSet
+    val finalRows = rows.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("n"), r.getAs[Long]("rnk"))).toSet
+    assert(replayed == finalRows,
+      s"retraction replay diverges: ${replayed.diff(finalRows).take(3)} vs " +
+        s"${finalRows.diff(replayed).take(3)}")
+    // non-vacuity: at least one PURE displacement (a pk leaving a
+    // window's top-3 entirely, not just a count update on a survivor)
+    val pureDisplace = emissions.filter(_._2 == "-D").exists {
+      case (e, _, (w, pk, _, _)) =>
+        !emissions.exists { case (e2, op2, (w2, pk2, _, _)) =>
+          e2 == e && op2 == "+I" && w2 == w && pk2 == pk }
+    }
+    assert(pureDisplace, "no pure displacement in the retract changelog")
   }
 }
