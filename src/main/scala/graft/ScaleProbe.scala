@@ -393,7 +393,10 @@ object ScaleProbe {
         // cdc38 (round 16): the failover-reseek composition — wire
         // volume ×(1 + overlap fraction) through the dedup (state =
         // ids in the watermark horizon) + the keyed count aggregate
-        "cdc38_cluster_switch")
+        "cdc38_cluster_switch",
+        // cdc39 (round 16): DDL evolution × wire typing — cdc37's
+        // stateless shape + two O(1) schema fetches and one DDL row
+        "cdc39_ddl_evolved_typing")
          if wanted(op); k <- mults) {
       graft.StreamStats.reset()
       val ts = time(op, evDirFor(k))

@@ -3530,9 +3530,130 @@ object CdcQueries {
       |FROM changelog WHERE op <> 'HEARTBEAT'
       |GROUP BY pk""".stripMargin))
 
+  // -------------------------------------------------------------- cdc39
+  /** IN-BAND DDL SCHEMA EVOLUTION × WIRE-DERIVED TYPING (round 16 —
+    * the composition cdc37 and the DDL control stream leave open): a
+    * mid-stream `ALTER TABLE ... ADD COLUMN` arrives AS A RECORD on
+    * the dts-avro wire (the reference delivers DDL in-band —
+    * OperationType.DDL, the statement riding the whole-image string
+    * branch with the synthesized `ddl` field,
+    * LazyRecordDeserializer.deserializeFieldListAndIndex), and the
+    * records AFTER it carry the evolved field list with the new
+    * column's dataTypeNumber. A consumer has two independent ways to
+    * learn the new shape — react to the DDL statement
+    * ([[TypedSchema.applyDdl]] on [[graft.streaming.CdcStreaming
+    * .ddlEvents]]) or re-derive from wire metadata
+    * ([[RawDataTypes.deriveSchema]] on a post-DDL record) — and they
+    * MUST AGREE; the gate asserts exactly that (`require(fields ==
+    * fields)`) and then projects the whole stream under the evolved
+    * schema: pre-DDL rows carry a typed NULL for the added column,
+    * post-DDL rows its typed value, the DDL record itself a typed-NULL
+    * row under its own op. Everything is oracle-stated: the cut is
+    * the span midpoint both engines compute identically. Scale: the
+    * schema fetches are two bounded driver reads (one record each)
+    * and the one DDL record; the projection rides the scan like
+    * cdc37. */
+  private val cdc39 = QueryDef(
+    "cdc39_ddl_evolved_typing",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val log = changelog(s, dir)
+      val bounds = log.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      val fixture = log.select(
+        col("record_id"), col("ts_us"), col("op"), col("pk"),
+        col("val").cast("decimal(18,4)").cast("string").as("val_str"),
+        col("k"))
+        .as[(Long, Long, String, Long, String, Option[Int])]
+      val wire = fixture.map { case (id, tsUs, op, pk, valStr, kOpt) =>
+        import AvroWire._
+        val heart = op == "HEARTBEAT"
+        val evolved = tsUs >= cut
+        val values: Seq[WireValue] =
+          if (heart) null
+          else {
+            val base = Seq[WireValue](
+              WInteger(20, pk.toString), WDecimal(valStr, 18, 4))
+            if (evolved)
+              base :+ kOpt.fold[WireValue](WNull)(k =>
+                WInteger(10, k.toString))
+            else base
+          }
+        val fields =
+          if (heart) null
+          else if (evolved) Seq("uid" -> 8, "val" -> 246, "k2" -> 3)
+          else Seq("uid" -> 8, "val" -> 246)
+        AvroWire.encodeRecord(WireRecord(
+          version = 2, id = id, timestampSec = Math.floorDiv(tsUs, 1000000L),
+          sourcePosition = s"$tsUs@1", safeSourcePosition = s"$tsUs@0",
+          transactionId = s"tx-${tsUs / 60000000L}",
+          sourceTypeCode = 0, sourceVersion = "8.0", op = op,
+          objectName = "app.events",
+          tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+          fields = fields,
+          before = if (op == "DELETE") values else null,
+          after = if (heart || op == "DELETE") null else values,
+          bornTimestamp = tsUs - 1000L))
+      }(Encoders.BINARY).toDF("value")
+      // the in-band DDL record at the cut (driver-side single-record
+      // encode — fixture transport, one row)
+      val ddlBytes = {
+        import AvroWire._
+        AvroWire.encodeRecord(WireRecord(
+          version = 2, id = -1L, timestampSec = Math.floorDiv(cut, 1000000L),
+          sourcePosition = s"$cut@1", safeSourcePosition = s"$cut@0",
+          transactionId = "tx-ddl", sourceTypeCode = 0,
+          sourceVersion = "8.0", op = Op.Ddl, objectName = "app.events",
+          tags = Map.empty, fields = null, before = null,
+          after = Seq(WTextObject("SQL",
+            "ALTER TABLE app.events ADD COLUMN k2 int")),
+          bornTimestamp = cut))
+      }
+      val recs = graft.streaming.CdcStreaming.fromKafkaRecords(
+        wire.unionByName(Seq(ddlBytes).toDF("value")),
+        table = Some("app.events"), permissive = false, wire = "dts-avro")
+      // way 1: the DDL control stream evolves the PRE-DDL wire schema
+      val base = RawDataTypes.deriveSchema(
+        recs.filter(col("tsUs") < (cut / 1000000L) * 1000000L),
+        "app", "events")
+      val stmts = graft.streaming.CdcStreaming.ddlEvents(recs)
+        .select("statement").as[String].collect() // 1 row — bounded
+      val viaDdl = stmts.foldLeft(base)(TypedSchema.applyDdl)
+      // way 2: wire metadata of a post-DDL record
+      val viaWire = RawDataTypes.deriveSchema(
+        recs.filter(col("tsUs") >= (cut / 1000000L + 1L) * 1000000L),
+        "app", "events")
+      require(viaDdl.fields == viaWire.fields,
+        s"cdc39: DDL-evolved schema ${viaDdl.fields} != " +
+          s"wire-derived ${viaWire.fields}")
+      TypedSchema.project(recs, viaDdl).select(
+        col("record_id"),
+        col("record_ts_us"),
+        col("record_op"),
+        col("uid"),
+        col("val").cast("double").as("val_dec"),
+        col("k2"))
+    },
+    Some(s"""$changelogSql,
+      |b AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM changelog),
+      |cut AS (SELECT tmin + (tmax - tmin) // 2 AS c FROM b)
+      |SELECT record_id,
+      |  (ts_us // 1000000) * 1000000 AS record_ts_us,
+      |  op AS record_op,
+      |  CASE WHEN op IN ('INSERT','UPDATE') THEN pk END AS uid,
+      |  CASE WHEN op IN ('INSERT','UPDATE')
+      |    THEN CAST(CAST(val AS DECIMAL(18,4)) AS DOUBLE) END AS val_dec,
+      |  CASE WHEN op IN ('INSERT','UPDATE') AND ts_us >= (SELECT c FROM cut)
+      |    THEN k END AS k2
+      |FROM changelog
+      |UNION ALL
+      |SELECT -1, ((SELECT c FROM cut) // 1000000) * 1000000, 'DDL',
+      |  NULL, NULL, NULL""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
     cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30,
-    cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38)
+    cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38, cdc39)
 }

@@ -368,6 +368,40 @@ class CdcSourceSpec extends AnyFunSuite {
       .head().isNullAt(typed.columns.indexOf("uid")))
   }
 
+  test("DDL evolution and wire-derived typing AGREE in both directions " +
+      "(ADD and DROP COLUMN) — the cdc39 convergence, spec side") {
+    import spark.implicits._
+    import graft.cdc.{AvroWire, RawDataTypes}
+    import graft.cdc.AvroWire._
+    def wrec(id: Long, fields: Seq[(String, Int)]) =
+      AvroWire.encodeRecord(WireRecord(
+        version = 2, id = id, timestampSec = 1700000000L + id,
+        sourcePosition = s"$id@1", safeSourcePosition = s"$id@0",
+        transactionId = "tx-1", sourceTypeCode = 0, sourceVersion = "8.0",
+        op = Op.Insert, objectName = "appdb.m",
+        tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+        fields = fields, before = null,
+        after = fields.map(_ => WInteger(10, "1")),
+        bornTimestamp = id))
+    val pre = Seq("uid" -> 8, "a" -> 3, "b" -> 253)
+    val added = pre :+ ("k2" -> 3)
+    val dropped = pre.filterNot(_._1 == "a")
+    def derive(fields: Seq[(String, Int)]) =
+      RawDataTypes.deriveSchema(
+        CdcStreaming.fromKafkaRecords(
+          Seq(wrec(1, fields)).toDF("value"), wire = "dts-avro"),
+        "appdb", "m")
+    val base = derive(pre)
+    // ADD: applyDdl on the statement == deriveSchema on the new wire
+    assert(TypedSchema.applyDdl(base,
+      "ALTER TABLE appdb.m ADD COLUMN k2 int").fields ==
+      derive(added).fields)
+    // DROP: same agreement in the other direction
+    assert(TypedSchema.applyDdl(base,
+      "ALTER TABLE appdb.m DROP COLUMN a").fields ==
+      derive(dropped).fields)
+  }
+
   test("footer stats prune chunks on timestamp reposition") {
     val dir = Files.createTempDirectory("gcl").toString
     CdcFixtures.writeChunks(dir)
