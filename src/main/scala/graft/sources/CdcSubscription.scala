@@ -87,7 +87,12 @@ final case class CdcSubscription(
     *     config object cannot know) — exactly the reference's
     *     searchOffsetByTimestamp repositioning
     *   - user/password → SASL/PLAIN jaas config (the DTS broker's auth
-    *     mode), else the PLAINTEXT protocol
+    *     mode), else the PLAINTEXT protocol. With a `sid` the SASL
+    *     username is the COMPOUND `"<user>-<sid>"` — the reference's
+    *     buildJaasConfig renders exactly that
+    *     (DtsKafkaUtil.java:55-66: `username="%s-%s"` when sid is
+    *     non-empty), and a real endpoint rejects the bare user; the
+    *     sid rides INSIDE the username, never as its own option
     *   - maxChunksPerTrigger → `maxOffsetsPerTrigger` (admission
     *     control; a chunk holds [[CdcChunkFile]] record batches, so
     *     the cap converts at that granularity)
@@ -102,12 +107,15 @@ final case class CdcSubscription(
       maxChunksPerTrigger.map(n =>
         "maxOffsetsPerTrigger" -> (n.toLong * CdcChunkFile.SplitStride).toString)
     val auth = (user, password) match {
-      case (Some(u), Some(p)) => Map(
-        "kafka.security.protocol" -> "SASL_PLAINTEXT",
-        "kafka.sasl.mechanism" -> "PLAIN",
-        "kafka.sasl.jaas.config" ->
-          ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
-            s"""username="${jaasEscape(u)}" password="${jaasEscape(p)}";"""))
+      case (Some(u), Some(p)) =>
+        // compound username with a sid (ref DtsKafkaUtil.buildJaasConfig)
+        val uname = sid.filter(_.nonEmpty).fold(u)(s => s"$u-$s")
+        Map(
+          "kafka.security.protocol" -> "SASL_PLAINTEXT",
+          "kafka.sasl.mechanism" -> "PLAIN",
+          "kafka.sasl.jaas.config" ->
+            ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+              s"""username="${jaasEscape(uname)}" password="${jaasEscape(p)}";"""))
       case _ => Map("kafka.security.protocol" -> "PLAINTEXT")
     }
     base ++ auth

@@ -353,6 +353,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       CdcSubscription(server = "b:9092", sid = Some("s"), user = Some("u"))
     }
+    // with a sid, the SASL username is the COMPOUND "<user>-<sid>" —
+    // the reference's buildJaasConfig (DtsKafkaUtil.java:55-66); a
+    // real endpoint rejects the bare user
+    val withSid = CdcSubscription(server = "b:9092", sid = Some("sid42"),
+      user = Some("alice"), password = Some("pw"))
+    assert(withSid.toKafkaOptions("kafka.sasl.jaas.config") ==
+      "org.apache.kafka.common.security.plain.PlainLoginModule required " +
+        """username="alice-sid42" password="pw";""")
+    // group + sid together: group wins group.id, sid still compounds
+    val both = CdcSubscription(server = "b:9092", sid = Some("s1"),
+      group = Some("g1"), user = Some("u"), password = Some("p"))
+    assert(both.toKafkaOptions("kafka.group.id") == "g1")
+    assert(both.toKafkaOptions("kafka.sasl.jaas.config").contains(
+      """username="u-s1""""))
   }
 
   test("toKafkaOptions drives a kafka-protocol endpoint end to end: " +
