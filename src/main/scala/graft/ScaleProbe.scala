@@ -396,7 +396,10 @@ object ScaleProbe {
         "cdc38_cluster_switch",
         // cdc39 (round 16): DDL evolution × wire typing — cdc37's
         // stateless shape + two O(1) schema fetches and one DDL row
-        "cdc39_ddl_evolved_typing")
+        "cdc39_ddl_evolved_typing",
+        // cdc40 (round 16): transport-metadata carry — the stateless
+        // decode with four constant-width columns appended; linear
+        "cdc40_wire_metadata")
          if wanted(op); k <- mults) {
       graft.StreamStats.reset()
       val ts = time(op, evDirFor(k))

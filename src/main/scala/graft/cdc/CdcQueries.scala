@@ -3651,9 +3651,93 @@ object CdcQueries {
       |SELECT -1, ((SELECT c FROM cut) // 1000000) * 1000000, 'DDL',
       |  NULL, NULL, NULL""".stripMargin))
 
+  // -------------------------------------------------------------- cdc40
+  /** TRANSPORT METADATA COLUMNS under the oracle gate (round 16): the
+    * reference's table source exposes the Kafka record's coordinates
+    * as queryable METADATA — topic/partition/offset/timestamp appended
+    * after the physical row (ref: DtsDynamicSource.java:268-345
+    * ReadableMetadata, SupportsReadingMetadata) — for provenance and
+    * offset-based audit. `fromKafkaRecordsWithMeta` carries the same
+    * four through the strict dts-avro decode; the gate serves the
+    * changelog from a KafkaSim broker whose coordinates are fully
+    * DECLARATIVE (partition = pk mod 4, offsets in record-id order
+    * per partition, log-append time = floor-ms of the event time), so
+    * the oracle states every metadata cell: the partition as the
+    * dealing rule, the offset as a per-partition ROW_NUMBER, the
+    * timestamp as ts_us div 1000. Batch read through the shim's
+    * BATCH_READ capability — the metadata path is mode-agnostic.
+    * Scale: stateless decode riding the scan; metadata adds four
+    * constant-width columns, nothing shuffles. */
+  private val cdc40 = QueryDef(
+    "cdc40_wire_metadata",
+    (s, dir) => {
+      import s.implicits._
+      val rows = changelog(s, dir)
+        .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
+          col("val").cast("decimal(18,4)").cast("string"))
+        .as[(Long, Long, String, Long, String)]
+        .collect()
+      val msgs = rows.map { case (id, tsUs, op, pk, valStr) =>
+        import AvroWire._
+        val heart = op == "HEARTBEAT"
+        val values: Seq[WireValue] =
+          if (heart) null
+          else Seq(WInteger(20, pk.toString), WDecimal(valStr, 18, 4))
+        val bytes = AvroWire.encodeRecord(WireRecord(
+          version = 2, id = id,
+          timestampSec = Math.floorDiv(tsUs, 1000000L),
+          sourcePosition = s"$tsUs@1", safeSourcePosition = s"$tsUs@0",
+          transactionId = s"tx-${tsUs / 60000000L}",
+          sourceTypeCode = 0, sourceVersion = "8.0", op = op,
+          objectName = "app.events",
+          tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+          fields = if (heart) null else Seq("uid" -> 8, "val" -> 246),
+          before = if (op == "DELETE") values else null,
+          after = if (heart || op == "DELETE") null else values,
+          bornTimestamp = tsUs - 1000L))
+        ((pk % 4).toInt, tsUs, id, bytes)
+      }
+      val byPart = msgs.groupBy(_._1).toSeq.flatMap { case (p, ms) =>
+        ms.sortBy(_._3).zipWithIndex.map { case ((_, tsUs, _, bytes), off) =>
+          graft.sources.KafkaSimBroker.Msg(p, off.toLong, tsUs / 1000L,
+            null, bytes)
+        }
+      }
+      val server = s"sim://cdc40-${math.abs(dir.hashCode)}"
+      graft.sources.KafkaSimBroker.register(server,
+        Map("dts-events" -> byPart), creds = Some(("subscriber", "s3cr3t")))
+      val sub = graft.sources.CdcSubscription(
+        server = server, topic = "dts-events", group = Some("g-cdc40"),
+        user = Some("subscriber"), password = Some("s3cr3t"))
+      val wire = s.read.format("graft-kafka-sim")
+        .options(sub.toKafkaOptions).load()
+      val recs = graft.streaming.CdcStreaming.fromKafkaRecordsWithMeta(
+        wire, table = Some("app.events"), permissive = false,
+        wire = "dts-avro")
+      val img = when(col("op") === "DELETE", col("before"))
+        .otherwise(col("after"))
+      recs.select(
+        col("id").as("record_id"),
+        col("op"),
+        col("kafka_topic"),
+        col("kafka_partition"),
+        col("kafka_offset"),
+        col("kafka_timestamp_ms"),
+        element_at(img, "uid").cast("bigint").as("uid"))
+    },
+    Some(s"""$changelogSql
+      |SELECT record_id, op,
+      |  'dts-events' AS kafka_topic,
+      |  CAST(pk % 4 AS INT) AS kafka_partition,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY pk % 4 ORDER BY record_id)
+      |    - 1 AS BIGINT) AS kafka_offset,
+      |  ts_us // 1000 AS kafka_timestamp_ms,
+      |  CASE WHEN op <> 'HEARTBEAT' THEN pk END AS uid
+      |FROM changelog""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
     cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30,
-    cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38, cdc39)
+    cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38, cdc39, cdc40)
 }

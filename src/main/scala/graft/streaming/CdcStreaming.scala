@@ -79,16 +79,7 @@ object CdcStreaming {
     val spark = kafka.sparkSession
     import spark.implicits._
     val sel = table.map(graft.sources.CdcSource.parseTableSelector)
-    val (headerTableOf, decodeOf) = wire match {
-      case "graft" =>
-        ((b: Array[Byte]) => graft.cdc.RecordCodec.headerTable(b),
-          (b: Array[Byte]) => graft.cdc.RecordCodec.decode(b))
-      case "dts-avro" =>
-        ((b: Array[Byte]) => graft.cdc.AvroWire.headerTable(b),
-          (b: Array[Byte]) => graft.cdc.AvroWire.decode(b))
-      case other => throw new IllegalArgumentException(
-        s"fromKafkaRecords wire must be graft|dts-avro, got '$other'")
-    }
+    val (headerTableOf, decodeOf) = wireCodec(wire)
     kafka.select(col("value")).as[Array[Byte]]
       .flatMap { bytes =>
         // null values are log-compaction tombstones (key-only deletion
@@ -103,6 +94,61 @@ object CdcStreaming {
         }
       }
       .toDF()
+  }
+
+  private def wireCodec(wire: String)
+      : (Array[Byte] => (String, String), Array[Byte] => graft.cdc.ChangeRecord) =
+    wire match {
+      case "graft" =>
+        ((b: Array[Byte]) => graft.cdc.RecordCodec.headerTable(b),
+          (b: Array[Byte]) => graft.cdc.RecordCodec.decode(b))
+      case "dts-avro" =>
+        ((b: Array[Byte]) => graft.cdc.AvroWire.headerTable(b),
+          (b: Array[Byte]) => graft.cdc.AvroWire.decode(b))
+      case other => throw new IllegalArgumentException(
+        s"fromKafkaRecords wire must be graft|dts-avro, got '$other'")
+    }
+
+  /** [[fromKafkaRecords]] CARRYING the transport's metadata columns —
+    * the reference table source's SupportsReadingMetadata surface
+    * (ref: DtsDynamicSource.java:268-345 ReadableMetadata — topic/
+    * partition/offset/timestamp appended after the physical row; the
+    * HEADERS and TIMESTAMP_TYPE entries ride the same mechanism and
+    * are omitted here because the sim transport carries no headers
+    * and a constant type). Same selection/strict/tombstone contract;
+    * output = the full [[graft.cdc.ChangeRecord]] schema plus
+    * `kafka_topic`/`kafka_partition`/`kafka_offset`/
+    * `kafka_timestamp_ms` appended at the end, prefixed so record
+    * columns can never collide. A consumer uses them for provenance
+    * and offset-based audit — exactly why the reference exposes them
+    * as queryable metadata. Stateless per-row map riding the scan,
+    * like the metadata-free form. */
+  def fromKafkaRecordsWithMeta(
+      kafka: DataFrame,
+      table: Option[String] = None,
+      permissive: Boolean = true,
+      wire: String = "graft"): DataFrame = {
+    val spark = kafka.sparkSession
+    import spark.implicits._
+    val sel = table.map(graft.sources.CdcSource.parseTableSelector)
+    val (headerTableOf, decodeOf) = wireCodec(wire)
+    kafka.select(col("topic"), col("partition").cast("int"),
+        col("offset").cast("long"),
+        unix_millis(col("timestamp")).as("ts_ms"), col("value"))
+      .as[(String, Int, Long, Long, Array[Byte])]
+      .flatMap { case (topic, part, off, tsMs, bytes) =>
+        if (bytes == null) None
+        else try {
+          if (!sel.forall(headerTableOf(bytes) == _)) None
+          else Some((decodeOf(bytes), topic, part, off, tsMs))
+        } catch {
+          case e: Exception => if (permissive) None else throw e
+        }
+      }
+      .toDF("r", "kafka_topic", "kafka_partition", "kafka_offset",
+        "kafka_timestamp_ms")
+      .select(col("r.*"), col("kafka_topic"), col("kafka_partition"),
+        col("kafka_offset"), col("kafka_timestamp_ms"))
   }
 
   /** Wire decode with DEAD-LETTER ROUTING (round 12): permissive

@@ -368,6 +368,52 @@ class CdcSourceSpec extends AnyFunSuite {
       .head().isNullAt(typed.columns.indexOf("uid")))
   }
 
+  test("fromKafkaRecordsWithMeta carries transport coordinates through " +
+      "the decode, batch AND streaming (ref ReadableMetadata surface)") {
+    import spark.implicits._
+    import graft.cdc.AvroWire
+    import graft.cdc.AvroWire._
+    def wrec(id: Long) = AvroWire.encodeRecord(WireRecord(
+      version = 2, id = id, timestampSec = 1700000000L + id,
+      sourcePosition = s"$id@1", safeSourcePosition = s"$id@0",
+      transactionId = "tx-1", sourceTypeCode = 0, sourceVersion = "8.0",
+      op = Op.Insert, objectName = "appdb.m",
+      tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+      fields = Seq("uid" -> 8), before = null,
+      after = Seq(WInteger(20, id.toString)), bornTimestamp = id))
+    val rows = (0L until 6L).map(i => ("t7", (i % 2).toInt, i / 2,
+      new java.sql.Timestamp(1700000000000L + i), wrec(i))) :+
+      (("t7", 0, 99L, new java.sql.Timestamp(0L), null: Array[Byte]))
+    val kafka = rows.toDF("topic", "partition", "offset", "timestamp",
+      "value")
+    val got = CdcStreaming.fromKafkaRecordsWithMeta(kafka,
+      wire = "dts-avro")
+    // metadata appended AFTER the record columns, prefixed
+    assert(got.columns.takeRight(4).toSeq == Seq("kafka_topic",
+      "kafka_partition", "kafka_offset", "kafka_timestamp_ms"))
+    val r3 = got.filter(col("id") === 3L).head()
+    assert(r3.getAs[String]("kafka_topic") == "t7")
+    assert(r3.getAs[Int]("kafka_partition") == 1)
+    assert(r3.getAs[Long]("kafka_offset") == 1L)
+    assert(r3.getAs[Long]("kafka_timestamp_ms") == 1700000000003L)
+    assert(r3.getAs[Map[String, String]]("after")("uid") == "3")
+    assert(got.count() == 6) // the tombstone dropped, never a crash
+    // streaming: same plan over MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Int, Long, java.sql.Timestamp,
+      Array[Byte])]
+    mem.addData(rows: _*)
+    val q = CdcStreaming.fromKafkaRecordsWithMeta(
+      mem.toDF().toDF("topic", "partition", "offset", "timestamp",
+        "value"), wire = "dts-avro")
+      .writeStream.format("memory").queryName("meta_bridge_t").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("meta_bridge_t").count() == 6)
+    assert(spark.table("meta_bridge_t")
+      .agg(max(col("kafka_offset"))).head().getLong(0) == 2L)
+  }
+
   test("DDL evolution and wire-derived typing AGREE in both directions " +
       "(ADD and DROP COLUMN) — the cdc39 convergence, spec side") {
     import spark.implicits._
