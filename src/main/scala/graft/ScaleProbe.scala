@@ -398,8 +398,17 @@ object ScaleProbe {
         // stateless shape + two O(1) schema fetches and one DDL row
         "cdc39_ddl_evolved_typing",
         // cdc40 (round 16): transport-metadata carry — the stateless
-        // decode with four constant-width columns appended; linear
-        "cdc40_wire_metadata")
+        // decode with four (six since round 17) constant-width
+        // columns appended; linear
+        "cdc40_wire_metadata",
+        // cdc41 (round 17): pk-less uk-keyed materialize — the
+        // stateless wire encode+decode plus ONE key-partitioned
+        // window (the upsert shuffle); linear in the changelog
+        "cdc41_ukonly_materialize",
+        // cdc42 (round 17): the SQL metadata-column table — cdc40's
+        // stateless decode behind the session catalog; the sim
+        // registry is driver-heap like cdc36 (same caveat)
+        "cdc42_sql_metadata")
          if wanted(op); k <- mults) {
       graft.StreamStats.reset()
       val ts = time(op, evDirFor(k))

@@ -3284,9 +3284,15 @@ object CdcQueries {
     * comparison stays dtype-portable (the cdc08 convention). DELETEs
     * carry values in BEFORE (the projection reads AFTER → typed
     * NULLs, oracle-mirrored with CASE); heartbeats carry no field
-    * list and are skipped by the schema probe. Scale: the derive is
-    * O(1) driver work; encode+decode+projection ride the scan
-    * stateless, like cdc33. */
+    * list and are skipped by the schema probe. Round 17 (VERDICT r16
+    * #2): the DECIMAL column types as the EXACT `decimal(18,4)` the
+    * wire values declare — deriveSchema lifts (precision, scale) from
+    * an observed Decimal union value
+    * ([[AvroWire.PropWireDecimalShapes]]) instead of defaulting to
+    * (38,10); the gate requires the lifted shape and renders the
+    * column as a string whose fraction width proves it. Scale: the
+    * derive is O(1) driver work; encode+decode+projection ride the
+    * scan stateless, like cdc33. */
   private val cdc37 = QueryDef(
     "cdc37_wire_typed",
     (s, dir) => {
@@ -3350,6 +3356,13 @@ object CdcQueries {
         wire = "dts-avro")
       // NO declared schema anywhere: the types below come off the wire
       val schema = RawDataTypes.deriveSchema(recs, "app", "events")
+      // round 17 (VERDICT r16 #2): `val` must type as the EXACT
+      // decimal(18,4) the wire values carry, not the (38,10) default —
+      // the shape rides the Decimal union branch and deriveSchema
+      // lifts it
+      require(schema.fields.exists(f =>
+        f.name == "val" && f.sqlType == "decimal(18,4)"),
+        s"cdc37: wire-derived decimal shape missing — got ${schema.fields}")
       TypedSchema.project(recs, schema).select(
         col("record_id"),
         col("record_ts_us"),
@@ -3358,7 +3371,11 @@ object CdcQueries {
         col("age"),
         col("yr"),
         col("flags"),
-        col("val").cast("double").as("val_dec"),
+        // cast to STRING, not double: decimal(18,4) renders exactly
+        // four fraction digits ("1.5000"), so a (38,10)-typed column
+        // ("1.5000000000") fails the hash — the projection itself
+        // proves the lifted shape
+        col("val").cast("string").as("val_dec"),
         col("price").cast("double").as("price"),
         col("ratio"),
         unix_micros(col("seen")).as("seen_us"),
@@ -3378,7 +3395,7 @@ object CdcQueries {
       |    THEN CAST(1970 + pk % 50 AS INTEGER) END AS yr,
       |  CASE WHEN op IN ('INSERT','UPDATE') THEN pk % 256 END AS flags,
       |  CASE WHEN op IN ('INSERT','UPDATE')
-      |    THEN CAST(CAST(val AS DECIMAL(18,4)) AS DOUBLE) END AS val_dec,
+      |    THEN CAST(CAST(val AS DECIMAL(18,4)) AS VARCHAR) END AS val_dec,
       |  CASE WHEN op IN ('INSERT','UPDATE')
       |    THEN CAST(CAST(pk % 100 AS REAL) AS DOUBLE) END AS price,
       |  CASE WHEN op IN ('INSERT','UPDATE') AND k IS NOT NULL
@@ -3652,22 +3669,28 @@ object CdcQueries {
       |  NULL, NULL, NULL""".stripMargin))
 
   // -------------------------------------------------------------- cdc40
-  /** TRANSPORT METADATA COLUMNS under the oracle gate (round 16): the
+  /** TRANSPORT METADATA COLUMNS under the oracle gate (round 16;
+    * round 17 completes the surface to all SIX — VERDICT r16 #1): the
     * reference's table source exposes the Kafka record's coordinates
-    * as queryable METADATA — topic/partition/offset/timestamp appended
-    * after the physical row (ref: DtsDynamicSource.java:268-345
-    * ReadableMetadata, SupportsReadingMetadata) — for provenance and
-    * offset-based audit. `fromKafkaRecordsWithMeta` carries the same
-    * four through the strict dts-avro decode; the gate serves the
-    * changelog from a KafkaSim broker whose coordinates are fully
-    * DECLARATIVE (partition = pk mod 4, offsets in record-id order
-    * per partition, log-append time = floor-ms of the event time), so
-    * the oracle states every metadata cell: the partition as the
-    * dealing rule, the offset as a per-partition ROW_NUMBER, the
-    * timestamp as ts_us div 1000. Batch read through the shim's
-    * BATCH_READ capability — the metadata path is mode-agnostic.
-    * Scale: stateless decode riding the scan; metadata adds four
-    * constant-width columns, nothing shuffles. */
+    * as queryable METADATA — topic/partition/HEADERS/offset/
+    * timestamp/TIMESTAMP-TYPE appended after the physical row (ref:
+    * DtsDynamicSource.java:268-345 ReadableMetadata,
+    * SupportsReadingMetadata) — for provenance and offset-based
+    * audit. `fromKafkaRecordsWithMeta` carries all six through the
+    * strict dts-avro decode; the gate serves the changelog from a
+    * KafkaSim broker whose coordinates are fully DECLARATIVE
+    * (partition = pk mod 4, offsets in record-id order per partition,
+    * log-append time = floor-ms of the event time, a per-record
+    * `route` header = "p" + partition — the provenance-by-header
+    * pattern — and LogAppendTime timestamps), so the oracle states
+    * every metadata cell: the partition as the dealing rule, the
+    * offset as a per-partition ROW_NUMBER, the timestamp as ts_us div
+    * 1000, the header cell and timestamp-type as their declarative
+    * values. Batch read through the shim's BATCH_READ capability with
+    * `includeHeaders=true` (the real source's opt-in headers option)
+    * — the metadata path is mode-agnostic. Scale: stateless decode
+    * riding the scan; metadata adds six constant-width columns,
+    * nothing shuffles. */
   private val cdc40 = QueryDef(
     "cdc40_wire_metadata",
     (s, dir) => {
@@ -3700,7 +3723,11 @@ object CdcQueries {
       val byPart = msgs.groupBy(_._1).toSeq.flatMap { case (p, ms) =>
         ms.sortBy(_._3).zipWithIndex.map { case ((_, tsUs, _, bytes), off) =>
           graft.sources.KafkaSimBroker.Msg(p, off.toLong, tsUs / 1000L,
-            null, bytes)
+            null, bytes,
+            // a routing-tag header (the provenance-by-header CDC
+            // pattern) — declarative, so the oracle states its cell
+            headers = Seq("route" ->
+              s"p$p".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         }
       }
       val server = s"sim://cdc40-${math.abs(dir.hashCode)}"
@@ -3710,7 +3737,8 @@ object CdcQueries {
         server = server, topic = "dts-events", group = Some("g-cdc40"),
         user = Some("subscriber"), password = Some("s3cr3t"))
       val wire = s.read.format("graft-kafka-sim")
-        .options(sub.toKafkaOptions).load()
+        .options(sub.toKafkaOptions)
+        .option("includeHeaders", "true").load()
       val recs = graft.streaming.CdcStreaming.fromKafkaRecordsWithMeta(
         wire, table = Some("app.events"), permissive = false,
         wire = "dts-avro")
@@ -3723,6 +3751,9 @@ object CdcQueries {
         col("kafka_partition"),
         col("kafka_offset"),
         col("kafka_timestamp_ms"),
+        element_at(col("kafka_headers"), "route").cast("string")
+          .as("kafka_header_route"),
+        col("kafka_timestamp_type"),
         element_at(img, "uid").cast("bigint").as("uid"))
     },
     Some(s"""$changelogSql
@@ -3732,6 +3763,179 @@ object CdcQueries {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY pk % 4 ORDER BY record_id)
       |    - 1 AS BIGINT) AS kafka_offset,
       |  ts_us // 1000 AS kafka_timestamp_ms,
+      |  'p' || CAST(pk % 4 AS VARCHAR) AS kafka_header_route,
+      |  'LogAppendTime' AS kafka_timestamp_type,
+      |  CASE WHEN op <> 'HEARTBEAT' THEN pk END AS uid
+      |FROM changelog""".stripMargin))
+
+  // -------------------------------------------------------------- cdc41
+  /** PK-LESS TABLE END TO END ON THE AVRO WIRE (round 17, VERDICT r16
+    * #5): a table declaring NO primary key — only a unique index —
+    * must still materialize correctly, keyed on that index (ref:
+    * RecordSchema.getUniqueIndexInfo / RowImage.getUniqueKeyValues
+    * beside getPrimaryKeyValues — the reference's documented
+    * fallback). The fixture's `pk_uk_info` tag carries ONLY
+    * `{"uk_events":["uid"]}`; the strict dts-avro decode lands
+    * pkNames = [] and ukNames = [uid] ([[AvroWire]] pkUkFrom), a
+    * bounded one-record probe asserts exactly that shape, and
+    * [[graft.streaming.CdcStreaming.keyExpr]]'s pk→uk fallback keys
+    * the cdc02-style materialization (last data record per key wins,
+    * terminal DELETE removes the key). The oracle states the same
+    * upsert declaratively keyed on pk — identical results prove the
+    * uk-keyed path IS the key path for this table. Scale: encode +
+    * decode ride the scan (distributed map, no driver fixture
+    * transport); the materialize is one shuffle on the key — the
+    * reference sink's upsert shape. */
+  private val cdc41 = QueryDef(
+    "cdc41_ukonly_materialize",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val fixture = changelog(s, dir).select(
+        col("record_id"), col("ts_us"), col("op"), col("pk"),
+        col("val").cast("decimal(18,4)").cast("string").as("val_str"))
+        .as[(Long, Long, String, Long, String)]
+      val wire = fixture.map { case (id, tsUs, op, pk, valStr) =>
+        import AvroWire._
+        val heart = op == "HEARTBEAT"
+        val values: Seq[WireValue] =
+          if (heart) null
+          else Seq(WInteger(20, pk.toString), WDecimal(valStr, 18, 4))
+        AvroWire.encodeRecord(WireRecord(
+          version = 2, id = id, timestampSec = Math.floorDiv(tsUs, 1000000L),
+          sourcePosition = s"$tsUs@1", safeSourcePosition = s"$tsUs@0",
+          transactionId = s"tx-${tsUs / 60000000L}",
+          sourceTypeCode = 0, sourceVersion = "8.0", op = op,
+          objectName = "app.events",
+          // NO "PRIMARY" entry: the unique index is all the table has
+          tags = Map("pk_uk_info" -> """{"uk_events":["uid"]}"""),
+          fields = if (heart) null else Seq("uid" -> 8, "val" -> 246),
+          before = if (op == "DELETE") values else null,
+          after = if (heart || op == "DELETE") null else values,
+          bornTimestamp = tsUs - 1000L))
+      }(Encoders.BINARY).toDF("value")
+      val recs = graft.streaming.CdcStreaming.fromKafkaRecords(
+        wire, table = Some("app.events"), permissive = false,
+        wire = "dts-avro")
+      // bounded probe: the decode really landed the pk-less shape —
+      // an accidental pkNames=["uid"] would make the key test vacuous
+      val probe = recs.filter(col("op").isin("INSERT", "UPDATE", "DELETE"))
+        .select(col("pkNames"), col("ukNames")).limit(1).collect().head
+      require(probe.getSeq[String](0).isEmpty &&
+        probe.getSeq[String](1) == Seq("uid"),
+        s"cdc41: expected pk-less uk-keyed records, got pk=" +
+          s"${probe.getSeq[String](0)} uk=${probe.getSeq[String](1)}")
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("tsUs").desc, col("id").desc)
+      recs.filter(col("op").isin("INSERT", "UPDATE", "DELETE"))
+        .withColumn("key", graft.streaming.CdcStreaming.keyExpr)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "DELETE")
+        .select(col("key"), col("id").as("record_id"),
+          col("tsUs").as("last_floor_us"), col("op"),
+          element_at(col("after"), "uid").cast("bigint").as("uid"),
+          element_at(col("after"), "val").as("val_str"))
+    },
+    Some(s"""$changelogSql,
+      |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      |    ORDER BY (ts_us // 1000000) * 1000000 DESC, record_id DESC) AS rn
+      |  FROM changelog WHERE op <> 'HEARTBEAT')
+      |SELECT 'app|events|' || CAST(pk AS VARCHAR) AS key, record_id,
+      |  (ts_us // 1000000) * 1000000 AS last_floor_us, op,
+      |  pk AS uid,
+      |  CAST(CAST(val AS DECIMAL(18,4)) AS VARCHAR) AS val_str
+      |FROM d WHERE rn = 1 AND op <> 'DELETE'""".stripMargin))
+
+  // -------------------------------------------------------------- cdc42
+  /** METADATA COLUMNS THROUGH PLAIN SQL (round 17, VERDICT r16 #3):
+    * the reference's headline DDL maps transport metadata into
+    * columns — `ts TIMESTAMP(3) METADATA FROM 'timestamp'` (SURVEY
+    * §1; DtsDynamicSource SupportsReadingMetadata). cdc40 gates the
+    * API path; THIS gate drives the same six-column surface through
+    * the session catalog: `CREATE TABLE ... USING graft-cdc-kafka`
+    * ([[graft.sources.CdcKafkaSqlProvider]] — a DSv2
+    * [[org.apache.spark.sql.connector.catalog.SupportsMetadataColumns]]
+    * table, Spark's first-class analogue of Flink's metadata keys)
+    * then ONE `spark.sql` SELECT naming `kafka_partition`/
+    * `kafka_offset`/`kafka_timestamp_ms`/the `route` header cell/
+    * `kafka_timestamp_type` beside record columns. Coordinates are
+    * cdc40's declarative deal (partition = pk mod 4, per-partition
+    * offsets in record-id order, log-append floor-ms times, route
+    * header = "p" + partition), so the oracle states every cell.
+    * Broker registration is driver-side fixture transport (the cdc36
+    * pattern); the DECODE under test is distributed — one Spark
+    * partition per Kafka partition, header-prefix table selection,
+    * column pruning pushed. Scale: stateless scan, no shuffle. */
+  private val cdc42 = QueryDef(
+    "cdc42_sql_metadata",
+    (s, dir) => {
+      import s.implicits._
+      val rows = changelog(s, dir)
+        .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
+          col("val").cast("decimal(18,4)").cast("string"))
+        .as[(Long, Long, String, Long, String)]
+        .collect()
+      val msgs = rows.map { case (id, tsUs, op, pk, valStr) =>
+        import AvroWire._
+        val heart = op == "HEARTBEAT"
+        val values: Seq[WireValue] =
+          if (heart) null
+          else Seq(WInteger(20, pk.toString), WDecimal(valStr, 18, 4))
+        val bytes = AvroWire.encodeRecord(WireRecord(
+          version = 2, id = id,
+          timestampSec = Math.floorDiv(tsUs, 1000000L),
+          sourcePosition = s"$tsUs@1", safeSourcePosition = s"$tsUs@0",
+          transactionId = s"tx-${tsUs / 60000000L}",
+          sourceTypeCode = 0, sourceVersion = "8.0", op = op,
+          objectName = "app.events",
+          tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+          fields = if (heart) null else Seq("uid" -> 8, "val" -> 246),
+          before = if (op == "DELETE") values else null,
+          after = if (heart || op == "DELETE") null else values,
+          bornTimestamp = tsUs - 1000L))
+        ((pk % 4).toInt, tsUs, id, bytes)
+      }
+      val byPart = msgs.groupBy(_._1).toSeq.flatMap { case (p, ms) =>
+        ms.sortBy(_._3).zipWithIndex.map { case ((_, tsUs, _, bytes), off) =>
+          graft.sources.KafkaSimBroker.Msg(p, off.toLong, tsUs / 1000L,
+            null, bytes, headers = Seq("route" ->
+              s"p$p".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+      val server = s"sim://cdc42-${math.abs(dir.hashCode)}"
+      graft.sources.KafkaSimBroker.register(server,
+        Map("dts-events" -> byPart), creds = Some(("subscriber", "s3cr3t")))
+      val sub = graft.sources.CdcSubscription(
+        server = server, topic = "dts-events", group = Some("g-cdc42"),
+        user = Some("subscriber"), password = Some("s3cr3t"))
+      val tblName = s"cdc42_sub_${math.abs(dir.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS $tblName")
+      val opts = (sub.toKafkaOptions ++ Map(
+        "wire" -> "dts-avro", "table" -> "app.events"))
+        .map { case (k, v) =>
+          s"`$k` '${v.replace("'", "''")}'" }.mkString(", ")
+      s.sql(s"CREATE TABLE $tblName USING `graft-cdc-kafka` " +
+        s"OPTIONS ($opts)")
+      s.sql(s"""
+        |SELECT id AS record_id, op,
+        |  kafka_topic, kafka_partition, kafka_offset,
+        |  kafka_timestamp_ms,
+        |  CAST(element_at(kafka_headers, 'route') AS STRING)
+        |    AS kafka_header_route,
+        |  kafka_timestamp_type,
+        |  CAST(element_at(CASE WHEN op = 'DELETE' THEN before
+        |                       ELSE after END, 'uid') AS BIGINT) AS uid
+        |FROM $tblName""".stripMargin)
+    },
+    Some(s"""$changelogSql
+      |SELECT record_id, op,
+      |  'dts-events' AS kafka_topic,
+      |  CAST(pk % 4 AS INT) AS kafka_partition,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY pk % 4 ORDER BY record_id)
+      |    - 1 AS BIGINT) AS kafka_offset,
+      |  ts_us // 1000 AS kafka_timestamp_ms,
+      |  'p' || CAST(pk % 4 AS VARCHAR) AS kafka_header_route,
+      |  'LogAppendTime' AS kafka_timestamp_type,
       |  CASE WHEN op <> 'HEARTBEAT' THEN pk END AS uid
       |FROM changelog""".stripMargin))
 
@@ -3739,5 +3943,6 @@ object CdcQueries {
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
     cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30,
-    cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38, cdc39, cdc40)
+    cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38, cdc39, cdc40,
+    cdc41, cdc42)
 }

@@ -17,6 +17,15 @@ final case class ChangeRecord(
     id: Long,
     transactionId: String,
     tsUs: Long,
+    /** Born timestamp, UNIT-OPAQUE on the Avro wire path (ADVICE
+      * r16): a present wire bornTimestamp passes through UNSCALED
+      * (micros in graft fixtures, whatever the producer wrote in
+      * general — the reference's getBornTimestamp applies no unit
+      * conversion), while an absent/non-positive born falls back to
+      * the header timestamp in wire SECONDS
+      * (LazyParseRecordImpl.java:259-266). Do NOT compute lags like
+      * `tsUs - bornUs` across both cases; graft's own codec
+      * ([[RecordCodec]]) always carries micros. */
     bornUs: Long,
     op: String,
     db: String,

@@ -118,7 +118,8 @@ private[pipelines] object PcaSql {
          |      THEN 1.0 / ($theta + sqrt($theta * $theta + 1.0))
          |      ELSE -1.0 / (-$theta + sqrt($theta * $theta + 1.0)) END)""".stripMargin
     // THRESHOLD skip (round 16, lockstep with SymEigen): the sweep's
-    // threshold off/(2d) rides the accumulator as acc[8193]; a pivot
+    // threshold off/d (SymEigen.scala:59) rides the accumulator as
+    // acc[8193]; a pivot
     // with |apq| <= threshold is skipped — Scala's
     // `if (math.abs(apq) > thresh)` negated exactly. Engineering
     // findings of this round's build (the r15 notes' tradition):

@@ -110,19 +110,32 @@ object CdcStreaming {
     }
 
   /** [[fromKafkaRecords]] CARRYING the transport's metadata columns —
-    * the reference table source's SupportsReadingMetadata surface
-    * (ref: DtsDynamicSource.java:268-345 ReadableMetadata — topic/
-    * partition/offset/timestamp appended after the physical row; the
-    * HEADERS and TIMESTAMP_TYPE entries ride the same mechanism and
-    * are omitted here because the sim transport carries no headers
-    * and a constant type). Same selection/strict/tombstone contract;
-    * output = the full [[graft.cdc.ChangeRecord]] schema plus
-    * `kafka_topic`/`kafka_partition`/`kafka_offset`/
-    * `kafka_timestamp_ms` appended at the end, prefixed so record
-    * columns can never collide. A consumer uses them for provenance
-    * and offset-based audit — exactly why the reference exposes them
-    * as queryable metadata. Stateless per-row map riding the scan,
-    * like the metadata-free form. */
+    * the COMPLETE readable-metadata surface of the reference table
+    * source (ref: DtsDynamicSource.java:268-345 ReadableMetadata, ALL
+    * SIX entries: topic/partition/headers/offset/timestamp/
+    * timestamp-type appended after the physical row). Same
+    * selection/strict/tombstone contract; output = the full
+    * [[graft.cdc.ChangeRecord]] schema plus `kafka_topic`/
+    * `kafka_partition`/`kafka_offset`/`kafka_timestamp_ms`/
+    * `kafka_headers`/`kafka_timestamp_type` appended at the end,
+    * prefixed so record columns can never collide.
+    *
+    *  - `kafka_headers` is `map<string,binary>` — the reference's
+    *    HEADERS converter flattens the record's ordered header list
+    *    into a map with a last-wins put loop
+    *    (DtsDynamicSource.java:294-307), mirrored exactly here. A
+    *    frame with no `headers` column (the real source without
+    *    `includeHeaders=true`) carries NULL.
+    *  - `kafka_timestamp_type` is the Kafka enum's display name
+    *    (`CreateTime`/`LogAppendTime`/`NoTimestampType`) — the
+    *    reference renders `record.timestampType().toString`
+    *    (DtsDynamicSource.java:336-344). A frame with no
+    *    `timestampType` column reports `NoTimestampType`.
+    *
+    * A consumer uses them for provenance (routing tags ride headers),
+    * offset-based audit and time semantics — exactly why the
+    * reference exposes them as queryable metadata. Stateless per-row
+    * map riding the scan, like the metadata-free form. */
   def fromKafkaRecordsWithMeta(
       kafka: DataFrame,
       table: Option[String] = None,
@@ -132,23 +145,51 @@ object CdcStreaming {
     import spark.implicits._
     val sel = table.map(graft.sources.CdcSource.parseTableSelector)
     val (headerTableOf, decodeOf) = wireCodec(wire)
+    val headersCol =
+      if (kafka.columns.contains("headers"))
+        transform(col("headers"), h =>
+          struct(h.getField("key").as("_1"), h.getField("value").as("_2")))
+      else lit(null).cast("array<struct<_1:string,_2:binary>>")
+    val tsTypeCol =
+      if (kafka.columns.contains("timestampType"))
+        col("timestampType").cast("int")
+      else lit(-1)
     kafka.select(col("topic"), col("partition").cast("int"),
         col("offset").cast("long"),
-        unix_millis(col("timestamp")).as("ts_ms"), col("value"))
-      .as[(String, Int, Long, Long, Array[Byte])]
-      .flatMap { case (topic, part, off, tsMs, bytes) =>
+        unix_millis(col("timestamp")).as("ts_ms"),
+        tsTypeCol.as("ts_type"), headersCol.as("hdrs"), col("value"))
+      .as[(String, Int, Long, Long, Int,
+        Seq[(String, Array[Byte])], Array[Byte])]
+      .flatMap { case (topic, part, off, tsMs, tsType, hdrs, bytes) =>
         if (bytes == null) None
         else try {
           if (!sel.forall(headerTableOf(bytes) == _)) None
-          else Some((decodeOf(bytes), topic, part, off, tsMs))
+          else {
+            // last-wins flatten, the reference's header put loop
+            val hmap =
+              if (hdrs == null) null
+              else hdrs.foldLeft(Map.empty[String, Array[Byte]])(_ + _)
+            Some((decodeOf(bytes), topic, part, off, tsMs, hmap,
+              timestampTypeName(tsType)))
+          }
         } catch {
           case e: Exception => if (permissive) None else throw e
         }
       }
       .toDF("r", "kafka_topic", "kafka_partition", "kafka_offset",
-        "kafka_timestamp_ms")
+        "kafka_timestamp_ms", "kafka_headers", "kafka_timestamp_type")
       .select(col("r.*"), col("kafka_topic"), col("kafka_partition"),
-        col("kafka_offset"), col("kafka_timestamp_ms"))
+        col("kafka_offset"), col("kafka_timestamp_ms"),
+        col("kafka_headers"), col("kafka_timestamp_type"))
+  }
+
+  /** Kafka TimestampType code → its display name (the enum's
+    * toString: -1 NO_TIMESTAMP_TYPE, 0 CREATE_TIME,
+    * 1 LOG_APPEND_TIME). */
+  def timestampTypeName(code: Int): String = code match {
+    case 0 => "CreateTime"
+    case 1 => "LogAppendTime"
+    case _ => "NoTimestampType"
   }
 
   /** Wire decode with DEAD-LETTER ROUTING (round 12): permissive

@@ -361,6 +361,32 @@ object AvroWireProps extends Properties("AvroWire") {
       ddl.toString
   }
 
+  property("decode stashes observed Decimal value shapes under " +
+      "PropWireDecimalShapes (VERDICT r16 #2) — NULL decimal cells " +
+      "observe nothing; DELETEs observe through the BEFORE image") =
+    forAll(Gen.chooseNum(1, 38), Gen.chooseNum(0, 10)) { (p0, s0) =>
+      val p = math.max(p0, s0 + 1); val s = s0
+      val fields = Seq("uid" -> 8, "amt" -> 246, "amt2" -> 0)
+      val vals = Seq[AvroWire.WireValue](
+        WInteger(20, "1"), WDecimal("1.5", p, s), WNull)
+      val ins = AvroWire.decode(AvroWire.encodeRecord(rec(
+        Op.Insert, fields, null, vals)))
+      val del = AvroWire.decode(AvroWire.encodeRecord(rec(
+        Op.Delete, fields, vals, null)))
+      val want = Seq("amt" -> ((p, s)))
+      val got = graft.cdc.RawDataTypes.decimalShapesFromProp(
+        ins.props(AvroWire.PropWireDecimalShapes))
+      val gotDel = graft.cdc.RawDataTypes.decimalShapesFromProp(
+        del.props(AvroWire.PropWireDecimalShapes))
+      Prop(got == want && gotDel == want) :| s"got $got / $gotDel want $want"
+    }
+
+  property("a record with no decimal values stashes no shape prop") = {
+    val r = AvroWire.decode(AvroWire.encodeRecord(rec(
+      Op.Insert, Seq("c" -> 1), null, Seq(WInteger(10, "5")))))
+    Prop(!r.props.contains(AvroWire.PropWireDecimalShapes)) :| r.toString
+  }
+
   property("RawDataTypes maps every MySQL protocol id to a usable " +
       "sqlType (pinned table rows + closed default)") = {
     import graft.cdc.RawDataTypes.sqlTypeOf

