@@ -87,7 +87,8 @@ class CdcKafkaSqlProvider extends TableProvider with DataSourceRegister {
       servers, topic, opt("startingTimestamp").map(_.toLong), auth)
     new CdcKafkaSqlTable(topic, parts, wire,
       opt("table").map(CdcSource.parseTableSelector),
-      CdcSource.parseMode(properties.get("mode")))
+      CdcSource.parseMode(properties.get("mode")),
+      opt("maxOffsetsPerTrigger").map(_.toLong))
   }
 }
 
@@ -116,15 +117,24 @@ class CdcKafkaSqlTable(
     parts: Map[Int, IndexedSeq[KafkaSimBroker.Msg]],
     wire: String,
     tableSel: Option[(String, String)],
-    permissive: Boolean)
+    permissive: Boolean,
+    maxOffsetsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead with SupportsMetadataColumns {
 
   override def name(): String = s"graft-cdc-kafka:$topic"
   override def schema(): StructType = CdcSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // MICRO_BATCH_READ too (round 17): the reference's table source
+    // is a STREAMING source — `spark.readStream.table(...)` /
+    // `.format("graft-cdc-kafka")` serves the same decoded rows
+    // through the shared per-partition offset machinery
+    // ([[SimMicroBatchStream]]), checkpointable and admission-capped
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def metadataColumns(): Array[MetadataColumn] =
     CdcKafkaSqlTable.metadataCols
+
+  private val math0 = new SimOffsetMath(topic, parts)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
@@ -145,15 +155,24 @@ class CdcKafkaSqlTable(
           s"graft-cdc-kafka topic=$topic wire=$wire " +
             s"table=${tableSel.fold("*") { case (d, t) => s"$d.$t" }} " +
             s"columns=[${required.fieldNames.mkString(",")}]"
-        override def toBatch: Batch = new Batch {
-          override def planInputPartitions(): Array[InputPartition] =
-            parts.toSeq.sortBy(_._1).map { case (p, ms) =>
+        private def toPartitions(
+            msgs: Seq[KafkaSimBroker.Msg]): Array[InputPartition] =
+          msgs.groupBy(_.partition).toSeq.sortBy(_._1)
+            .map { case (p, ms) =>
               CdcKafkaSqlPartition(topic, p, ms.toArray, wire, tableSel,
                 permissive, required.fieldNames): InputPartition
             }.toArray
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            toPartitions(math0.partIds.flatMap(parts(_)))
           override def createReaderFactory(): PartitionReaderFactory =
             new CdcKafkaSqlReaderFactory
         }
+        override def toMicroBatchStream(
+            checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new SimMicroBatchStream(math0, maxOffsetsPerTrigger,
+            toPartitions, () => new CdcKafkaSqlReaderFactory)
       }
     }
 }

@@ -566,6 +566,19 @@ class ExtensionsSpec extends AnyFunSuite {
       metricKeys.toString)
     assert(metricKeys.exists(_.startsWith("committedOffset.t.")),
       metricKeys.toString)
+    // the composed per-partition checkpoint string — the reference's
+    // "<offset>@<timestampSec>" Flink-state format
+    // (DtsUtil.composeCheckpint; fetcher stores it per partition):
+    // fully consumed, p0's last record is id 8 (ts 8000), p1's id 9
+    val checkpoints = q.recentProgress.toSeq
+      .filter(_.sources.nonEmpty)
+      .flatMap(p => Option(p.sources(0).metrics).toSeq.flatMap { mm =>
+        Seq("checkpoint.t.0", "checkpoint.t.1").flatMap(k =>
+          Option(mm.get(k)).map(k -> _))
+      }).toSet
+    assert(checkpoints.contains("checkpoint.t.0" -> "5@8000") &&
+      checkpoints.contains("checkpoint.t.1" -> "5@9000"),
+      checkpoints.toString)
     KafkaSimBroker.clear()
   }
 
@@ -618,6 +631,56 @@ class ExtensionsSpec extends AnyFunSuite {
     val desc = pruned.queryExecution.executedPlan.toString
     assert(desc.contains("columns=[id,op]"), desc)
     spark.sql("DROP TABLE cdc_sql_sub")
+    KafkaSimBroker.clear()
+  }
+
+  test("graft-cdc-kafka streams: the decoded table is a micro-batch " +
+      "source (the reference's streaming table source shape) — " +
+      "admission-paced, exactly-once, per-partition offsets") {
+    import graft.sources.KafkaSimBroker
+    import graft.sources.KafkaSimBroker.Msg
+    import graft.cdc.{ChangeRecord, Op, RecordCodec}
+    val n = 10
+    val msgs = (0 until n).map { i =>
+      Msg(i % 2, (i / 2).toLong, 1000L * i, null,
+        RecordCodec.encode(ChangeRecord(i.toLong, s"tx-$i",
+          i * 1000000L, 0L, Op.Insert, "appdb", "users", Seq("uid"),
+          null, Map("uid" -> i.toString))))
+    }
+    KafkaSimBroker.register("sim-sqlstream:9092", Map("t" -> msgs))
+    val sub = CdcSubscription(server = "sim-sqlstream:9092",
+      topic = "t", group = Some("g"))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val dups = new java.util.concurrent.atomic.AtomicLong(0L)
+    val epochs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stream = spark.readStream.format("graft-cdc-kafka")
+      .options(sub.toKafkaOptions +
+        ("table" -> "appdb.users", "maxOffsetsPerTrigger" -> "3"))
+      .load()
+    // the DECODED schema straight off the stream — no fromKafkaRecords
+    // step; this IS the reference's "table source is a stream" shape
+    assert(stream.columns.toSeq ==
+      graft.sources.CdcSource.schema.fieldNames.toSeq)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0))
+        if (ids.nonEmpty) epochs.incrementAndGet()
+        ids.foreach(id => if (!seen.add(id)) dups.incrementAndGet())
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(epochs.get() >= 4L, s"only ${epochs.get()} populated triggers")
+    assert(seen.size == n && dups.get() == 0L,
+      s"seen=${seen.size} dups=${dups.get()}")
+    // per-partition offsets in the progress JSON, like the raw shim
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val last = q.recentProgress.toSeq.filter(_.sources.nonEmpty).last
+    JsonMethods.parse(last.sources(0).endOffset) match {
+      case JObject(List(("t", JObject(ps)))) =>
+        assert(ps.toMap.keySet == Set("0", "1"), ps.toString)
+      case other => fail(s"unexpected offset json $other")
+    }
     KafkaSimBroker.clear()
   }
 }
