@@ -408,7 +408,11 @@ object ScaleProbe {
         // cdc42 (round 17): the SQL metadata-column table — cdc40's
         // stateless decode behind the session catalog; the sim
         // registry is driver-heap like cdc36 (same caveat)
-        "cdc42_sql_metadata")
+        "cdc42_sql_metadata",
+        // cdc43 (round 17): the typed-changelog DDL table — cdc42's
+        // decode plus the declared-type TRY-cast projection and the
+        // ≤2-row UPDATE fan-out; linear, no shuffle
+        "cdc43_sql_typed_changelog")
          if wanted(op); k <- mults) {
       graft.StreamStats.reset()
       val ts = time(op, evDirFor(k))

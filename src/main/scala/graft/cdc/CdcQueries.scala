@@ -3939,10 +3939,135 @@ object CdcQueries {
       |  CASE WHEN op <> 'HEARTBEAT' THEN pk END AS uid
       |FROM changelog""".stripMargin))
 
+  // -------------------------------------------------------------- cdc43
+  /** THE REFERENCE'S HEADLINE DDL END TO END (round 17 — closing the
+    * last SQL-surface asymmetry): `CREATE TABLE t (business columns)`
+    * over the subscription, row images projected into the DECLARED
+    * columns, each DML record emitting its Flink CHANGELOG rows. The
+    * reference's own test is exactly this shape
+    * (DtsTableIJoinTCase.java: `create table employee_action (id
+    * bigint, action varchar, action_time timestamp, employee_id
+    * bigint) with ('format' = 'dts-cdc', ...)`;
+    * DTSSubscribeRowDataDeserializationSchema.java:64-92 converts
+    * under the declared RowType and sets RowKind — INSERT one +I from
+    * after, UPDATE an UPDATE_BEFORE from before AND an UPDATE_AFTER
+    * from after, DELETE one -D from before, non-DML skipped). Spark
+    * rows carry no kind, so `row_kind` rides as the table's 7th
+    * METADATA column with the RowKind shortStrings. The fixture's
+    * UPDATEs carry BOTH images (before = val+1 at seen−1h, the
+    * declarative prev-state rule), so the -U leg is non-vacuous and
+    * every emitted cell — kind, typed uid/val/seen, per-record kafka
+    * coordinates shared by an UPDATE's two rows — is oracle-stated.
+    * Conversions are Spark TRY-casts under the declared types
+    * (decimal(18,4) exact, timestamp from the JDBC string), the
+    * reference's lenient converter. Scale: per-record decode+project
+    * riding per-Kafka-partition scans; UPDATE fan-out is exactly 2,
+    * nothing shuffles; broker registration is driver-side fixture
+    * transport (cdc36's pattern). */
+  private val cdc43 = QueryDef(
+    "cdc43_sql_typed_changelog",
+    (s, dir) => {
+      import s.implicits._
+      val rows = changelog(s, dir)
+        .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
+          col("val").cast("decimal(18,4)").cast("string"),
+          (col("val").cast("decimal(18,4)") + 1)
+            .cast("decimal(18,4)").cast("string"))
+        .as[(Long, Long, String, Long, String, String)]
+        .collect()
+      def dt(sec: Long): DtsDateTime = {
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          sec, 0, java.time.ZoneOffset.UTC)
+        import DtsDateTime._
+        DtsDateTime(SegDate | SegTime, ldt.getYear, ldt.getMonthValue,
+          ldt.getDayOfMonth, ldt.getHour, ldt.getMinute, ldt.getSecond)
+      }
+      val msgs = rows.map { case (id, tsUs, op, pk, valStr, valPrevStr) =>
+        import AvroWire._
+        val heart = op == "HEARTBEAT"
+        val sec = Math.floorDiv(tsUs, 1000000L)
+        def img(v: String, at: Long): Seq[WireValue] = Seq(
+          WInteger(20, pk.toString), WDecimal(v, 18, 4),
+          WDateTime(dt(at)))
+        val bytes = AvroWire.encodeRecord(WireRecord(
+          version = 2, id = id, timestampSec = sec,
+          sourcePosition = s"$tsUs@1", safeSourcePosition = s"$tsUs@0",
+          transactionId = s"tx-${tsUs / 60000000L}",
+          sourceTypeCode = 0, sourceVersion = "8.0", op = op,
+          objectName = "app.events",
+          tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+          fields = if (heart) null
+            else Seq("uid" -> 8, "val" -> 246, "seen" -> 12),
+          // UPDATEs carry BOTH images (prev-state = val+1, seen−1h);
+          // DELETEs retract their current state; INSERTs after-only
+          before = op match {
+            case "UPDATE" => img(valPrevStr, sec - 3600L)
+            case "DELETE" => img(valStr, sec)
+            case _        => null
+          },
+          after =
+            if (op == "INSERT" || op == "UPDATE") img(valStr, sec)
+            else null,
+          bornTimestamp = tsUs - 1000L))
+        ((pk % 4).toInt, id, bytes)
+      }
+      val byPart = msgs.groupBy(_._1).toSeq.flatMap { case (p, ms) =>
+        ms.sortBy(_._2).zipWithIndex.map { case ((_, _, bytes), off) =>
+          graft.sources.KafkaSimBroker.Msg(p, off.toLong, 1000L, null,
+            bytes)
+        }
+      }
+      val server = s"sim://cdc43-${math.abs(dir.hashCode)}"
+      graft.sources.KafkaSimBroker.register(server,
+        Map("dts-events" -> byPart), creds = Some(("subscriber", "s3cr3t")))
+      val sub = graft.sources.CdcSubscription(
+        server = server, topic = "dts-events", group = Some("g-cdc43"),
+        user = Some("subscriber"), password = Some("s3cr3t"))
+      val tblName = s"cdc43_sub_${math.abs(dir.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS $tblName")
+      val opts = (sub.toKafkaOptions ++ Map(
+        "wire" -> "dts-avro", "table" -> "app.events"))
+        .map { case (k, v) =>
+          s"`$k` '${v.replace("'", "''")}'" }.mkString(", ")
+      // the reference's headline DDL, Spark-shaped: business columns
+      // declared in CREATE TABLE, images projected into them
+      s.sql(s"CREATE TABLE $tblName " +
+        "(uid BIGINT, val DECIMAL(18,4), seen TIMESTAMP) " +
+        s"USING `graft-cdc-kafka` OPTIONS ($opts)")
+      s.sql(s"""
+        |SELECT row_kind, kafka_partition, kafka_offset,
+        |  uid, val, unix_micros(seen) AS seen_us
+        |FROM $tblName""".stripMargin)
+    },
+    Some(s"""$changelogSql,
+      |r AS (SELECT *,
+      |    CAST(pk % 4 AS INT) AS part,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY pk % 4
+      |      ORDER BY record_id) - 1 AS BIGINT) AS off,
+      |    ts_us // 1000000 AS sec
+      |  FROM changelog)
+      |SELECT '+I' AS row_kind, part AS kafka_partition,
+      |  off AS kafka_offset, pk AS uid,
+      |  CAST(val AS DECIMAL(18,4)) AS val, sec * 1000000 AS seen_us
+      |FROM r WHERE op = 'INSERT'
+      |UNION ALL
+      |SELECT '-U', part, off, pk,
+      |  CAST(CAST(val AS DECIMAL(18,4)) + 1 AS DECIMAL(18,4)),
+      |  (sec - 3600) * 1000000
+      |FROM r WHERE op = 'UPDATE'
+      |UNION ALL
+      |SELECT '+U', part, off, pk, CAST(val AS DECIMAL(18,4)),
+      |  sec * 1000000
+      |FROM r WHERE op = 'UPDATE'
+      |UNION ALL
+      |SELECT '-D', part, off, pk, CAST(val AS DECIMAL(18,4)),
+      |  sec * 1000000
+      |FROM r WHERE op = 'DELETE'""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10,
     cdc11, cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
     cdc21, cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30,
     cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38, cdc39, cdc40,
-    cdc41, cdc42)
+    cdc41, cdc42, cdc43)
 }

@@ -683,6 +683,68 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     KafkaSimBroker.clear()
   }
+
+  test("graft-cdc-kafka TYPED mode: declared business columns in " +
+      "CREATE TABLE project row images as a changelog — +I / -U,+U / " +
+      "-D via the row_kind metadata column, TRY-cast leniency " +
+      "(ref DtsTableIJoinTCase DDL + RowData deserializer RowKinds)") {
+    import graft.sources.KafkaSimBroker
+    import graft.sources.KafkaSimBroker.Msg
+    import graft.cdc.{AvroWire, Op}
+    import graft.cdc.AvroWire._
+    def rec(id: Long, op: String,
+        before: Seq[WireValue], after: Seq[WireValue]) =
+      AvroWire.encodeRecord(WireRecord(
+        version = 2, id = id, timestampSec = 1700000000L + id,
+        sourcePosition = s"$id@1", safeSourcePosition = s"$id@0",
+        transactionId = "tx-1", sourceTypeCode = 0, sourceVersion = "8.0",
+        op = op, objectName = "appdb.emp",
+        tags = Map("pk_uk_info" -> """{"PRIMARY":["uid"]}"""),
+        fields = if (before == null && after == null) null
+          else Seq("uid" -> 8, "amt" -> 246, "note" -> 253),
+        before = before, after = after, bornTimestamp = id))
+    def img(uid: Long, amt: String, note: String): Seq[WireValue] = Seq(
+      WInteger(20, uid.toString), WDecimal(amt, 18, 4),
+      WString("utf8", note.getBytes("UTF-8")))
+    val msgs = Seq(
+      rec(1, Op.Insert, null, img(1, "10.5", "a")),
+      rec(2, Op.Update, img(1, "10.5", "a"), img(1, "99.25", "b")),
+      // UPDATE with NO before image: only the +U row (lenient)
+      rec(3, Op.Update, null, img(2, "7", "c")),
+      // a malformed decimal cell: TRY-cast → typed NULL, no crash
+      rec(4, Op.Insert, null, img(3, "not-a-number", "d")),
+      rec(5, Op.Delete, img(1, "99.25", "b"), null),
+      rec(6, Op.Heartbeat, null, null)) // non-DML: no changelog row
+      .zipWithIndex.map { case (b, o) => Msg(0, o.toLong, 1000L, null, b) }
+    KafkaSimBroker.register("sim-typed:9092", Map("t" -> msgs))
+    spark.sql("DROP TABLE IF EXISTS cdc_typed_sub")
+    spark.sql("""CREATE TABLE cdc_typed_sub
+      |  (uid BIGINT, amt DECIMAL(18,4), note STRING)
+      |USING `graft-cdc-kafka`
+      |OPTIONS (`kafka.bootstrap.servers` 'sim-typed:9092',
+      |  subscribe 't', `kafka.group.id` 'g', wire 'dts-avro',
+      |  table 'appdb.emp')""".stripMargin)
+    // SELECT * = the DECLARED columns only (metadata stays hidden)
+    val star = spark.sql("SELECT * FROM cdc_typed_sub")
+    assert(star.columns.toSeq == Seq("uid", "amt", "note"))
+    val got = spark.sql(
+      """SELECT row_kind, kafka_offset, uid,
+        |  CAST(amt AS STRING) AS amt, note
+        |FROM cdc_typed_sub ORDER BY kafka_offset, row_kind""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      ("+I", 0L, 1L, "10.5000", "a"),
+      // UPDATE: retraction of the before image THEN the new state
+      ("+U", 1L, 1L, "99.2500", "b"),
+      ("-U", 1L, 1L, "10.5000", "a"),
+      ("+U", 2L, 2L, "7.0000", "c"), // no before → only +U
+      ("+I", 3L, 3L, null, "d"),     // TRY-cast: malformed → NULL
+      ("-D", 4L, 1L, "99.2500", "b")), got.toSeq.toString)
+    spark.sql("DROP TABLE cdc_typed_sub")
+    KafkaSimBroker.clear()
+  }
 }
 
 object RecordHex {
