@@ -745,6 +745,151 @@ class ExtensionsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cdc_typed_sub")
     KafkaSimBroker.clear()
   }
+
+  test("the reference's own SELECT test case runs Spark-shaped: " +
+      "transport-timestamp metadata as a ts column beside declared " +
+      "business columns, plus watermarked windowing on the stream " +
+      "(ref DtsTableISelectTCaseTest.java: ts TIMESTAMP(3) METADATA " +
+      "FROM 'timestamp', WATERMARK ts - INTERVAL '5' SECOND)") {
+    import graft.sources.KafkaSimBroker
+    import graft.sources.KafkaSimBroker.Msg
+    import graft.cdc.{AvroWire, Op}
+    import graft.cdc.AvroWire._
+    // the reference DDL's columns: id bigint, name varchar, age bigint
+    def rec(id: Long, name: String, age: Long) =
+      AvroWire.encodeRecord(WireRecord(
+        version = 2, id = id, timestampSec = 1700000000L + id,
+        sourcePosition = s"$id@1", safeSourcePosition = s"$id@0",
+        transactionId = "tx-1", sourceTypeCode = 0, sourceVersion = "8.0",
+        op = Op.Insert, objectName = "yanmen_source.test",
+        tags = Map("pk_uk_info" -> """{"PRIMARY":["id"]}"""),
+        fields = Seq("id" -> 8, "name" -> 253, "age" -> 8),
+        before = null,
+        after = Seq(WInteger(20, id.toString),
+          WString("utf8", name.getBytes("UTF-8")),
+          WInteger(20, age.toString)),
+        bornTimestamp = id))
+    // log-append times 10s apart → two 15s windows (2 + 1 records)
+    val msgs = Seq((1L, "ann", 30L), (2L, "bob", 40L), (3L, "cyd", 50L))
+      .zipWithIndex.map { case ((id, nm, age), o) =>
+        Msg(0, o.toLong, 1700000000000L + o * 10000L, null,
+          rec(id, nm, age))
+      }
+    KafkaSimBroker.register("sim-sel:9092", Map("t" -> msgs))
+    spark.sql("DROP TABLE IF EXISTS dts_sel_sub")
+    spark.sql("""CREATE TABLE dts_sel_sub (id BIGINT, name STRING, age BIGINT)
+      |USING `graft-cdc-kafka`
+      |OPTIONS (`kafka.bootstrap.servers` 'sim-sel:9092', subscribe 't',
+      |  `kafka.group.id` 'g', wire 'dts-avro',
+      |  table 'yanmen_source.test')""".stripMargin)
+    // `ts TIMESTAMP(3) METADATA FROM 'timestamp'` — Spark-shaped: the
+    // metadata column selected by name into a view beside the
+    // declared columns (Spark DDL has no METADATA FROM clause; the
+    // view IS that mapping)
+    val q = spark.sql(
+      """SELECT timestamp_millis(kafka_timestamp_ms) AS ts, id,
+        |  concat('dts-', name) AS dtsname, age
+        |FROM dts_sel_sub""".stripMargin)
+    val got = q.collect().map(r => (r.getTimestamp(0).getTime,
+      r.getLong(1), r.getString(2), r.getLong(3))).sortBy(_._2)
+    assert(got.toSeq == Seq(
+      (1700000000000L, 1L, "dts-ann", 30L),
+      (1700000010000L, 2L, "dts-bob", 40L),
+      (1700000020000L, 3L, "dts-cyd", 50L)), got.toSeq.toString)
+    // the watermarked-window half of the reference's headline SQL,
+    // on the STREAMING read of the same table
+    q.createOrReplaceTempView("dts_sel_v")
+    val stream = spark.readStream.format("graft-cdc-kafka")
+      .option("kafka.bootstrap.servers", "sim-sel:9092")
+      .option("subscribe", "t").option("kafka.group.id", "g")
+      .option("wire", "dts-avro").option("table", "yanmen_source.test")
+      .load() // raw mode: tsUs is physical on the stream
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("tsUs")))
+      .withWatermark("ts", "5 seconds")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "15 seconds"))
+      .count()
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val sq = stream.writeStream.outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.clear()
+        b.collect().foreach(r => sink.add(r.getLong(1)))
+      }.start()
+    try sq.processAllAvailable() finally sq.stop()
+    // record event times are 1-second apart (timestampSec = base+id):
+    // all three land in one 15s window
+    assert(sink.toArray.toSeq == Seq(3L), sink.toString)
+    spark.sql("DROP TABLE dts_sel_sub")
+    KafkaSimBroker.clear()
+  }
+
+  test("the reference's own JOIN test case runs Spark-shaped: the " +
+      "typed cdc table LEFT JOINs a dimension through a view " +
+      "(ref DtsTableIJoinTCase.java: employee_action left join " +
+      "employee on employee_id)") {
+    import graft.sources.KafkaSimBroker
+    import graft.sources.KafkaSimBroker.Msg
+    import graft.cdc.{AvroWire, DtsDateTime, Op}
+    import graft.cdc.AvroWire._
+    import spark.implicits._
+    def rec(id: Long, action: String, empId: Long) =
+      AvroWire.encodeRecord(WireRecord(
+        version = 2, id = id, timestampSec = 1700000000L + id,
+        sourcePosition = s"$id@1", safeSourcePosition = s"$id@0",
+        transactionId = "tx-1", sourceTypeCode = 0, sourceVersion = "8.0",
+        op = Op.Insert, objectName = "yanmen_source.employee_action",
+        tags = Map("pk_uk_info" -> """{"PRIMARY":["id"]}"""),
+        // the reference DDL's columns: id bigint, action varchar,
+        // action_time timestamp (wire DATETIME id 12), employee_id
+        fields = Seq("id" -> 8, "action" -> 253, "action_time" -> 12,
+          "employee_id" -> 8),
+        before = null,
+        after = Seq(WInteger(20, id.toString),
+          WString("utf8", action.getBytes("UTF-8")),
+          WDateTime(DtsDateTime(
+            DtsDateTime.SegDate | DtsDateTime.SegTime,
+            2024, 3, 1, 9, 0, id.toInt)),
+          WInteger(20, empId.toString)),
+        bornTimestamp = id))
+    val msgs = Seq(rec(1, "login", 10L), rec(2, "click", 11L),
+      rec(3, "logout", 99L)) // 99: no dim row → LEFT JOIN null
+      .zipWithIndex.map { case (b, o) => Msg(0, o.toLong, 1000L, null, b) }
+    KafkaSimBroker.register("sim-join:9092", Map("t" -> msgs))
+    spark.sql("DROP TABLE IF EXISTS employee_action")
+    spark.sql("""CREATE TABLE employee_action
+      |  (id BIGINT, action STRING, action_time TIMESTAMP,
+      |   employee_id BIGINT)
+      |USING `graft-cdc-kafka`
+      |OPTIONS (`kafka.bootstrap.servers` 'sim-join:9092', subscribe 't',
+      |  `kafka.group.id` 'g', wire 'dts-avro',
+      |  table 'yanmen_source.employee_action')""".stripMargin)
+    Seq((10L, "ann", 30L), (11L, "bob", 40L))
+      .toDF("id", "name", "age").createOrReplaceTempView("employee")
+    // the reference's view + query, verbatim modulo dialect
+    spark.sql("""CREATE OR REPLACE TEMP VIEW employee_action_detail AS
+      |SELECT employee_action.id AS id,
+      |  employee.name AS employee_name,
+      |  employee.age AS employee_age,
+      |  employee_action.action AS action,
+      |  employee_action.action_time AS action_time
+      |FROM employee_action LEFT JOIN employee
+      |  ON employee_action.employee_id = employee.id""".stripMargin)
+    val got = spark.sql(
+      """SELECT id, employee_name, employee_age, action, action_time
+        |FROM employee_action_detail ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getString(3), r.getTimestamp(4).toString))
+    assert(got.toSeq == Seq(
+      (1L, "ann", 30L, "login", "2024-03-01 09:00:01.0"),
+      (2L, "bob", 40L, "click", "2024-03-01 09:00:02.0"),
+      (3L, null, -1L, "logout", "2024-03-01 09:00:03.0")),
+      got.toSeq.toString)
+    spark.sql("DROP TABLE employee_action")
+    KafkaSimBroker.clear()
+  }
 }
 
 object RecordHex {
