@@ -107,6 +107,32 @@ object CdcQueries {
       org.apache.spark.sql.types.StructField(n, t)
     })
 
+  /** Eagerly materialize a fixture frame (optimization round 17, guide
+    * §1.2 step 1: don't recompute what the job already computed): every
+    * streaming gate derives its wire fixture from the events scan +
+    * JSON projection and then runs 3-5 SEPARATE actions over it (a
+    * bounds/count aggregate plus one chunk-encode write per batch) —
+    * measured via JobProfile, each action re-paid the full scan+parse
+    * as a single-task job (~0.5-1.2 s each at sf0.1 on this box).
+    * localCheckpoint(eager) pays the scan ONCE; the batch writes then
+    * read cached blocks. Chunk BYTES are unchanged: localCheckpoint
+    * preserves partition layout and row order, so the coalesce /
+    * repartitionByRange deals see identical input and the ordered-
+    * arrival contract is untouched. Callers free the pinned blocks
+    * with [[freeFixture]] right after the last fixture action — before
+    * the streaming section runs — so nothing stays non-evictable. */
+  private def matFixture(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Release [[matFixture]]'s pinned blocks (the Similarity
+    * freeCheckpoint recipe: localCheckpoint blocks are non-evictable
+    * until explicitly unpersisted). */
+  private def freeFixture(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Per-segment row target for the parallel fixture chunk encode
     * (round 13, VERDICT r12 #5): every streaming gate's 16× ScaleProbe
     * sweep was dominated by single-task coalesce(1) encodes of 1.5M+
@@ -502,11 +528,13 @@ object CdcQueries {
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
       val tableDir = tablePath.toString
+      val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
         graft.sinks.CdcParquetSink.applyBatch(
-          s, asRecords.filter(pmod(col("id"), lit(3)) === b),
+          s, fix.filter(pmod(col("id"), lit(3)) === b),
           tableDir, b, nBuckets = 4, maxDeltas = 2)
       }
+      freeFixture(fix)
       graft.sinks.CdcParquetSink.readTable(s, tableDir).get
         .select(
           expr("after['pk']").cast("bigint").as("pk"),
@@ -587,11 +615,13 @@ object CdcQueries {
       // micro-batches at maxChunksPerTrigger=1, independent of the
       // input's partition count (unbounded task-chunks would turn
       // into one micro-batch each — pure per-batch overhead)
+      val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
-        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+        fix.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
           .write.format("graft-cdc").mode("append")
           .option("path", chunkDir).save()
       }
+      freeFixture(fix)
       // THROWAWAY child session scopes the 8-state-partition override
       // (both stateful operators spawn shuffle-partitions state tasks
       // per micro-batch, and at this volume 32 of them are pure
@@ -689,10 +719,12 @@ object CdcQueries {
       // order (writeOrderedBatch), so the ordered-arrival contract
       // holds while big sweeps encode with N tasks. cdc11 keeps the
       // multi-chunk out-of-order stress.
-      val totalRows = asRecords.count()
+      val fix = matFixture(asRecords)
+      val totalRows = fix.count()
       batches.foreach { pred =>
-        writeOrderedBatch(asRecords.filter(pred), chunkDir, totalRows / 3)
+        writeOrderedBatch(fix.filter(pred), chunkDir, totalRows / 3)
       }
+      freeFixture(fix)
       // THROWAWAY child session scopes the 8-state-partition override
       // (cdc11's sizing note) so it is invisible to concurrent queries
       // (the ing01/ADVICE r9 pattern); the read-back below runs on the
@@ -784,11 +816,13 @@ object CdcQueries {
         col("tsUs") < cut1,
         col("tsUs") >= cut1 && col("tsUs") < cut2,
         col("tsUs") >= cut2)
+      val fix = matFixture(asRecords)
       batches.foreach { pred =>
-        asRecords.filter(pred).coalesce(1)
+        fix.filter(pred).coalesce(1)
           .write.format("graft-cdc").mode("append")
           .option("path", chunkDir).save()
       }
+      freeFixture(fix)
       // child-scoped conf + parquet snapshot sink + outer read-back
       // (VERDICT r10 #1: the session table scales with the keyspace —
       // it belongs on storage, not in a driver-memory sink)
@@ -870,11 +904,13 @@ object CdcQueries {
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
+      val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
-        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+        fix.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
           .write.format("graft-cdc").mode("append")
           .option("path", chunkDir).save()
       }
+      freeFixture(fix)
       // child-scoped conf + append-mode parquet FILE sink + outer
       // read-back (VERDICT r10 #1: the joined pair set is 16× at 16×
       // input — a stream-stream join's output belongs on storage)
@@ -959,11 +995,13 @@ object CdcQueries {
         col("tsUs") < cut1,
         (col("tsUs") >= cut1 - replayUs) && col("tsUs") < cut2,
         col("tsUs") >= cut2 - replayUs)
+      val fix = matFixture(asRecords)
       batches.foreach { pred =>
-        asRecords.filter(pred).coalesce(1)
+        fix.filter(pred).coalesce(1)
           .write.format("graft-cdc").mode("append")
           .option("path", chunkDir).save()
       }
+      freeFixture(fix)
       // child-scoped conf + parquet snapshot sink + outer read-back
       // (VERDICT r10 #1: per-key counts scale with the keyspace)
       val child = s.newSession()
@@ -1031,11 +1069,13 @@ object CdcQueries {
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
       val tableDir = tablePath.toString
+      val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
         graft.sinks.CdcParquetSink.applyBatch(
-          s, asRecords.filter(pmod(col("id"), lit(3)) === b),
+          s, fix.filter(pmod(col("id"), lit(3)) === b),
           tableDir, b, nBuckets = 4, maxDeltas = 2)
       }
+      freeFixture(fix)
       graft.sinks.CdcParquetSink.readTableAsOf(s, tableDir, 1L).get
         .select(
           expr("after['pk']").cast("bigint").as("pk"),
@@ -1097,11 +1137,13 @@ object CdcQueries {
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
       val tableDir = tablePath.toString
+      val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
         graft.sinks.CdcParquetSink.applyBatch(
-          s, asRecords.filter(pmod(col("id"), lit(3)) === b),
+          s, fix.filter(pmod(col("id"), lit(3)) === b),
           tableDir, b, nBuckets = 4, maxDeltas = 2)
       }
+      freeFixture(fix)
       // retention arithmetic this diff DEPENDS on (ADVICE r11): with
       // maxDeltas=2 and 3 batches, v1 folds nothing and its chains
       // still reference v0's delta dirs, so RetainVersions=2 (v1,v2 +
@@ -1204,11 +1246,13 @@ object CdcQueries {
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
+      val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
-        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+        fix.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
           .write.format("graft-cdc").mode("append")
           .option("path", chunkDir).save()
       }
+      freeFixture(fix)
       val tableDir = chunkDir + "_tbl"
       val ckptDir = chunkDir + "_tblck"
       Seq(tableDir, ckptDir).foreach(d =>
@@ -1452,11 +1496,13 @@ object CdcQueries {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + parity)
     graft.Fs.deleteRecursively(tablePath)
     val tableDir = tablePath.toString
+    val fix = matFixture(asRecords)
     (0L until 3L).foreach { b =>
       graft.sinks.CdcParquetSink.applyBatch(
-        s, asRecords.filter(pmod(col("id"), lit(3)) === b),
+        s, fix.filter(pmod(col("id"), lit(3)) === b),
         tableDir, b, nBuckets = 4, maxDeltas = 2)
     }
+    freeFixture(fix)
     tableDir
   }
 
@@ -1665,7 +1711,8 @@ object CdcQueries {
       val onTimeBatches = Seq(
         !col("straggler") && col("tsUs") < cut1,
         !col("straggler") && col("tsUs") >= cut1)
-      val wire = asRecords.drop("straggler")
+      val fix = matFixture(asRecords)
+      val wire = fix.drop("straggler")
       def writeHeartbeat(id: Long, tsUs: Column): Unit =
         wire.limit(1).select(
           lit(id).as("id"), lit("tx-hb").as("transactionId"),
@@ -1683,9 +1730,9 @@ object CdcQueries {
           .option("path", chunkDir).save()
       // parallel encode, arrival stays event-time-ordered per batch
       // (writeOrderedBatch); ~5/11 of the records per on-time batch
-      val totalRows = asRecords.count()
+      val totalRows = fix.count()
       def writeBatch(pred: Column): Unit =
-        writeOrderedBatch(asRecords.filter(pred).drop("straggler"),
+        writeOrderedBatch(fix.filter(pred).drop("straggler"),
           chunkDir, totalRows / 2)
       onTimeBatches.foreach(writeBatch)
       // liveness heartbeat carrying the subscription's on-time
@@ -1696,9 +1743,11 @@ object CdcQueries {
       // by (measured: Spark 4 filters batch n with stats from batch
       // n−2 on this path; with this record batches n−1 and n−2 carry
       // the SAME max, so a 1- or 2-batch lag yields one watermark)
-      val maxOnUs = changelog(s, dir)
-        .filter(!(isData && col("record_id") % 11 === 7))
-        .agg(max(col("ts_us"))).head.getLong(0)
+      // read from the materialized fixture (same rows: asRecords keeps
+      // heartbeats, straggler = isData && id % 11 == 7) — one less
+      // events scan
+      val maxOnUs = fix.filter(!col("straggler"))
+        .agg(max(col("tsUs"))).head.getLong(0)
       writeHeartbeat(999999998L, lit(maxOnUs))
       writeBatch(col("straggler"))
       // final liveness heartbeats: flush every still-open window (a
@@ -1708,6 +1757,7 @@ object CdcQueries {
       val flushTs = unix_micros(lit("2024-06-01 00:00:00").cast("timestamp"))
       writeHeartbeat(999999999L, flushTs)
       writeHeartbeat(1000000000L, flushTs)
+      freeFixture(fix)
       val child = s.newSession()
       child.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = graft.streaming.CdcStreaming
@@ -1838,11 +1888,13 @@ object CdcQueries {
           dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
       val tableDir = tablePath.toString
+      val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
         graft.sinks.CdcParquetSink.applyBatch(
-          s, asRecords.filter(pmod(col("id"), lit(3)) === b),
+          s, fix.filter(pmod(col("id"), lit(3)) === b),
           tableDir, b, nBuckets = 4, maxDeltas = 2)
       }
+      freeFixture(fix)
       val v1 = TypedSchema.TableSchema(
         db = "app", tbl = "users", pkNames = Seq("pk"),
         fields = Seq(
@@ -1970,18 +2022,20 @@ object CdcQueries {
       // the 24h watermark, dropping those inserts; q39's day-boundary
       // recipe). Span endpoints are 1-row driver scalars.
       val dayUs = 86400000000L
+      val fix = matFixture(asRecords)
       val (minDay, maxDay) = {
-        val r = asRecords.agg(min(col("tsUs")), max(col("tsUs"))).head()
+        val r = fix.agg(min(col("tsUs")), max(col("tsUs"))).head()
         (r.getLong(0) / dayUs, r.getLong(1) / dayUs)
       }
       val daySpan = maxDay - minDay + 1
       val tercile =
         expr(s"CAST((((tsUs div $dayUs) - $minDay) * 3) div $daySpan AS INT)")
       (0 until 3).foreach { b =>
-        asRecords.filter(tercile === b).coalesce(1)
+        fix.filter(tercile === b).coalesce(1)
           .write.format("graft-cdc").mode("append")
           .option("path", chunkDir).save()
       }
+      freeFixture(fix)
       // TWO liveness batches: the first advances the watermark past
       // every `l_ts + tolerance`; the second makes the flush happen
       // inside a DATA batch (state removal applies the watermark set
@@ -2087,11 +2141,13 @@ object CdcQueries {
           dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
+      val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
-        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+        fix.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
           .write.format("graft-cdc").mode("append")
           .option("path", chunkDir).save()
       }
+      freeFixture(fix)
       val child = s.newSession()
       child.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = graft.streaming.CdcStreaming
@@ -2192,11 +2248,13 @@ object CdcQueries {
         lit("MySQL").as("sourceType"), lit("5.7").as("sourceVersion"),
         lit(null).cast("array<string>").as("ukNames"))
       val chunkDir = ringDir("cdc28_w7t3n9", cdc28Calls, dir)
+      val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
-        asRecords.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
+        fix.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
           .write.format("graft-cdc").mode("append")
           .option("path", chunkDir).save()
       }
+      freeFixture(fix)
       val child = s.newSession()
       child.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = graft.streaming.CdcStreaming
@@ -2678,13 +2736,14 @@ object CdcQueries {
   private val cdc32 = QueryDef(
     "cdc32_stream_topn",
     (s, dir) => {
-      val base = asV4Records(s, dir)
+      val base = matFixture(asV4Records(s, dir))
       val chunkDir = ringDir("cdc32_t3n", cdc32Calls, dir)
       (0L until 3L).foreach { b =>
         base.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
           .write.format("graft-cdc").mode("append")
           .option("path", chunkDir).save()
       }
+      freeFixture(base)
       val child = s.newSession()
       child.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = graft.streaming.CdcStreaming
@@ -2802,7 +2861,7 @@ object CdcQueries {
   private val cdc34 = QueryDef(
     "cdc34_stream_topn_update",
     (s, dir) => {
-      val base = asV4Records(s, dir)
+      val base = matFixture(asV4Records(s, dir))
       val chunkDir = ringDir("cdc34_t3nu", cdc34Calls, dir)
       val bounds = base.agg(min(col("tsUs")), max(col("tsUs"))).head()
       val tmin = bounds.getLong(0)
@@ -2815,6 +2874,7 @@ object CdcQueries {
       }
       base.filter(hold).coalesce(1).write.format("graft-cdc")
         .mode("append").option("path", chunkDir).save()
+      freeFixture(base)
       val child = s.newSession()
       child.conf.set("spark.sql.shuffle.partitions", "8")
       child.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -3052,12 +3112,18 @@ object CdcQueries {
     "cdc36_avro_subscription",
     (s, dir) => {
       import s.implicits._
-      val rows = changelog(s, dir)
+      // encode DISTRIBUTED, collect only the wire bytes (optimization
+      // r17): the encode map rides the changelog scan on the executors
+      // — the driver transport (an in-JVM broker registration, the
+      // adjudicated fixture pattern) now carries finished messages
+      // instead of paying a single-threaded encode of the whole
+      // changelog. Downstream grouping sorts per partition by id, so
+      // collect order is immaterial and the broker logs are unchanged.
+      val msgs = changelog(s, dir)
         .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
           col("val").cast("decimal(18,4)").cast("string"))
         .as[(Long, Long, String, Long, String)]
-        .collect()
-      val msgs = rows.map { case (id, tsUs, op, pk, valStr) =>
+        .map { case (id, tsUs, op, pk, valStr) =>
         import AvroWire._
         val heart = op == "HEARTBEAT"
         val values: Seq[WireValue] =
@@ -3076,7 +3142,7 @@ object CdcQueries {
           after = if (heart || op == "DELETE") null else values,
           bornTimestamp = tsUs - 1000L))
         ((pk % 4).toInt, tsUs, id, bytes)
-      }
+      }.collect()
       val byPart = msgs.groupBy(_._1).toSeq.flatMap { case (p, ms) =>
         ms.sortBy(_._3).zipWithIndex.map { case ((_, tsUs, _, bytes), off) =>
           graft.sources.KafkaSimBroker.Msg(p, off.toLong, tsUs / 1000L,
@@ -3092,7 +3158,7 @@ object CdcQueries {
       val outBase = ringDir("cdc36_avro", cdc36Calls, dir)
       val child = s.newSession()
       child.conf.set("spark.sql.shuffle.partitions", "8")
-      val cap = math.max(1L, rows.length / 5L)
+      val cap = math.max(1L, msgs.length / 5L)
       val wire = child.readStream.format("graft-kafka-sim")
         .options(sub.toKafkaOptions +
           ("maxOffsetsPerTrigger" -> cap.toString))
@@ -3456,12 +3522,18 @@ object CdcQueries {
     "cdc38_cluster_switch",
     (s, dir) => {
       import s.implicits._
-      val rows = changelog(s, dir)
+      // encode DISTRIBUTED, collect only the wire bytes (optimization
+      // r17): the encode map rides the changelog scan on the executors
+      // — the driver transport (an in-JVM broker registration, the
+      // adjudicated fixture pattern) now carries finished messages
+      // instead of paying a single-threaded encode of the whole
+      // changelog. Downstream grouping sorts per partition by id, so
+      // collect order is immaterial and the broker logs are unchanged.
+      val msgs = changelog(s, dir)
         .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
           col("val").cast("decimal(18,4)").cast("string"))
         .as[(Long, Long, String, Long, String)]
-        .collect()
-      val msgs = rows.map { case (id, tsUs, op, pk, valStr) =>
+        .map { case (id, tsUs, op, pk, valStr) =>
         import AvroWire._
         val heart = op == "HEARTBEAT"
         val values: Seq[WireValue] =
@@ -3480,7 +3552,7 @@ object CdcQueries {
           after = if (heart || op == "DELETE") null else values,
           bornTimestamp = tsUs - 1000L))
         ((pk % 4).toInt, tsUs, id, bytes)
-      }
+      }.collect()
       val tsMin = msgs.iterator.map(_._2).min
       val tsMax = msgs.iterator.map(_._2).max
       // origin dies 3/5 through the span; the consumer reseeks the HA
@@ -3627,8 +3699,17 @@ object CdcQueries {
             "ALTER TABLE app.events ADD COLUMN k2 int")),
           bornTimestamp = cut))
       }
+      // materialize the ENCODED wire bytes once (optimization r17):
+      // deriveSchema's two probes, the DDL collect and the returned
+      // frame each re-ran the events scan + full Avro ENCODE map —
+      // four passes of encode work to test the DECODE path. Caching
+      // the bytes leaves the operator under test (decode → typed
+      // projection) fully live per action. NOT freed here: the
+      // returned frame's lineage reads these blocks; the harness sweep
+      // releases them after consumption (the ann06 returned-checkpoint
+      // pattern).
       val recs = graft.streaming.CdcStreaming.fromKafkaRecords(
-        wire.unionByName(Seq(ddlBytes).toDF("value")),
+        matFixture(wire.unionByName(Seq(ddlBytes).toDF("value"))),
         table = Some("app.events"), permissive = false, wire = "dts-avro")
       // way 1: the DDL control stream evolves the PRE-DDL wire schema
       val base = RawDataTypes.deriveSchema(
@@ -3695,12 +3776,18 @@ object CdcQueries {
     "cdc40_wire_metadata",
     (s, dir) => {
       import s.implicits._
-      val rows = changelog(s, dir)
+      // encode DISTRIBUTED, collect only the wire bytes (optimization
+      // r17): the encode map rides the changelog scan on the executors
+      // — the driver transport (an in-JVM broker registration, the
+      // adjudicated fixture pattern) now carries finished messages
+      // instead of paying a single-threaded encode of the whole
+      // changelog. Downstream grouping sorts per partition by id, so
+      // collect order is immaterial and the broker logs are unchanged.
+      val msgs = changelog(s, dir)
         .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
           col("val").cast("decimal(18,4)").cast("string"))
         .as[(Long, Long, String, Long, String)]
-        .collect()
-      val msgs = rows.map { case (id, tsUs, op, pk, valStr) =>
+        .map { case (id, tsUs, op, pk, valStr) =>
         import AvroWire._
         val heart = op == "HEARTBEAT"
         val values: Seq[WireValue] =
@@ -3719,7 +3806,7 @@ object CdcQueries {
           after = if (heart || op == "DELETE") null else values,
           bornTimestamp = tsUs - 1000L))
         ((pk % 4).toInt, tsUs, id, bytes)
-      }
+      }.collect()
       val byPart = msgs.groupBy(_._1).toSeq.flatMap { case (p, ms) =>
         ms.sortBy(_._3).zipWithIndex.map { case ((_, tsUs, _, bytes), off) =>
           graft.sources.KafkaSimBroker.Msg(p, off.toLong, tsUs / 1000L,
@@ -3870,12 +3957,18 @@ object CdcQueries {
     "cdc42_sql_metadata",
     (s, dir) => {
       import s.implicits._
-      val rows = changelog(s, dir)
+      // encode DISTRIBUTED, collect only the wire bytes (optimization
+      // r17): the encode map rides the changelog scan on the executors
+      // — the driver transport (an in-JVM broker registration, the
+      // adjudicated fixture pattern) now carries finished messages
+      // instead of paying a single-threaded encode of the whole
+      // changelog. Downstream grouping sorts per partition by id, so
+      // collect order is immaterial and the broker logs are unchanged.
+      val msgs = changelog(s, dir)
         .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
           col("val").cast("decimal(18,4)").cast("string"))
         .as[(Long, Long, String, Long, String)]
-        .collect()
-      val msgs = rows.map { case (id, tsUs, op, pk, valStr) =>
+        .map { case (id, tsUs, op, pk, valStr) =>
         import AvroWire._
         val heart = op == "HEARTBEAT"
         val values: Seq[WireValue] =
@@ -3894,7 +3987,7 @@ object CdcQueries {
           after = if (heart || op == "DELETE") null else values,
           bornTimestamp = tsUs - 1000L))
         ((pk % 4).toInt, tsUs, id, bytes)
-      }
+      }.collect()
       val byPart = msgs.groupBy(_._1).toSeq.flatMap { case (p, ms) =>
         ms.sortBy(_._3).zipWithIndex.map { case ((_, tsUs, _, bytes), off) =>
           graft.sources.KafkaSimBroker.Msg(p, off.toLong, tsUs / 1000L,
@@ -3968,13 +4061,6 @@ object CdcQueries {
     "cdc43_sql_typed_changelog",
     (s, dir) => {
       import s.implicits._
-      val rows = changelog(s, dir)
-        .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
-          col("val").cast("decimal(18,4)").cast("string"),
-          (col("val").cast("decimal(18,4)") + 1)
-            .cast("decimal(18,4)").cast("string"))
-        .as[(Long, Long, String, Long, String, String)]
-        .collect()
       def dt(sec: Long): DtsDateTime = {
         val ldt = java.time.LocalDateTime.ofEpochSecond(
           sec, 0, java.time.ZoneOffset.UTC)
@@ -3982,7 +4068,16 @@ object CdcQueries {
         DtsDateTime(SegDate | SegTime, ldt.getYear, ldt.getMonthValue,
           ldt.getDayOfMonth, ldt.getHour, ldt.getMinute, ldt.getSecond)
       }
-      val msgs = rows.map { case (id, tsUs, op, pk, valStr, valPrevStr) =>
+      // encode DISTRIBUTED, collect only the wire bytes (the cdc36
+      // optimization-r17 note: the broker transport is unchanged,
+      // the single-threaded driver encode is gone)
+      val msgs = changelog(s, dir)
+        .select(col("record_id"), col("ts_us"), col("op"), col("pk"),
+          col("val").cast("decimal(18,4)").cast("string"),
+          (col("val").cast("decimal(18,4)") + 1)
+            .cast("decimal(18,4)").cast("string"))
+        .as[(Long, Long, String, Long, String, String)]
+        .map { case (id, tsUs, op, pk, valStr, valPrevStr) =>
         import AvroWire._
         val heart = op == "HEARTBEAT"
         val sec = Math.floorDiv(tsUs, 1000000L)
@@ -4010,7 +4105,7 @@ object CdcQueries {
             else null,
           bornTimestamp = tsUs - 1000L))
         ((pk % 4).toInt, id, bytes)
-      }
+      }.collect()
       val byPart = msgs.groupBy(_._1).toSeq.flatMap { case (p, ms) =>
         ms.sortBy(_._2).zipWithIndex.map { case ((_, _, bytes), off) =>
           graft.sources.KafkaSimBroker.Msg(p, off.toLong, 1000L, null,

@@ -79,9 +79,15 @@ object Ingest {
       // shuffles at the child's 8 partitions wherever it is consumed).
       val s = outer.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // materialize once (optimization r17, the CdcQueries.matFixture
+      // rationale): the corpus index build, the Bloom aggregate and the
+      // NBatches batch writes each re-scanned documents.parquet —
+      // localCheckpoint pays the scan once, the five downstream actions
+      // read cached blocks. Freed after the batch writes below.
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           timestamp_micros(col("doc_id") * 1000000L).as("ts"))
+        .localCheckpoint(true)
       val corpus = docs.filter(col("doc_id") % CorpusMod === 0)
       val streamSet = docs.filter(col("doc_id") % CorpusMod =!= 0)
       // static builds, once per ingest epoch (at 100 TB: a bucketed
@@ -105,6 +111,13 @@ object Ingest {
         streamSet.filter(pmod(col("doc_id"), lit(NBatches)) === b)
           .coalesce(1)
           .write.mode("append").parquet(batchDir)
+      }
+      // free the docs checkpoint: index and bloom are materialized,
+      // batch files are written — nothing still reads it
+      docs.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
       }
       val stream = s.readStream
         .schema(streamSet.schema)
