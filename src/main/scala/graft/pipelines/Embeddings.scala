@@ -472,32 +472,53 @@ object Embeddings {
     * FIRST_VALUE pick — hash-match across the full pipeline. */
   private val Emb06Tau = 0.4
 
+  /** emb06's ASSIGNMENT PASS — train, assign every vector to its
+    * nearest centroid (native expression + broadcast centroid join),
+    * carry qq and cdist. Factored out (optimization r17) so PlanSpec
+    * can keep pinning THIS plan's shape (NearestCentroid +
+    * BroadcastHashJoin, no cartesian) now that emb06 materializes it
+    * once: the declared frame's plan reads the checkpoint, so the
+    * assignment subtree is no longer visible there. */
+  private[graft] def emb06Assigned(
+      s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def load() = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
+    val base = load().withColumn("codes", expr(emb05CodesSpark)).persist()
+    val cents =
+      try kmeansCentroids(base)
+      finally base.unpersist(blocking = false)
+    val (flat, norms) = emb05Flat(cents)
+    import s.implicits._
+    val centsDf = cents.zipWithIndex.toSeq
+      .map { case (m, i) => (i.toLong, m.toSeq) }.toDF("cid", "m")
+    // vec_id, v, cid, qq=‖v‖², cdist=‖v−μ_cid‖² (expanded form, the
+    // exact op order of the oracle's `qq - 2*dot + mm`)
+    load()
+      .select(col("vec_id"), col("v"),
+        column(graft.functions.NearestCentroid(
+          expression(col("v")), flat, norms)).as("cid"),
+        VectorOps.norm2("v").as("qq"))
+      .join(broadcast(centsDf), "cid")
+      .select(col("vec_id"), col("v"), col("cid"), col("qq"),
+        (col("qq") - lit(2) * VectorOps.dot("v", "m") +
+          VectorOps.dot("m", "m")).as("cdist"))
+  }
+
   private val emb06 = QueryDef(
     "emb06_semdedup",
     (s, dir) => {
-      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
       import org.apache.spark.sql.expressions.Window
-      def load() = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), VectorOps.toDouble("embedding").as("v"))
-      val base = load().withColumn("codes", expr(emb05CodesSpark)).persist()
-      val cents =
-        try kmeansCentroids(base)
-        finally base.unpersist(blocking = false)
-      val (flat, norms) = emb05Flat(cents)
       import s.implicits._
-      val centsDf = cents.zipWithIndex.toSeq
-        .map { case (m, i) => (i.toLong, m.toSeq) }.toDF("cid", "m")
-      // vec_id, v, cid, qq=‖v‖², cdist=‖v−μ_cid‖² (expanded form, the
-      // exact op order of the oracle's `qq - 2*dot + mm`)
-      val wd = load()
-        .select(col("vec_id"), col("v"),
-          column(graft.functions.NearestCentroid(
-            expression(col("v")), flat, norms)).as("cid"),
-          VectorOps.norm2("v").as("qq"))
-        .join(broadcast(centsDf), "cid")
-        .select(col("vec_id"), col("v"), col("cid"), col("qq"),
-          (col("qq") - lit(2) * VectorOps.dot("v", "m") +
-            VectorOps.dot("m", "m")).as("cdist"))
+      // materialized once (optimization r17): wd feeds the pairwise
+      // panels, the component closure AND the final pick — three
+      // consumers that each re-paid the scan + K×d NearestCentroid
+      // assignment + centroid join. localCheckpoint computes the
+      // assignment once; values are bit-identical (same fold order),
+      // so the oracle replay is unchanged. Not freed: the returned
+      // frame's lineage reads these blocks (harness sweep releases
+      // them — the ann06 returned-checkpoint pattern).
+      val wd = emb06Assigned(s, dir).localCheckpoint(true)
       // intra-cluster pairwise stage on EmbedDup's per-cluster blocked
       // panels: per-task work bounded by blockRows², task count grows
       // with Σ_c B_c(B_c+1)/2 instead of capping at K (the r6 plan's

@@ -79,6 +79,11 @@ object Ingest {
       // shuffles at the child's 8 partitions wherever it is consumed).
       val s = outer.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // no-data micro-batches add a planning+commit cycle per
+      // stream and emit nothing these bounded gates need
+      // (CdcQueries optimization-r17 note)
+      s.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false")
       // materialize once (optimization r17, the CdcQueries.matFixture
       // rationale): the corpus index build, the Bloom aggregate and the
       // NBatches batch writes each re-scanned documents.parquet —
@@ -299,6 +304,11 @@ object Ingest {
     (outer, dir) => {
       val s = outer.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // no-data micro-batches add a planning+commit cycle per
+      // stream and emit nothing these bounded gates need
+      // (CdcQueries optimization-r17 note)
+      s.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val log = graft.cdc.CdcQueries.changelog(s, dir)
         .filter(col("op") =!= "HEARTBEAT")
         .select(col("record_id"), col("ts_us"), col("op"), col("pk"))

@@ -346,7 +346,10 @@ object Packing {
   private val pk06 = QueryDef(
     "pk06_trained_pack",
     (s, dir) => {
-      val merges = TextAnalysis.trainBpeMerges(s, dir)
+      // trained-merges ARTIFACT (optimization r17): tx15's line pays
+      // the live training loop; this consumer applies the shipped
+      // merge table (TextAnalysis.bpeMergesArtifact scaladoc)
+      val merges = TextAnalysis.bpeMergesArtifact(s, dir)
       val applyChain = merges.foldLeft("seg0") { case (acc, (_, l, r, _, _)) =>
         s"replace($acc, '<$l><$r>', '<$l$r>')"
       }

@@ -230,11 +230,22 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("emb06 final pass: native assignment, broadcast centroids, no cartesian") {
+    // optimization r17: emb06 materializes the assignment pass once
+    // (three consumers re-paid it), so the DECLARED frame's plan reads
+    // the checkpoint. The assignment-shape pins move to the factored
+    // assignment pass itself; the final pass must read the
+    // materialized rows and still never go cartesian.
+    val pa = graft.pipelines.Embeddings
+      .emb06Assigned(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(pa.toLowerCase.contains("nearestcentroid"),
+      s"native assignment expression missing:\n$pa")
+    assert(pa.contains("BroadcastHashJoin"),
+      s"K-row centroid join must broadcast:\n$pa")
+    assert(!pa.contains("Cartesian"), s"unexpected cartesian:\n$pa")
     val p = plan("emb06_semdedup")
-    assert(p.toLowerCase.contains("nearestcentroid"),
-      s"native assignment expression missing:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"K-row centroid join must broadcast:\n$p")
+    assert(p.toLowerCase.contains("existingrdd"),
+      s"final pass should read the materialized assignment:\n$p")
     assert(!p.contains("Cartesian"), s"unexpected cartesian:\n$p")
   }
 
