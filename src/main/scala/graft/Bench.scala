@@ -224,8 +224,9 @@ object Bench {
         // share. Cross-round note: r10+ values are NOT comparable 1:1
         // with r≤9 (same machinery, better SNR).
         val n = 400000
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_bench_stream").toString
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(graft.Scratch.root),
+          "graft_bench_stream").toString
         val recs = (0 until n).map { i =>
           graft.cdc.ChangeRecord(i.toLong, s"tx-${i / 100}",
             1000000L * (i + 1), 1000000L * (i + 1) - 500L,

@@ -73,7 +73,8 @@ object ScaleProbe {
       if (args.length > 1) Some(args(1).split(",").toSet) else None
     def wanted(op: String): Boolean = only.forall(_.contains(op))
     val spark = GraftSession.fromEnv(appName = "scale-probe")
-    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.root), "graft_scale").toString
     // "linear" = linear in corpus SCAN cost; dd02 and dd09 are
     // output-bound on this fixture (replicas share near-all text, so
     // TRUE pairs grow ~k² — the printed rows(x16/x1) makes the output
@@ -437,8 +438,8 @@ object StreamRpsProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.fromEnv(appName = "stream-rps-probe")
     val n = 400000
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_rps_probe").toString
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.root), "graft_rps_probe").toString
     val recs = (0 until n).map { i =>
       graft.cdc.ChangeRecord(i.toLong, s"tx-${i / 100}",
         1000000L * (i + 1), 1000000L * (i + 1) - 500L,

@@ -326,7 +326,7 @@ object CdcQueries {
   private object Cdc08Transport {
     def ensure(s: SparkSession, dir: String): String = synchronized {
       val out = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_cdc08_v1_${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}")
+        graft.Scratch.root, s"graft_cdc08_v1_${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}")
       val done = out.resolve("_DONE")
       if (!java.nio.file.Files.exists(done)) {
         java.nio.file.Files.createDirectories(out)
@@ -523,7 +523,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement() % 2
       val tablePath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc10_b3x4m2_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
@@ -606,7 +606,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc11_k9w2r7_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
@@ -705,7 +705,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc12_t5p8q1_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
@@ -818,7 +818,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc13_w7h3m9_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
@@ -920,7 +920,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc14_z2f6k4_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
@@ -1009,7 +1009,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc15_r4n8s2_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
@@ -1099,7 +1099,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement() % 2
       val tablePath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc16_b3x4m2_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
@@ -1167,7 +1167,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement() % 2
       val tablePath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc17_d5v1q8_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
@@ -1276,7 +1276,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc18_f7j2p5_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
@@ -1533,7 +1533,7 @@ object CdcQueries {
       .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
       .getAndIncrement() % 2
     val tablePath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.root,
       "graft_" + tag + "_k9p2w6_" + ProcessHandle.current().pid() + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + parity)
     graft.Fs.deleteRecursively(tablePath)
@@ -1743,7 +1743,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc24_j6r2d8_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
@@ -1932,7 +1932,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement() % 2
       val tablePath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc25_h4t7n1_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + parity)
       graft.Fs.deleteRecursively(tablePath)
@@ -2058,7 +2058,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc26_h3m9t1_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
@@ -2192,7 +2192,7 @@ object CdcQueries {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val chunkPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_cdc27_k5w8d2_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
@@ -2463,7 +2463,7 @@ object CdcQueries {
       .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
       .getAndIncrement() % 2
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.root,
       "graft_" + tag + "_" + ProcessHandle.current().pid() + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + parity)
     graft.Fs.deleteRecursively(p)

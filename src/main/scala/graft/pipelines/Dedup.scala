@@ -730,8 +730,9 @@ object Dedup {
   private def clusterTable(s: SparkSession, dir: String): DataFrame = {
     val path = clusterTableCache.computeIfAbsent(
       corpusFingerprint(s, dir), _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_dd06_clusters").toString
+      val out = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.Scratch.root),
+        "graft_dd06_clusters").toString
       sys.addShutdownHook {
         try Fs.deleteRecursively(java.nio.file.Paths.get(out))
         catch { case _: Throwable => () }
@@ -1150,7 +1151,7 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     baseIndexBuilt.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_dd15_b4q7s2_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
       graft.Fs.deleteRecursively(p)

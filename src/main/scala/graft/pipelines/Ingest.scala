@@ -107,7 +107,7 @@ object Ingest {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val batchPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_ing01_p4q8s2_" + ProcessHandle.current().pid() + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + (n % 2))
       graft.Fs.deleteRecursively(batchPath)
@@ -323,7 +323,7 @@ object Ingest {
         .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
         .getAndIncrement()
       val batchPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_ing03_w7r2k9_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (n % 2))
       graft.Fs.deleteRecursively(batchPath)

@@ -1118,7 +1118,7 @@ object Similarity {
       // deleteRecursively against the other's reads of the shared
       // index dir (ADVICE r11)
       val idxPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_annidx_m6k3t8_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
       graft.Fs.deleteRecursively(idxPath)
@@ -1158,7 +1158,7 @@ object Similarity {
   private def ensureFullGraph(s: SparkSession, dir: String): String =
     fullGraphBuilt.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_annfull_h8w2n5_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
       graft.Fs.deleteRecursively(p)
@@ -1236,7 +1236,7 @@ object Similarity {
   private def ensureWalk(s: SparkSession, dir: String): String =
     walkBuilt.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_annwalk_p9r4v6_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
       graft.Fs.deleteRecursively(p)
@@ -1338,7 +1338,7 @@ object Similarity {
   private def ensureInsertState(s: SparkSession, dir: String): String =
     insertStateBuilt.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+        graft.Scratch.root,
         "graft_annins_q4j7x2_" + ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
       graft.Fs.deleteRecursively(p)
