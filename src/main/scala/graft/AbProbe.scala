@@ -16,11 +16,21 @@ package graft
   * both arms inside every epoch; the per-arm min/median over several
   * rounds is then comparable.
   *
+  * VALIDITY (ADVICE r17): the arm flip only moves queries whose ring
+  * dirs are resolved PER CALL (the cdc10-27 sink/checkpoint gates,
+  * ing01/ing03). Once-per-dir memoized builders (dd06's clusterTable,
+  * dd15, the ann member-index/walk/insert registries, cdc08's _DONE
+  * marker) resolve their scratch path at first build and keep it for
+  * the JVM's life — for those queries both arms measure the same
+  * medium and the probe reads as a null result by construction.
+  *
   * Usage: runMain graft.AbProbe <sfDir> <name,name,...> [rounds]
   */
 object AbProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    require(args.length > 1,
+      "usage: AbProbe <sfDir> <name,name,...> [rounds]")
     val names = args(1).split(",").toSeq
     val rounds = if (args.length > 2) args(2).toInt else 3
     val tmp = System.getProperty("java.io.tmpdir")
@@ -46,9 +56,14 @@ object AbProbe {
         as += a; bs += b
         println(f"ABPROBE $n round$r A=$a%.3f B=$b%.3f")
       }
+      // proper median: mean of the middle pair for even round counts
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
       println(f"ABPROBE $n SUMMARY minA=${as.min}%.3f minB=${bs.min}%.3f " +
-        f"medA=${as.sorted.apply(as.size / 2)}%.3f " +
-        f"medB=${bs.sorted.apply(bs.size / 2)}%.3f")
+        f"medA=${med(as.toSeq)}%.3f medB=${med(bs.toSeq)}%.3f")
     }
     spark.stop()
   }

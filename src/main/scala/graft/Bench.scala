@@ -221,8 +221,11 @@ object Bench {
         // micro-batch overhead — at 200k that is up to half the wall
         // and made the number swing 350-630k across rounds on
         // machine noise alone; doubling the batch halves the fixed
-        // share. Cross-round note: r10+ values are NOT comparable 1:1
-        // with r≤9 (same machinery, better SNR).
+        // share. Cross-round notes: r10+ values are NOT comparable 1:1
+        // with r≤9 (same machinery, better SNR); r17's fixture dir
+        // briefly landed on RAM-backed /dev/shm via Scratch (a second
+        // comparability break, ADVICE r17) — r18 reverted Scratch's
+        // default to java.io.tmpdir, so r18+ matches r≤16's medium.
         val n = 400000
         val dir = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(graft.Scratch.root),

