@@ -559,7 +559,8 @@ object CdcQueries {
     * out-of-timestamp-order batches, each written through the DSv2
     * `graft-cdc` BATCH WRITE (codec → atomic chunk segments), then ONE
     * Structured Streaming query consumes the chunk dir micro-batch by
-    * micro-batch (maxChunksPerTrigger=1) and runs the REAL retract
+    * micro-batch (admission-capped; one time-batch per trigger since
+    * optimization r18) and runs the REAL retract
     * pipeline: flatMapGroupsWithState emits −1(old value)/+1(new
     * value) transitions per key, a second stateful operator sign-sums
     * them per value — the Flink `toRetractStream → GROUP BY` topology
@@ -611,10 +612,10 @@ object CdcQueries {
           "_" + (n % 2))
       graft.Fs.deleteRecursively(chunkPath)
       val chunkDir = chunkPath.toString
-      // coalesce(2): two chunk segments per batch write -> six
-      // micro-batches at maxChunksPerTrigger=1, independent of the
-      // input's partition count (unbounded task-chunks would turn
-      // into one micro-batch each — pure per-batch overhead)
+      // coalesce(2): two chunk segments per batch write, independent
+      // of the input's partition count (unbounded task-chunks would
+      // turn into one micro-batch each — pure per-batch overhead);
+      // with the cap-2 admission below each batch is ONE trigger
       val fix = matFixture(asRecords)
       (0L until 3L).foreach { b =>
         fix.filter(pmod(col("id"), lit(3)) === b).coalesce(2)
@@ -642,8 +643,19 @@ object CdcQueries {
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
       implicit val sp: SparkSession = child
+      // admission cap = 2 (optimization r18, VERDICT r17 #5 — the
+      // per-trigger planning+WAL+state-commit cycle is the gates'
+      // dominant cost and gains nothing from cores): each written
+      // batch is exactly TWO chunk segments, so cap 2 admits one
+      // whole time-contiguous batch per trigger — 3 triggers instead
+      // of 6. Batch boundaries, name-ordered arrival and the
+      // out-of-order delivery the gate proves are all unchanged; the
+      // stateful operators sort per key within a trigger
+      // (CdcStreaming sortBy(tsUs, recordId)), so merging a batch's
+      // two chunks into one trigger is order-deterministic and the
+      // final state is identical (oracle re-proven at both SFs).
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       val counts = graft.streaming.CdcStreaming
         .liveCountByValue(stream, expr("element_at(after, 'k')"))
       runToParquetAndRead(s, counts, chunkDir + "_out", complete = true,
@@ -746,8 +758,14 @@ object CdcQueries {
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
       implicit val sp: SparkSession = child
+      // admission cap = 2 (the cdc11 rationale): batches are ONE chunk
+      // each here, so cap 2 merges the first two time-contiguous
+      // batches into one trigger ([2,1]) — the final batch (whose
+      // heartbeats advance the terminal watermark) still admits ALONE,
+      // so the flush contract is untouched, and complete-mode output
+      // is the final snapshot either way (oracle re-proven at both SFs)
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       val counts = graft.streaming.CdcStreaming
         .windowedLiveCounts(stream, expr("element_at(after, 'k')"))
       runToParquetAndRead(s, counts, chunkDir + "_out", complete = true,
@@ -850,8 +868,11 @@ object CdcQueries {
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
       implicit val sp: SparkSession = child
+      // admission cap = 2 ([2,1] split, the cdc12 note): final batch
+      // alone, complete-mode snapshot — trigger-granularity-free
+      // (oracle re-proven at both SFs)
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       val sessions = graft.streaming.CdcStreaming
         .sessionizedActivity(stream, gap = "12 hours", watermark = "30 days")
       runToParquetAndRead(s, sessions, chunkDir + "_out", complete = true,
@@ -945,8 +966,12 @@ object CdcQueries {
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
       implicit val sp: SparkSession = child
+      // admission cap = 2: one written batch (two chunks) per trigger
+      // — the cdc11 rationale; the 30-day watermark means no state
+      // eviction either way and the joined pair set is trigger-
+      // granularity-independent (oracle re-proven at both SFs)
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       val joined = graft.streaming.CdcStreaming
         .intervalJoin(stream, "INSERT", "UPDATE", tolUs, watermark = "30 days")
       runToParquetAndRead(s, joined, chunkDir + "_out", complete = false,
@@ -1042,8 +1067,15 @@ object CdcQueries {
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
       implicit val sp: SparkSession = child
+      // admission cap = 2 ([2,1] split, the cdc12 note): batch 2's
+      // replay of batch 1's tail now arrives in the SAME trigger —
+      // dropDuplicatesWithinWatermark dedups within a batch exactly
+      // like across batches (state insert + probe), the 30-day
+      // watermark spans the whole horizon so no id evicts early, and
+      // complete-mode output is the final snapshot (oracle re-proven
+      // at both SFs)
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       val deduped = graft.streaming.CdcStreaming
         .dedupRedelivered(stream, watermark = "30 days")
       val counts = deduped
@@ -1237,8 +1269,8 @@ object CdcQueries {
     * cdc10 gates `applyBatch` batch-by-batch from driver code; THIS
     * gates the STREAMING entry point end-to-end — the changelog is
     * dealt into three out-of-timestamp-order batches (the cdc11
-    * id-mod-3 deal, two chunk segments each → six micro-batches at
-    * maxChunksPerTrigger=1), each micro-batch lands as a delta with
+    * id-mod-3 deal, two chunk segments each → one micro-batch per
+    * batch under the cap-2 admission), each micro-batch lands as a delta with
     * mid-run chain folds at maxDeltas=2, and the final table must
     * hash-match the declarative last-DML-wins — out-of-order arrival,
     * UPDATE last-wins and DELETE tombstones proven through the wire
@@ -1301,8 +1333,12 @@ object CdcQueries {
       // measured ~20-40% of gate wall at sf0.1)
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // admission cap = 2: one written batch (two chunks) per trigger
+      // — the cdc11 rationale; the sink's per-epoch applyBatch runs 3×
+      // instead of 6× and the last-wins table state is identical
+      // (oracle re-proven at both SFs)
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       val q = graft.sinks.CdcParquetSink.start(
         stream, tableDir, ckptDir, nBuckets = 4, maxDeltas = 2)
       try q.processAllAvailable()
@@ -2213,8 +2249,11 @@ object CdcQueries {
       // measured ~20-40% of gate wall at sf0.1)
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // admission cap = 2: one written batch (two chunks) per trigger
+      // — the cdc11 rationale; the per-record broadcast lookup join is
+      // stateless across triggers (oracle re-proven at both SFs)
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       // LEFT join (ADVICE r12): with non-dense dim keys (e.g. 1-based
       // TPC-H custkeys) an inner join would silently drop every record
       // whose ck misses — a lookup join must SURFACE unmatched records
@@ -2327,8 +2366,12 @@ object CdcQueries {
       // measured ~20-40% of gate wall at sf0.1)
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // admission cap = 2: one written batch (two chunks) per trigger
+      // — the cdc11 rationale; the 400-day watermark already spans the
+      // whole changelog so no pair can drop either way (oracle
+      // re-proven at both SFs)
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       // the gate replays history, so the watermark delay must exceed
       // the changelog's full event-time span (out-of-order dealing
       // means the first batch can carry max_ts) — enforced, not hoped
@@ -2823,8 +2866,14 @@ object CdcQueries {
       // measured ~20-40% of gate wall at sf0.1)
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // admission cap = 2: one written batch (two chunks) per trigger
+      // — the cdc11 rationale; complete-mode output is the final
+      // trigger's full snapshot, so the rank result is trigger-
+      // granularity-independent, and the CdcSpec trail assertions
+      // (≥2 populated epochs, first-vs-final displacement) still see
+      // 3 epochs (oracle re-proven at both SFs)
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       val counts = stream
         .filter(col("op").isin("INSERT", "UPDATE", "DELETE"))
         .withColumn("pk",
@@ -2962,8 +3011,15 @@ object CdcQueries {
       child.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false")
       child.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // admission cap = 2: one written time-third (two chunks) per
+      // trigger, the held-back straggler chunk still admits ALONE and
+      // LAST (7 chunks → triggers [2,2,2,1]) — the cdc11 rationale;
+      // update-mode deltas stay batch-scoped (the spec's touched ⊊
+      // total and displacement-through-the-delta-path assertions see 4
+      // epochs), and the counts/ranks stores land the identical final
+      // state (oracle re-proven at both SFs)
       val stream = graft.streaming.CdcStreaming
-        .readStream(child, chunkDir, maxChunksPerTrigger = Some(1))
+        .readStream(child, chunkDir, maxChunksPerTrigger = Some(2))
       val counts = stream
         .filter(col("op").isin("INSERT", "UPDATE", "DELETE"))
         .withColumn("pk",

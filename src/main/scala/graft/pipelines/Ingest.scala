@@ -126,7 +126,13 @@ object Ingest {
       }
       val stream = s.readStream
         .schema(streamSet.schema)
-        .option("maxFilesPerTrigger", "1")
+        // admission cap 2 (optimization r18, the CdcQueries cap-2
+        // rationale): both consumers are per-doc deterministic
+        // (stateless bloom probe; index join under a 10-year
+        // watermark), so trigger granularity cannot change a row —
+        // 3 triggers per stream become 2, and the gate still proves
+        // multi-micro-batch streaming admission
+        .option("maxFilesPerTrigger", "2")
         .parquet(batchDir)
       // FILE sinks + read-back (VERDICT r9 #3/#5: the memory sink was
       // the last query-path materialization whose row count scales
@@ -335,7 +341,10 @@ object Ingest {
       }
       val stream = s.readStream
         .schema(tail.schema)
-        .option("maxFilesPerTrigger", "1")
+        // admission cap 2 (optimization r18): the seam admission is a
+        // stateless per-record position filter — trigger granularity
+        // cannot change a row; 3 triggers become 2
+        .option("maxFilesPerTrigger", "2")
         .parquet(batchDir)
       // the seam: stateless position admission against the published
       // high-water mark — the overlap redelivery drops on sight
