@@ -5,15 +5,16 @@ package graft
   * queries, whose cost is AQE stage-materialization job count) without
   * touching query code. Overrides apply to the probe session only;
   * nothing is persisted.
-  * Usage: runMain graft.ConfProbe <sfDir> <k=v[;k=v...]|-> <name,...> [reps]
+  * Usage: runMain graft.ConfProbe <sfDir> <k=v[+k=v...]|-> <name,...> [reps]
+  * ('+' separates confs — ';' would be eaten by sbt's command parser)
   */
 object ConfProbe {
   def main(args: Array[String]): Unit = {
     require(args.length > 2,
-      "usage: ConfProbe <sfDir> <k=v[;k=v...]|-> <name,...> [reps]")
+      "usage: ConfProbe <sfDir> <k=v[+k=v...]|-> <name,...> [reps]")
     val sfDir = args(0)
     val confs = if (args(1) == "-") Nil
-      else args(1).split(";").toSeq.map { kv =>
+      else args(1).split("\\+").toSeq.map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v)
       }
     val names = args(2).split(",").toSeq
